@@ -1,0 +1,327 @@
+"""Vectorized parse + enrich stage (the engine's hot path).
+
+One ``map_batches`` stage replaces the reference's per-line
+producer/consumer loop (``main.go:684-790``): Arrow batches in, Arrow
+batches out.
+
+Per batch:
+
+1. ``tokens -> line`` via the zero-copy byte codec;
+2. per-source format lookup (explicit config, never sniffed);
+3. one RE2 ``pyarrow.compute.extract_regex`` per format present in the
+   batch — the same anchored patterns as the reference's five parsers
+   (``logparsers/httpservers.go:169-318``), vectorized;
+4. timestamps: vectorized ``strptime`` of the local clock fields plus a
+   numeric-offset column (the metric time window uses the *local* clock,
+   ``handlers/metricgenerator.go:131-158``);
+5. URI/referer/user-agent enrichment per **unique value** with per-actor
+   caches (dictionary-encode, classify the dictionary, scatter back) —
+   user-agent and referer cardinality is tiny compared to row count, so
+   the Python decision tree runs orders of magnitude fewer times than a
+   row loop would;
+6. robots.txt override, relevance flags, time-window column.
+
+Run as an actor pool: ``ds.map_batches(ParseEnrich, concurrency=N,
+batch_format="pyarrow")`` so caches persist across batches
+(SURVEY.md §2.4 ST1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..codec import decode_tokens
+from ..config import JobConfig
+from ..functions import loglines as L
+from ..functions.ua import _BOTLIKE_FAMILIES, classify_user_agent
+
+# ---- output schema ---------------------------------------------------------
+ENRICHED_FIELDS = [
+    ("doc_id", pa.string()),
+    ("tokens", pa.list_(pa.int32())),
+    ("n_tok", pa.int32()),
+    ("source", pa.string()),
+    ("parse_ok", pa.bool_()),
+    ("domain", pa.string()),
+    ("client_ip", pa.string()),
+    ("remote_logname", pa.string()),
+    ("remote_user", pa.string()),
+    ("ts", pa.timestamp("s")),          # UTC wall time, null if unparseable
+    ("ts_offset_sec", pa.int32()),      # original numeric zone offset
+    ("method", pa.string()),
+    ("path", pa.string()),
+    ("path1", pa.string()),
+    ("path2", pa.string()),
+    ("path3", pa.string()),
+    ("protocol", pa.string()),
+    ("status", pa.string()),
+    ("bytes_sent", pa.int64()),
+    ("referer", pa.string()),
+    ("ua_fullname", pa.string()),
+    ("ua_os", pa.string()),
+    ("ua_family", pa.string()),
+    ("ua_device_type", pa.string()),
+    ("ua_human", pa.string()),
+    ("ua_intent", pa.string()),
+    ("malicious", pa.int8()),
+    ("time_window", pa.int64()),
+]
+ENRICHED_SCHEMA = pa.schema(ENRICHED_FIELDS)
+
+_TS_PIECES = (
+    r"^(?P<dt>\d{1,2}/(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)/\d{4}"
+    r":\d{2}:\d{2}:\d{2}) (?P<sign>[+-])(?P<zh>\d{2})(?P<zm>\d{2})$"
+)
+
+
+class ParseEnrich:
+    """Actor-pool parse+enrich stage. ``__init__`` compiles nothing heavy
+    (RE2 patterns live in Arrow) but receives the broadcast config and
+    owns the per-unique-value caches; ``__call__`` handles one batch."""
+
+    def __init__(self, job: JobConfig | "ray.ObjectRef") -> None:  # noqa: F821
+        try:  # accept a ray.put handle (broadcast once, read per actor)
+            import ray
+
+            if isinstance(job, ray.ObjectRef):
+                job = ray.get(job)
+        except ImportError:  # pure-local testing without ray
+            pass
+        self.job: JobConfig = job
+        self._fmt_of: dict[str, str] = {}
+        self._wm_of: dict[str, int] = {}
+        for name, cfg in job.sources.items():
+            self._fmt_of[name] = cfg.log_format
+            self._wm_of[name] = cfg.time_window_minutes
+        self._default_fmt = job.default.log_format
+        self._default_wm = job.default.time_window_minutes
+        # per-unique caches (persist across batches in the actor)
+        self._uri_cache: dict[str, tuple] = {}
+        self._ref_cache: dict[str, str] = {}
+        self._ua_cache: dict[str, tuple] = {}
+
+    # ---- per-unique classifiers -------------------------------------------
+    def _uri_info(self, uri: str) -> tuple:
+        """(path, path1, path2, path3, malicious, utm_or_None) per unique
+        request URI; utm is the utm_source override for the referer."""
+        hit = self._uri_cache.get(uri)
+        if hit is None:
+            p = L.split_path(uri)
+            m = L.RE_UTM_SOURCE.search(uri)
+            hit = (p.path, p.path1, p.path2, p.path3, p.malicious,
+                   m.group(2) if m else None)
+            self._uri_cache[uri] = hit
+        return hit
+
+    def _ref_host(self, referer: str) -> str:
+        hit = self._ref_cache.get(referer)
+        if hit is None:
+            if referer:
+                from ..functions.gourl import go_referer_hostname
+
+                host = go_referer_hostname(referer)
+                hit = "" if host is None else (host[4:] if host.startswith("www.") else host)
+            else:
+                hit = ""
+            self._ref_cache[referer] = hit
+        return hit
+
+    def _ua_info(self, ua: str) -> tuple:
+        hit = self._ua_cache.get(ua)
+        if hit is None:
+            r = classify_user_agent(ua)
+            hit = (r.os, r.family, r.device_type, r.human, r.intent)
+            self._ua_cache[ua] = hit
+        return hit
+
+    # ---- batch body --------------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return ENRICHED_SCHEMA.empty_table()
+        lines = decode_tokens(batch.column("tokens"))
+        sources = batch.column("source")
+        # format per row via the (small) source dictionary
+        src_enc = pc.dictionary_encode(sources.combine_chunks() if isinstance(sources, pa.ChunkedArray) else sources)
+        src_uniques = src_enc.dictionary.to_pylist()
+        fmt_codes = np.array(
+            [L.FORMATS.index(self._fmt_of.get(s, self._default_fmt)) for s in src_uniques],
+            dtype=np.int8,
+        )[src_enc.indices.to_numpy(zero_copy_only=False)]
+        wm_uniques = np.array(
+            [self._wm_of.get(s, self._default_wm) for s in src_uniques], dtype=np.int64
+        )
+        window_minutes = wm_uniques[src_enc.indices.to_numpy(zero_copy_only=False)]
+
+        pieces = []
+        for fi, fmt in enumerate(L.FORMATS):
+            mask = fmt_codes == fi
+            if not mask.any():
+                continue
+            if mask.all():
+                sub, sub_lines, sub_wm = batch, lines, window_minutes
+            else:
+                pa_mask = pa.array(mask)
+                sub = batch.filter(pa_mask)
+                sub_lines = lines.filter(pa_mask)
+                sub_wm = window_minutes[mask]
+            pieces.append(self._parse_one_format(sub, sub_lines, fmt, sub_wm))
+        return pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
+
+    def _parse_one_format(self, sub: pa.Table, lines: pa.Array, fmt: str,
+                          window_minutes: np.ndarray) -> pa.Table:
+        n = sub.num_rows
+        ext = pc.extract_regex(lines, L.FORMAT_PATTERNS[fmt])
+        ok = pc.is_valid(ext)
+        ok_np = ok.to_numpy(zero_copy_only=False)
+
+        pattern = L.FORMAT_PATTERNS[fmt]
+        empty = pa.array([""] * n, type=pa.string())
+
+        def f(name: str) -> pa.Array:
+            if f"?P<{name}>" not in pattern:
+                return empty
+            return pc.fill_null(pc.struct_field(ext, name), "")
+
+        client_ip = f("client_ip")
+        remote_logname = f("remote_logname")
+        remote_user = f("remote_user")
+        method = f("method")
+        protocol = f("protocol")
+        status = f("status")
+        domain = f("domain")
+        bytes_sent = pc.fill_null(
+            pc.cast(pc.struct_field(ext, "bytes_sent"), pa.int64(), safe=False), 0
+        )
+
+        # ---- timestamp: local clock fields + numeric offset ----------------
+        ts_str = pc.struct_field(ext, "ts")
+        tsx = pc.extract_regex(pc.fill_null(ts_str, ""), _TS_PIECES)
+        local_dt = pc.strptime(
+            pc.struct_field(tsx, "dt"), format="%d/%b/%Y:%H:%M:%S", unit="s",
+            error_is_null=True,
+        )
+        zh = pc.cast(pc.struct_field(tsx, "zh"), pa.int32(), safe=False)
+        zm = pc.cast(pc.struct_field(tsx, "zm"), pa.int32(), safe=False)
+        neg = pc.equal(pc.struct_field(tsx, "sign"), "-")
+        off = pc.add(pc.multiply(zh, 3600), pc.multiply(zm, 60))
+        off = pc.if_else(neg, pc.negate_checked(off), off)
+        off = pc.fill_null(off, 0)
+        ts_utc = pc.subtract(
+            local_dt, pc.cast(pc.cast(off, pa.int64()), pa.duration("s"))
+        )
+
+        # time window from the LOCAL clock fields (metricgenerator.go:131-158)
+        yy = pc.fill_null(pc.year(local_dt), 1).to_numpy(zero_copy_only=False)
+        mo = pc.fill_null(pc.month(local_dt), 1).to_numpy(zero_copy_only=False)
+        dd = pc.fill_null(pc.day(local_dt), 1).to_numpy(zero_copy_only=False)
+        hh = pc.fill_null(pc.hour(local_dt), 0).to_numpy(zero_copy_only=False)
+        mi = pc.fill_null(pc.minute(local_dt), 0).to_numpy(zero_copy_only=False)
+        div = np.where(np.isin(window_minutes, (1, 5, 15, 30, 60)), window_minutes, 10)
+        tw = (
+            yy.astype(np.int64) * 100_000_000
+            + mo.astype(np.int64) * 1_000_000
+            + dd.astype(np.int64) * 10_000
+            + hh.astype(np.int64) * 100
+            + (mi - mi % div).astype(np.int64)
+        )
+        if not ok_np.all():
+            # unparsed rows carry the Go-zero-time window marker
+            tw[~ok_np] = L.GO_ZERO_TIME_WINDOW
+
+        # ---- URI -> paths + malicious + utm (per unique) -------------------
+        uri = pc.fill_null(pc.struct_field(ext, "uri"), "")
+        uri_enc = pc.dictionary_encode(uri)
+        uidx = uri_enc.indices.to_numpy(zero_copy_only=False)
+        uinfo = [self._uri_info(u) for u in uri_enc.dictionary.to_pylist()]
+        path_u = np.array([x[0] for x in uinfo], dtype=object)
+        p1_u = np.array([x[1] for x in uinfo], dtype=object)
+        p2_u = np.array([x[2] for x in uinfo], dtype=object)
+        p3_u = np.array([x[3] for x in uinfo], dtype=object)
+        mal_u = np.array([x[4] for x in uinfo], dtype=np.int8)
+        utm_u = np.array([x[5] for x in uinfo], dtype=object)
+        path_np, p1_np = path_u[uidx], p1_u[uidx]
+        p2_np, p3_np = p2_u[uidx], p3_u[uidx]
+        malicious = mal_u[uidx]
+        utm_np = utm_u[uidx]
+
+        # ---- referer + UA (per unique; only formats that capture them) -----
+        if fmt in L.FORMATS_WITH_UA:
+            ref_raw = pc.fill_null(pc.struct_field(ext, "referer"), "")
+            ref_enc = pc.dictionary_encode(ref_raw)
+            ridx = ref_enc.indices.to_numpy(zero_copy_only=False)
+            host_u = np.array(
+                [self._ref_host(r) for r in ref_enc.dictionary.to_pylist()],
+                dtype=object,
+            )
+            host_np = host_u[ridx]
+            referer_np = np.where(utm_np != None, utm_np, host_np)  # noqa: E711
+
+            ua_raw = pc.fill_null(pc.struct_field(ext, "ua"), "")
+            ua_enc = pc.dictionary_encode(ua_raw)
+            aidx = ua_enc.indices.to_numpy(zero_copy_only=False)
+            ua_uniques = ua_enc.dictionary.to_pylist()
+            ua_info = [self._ua_info(u) for u in ua_uniques]
+            ua_fullname_np = np.array(ua_uniques, dtype=object)[aidx]
+        else:
+            referer_np = np.full(n, "", dtype=object)
+            ua_info = [self._ua_info("")]
+            aidx = np.zeros(n, dtype=np.int64)
+            ua_fullname_np = np.full(n, "", dtype=object)
+        ua_os_np = np.array([x[0] for x in ua_info], dtype=object)[aidx]
+        ua_family_np = np.array([x[1] for x in ua_info], dtype=object)[aidx]
+        ua_device_np = np.array([x[2] for x in ua_info], dtype=object)[aidx]
+        ua_human_np = np.array([x[3] for x in ua_info], dtype=object)[aidx]
+        ua_intent_np = np.array([x[4] for x in ua_info], dtype=object)[aidx]
+
+        # robots.txt override (httpservers.go:63-77)
+        robots = p1_np == "/robots.txt"
+        if robots.any():
+            ua_human_np = np.where(robots, "NonHuman", ua_human_np)
+            ua_device_np = np.where(robots, "Script", ua_device_np)
+            botlike = np.isin(ua_family_np.astype(str), list(_BOTLIKE_FAMILIES))
+            ua_family_np = np.where(robots & ~botlike, "OtherBot", ua_family_np)
+
+        def s(arr_np: np.ndarray) -> pa.Array:
+            return pa.array(arr_np, type=pa.string())
+
+        cols = {
+            "doc_id": sub.column("doc_id"),
+            "tokens": sub.column("tokens"),
+            "n_tok": sub.column("n_tok"),
+            "source": sub.column("source"),
+            "parse_ok": ok,
+            "domain": domain,
+            "client_ip": client_ip,
+            "remote_logname": remote_logname,
+            "remote_user": remote_user,
+            "ts": ts_utc,
+            "ts_offset_sec": off,
+            "method": method,
+            "path": s(path_np),
+            "path1": s(p1_np),
+            "path2": s(p2_np),
+            "path3": s(p3_np),
+            "protocol": protocol,
+            "status": status,
+            "bytes_sent": bytes_sent,
+            "referer": s(referer_np),
+            "ua_fullname": s(ua_fullname_np),
+            "ua_os": s(ua_os_np),
+            "ua_family": s(ua_family_np),
+            "ua_device_type": s(ua_device_np),
+            "ua_human": s(ua_human_np),
+            "ua_intent": s(ua_intent_np),
+            "malicious": pa.array(malicious, type=pa.int8()),
+            "time_window": pa.array(tw, type=pa.int64()),
+        }
+        arrays = []
+        for name, typ in ENRICHED_FIELDS:
+            col = cols[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if col.type != typ:
+                col = col.cast(typ)
+            arrays.append(col)
+        return pa.Table.from_arrays(arrays, schema=ENRICHED_SCHEMA)
