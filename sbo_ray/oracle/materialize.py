@@ -1,0 +1,123 @@
+"""Materialize synthetic input + oracle reference outputs for a scale dir.
+
+The driver's correctness gate runs each ``queries()[name](sf_dir)`` Ray
+pipeline side-by-side with ``oracle_sql()[name]`` in DuckDB. For the
+UA-/URL-dependent sinks a faithful ANSI-SQL re-implementation is not
+practical, so we dump the *independent pure-Python oracle*'s results to
+Parquet and let the SQL side read them — the comparison is then
+engine-vs-oracle, exactly the north_rule's gate. The simpler metrics
+(REQ_COUNT / BYTES_SENT / HTTP_STATUS / METHOD) additionally get a
+genuinely independent DuckDB SQL implementation over the raw lines
+(see ``__ray_entry__.oracle_sql``).
+
+Everything is deterministic and cached under /tmp keyed by
+(row-count, seed); safe to call from both ``queries()`` callables and
+``oracle_sql()`` regardless of driver ordering.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import synth
+from .pipeline import run_oracle, top_n
+
+N_SOURCES = 12
+
+
+def cache_dir_for(sf_dir: str) -> str:
+    return synth.ensure_input(sf_dir, n_sources=N_SOURCES)
+
+
+def oracle_dir_for(sf_dir: str) -> str:
+    """Ensure input + line view + oracle dumps exist; return the cache dir."""
+    cache = cache_dir_for(sf_dir)
+    marker = os.path.join(cache, "_ORACLE_DONE")
+    if os.path.exists(marker):
+        return cache
+    n_rows = synth._sf_rows(sf_dir)
+    doc_ids, lines, sources = synth.synth_lines(n_rows, seed=synth.SEED_DEFAULT,
+                                                n_sources=N_SOURCES)
+    cfg = synth.source_config(N_SOURCES)
+
+    # plain-text line view for the genuinely-independent DuckDB SQL oracle
+    lines_t = pa.table({
+        "doc_id": pa.array(doc_ids, type=pa.string()),
+        "line": pa.array(lines, type=pa.string()),
+        "source": pa.array(sources, type=pa.string()),
+    })
+    pq.write_table(lines_t, os.path.join(cache, "lines.parquet"))
+
+    res = run_oracle(doc_ids, lines, sources, cfg, exact_totals=True)
+
+    metrics_t = pa.table({
+        "source": pa.array([m[0] for m in res.metrics], type=pa.string()),
+        "metric_type": pa.array([m[1] for m in res.metrics], type=pa.int32()),
+        "key_value": pa.array([m[2] for m in res.metrics], type=pa.string()),
+        "time_window": pa.array([m[3] for m in res.metrics], type=pa.int64()),
+        "metric_value": pa.array([m[4] for m in res.metrics], type=pa.int64()),
+    })
+    pq.write_table(metrics_t, os.path.join(cache, "oracle_metrics.parquet"))
+
+    kc_rows = [
+        (src, dim, key, cnt)
+        for dim, counts in sorted(res.keyed_counters.items())
+        for (src, key), cnt in sorted(counts.items())
+    ]
+    kc_t = pa.table({
+        "source": pa.array([r[0] for r in kc_rows], type=pa.string()),
+        "dimension": pa.array([r[1] for r in kc_rows], type=pa.string()),
+        "key_value": pa.array([r[2] for r in kc_rows], type=pa.string()),
+        "cnt": pa.array([r[3] for r in kc_rows], type=pa.int64()),
+    })
+    pq.write_table(kc_t, os.path.join(cache, "oracle_keyed_counters.parquet"))
+
+    routed_cols = [
+        ("source", pa.string()), ("doc_id", pa.string()),
+        ("request_ts", pa.timestamp("s")), ("client_ip", pa.string()),
+        ("remote_user", pa.string()), ("http_method", pa.string()),
+        ("path3", pa.string()), ("request_uri", pa.string()),
+        ("http_status", pa.string()), ("bytes_sent", pa.int64()),
+        ("referer", pa.string()), ("is_malicious", pa.int8()),
+        ("ua_string", pa.string()), ("ua_os", pa.string()),
+        ("ua_family", pa.string()), ("ua_device_type", pa.string()),
+        ("ua_is_human", pa.string()), ("ua_intent", pa.string()),
+    ]
+    routed_t = pa.table(
+        {name: pa.array([r[name] for r in res.routed], type=typ)
+         for name, typ in routed_cols}
+    )
+    pq.write_table(routed_t, os.path.join(cache, "oracle_routed.parquet"))
+
+    # per-source top-10 paths (one CounterHandler per file in the reference)
+    per_source: dict[str, dict[str, int]] = {}
+    for (src, key), cnt in res.keyed_counters["paths"].items():
+        per_source.setdefault(src, {})[key] = cnt
+    tp_rows = [
+        (src, key, cnt)
+        for src in sorted(per_source)
+        for key, cnt in top_n(per_source[src], 10).items()
+    ]
+    tp_t = pa.table({
+        "source": pa.array([r[0] for r in tp_rows], type=pa.string()),
+        "key_value": pa.array([r[1] for r in tp_rows], type=pa.string()),
+        "cnt": pa.array([r[2] for r in tp_rows], type=pa.int64()),
+    })
+    pq.write_table(tp_t, os.path.join(cache, "oracle_top_paths.parquet"))
+
+    gc_t = pa.table({
+        "requests": pa.array([res.counters.get("requests", 0)], type=pa.int64()),
+        "bytes_sent": pa.array([res.counters.get("bytes_sent", 0)], type=pa.int64()),
+        "humans": pa.array([res.counters.get("humans", 0)], type=pa.int64()),
+        "non_humans": pa.array([res.counters.get("non_humans", 0)], type=pa.int64()),
+        "malicious": pa.array([res.counters.get("malicious", 0)], type=pa.int64()),
+        "parse_errors": pa.array([res.parse_errors], type=pa.int64()),
+    })
+    pq.write_table(gc_t, os.path.join(cache, "oracle_global_counters.parquet"))
+
+    with open(marker, "w") as f:
+        f.write("ok")
+    return cache

@@ -208,7 +208,9 @@ def run_oracle(
     emitted: list[tuple[str, int, str, int, int]] = []
 
     totals = defaultdict(int)
-    keyed: dict[str, dict[str, int]] = {
+    # keyed per (source, key): one CounterHandler per monitored file in the
+    # reference (main.go:692-694)
+    keyed: dict[str, dict[tuple[str, str], int]] = {
         k: defaultdict(int)
         for k in ("clients", "status_codes", "methods", "ua_families",
                   "os_families", "device_types", "referers", "paths", "intents")
@@ -242,15 +244,15 @@ def run_oracle(
             totals["non_humans"] += 1
         if row.malicious != L.MALICIOUS_UNKNOWN:
             totals["malicious"] += 1
-        keyed["clients"][row.client_ip] += 1
-        keyed["status_codes"][row.status] += 1
-        keyed["methods"][row.method] += 1
-        keyed["ua_families"][row.ua.family] += 1
-        keyed["os_families"][row.ua.os] += 1
-        keyed["device_types"][row.ua.device_type] += 1
-        keyed["referers"][row.referer] += 1
-        keyed["paths"][row.path] += 1  # full Path, not Path1-3 (counter.go:222-226)
-        keyed["intents"][row.ua.intent] += 1
+        keyed["clients"][(source, row.client_ip)] += 1
+        keyed["status_codes"][(source, row.status)] += 1
+        keyed["methods"][(source, row.method)] += 1
+        keyed["ua_families"][(source, row.ua.family)] += 1
+        keyed["os_families"][(source, row.ua.os)] += 1
+        keyed["device_types"][(source, row.ua.device_type)] += 1
+        keyed["referers"][(source, row.referer)] += 1
+        keyed["paths"][(source, row.path)] += 1  # full Path (counter.go:222-226)
+        keyed["intents"][(source, row.ua.intent)] += 1
 
         if (not relevant_only) or is_relevant(row):
             res.routed.append(routed_projection(row, doc_id, source, mask_ips))

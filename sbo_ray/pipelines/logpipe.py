@@ -82,9 +82,9 @@ def metrics_dataset(enriched: rd.Dataset) -> rd.Dataset:
 
 
 def keyed_counters_dataset(enriched: rd.Dataset) -> rd.Dataset:
-    """All nine keyed counter dimensions in one shuffle."""
+    """All nine keyed counter dimensions, per source, in one shuffle."""
     long_ds = enriched.map_batches(counter_melt, batch_format="pyarrow")
-    return long_ds.groupby(["dimension", "key_value"]).aggregate(
+    return long_ds.groupby(["source", "dimension", "key_value"]).aggregate(
         Sum("cnt", alias_name="cnt")
     )
 
@@ -113,14 +113,28 @@ def routed_dataset(enriched: rd.Dataset, mask_ips: bool = False,
 
 
 def top_n_dataset(keyed_counters: rd.Dataset, dimension: str, n: int = 10) -> pa.Table:
-    """Exact top-N for one counter dimension with deterministic
+    """Exact per-source top-N for one counter dimension with deterministic
     (count desc, key asc) tie-break (vs the reference's nondeterministic
-    map-order ties, counter.go:305-321 — documented divergence)."""
-    dim = keyed_counters.filter(
-        expr=f'dimension == "{dimension}"'
+    map-order ties, counter.go:305-321 — documented divergence).
+
+    The keyed-counter aggregate is small (bounded key cardinality), so the
+    per-source head-N runs as a grouped map over the aggregate, not over
+    raw rows."""
+    import pandas as pd
+
+    dim = keyed_counters.filter(expr=f'dimension == "{dimension}"')
+
+    def head_n(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cnt", "key_value"], ascending=[False, True])
+        return g.head(n)
+
+    top = dim.groupby("source").map_groups(head_n, batch_format="pandas")
+    df = top.to_pandas().sort_values(["source", "cnt", "key_value"],
+                                     ascending=[True, False, True])
+    return pa.Table.from_pandas(
+        df[["source", "key_value", "cnt"]].reset_index(drop=True),
+        preserve_index=False,
     )
-    top = dim.sort(["cnt", "key_value"], descending=[True, False]).limit(n)
-    return pa.Table.from_pylist(top.take_all())
 
 
 def write_metrics(metrics: rd.Dataset, out_dir: str) -> None:

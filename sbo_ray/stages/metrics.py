@@ -124,6 +124,7 @@ COUNTER_DIMENSIONS = (
 )
 
 COUNTER_SCHEMA = pa.schema([
+    ("source", pa.string()),
     ("dimension", pa.string()),
     ("key_value", pa.string()),
     ("cnt", pa.int64()),
@@ -132,24 +133,31 @@ COUNTER_SCHEMA = pa.schema([
 
 def counter_melt(batch: pa.Table) -> pa.Table:
     """All 9 keyed counter dimensions (counter.go:147-226) melted into one
-    long table with per-batch partial counts: one shuffle for all nine."""
+    long table with per-batch partial counts: one shuffle for all nine.
+    Keyed by ``source`` because the reference runs one CounterHandler per
+    monitored file (main.go:692-694)."""
     batch = batch.filter(batch.column("parse_ok"))
     if batch.num_rows == 0:
         return COUNTER_SCHEMA.empty_table()
     n = batch.num_rows
     ones = pa.array(np.ones(n, dtype=np.int64))
+    source = batch.column("source").combine_chunks()
     pieces = []
     for dim, col in COUNTER_DIMENSIONS:
         dim_arr = pa.array([dim] * n, type=pa.string())
         pieces.append(
             pa.Table.from_arrays(
-                [dim_arr, batch.column(col).combine_chunks(), ones],
+                [source, dim_arr, batch.column(col).combine_chunks(), ones],
                 schema=COUNTER_SCHEMA,
             )
         )
     long_t = pa.concat_tables(pieces)
-    agg = long_t.group_by(["dimension", "key_value"]).aggregate([("cnt", "sum")])
-    return agg.rename_columns(["dimension", "key_value", "cnt"]).cast(COUNTER_SCHEMA)
+    agg = long_t.group_by(["source", "dimension", "key_value"]).aggregate(
+        [("cnt", "sum")]
+    )
+    return agg.rename_columns(
+        ["source", "dimension", "key_value", "cnt"]
+    ).cast(COUNTER_SCHEMA)
 
 
 GLOBAL_COUNTER_SCHEMA = pa.schema([

@@ -69,7 +69,7 @@ def test_keyed_counters_equal_oracle(enriched, oracle_result):
     got = logpipe.keyed_counters_dataset(enriched).to_pandas()
     for dim, want_counts in oracle_result.keyed_counters.items():
         sub = got[got["dimension"] == dim]
-        got_counts = dict(zip(sub["key_value"], sub["cnt"]))
+        got_counts = dict(zip(zip(sub["source"], sub["key_value"]), sub["cnt"]))
         assert got_counts == want_counts, f"dimension {dim} differs"
 
 
@@ -106,5 +106,12 @@ def test_top_n(enriched, oracle_result, ray_session):
 
     kc = logpipe.keyed_counters_dataset(enriched)
     got = logpipe.top_n_dataset(kc, "paths", 10).to_pylist()
-    want = top_n(oracle_result.keyed_counters["paths"], 10)
-    assert {r["key_value"]: r["cnt"] for r in got} == want
+    per_source = {}
+    for (src, key), cnt in oracle_result.keyed_counters["paths"].items():
+        per_source.setdefault(src, {})[key] = cnt
+    want = {
+        (src, key): cnt
+        for src, counts in per_source.items()
+        for key, cnt in top_n(counts, 10).items()
+    }
+    assert {(r["source"], r["key_value"]): r["cnt"] for r in got} == want
