@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+- ``entry()``: flagship pipeline (parse -> enrich -> metric aggregate)
+  over the deterministic synthetic token table scaled to sf0.001.
+- ``queries()``: one entry per implemented operator/pipeline from
+  SURVEY.md §2 (+ the training-data operators); each callable takes
+  ``sf_dir`` and returns a Dataset / pandas DataFrame / pyarrow Table.
+- ``oracle_sql()``: DuckDB SQL per query. Two styles, documented in
+  sbo_ray/pipelines/queries.py: genuinely independent SQL over the raw
+  line view, or SELECTs over the materialized pure-Python oracle dumps
+  (engine-vs-independent-implementation).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +21,35 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on the sf0.001-scaled synthetic token table."""
+    from sbo_ray.pipelines.queries import q_log_metrics
+
+    return q_log_metrics("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from sbo_ray.pipelines.queries import log_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = {}
+    q.update(log_queries())
+    try:
+        from sbo_ray.pipelines.dataqueries import data_queries
+
+        q.update(data_queries())
+    except ImportError:
+        pass
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sbo_ray.pipelines.queries import log_oracle_sql
+
+    sql = {}
+    sql.update(log_oracle_sql())
+    try:
+        from sbo_ray.pipelines.dataqueries import data_oracle_sql
+
+        sql.update(data_oracle_sql())
+    except ImportError:
+        pass
+    return sql

@@ -1,0 +1,244 @@
+"""Driver-contract query registry: name -> (Ray callable, DuckDB oracle SQL).
+
+Two oracle styles (documented per query):
+
+- **independent SQL**: a genuinely independent DuckDB implementation of
+  the same semantics over the raw line view (regexp parse + window math
+  in SQL) — the strongest gate; used for the parse/aggregate layer.
+- **materialized oracle**: the pure-Python row-at-a-time oracle's output
+  dumped to Parquet and SELECTed — used for the UA-/URL-decision-tree
+  sinks where faithful ANSI SQL is not practical. The comparison is then
+  engine-vs-independent-implementation, which is exactly the
+  north_rule's correctness gate.
+
+All SQL strings target the sf0.01 cache (the driver's correctness
+scale); ``oracle_sql_map()`` materializes that cache before returning.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import synth
+from ..config import JobConfig
+from ..oracle import materialize
+from . import logpipe
+
+SF_CORRECTNESS = "/root/testdata/sf0.01"
+
+# ---- DuckDB patterns (same RE2 semantics as the engine's, unnamed groups)
+_P = {
+    0: r'^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) (\S+)" (\d+) (\d+)$',
+    1: r'^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) (\S+)" (\d+) (\d+) "([^"]*)" "([^"]*)"$',
+    2: r'^(\S+) (\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) (\S+)" (\d+) (\d+) "([^"]*)" "([^"]*)"$',
+    3: r'^(\S+) - (\S+) \[([^\]]+)\] "(\S+) (\S+) (\S+)" (\d+) (\d+) "([^"]*)" "([^"]*)"$',
+    4: r'^(\S+) - (\S+) \[([^\]]+)\] "(\S+) (\S+) (\S+)" (\d+) (\d+) "([^"]*)" "([^"]*)" (\S+) (\S+)$',
+}
+
+
+# per-field (format -> capture-group index); DuckDB needs constant
+# pattern+group per regexp call, so every extraction is a CASE over fi
+_GROUPS = {
+    "ts": {0: 4, 1: 4, 2: 5, 3: 3, 4: 3},
+    "method": {0: 5, 1: 5, 2: 6, 3: 4, 4: 4},
+    "status": {0: 8, 1: 8, 2: 9, 3: 7, 4: 7},
+    "bytes": {0: 9, 1: 9, 2: 10, 3: 8, 4: 8},
+}
+
+
+def _single_group(pattern: str, keep: int) -> str:
+    """Rewrite a pattern so only capture group ``keep`` stays capturing
+    (DuckDB's regexp_extract group index is limited to 0..9)."""
+    out, gi = [], 0
+    for ch in pattern:
+        if ch == "(":
+            gi += 1
+            out.append("(" if gi == keep else "(?:")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _extract_case(field: str) -> str:
+    arms = " ".join(
+        "WHEN {} THEN regexp_extract(line, '{}', 1)".format(
+            fi, _single_group(_P[fi], _GROUPS[field][fi])
+        )
+        for fi in range(5)
+    )
+    return f"CASE fi {arms} END"
+
+
+def _matches_case() -> str:
+    arms = " ".join(
+        f"WHEN {fi} THEN regexp_matches(line, '{_P[fi]}')" for fi in range(5)
+    )
+    return f"CASE fi {arms} END"
+
+
+def _pattern_cte(cache: str) -> str:
+    """Shared SQL prefix: per-source format index (mirrors
+    synth.source_format: source index %% 5 over FORMATS)."""
+    return f"""
+WITH pat AS (
+  SELECT doc_id, line, source, CAST(substr(source, 5) AS INT) % 5 AS fi
+  FROM read_parquet('{cache}/lines.parquet')
+)"""
+
+
+def sql_metrics_basic(cache: str) -> str:
+    """Independent SQL: REQ_COUNT / BYTES_SENT / HTTP_STATUS / METHOD
+    metrics (types 1,2,3,5) incl. the local-clock time-window rule."""
+    return _pattern_cte(cache) + f"""
+, parsed AS (
+  SELECT source,
+    {_extract_case("ts")} AS ts_str,
+    {_extract_case("method")} AS method,
+    {_extract_case("status")} AS status,
+    CAST({_extract_case("bytes")} AS BIGINT) AS bytes_sent
+  FROM pat WHERE {_matches_case()}
+), win AS (
+  SELECT source, method, status, bytes_sent,
+    try_strptime(split_part(ts_str, ' ', 1), '%d/%b/%Y:%H:%M:%S') AS lt
+  FROM parsed
+), w2 AS (
+  SELECT source, method, status, bytes_sent,
+    CAST(year(lt) AS BIGINT)*100000000 + month(lt)*1000000 + day(lt)*10000
+      + hour(lt)*100 + (minute(lt) - minute(lt)%10) AS time_window
+  FROM win
+)
+SELECT source, CAST(1 AS INTEGER) AS metric_type, '' AS key_value,
+       time_window, CAST(COUNT(*) AS BIGINT) AS metric_value
+FROM w2 GROUP BY source, time_window
+UNION ALL
+SELECT source, CAST(2 AS INTEGER), '', time_window, CAST(SUM(bytes_sent) AS BIGINT)
+FROM w2 GROUP BY source, time_window
+UNION ALL
+SELECT source, CAST(3 AS INTEGER), status, time_window, CAST(COUNT(*) AS BIGINT)
+FROM w2 GROUP BY source, status, time_window
+UNION ALL
+SELECT source, CAST(5 AS INTEGER), method, time_window, CAST(COUNT(*) AS BIGINT)
+FROM w2 GROUP BY source, method, time_window
+"""
+
+
+def sql_parse_stats(cache: str) -> str:
+    """Independent SQL: per-source line/parse/error counts (the lineage
+    counters, main.go:700-707)."""
+    return _pattern_cte(cache) + f"""
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS total_lines,
+  CAST(SUM(CASE WHEN {_matches_case()} THEN 1 ELSE 0 END) AS BIGINT) AS parsed,
+  CAST(SUM(CASE WHEN {_matches_case()} THEN 0 ELSE 1 END) AS BIGINT) AS parse_errors
+FROM pat GROUP BY source
+"""
+
+
+# ---- Ray-side callables ----------------------------------------------------
+def _input_paths(sf_dir: str) -> list[str]:
+    cache = materialize.cache_dir_for(sf_dir)
+    return sorted(glob.glob(os.path.join(cache, "shard-*.parquet")))
+
+
+def _job() -> JobConfig:
+    return JobConfig.from_format_map(synth.source_config(materialize.N_SOURCES))
+
+
+def _enriched(sf_dir: str):
+    return logpipe.enriched_dataset(_input_paths(sf_dir), _job())
+
+
+def q_log_metrics(sf_dir: str):
+    return logpipe.metrics_dataset(_enriched(sf_dir))
+
+
+def q_log_metrics_basic(sf_dir: str):
+    basic = pa.array([1, 2, 3, 5], type=pa.int32())
+    return logpipe.metrics_dataset(_enriched(sf_dir)).map_batches(
+        lambda t: t.filter(pc.is_in(t["metric_type"], value_set=basic)),
+        batch_format="pyarrow",
+    )
+
+
+def q_log_keyed_counters(sf_dir: str):
+    return logpipe.keyed_counters_dataset(_enriched(sf_dir))
+
+
+def q_log_global_counters(sf_dir: str):
+    c = logpipe.global_counters(_enriched(sf_dir))
+    return pa.table({
+        "requests": pa.array([c["requests"]], type=pa.int64()),
+        "bytes_sent": pa.array([c["bytes_sent"]], type=pa.int64()),
+        "humans": pa.array([c["humans"]], type=pa.int64()),
+        "non_humans": pa.array([c["non_humans"]], type=pa.int64()),
+        "malicious": pa.array([c["malicious"]], type=pa.int64()),
+        "parse_errors": pa.array([c["parse_errors"]], type=pa.int64()),
+    })
+
+
+def q_log_routed(sf_dir: str):
+    routed = logpipe.routed_dataset(_enriched(sf_dir))
+    cols = [c for c in routed.schema().names if c != "tokens"]
+    return routed.select_columns(cols)
+
+
+def q_log_top_paths(sf_dir: str):
+    kc = logpipe.keyed_counters_dataset(_enriched(sf_dir))
+    return logpipe.top_n_dataset(kc, "paths", 10)
+
+
+def q_log_parse_stats(sf_dir: str):
+    import pandas as pd
+
+    enr = _enriched(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("parse_ok", "sum"), ("parse_ok", "count")])
+        return g.rename_columns(["source", "parsed", "total_lines"])
+
+    agg = (
+        enr.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["parsed", "total_lines"])
+    )
+    df = agg.to_pandas().rename(
+        columns={"sum(parsed)": "parsed", "sum(total_lines)": "total_lines"}
+    )
+    df["parse_errors"] = df["total_lines"] - df["parsed"]
+    df = df[["source", "total_lines", "parsed", "parse_errors"]]
+    for c in ("total_lines", "parsed", "parse_errors"):
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def log_queries() -> dict:
+    return {
+        "log_metrics": q_log_metrics,
+        "log_metrics_basic": q_log_metrics_basic,
+        "log_keyed_counters": q_log_keyed_counters,
+        "log_global_counters": q_log_global_counters,
+        "log_routed": q_log_routed,
+        "log_top_paths": q_log_top_paths,
+        "log_parse_stats": q_log_parse_stats,
+    }
+
+
+def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
+    """Materializes the oracle cache for ``sf_dir``, then returns the SQL
+    map (driver default: the sf0.01 correctness scale)."""
+    cache = materialize.oracle_dir_for(sf_dir)
+    return {
+        # independent SQL implementations
+        "log_metrics_basic": sql_metrics_basic(cache),
+        "log_parse_stats": sql_parse_stats(cache),
+        # materialized pure-Python-oracle dumps (engine vs oracle)
+        "log_metrics": f"SELECT * FROM read_parquet('{cache}/oracle_metrics.parquet')",
+        "log_keyed_counters": f"SELECT * FROM read_parquet('{cache}/oracle_keyed_counters.parquet')",
+        "log_global_counters": f"SELECT * FROM read_parquet('{cache}/oracle_global_counters.parquet')",
+        "log_routed": f"SELECT * FROM read_parquet('{cache}/oracle_routed.parquet')",
+        "log_top_paths": f"SELECT * FROM read_parquet('{cache}/oracle_top_paths.parquet')",
+    }
