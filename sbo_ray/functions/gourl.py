@@ -17,28 +17,23 @@ Pinned by golden tests ported from ``logparsers/httpservers_test.go``.
 
 from __future__ import annotations
 
+import re
+
 _HEX = "0123456789abcdefABCDEF"
+_CTL_RE = re.compile("[\x00-\x1f\x7f]")
+_ESCAPE_RE = re.compile("%(?![0-9a-fA-F]{2})")
 
 
 def _has_ctl_byte(s: str) -> bool:
     # net/url stringContainsCTLByte: bytes < 0x20 or == 0x7f
-    return any(ord(c) < 0x20 or ord(c) == 0x7F for c in s)
+    return _CTL_RE.search(s) is not None
 
 
 def _valid_escapes(s: str) -> bool:
     """Check every % in s begins a valid 2-hex-digit escape (Go unescape)."""
-    i = 0
-    n = len(s)
-    while i < n:
-        if s[i] == "%":
-            if i + 3 > n:
-                return False
-            if s[i + 1] not in _HEX or s[i + 2] not in _HEX:
-                return False
-            i += 3
-        else:
-            i += 1
-    return True
+    if "%" not in s:
+        return True
+    return _ESCAPE_RE.search(s) is None
 
 
 def _unescape_path(s: str) -> str | None:

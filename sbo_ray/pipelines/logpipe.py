@@ -32,7 +32,7 @@ from ..stages.metrics import (
     global_counter_partial,
     metric_fanout,
 )
-from ..stages.parse import ParseEnrich
+from ..stages.parse import ParseEnrich, make_parse_fn  # noqa: F401 (actor variant exported)
 from ..stages.route import routed_projection
 
 
@@ -43,11 +43,18 @@ def _cpus() -> int:
         return 8
 
 
-def parse_concurrency() -> tuple[int, int]:
-    env = os.environ.get("SBO_PARSE_CONCURRENCY")
-    if env:
-        return (1, int(env))
-    return (1, max(2, _cpus()))
+def tune_context() -> None:
+    """Shuffle knobs sized to the session: hash-shuffle aggregation (the
+    scalable strategy for high-cardinality groupbys) with parallelism =
+    cluster CPUs instead of the fixed 200-partition default, which burns
+    constant overhead per shuffle at small scale."""
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    cpus = _cpus()
+    ctx.default_hash_shuffle_parallelism = max(4, cpus)
+    ctx.min_parallelism = max(4, cpus)
 
 
 def read_input(input_dir: str) -> rd.Dataset:
@@ -58,15 +65,19 @@ def read_input(input_dir: str) -> rd.Dataset:
 
 def enriched_dataset(input_dir: str, job: JobConfig,
                      batch_size: int = 32768) -> rd.Dataset:
-    """Token table -> enriched table (parse+enrich actor pool)."""
-    job_ref = ray.put(job)
+    """Token table -> enriched table.
+
+    Runs as a *task pool* (stateless map_batches): Ray reuses worker
+    processes, so the parse stage's per-unique-value caches live at
+    module level in each worker and amortize exactly like actor state,
+    without per-query actor-pool startup latency. (SURVEY.md §2.4 ST1;
+    an actor-pool variant is available via ``ParseEnrich`` directly.)"""
+    tune_context()
     return read_input(input_dir).map_batches(
-        ParseEnrich,
-        fn_constructor_args=(job_ref,),
+        make_parse_fn(job),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=parse_concurrency(),
-        num_cpus=1,
+        zero_copy_batch=True,
     )
 
 

@@ -76,10 +76,74 @@ _TS_PIECES = (
 )
 
 
+# ---- per-unique caches ------------------------------------------------------
+# Module-level so they amortize across batches AND across queries inside each
+# long-lived Ray worker process (task pool) — same effect as actor state,
+# without per-query actor-pool startup. The classified values are pure
+# functions of the input string, so sharing across configs is safe. Bounded:
+# cleared wholesale if they outgrow the cap (URI cardinality can be unbounded
+# at 10^12 scale; UA/referer cardinality is naturally small).
+_CACHE_CAP = 1 << 19
+
+
+class _Caches:
+    __slots__ = ("uri", "ref", "ua")
+
+    def __init__(self) -> None:
+        self.uri: dict[str, tuple] = {}
+        self.ref: dict[str, str] = {}
+        self.ua: dict[str, tuple] = {}
+
+
+_CACHES = _Caches()
+
+
+def _uri_info(uri: str, cache: dict) -> tuple:
+    """(path, path1, path2, path3, malicious, utm_or_None) per unique
+    request URI; utm is the utm_source override for the referer."""
+    hit = cache.get(uri)
+    if hit is None:
+        if len(cache) > _CACHE_CAP:
+            cache.clear()
+        p = L.split_path(uri)
+        m = L.RE_UTM_SOURCE.search(uri)
+        hit = (p.path, p.path1, p.path2, p.path3, p.malicious,
+               m.group(2) if m else None)
+        cache[uri] = hit
+    return hit
+
+
+def _ref_host(referer: str, cache: dict) -> str:
+    hit = cache.get(referer)
+    if hit is None:
+        if len(cache) > _CACHE_CAP:
+            cache.clear()
+        if referer:
+            from ..functions.gourl import go_referer_hostname
+
+            host = go_referer_hostname(referer)
+            hit = "" if host is None else (host[4:] if host.startswith("www.") else host)
+        else:
+            hit = ""
+        cache[referer] = hit
+    return hit
+
+
+def _ua_info(ua: str, cache: dict) -> tuple:
+    hit = cache.get(ua)
+    if hit is None:
+        if len(cache) > _CACHE_CAP:
+            cache.clear()
+        r = classify_user_agent(ua)
+        hit = (r.os, r.family, r.device_type, r.human, r.intent)
+        cache[ua] = hit
+    return hit
+
+
 class ParseEnrich:
-    """Actor-pool parse+enrich stage. ``__init__`` compiles nothing heavy
-    (RE2 patterns live in Arrow) but receives the broadcast config and
-    owns the per-unique-value caches; ``__call__`` handles one batch."""
+    """Parse+enrich stage. Usable as a task-pool function target (via
+    :func:`make_parse_fn`) or an actor-pool callable class; both share the
+    worker-process-level unique-value caches."""
 
     def __init__(self, job: JobConfig | "ray.ObjectRef") -> None:  # noqa: F821
         try:  # accept a ray.put handle (broadcast once, read per actor)
@@ -87,7 +151,7 @@ class ParseEnrich:
 
             if isinstance(job, ray.ObjectRef):
                 job = ray.get(job)
-        except ImportError:  # pure-local testing without ray
+        except (ImportError, TypeError):  # pure-local testing without ray
             pass
         self.job: JobConfig = job
         self._fmt_of: dict[str, str] = {}
@@ -97,44 +161,16 @@ class ParseEnrich:
             self._wm_of[name] = cfg.time_window_minutes
         self._default_fmt = job.default.log_format
         self._default_wm = job.default.time_window_minutes
-        # per-unique caches (persist across batches in the actor)
-        self._uri_cache: dict[str, tuple] = {}
-        self._ref_cache: dict[str, str] = {}
-        self._ua_cache: dict[str, tuple] = {}
+        self._caches = _CACHES
 
-    # ---- per-unique classifiers -------------------------------------------
     def _uri_info(self, uri: str) -> tuple:
-        """(path, path1, path2, path3, malicious, utm_or_None) per unique
-        request URI; utm is the utm_source override for the referer."""
-        hit = self._uri_cache.get(uri)
-        if hit is None:
-            p = L.split_path(uri)
-            m = L.RE_UTM_SOURCE.search(uri)
-            hit = (p.path, p.path1, p.path2, p.path3, p.malicious,
-                   m.group(2) if m else None)
-            self._uri_cache[uri] = hit
-        return hit
+        return _uri_info(uri, self._caches.uri)
 
     def _ref_host(self, referer: str) -> str:
-        hit = self._ref_cache.get(referer)
-        if hit is None:
-            if referer:
-                from ..functions.gourl import go_referer_hostname
-
-                host = go_referer_hostname(referer)
-                hit = "" if host is None else (host[4:] if host.startswith("www.") else host)
-            else:
-                hit = ""
-            self._ref_cache[referer] = hit
-        return hit
+        return _ref_host(referer, self._caches.ref)
 
     def _ua_info(self, ua: str) -> tuple:
-        hit = self._ua_cache.get(ua)
-        if hit is None:
-            r = classify_user_agent(ua)
-            hit = (r.os, r.family, r.device_type, r.human, r.intent)
-            self._ua_cache[ua] = hit
-        return hit
+        return _ua_info(ua, self._caches.ua)
 
     # ---- batch body --------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -231,60 +267,81 @@ class ParseEnrich:
             tw[~ok_np] = L.GO_ZERO_TIME_WINDOW
 
         # ---- URI -> paths + malicious + utm (per unique) -------------------
+        # All string columns derived from cached per-unique classification
+        # are built as DictionaryArray(indices, uniques) then cast to
+        # string: the expansion is a vectorized Arrow take, never a
+        # per-row Python loop.
+        def dict_col(indices: np.ndarray, values: list) -> pa.Array:
+            return pa.DictionaryArray.from_arrays(
+                pa.array(indices, type=pa.int32()),
+                pa.array(values, type=pa.string()),
+            ).cast(pa.string())
+
         uri = pc.fill_null(pc.struct_field(ext, "uri"), "")
         uri_enc = pc.dictionary_encode(uri)
-        uidx = uri_enc.indices.to_numpy(zero_copy_only=False)
+        uidx = uri_enc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
         uinfo = [self._uri_info(u) for u in uri_enc.dictionary.to_pylist()]
-        path_u = np.array([x[0] for x in uinfo], dtype=object)
-        p1_u = np.array([x[1] for x in uinfo], dtype=object)
-        p2_u = np.array([x[2] for x in uinfo], dtype=object)
-        p3_u = np.array([x[3] for x in uinfo], dtype=object)
-        mal_u = np.array([x[4] for x in uinfo], dtype=np.int8)
-        utm_u = np.array([x[5] for x in uinfo], dtype=object)
-        path_np, p1_np = path_u[uidx], p1_u[uidx]
-        p2_np, p3_np = p2_u[uidx], p3_u[uidx]
-        malicious = mal_u[uidx]
-        utm_np = utm_u[uidx]
+        path_c = dict_col(uidx, [x[0] for x in uinfo])
+        p1_vals = [x[1] for x in uinfo]
+        p1_c = dict_col(uidx, p1_vals)
+        p2_c = dict_col(uidx, [x[2] for x in uinfo])
+        p3_c = dict_col(uidx, [x[3] for x in uinfo])
+        malicious = np.array([x[4] for x in uinfo], dtype=np.int8)[uidx]
+        utm_vals = [x[5] for x in uinfo]
+        robots_u = np.array([v == "/robots.txt" for v in p1_vals], dtype=bool)
+        robots = robots_u[uidx]  # per-row robots flag, from uri uniques
 
         # ---- referer + UA (per unique; only formats that capture them) -----
         if fmt in L.FORMATS_WITH_UA:
             ref_raw = pc.fill_null(pc.struct_field(ext, "referer"), "")
             ref_enc = pc.dictionary_encode(ref_raw)
-            ridx = ref_enc.indices.to_numpy(zero_copy_only=False)
-            host_u = np.array(
-                [self._ref_host(r) for r in ref_enc.dictionary.to_pylist()],
-                dtype=object,
-            )
-            host_np = host_u[ridx]
-            referer_np = np.where(utm_np != None, utm_np, host_np)  # noqa: E711
+            ridx = ref_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            host_vals = [self._ref_host(r) for r in ref_enc.dictionary.to_pylist()]
+            # final referer depends on the (uri, referer-header) pair:
+            # classify per distinct pair (np.unique), expand via dictionary
+            pair = uidx.astype(np.int64) * len(host_vals) + ridx
+            pair_u, pair_inv = np.unique(pair, return_inverse=True)
+            ref_final = [
+                utm_vals[int(p // len(host_vals))] or host_vals[int(p % len(host_vals))]
+                for p in pair_u
+            ]
+            referer_c = dict_col(pair_inv.astype(np.int32), ref_final)
 
             ua_raw = pc.fill_null(pc.struct_field(ext, "ua"), "")
             ua_enc = pc.dictionary_encode(ua_raw)
-            aidx = ua_enc.indices.to_numpy(zero_copy_only=False)
+            aidx = ua_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             ua_uniques = ua_enc.dictionary.to_pylist()
-            ua_info = [self._ua_info(u) for u in ua_uniques]
-            ua_fullname_np = np.array(ua_uniques, dtype=object)[aidx]
+            ua_fullname_c = dict_col(aidx.astype(np.int32), ua_uniques)
         else:
-            referer_np = np.full(n, "", dtype=object)
-            ua_info = [self._ua_info("")]
+            referer_c = dict_col(np.zeros(n, dtype=np.int32), [""])
             aidx = np.zeros(n, dtype=np.int64)
-            ua_fullname_np = np.full(n, "", dtype=object)
-        ua_os_np = np.array([x[0] for x in ua_info], dtype=object)[aidx]
-        ua_family_np = np.array([x[1] for x in ua_info], dtype=object)[aidx]
-        ua_device_np = np.array([x[2] for x in ua_info], dtype=object)[aidx]
-        ua_human_np = np.array([x[3] for x in ua_info], dtype=object)[aidx]
-        ua_intent_np = np.array([x[4] for x in ua_info], dtype=object)[aidx]
+            ua_uniques = [""]
+            ua_fullname_c = dict_col(np.zeros(n, dtype=np.int32), [""])
 
-        # robots.txt override (httpservers.go:63-77)
-        robots = p1_np == "/robots.txt"
-        if robots.any():
-            ua_human_np = np.where(robots, "NonHuman", ua_human_np)
-            ua_device_np = np.where(robots, "Script", ua_device_np)
-            botlike = np.isin(ua_family_np.astype(str), list(_BOTLIKE_FAMILIES))
-            ua_family_np = np.where(robots & ~botlike, "OtherBot", ua_family_np)
-
-        def s(arr_np: np.ndarray) -> pa.Array:
-            return pa.array(arr_np, type=pa.string())
+        # UA classification + robots.txt override (httpservers.go:63-77),
+        # per distinct (ua, robots) pair
+        code = aidx * 2 + robots
+        code_u, code_inv = np.unique(code, return_inverse=True)
+        os_v, fam_v, dev_v, hum_v, int_v = [], [], [], [], []
+        for c in code_u:
+            ua_os, ua_fam, ua_dev, ua_hum, ua_int = self._ua_info(
+                ua_uniques[int(c // 2)]
+            )
+            if c % 2:  # robots.txt requester
+                ua_hum, ua_dev = "NonHuman", "Script"
+                if ua_fam not in _BOTLIKE_FAMILIES:
+                    ua_fam = "OtherBot"
+            os_v.append(ua_os)
+            fam_v.append(ua_fam)
+            dev_v.append(ua_dev)
+            hum_v.append(ua_hum)
+            int_v.append(ua_int)
+        code_inv32 = code_inv.astype(np.int32)
+        ua_os_c = dict_col(code_inv32, os_v)
+        ua_family_c = dict_col(code_inv32, fam_v)
+        ua_device_c = dict_col(code_inv32, dev_v)
+        ua_human_c = dict_col(code_inv32, hum_v)
+        ua_intent_c = dict_col(code_inv32, int_v)
 
         cols = {
             "doc_id": sub.column("doc_id"),
@@ -299,20 +356,20 @@ class ParseEnrich:
             "ts": ts_utc,
             "ts_offset_sec": off,
             "method": method,
-            "path": s(path_np),
-            "path1": s(p1_np),
-            "path2": s(p2_np),
-            "path3": s(p3_np),
+            "path": path_c,
+            "path1": p1_c,
+            "path2": p2_c,
+            "path3": p3_c,
             "protocol": protocol,
             "status": status,
             "bytes_sent": bytes_sent,
-            "referer": s(referer_np),
-            "ua_fullname": s(ua_fullname_np),
-            "ua_os": s(ua_os_np),
-            "ua_family": s(ua_family_np),
-            "ua_device_type": s(ua_device_np),
-            "ua_human": s(ua_human_np),
-            "ua_intent": s(ua_intent_np),
+            "referer": referer_c,
+            "ua_fullname": ua_fullname_c,
+            "ua_os": ua_os_c,
+            "ua_family": ua_family_c,
+            "ua_device_type": ua_device_c,
+            "ua_human": ua_human_c,
+            "ua_intent": ua_intent_c,
             "malicious": pa.array(malicious, type=pa.int8()),
             "time_window": pa.array(tw, type=pa.int64()),
         }
@@ -325,3 +382,26 @@ class ParseEnrich:
                 col = col.cast(typ)
             arrays.append(col)
         return pa.Table.from_arrays(arrays, schema=ENRICHED_SCHEMA)
+
+
+# task-pool entry: one cached ParseEnrich per (worker process, job identity)
+_FN_CACHE: dict[int, ParseEnrich] = {}
+
+
+def make_parse_fn(job: JobConfig):
+    """Build a plain-function map_batches target for ``job``.
+
+    Task pools reuse Ray's long-lived worker processes, so the module
+    caches (and the memoized ParseEnrich) persist across batches and
+    queries without actor-pool startup cost. The job config rides along
+    in the (tiny) serialized closure."""
+    key = id(job)
+
+    def parse_enrich(batch: pa.Table) -> pa.Table:
+        pe = _FN_CACHE.get(key)
+        if pe is None:
+            _FN_CACHE.clear()
+            pe = _FN_CACHE.setdefault(key, ParseEnrich(job))
+        return pe(batch)
+
+    return parse_enrich

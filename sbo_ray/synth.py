@@ -134,13 +134,27 @@ def synth_lines(
     ip_pool = [f"192.0.2.{i}" for i in range(1, 40)] + [f"198.51.100.{i}" for i in range(1, 15)]
     users = ["-"] * 9 + ["frank", "alice"]
 
+    # Zipf-ish URL space: a finite popular-path pool with an exponential
+    # popularity profile (real access logs concentrate on few URLs), plus
+    # query-string variants; the uncapped random tail lives in SPECIAL_URIS
+    # and the ?page= variants.
+    path_pool = []
+    for _ in range(400):
+        depth = rng.randint(0, 5)
+        path_pool.append(
+            "/" + "/".join(rng.choice(SEGMENTS) for _ in range(depth)) if depth else "/"
+        )
+
     doc_ids: list[str] = []
     lines: list[str] = []
     sources: list[str] = []
     src_choices = rng.choices(names, weights=weights, k=n_rows)
     for i, src in enumerate(src_choices):
         fmt = fmts[src]
-        clocks[src] += timedelta(seconds=rng.randint(0, 20))
+        # ~1s average advance: realistic row density per 10-minute window
+        # (hundreds of rows/window/source), so window-key cardinality stays
+        # proportional to wall time covered, not to row count
+        clocks[src] += timedelta(seconds=rng.randint(0, 2))
         ts = clocks[src]
         if ooo_frac > 0 and rng.random() < ooo_frac:
             ts = ts - timedelta(minutes=rng.randint(5, 90))
@@ -158,8 +172,7 @@ def synth_lines(
         if rng.random() < special_frac:
             uri = rng.choice(SPECIAL_URIS)
         else:
-            depth = rng.randint(0, 5)
-            uri = "/" + "/".join(rng.choice(SEGMENTS) for _ in range(depth)) if depth else "/"
+            uri = path_pool[min(int(rng.expovariate(0.03)), len(path_pool) - 1)]
             if rng.random() < 0.15:
                 uri += f"?page={rng.randint(1, 9)}"
         protocol = rng.choice(PROTOCOLS)
@@ -234,7 +247,7 @@ def ensure_input(sf_dir: str, seed: int = SEED_DEFAULT, n_sources: int = 12,
     """Idempotently materialize the synthetic input table for a testdata
     scale dir; returns the directory of Parquet shards."""
     n_rows = _sf_rows(sf_dir)
-    out = os.path.join(cache_root, f"v2_n{n_rows}_s{seed}_k{n_sources}")
+    out = os.path.join(cache_root, f"v4_n{n_rows}_s{seed}_k{n_sources}")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
