@@ -53,10 +53,19 @@ def run_bench() -> dict:
     import pyarrow.parquet as pq
 
     n_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in input_paths)
-    # warm read (untimed): one pass over the input
+    import shutil
+
     import ray.data as rd
 
+    from sbo_ray.pipelines import logpipe
+
+    out_root = f"/tmp/sbo_bench_out_{os.getpid()}"
+
+    # warm phase (untimed): page cache + worker processes + module imports
     rd.read_parquet(input_paths).count()
+    logpipe.full_pipeline(input_paths[:1], Q._job(),
+                          os.path.join(out_root, "warm"))
+    shutil.rmtree(os.path.join(out_root, "warm"), ignore_errors=True)
 
     timings: dict[str, float] = {}
 
@@ -65,7 +74,9 @@ def run_bench() -> dict:
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    out_root = f"/tmp/sbo_bench_out_{os.getpid()}"
+    # headline: single-pass flagship (one read -> all sinks)
+    timed("full_pipeline", lambda: logpipe.full_pipeline(
+        input_paths, Q._job(), os.path.join(out_root, "full")))
 
     timed("metrics", lambda: Q.q_log_metrics(sf_dir).write_parquet(
         os.path.join(out_root, "metrics")))
@@ -85,53 +96,100 @@ def run_bench() -> dict:
 
     total = round(sum(timings.values()), 3)
     result = {
-        "metric": "sbo-ray end-to-end parse->enrich->aggregate+route, synthetic token table",
-        "value": total,
+        "metric": "sbo-ray single-pass parse->enrich->route+aggregate (full_pipeline) on the synthetic token table",
+        "value": timings["full_pipeline"],
         "unit": "sec",
         "queries": timings,
+        "total_sec": total,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "rows": n_rows,
-        "rows_per_sec": round(n_rows * max(1, len([k for k in ("metrics", "routed") if k in timings])) / max(total, 1e-9)),
+        "rows_per_sec": round(n_rows / max(timings["full_pipeline"], 1e-9)),
         "input_cache": cache,
     }
     ray.shutdown()
-    import shutil
-
     shutil.rmtree(out_root, ignore_errors=True)
     return result
 
 
+def run_scaling_child() -> dict:
+    """One scaling measurement in THIS process: full_pipeline over the
+    large scaling input at $RAY_GRAFT_CPUS."""
+    import shutil
+
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "16"))
+    n_rows = int(os.environ.get("SBO_SCALE_ROWS", "4000000"))
+
+    from sbo_ray import synth
+
+    cache = synth.ensure_rows(n_rows)
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import glob as g
+
+    import ray.data as rd
+
+    from sbo_ray.config import JobConfig
+    from sbo_ray.oracle.materialize import N_SOURCES
+    from sbo_ray.pipelines import logpipe
+
+    paths = sorted(g.glob(os.path.join(cache, "shard-*.parquet")))
+    job = JobConfig.from_format_map(synth.source_config(N_SOURCES))
+    out_root = f"/tmp/sbo_scale_out_{os.getpid()}"
+    # warm: page cache + workers + imports
+    rd.read_parquet(paths).count()
+    logpipe.full_pipeline(paths[:1], job, os.path.join(out_root, "warm"))
+    t0 = time.perf_counter()
+    logpipe.full_pipeline(paths, job, os.path.join(out_root, "full"))
+    sec = round(time.perf_counter() - t0, 3)
+    ray.shutdown()
+    shutil.rmtree(out_root, ignore_errors=True)
+    return {"sec": sec, "rows": n_rows, "num_cpus": num_cpus,
+            "rows_per_sec": round(n_rows / sec)}
+
+
 def run_scaling() -> dict:
-    """Same job at two parallelism levels in fresh processes."""
-    lo, hi = int(os.environ.get("SBO_SCALE_LO", "8")), int(os.environ.get("SBO_SCALE_HI", "32"))
+    """Same single-pass job, same input, two parallelism levels (N and 4N
+    CPUs) in fresh processes — the sandbox stand-in for the north rule's
+    N-vs-4N-node cluster criterion. Uses a dedicated larger input
+    (default 4M rows) so compute dominates fixed pipeline overhead, as it
+    would on a real cluster run."""
+    lo = int(os.environ.get("SBO_SCALE_LO", "4"))
+    hi = int(os.environ.get("SBO_SCALE_HI", str(lo * 4)))
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__), "--scaling-child"],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     r_lo = one(lo)  # first run also warms the synth cache for both
     r_hi = one(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    eff = (r_lo["sec"] / r_hi["sec"]) / (hi / lo)
     return {
-        "metric": "scaling efficiency (fresh-process num_cpus levels, same input)",
+        "metric": "scaling efficiency: single-pass full_pipeline, fresh-process num_cpus N vs 4N, same input",
         "cpus_lo": lo,
         "cpus_hi": hi,
-        "sec_lo": r_lo["value"],
-        "sec_hi": r_hi["value"],
+        "sec_lo": r_lo["sec"],
+        "sec_hi": r_hi["sec"],
         "rows": r_lo["rows"],
+        "rows_per_sec_lo": r_lo["rows_per_sec"],
+        "rows_per_sec_hi": r_hi["rows_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        "queries_lo": r_lo["queries"],
-        "queries_hi": r_hi["queries"],
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-child" in sys.argv:
+        print(json.dumps(run_scaling_child()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

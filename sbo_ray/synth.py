@@ -246,7 +246,13 @@ def ensure_input(sf_dir: str, seed: int = SEED_DEFAULT, n_sources: int = 12,
                  cache_root: str = "/tmp/sbo_synth") -> str:
     """Idempotently materialize the synthetic input table for a testdata
     scale dir; returns the directory of Parquet shards."""
-    n_rows = _sf_rows(sf_dir)
+    return ensure_rows(_sf_rows(sf_dir), seed=seed, n_sources=n_sources,
+                       cache_root=cache_root)
+
+
+def ensure_rows(n_rows: int, seed: int = SEED_DEFAULT, n_sources: int = 12,
+                cache_root: str = "/tmp/sbo_synth") -> str:
+    """Idempotently materialize a synthetic input table of n_rows."""
     out = os.path.join(cache_root, f"v4_n{n_rows}_s{seed}_k{n_sources}")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
