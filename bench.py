@@ -120,7 +120,7 @@ def run_scaling_child() -> dict:
     import ray
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "16"))
-    n_rows = int(os.environ.get("SBO_SCALE_ROWS", "4000000"))
+    n_rows = int(os.environ.get("SBO_SCALE_ROWS", "8000000"))
 
     from sbo_ray import synth
 
@@ -143,7 +143,7 @@ def run_scaling_child() -> dict:
     out_root = f"/tmp/sbo_scale_out_{os.getpid()}"
     # warm: page cache + workers + imports
     rd.read_parquet(paths).count()
-    logpipe.full_pipeline(paths[:1], job, os.path.join(out_root, "warm"))
+    logpipe.full_pipeline(paths[:16], job, os.path.join(out_root, "warm"))
     t0 = time.perf_counter()
     logpipe.full_pipeline(paths, job, os.path.join(out_root, "full"))
     sec = round(time.perf_counter() - t0, 3)
@@ -161,6 +161,12 @@ def run_scaling() -> dict:
     would on a real cluster run."""
     lo = int(os.environ.get("SBO_SCALE_LO", "4"))
     hi = int(os.environ.get("SBO_SCALE_HI", str(lo * 4)))
+
+    # generate the shared input BEFORE either child so neither timed
+    # process pays (or is perturbed by) the one-time synthesis
+    from sbo_ray import synth
+
+    synth.ensure_rows(int(os.environ.get("SBO_SCALE_ROWS", "8000000")))
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))

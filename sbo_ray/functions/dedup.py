@@ -1,0 +1,209 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine — the training-data-pipeline extensions of the engine.
+
+Scale notes (the 10^12-row story, per the Ray guide patterns):
+
+- exact: content-hash column added vectorized in ``map_batches``, then a
+  hash groupby (``first``/min per group) — the hash column (16 bytes)
+  shuffles, never the payload.
+- MinHash+LSH: per-batch shingle->minhash signatures (numpy matrix ops),
+  explode to (band, band_hash, doc_id) rows, group by bucket — only
+  same-bucket docs are ever compared; candidate pairs are verified with
+  exact shingle-set Jaccard.
+- SimHash: 64-bit signature per doc; pigeonhole bucketing on 4 x 16-bit
+  segments finds all pairs within Hamming distance 3 without O(n^2).
+- embedding cosine: normalized blocks x broadcast matrix (numpy matmul).
+
+At the small test scales the candidate sets fit in one block, so the
+pair-join inside each bucket runs in ``map_groups``; the partitioning
+assumption (bucket fits a worker) is the standard LSH contract and holds
+when bands/rows are tuned so buckets stay small.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+
+# ---- exact -----------------------------------------------------------------
+
+
+def add_text_hash(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Append an md5-based 64-bit content hash column (vectorized-ish;
+    md5 per unique value)."""
+    vals = batch.column(column).to_pylist()
+    hashes = np.fromiter(
+        (int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "big") >> 1 for v in vals),
+        dtype=np.int64, count=len(vals),
+    )
+    return batch.append_column("text_hash", pa.array(hashes))
+
+
+# ---- shingles / minhash ----------------------------------------------------
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Hashes of word k-shingles (crc32 of the joined shingle)."""
+    words = text.split()
+    if len(words) < k:
+        shingles = [" ".join(words)] if words else [""]
+    else:
+        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    return np.fromiter(
+        (zlib.crc32(s.encode()) for s in set(shingles)),
+        dtype=np.uint64, count=len(set(shingles)),
+    )
+
+
+def _perm_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(text: str, n_perm: int = 64, seed: int = 7,
+                      _cache: dict = {}) -> np.ndarray:
+    key = (n_perm, seed)
+    if key not in _cache:
+        _cache[key] = _perm_params(n_perm, seed)
+    a, b = _cache[key]
+    x = _shingle_hashes(text)
+    if len(x) == 0:
+        return np.zeros(n_perm, dtype=np.uint64)
+    # (a*x + b) mod p per permutation; min over shingles
+    vals = (np.outer(a, x) + b[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+def minhash_bands(batch: pa.Table, n_perm: int = 64, bands: int = 16,
+                  text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """doc -> (band, band_hash, doc_id) rows for the LSH bucket groupby."""
+    texts = batch.column(text_col).to_pylist()
+    ids = batch.column(id_col).to_pylist()
+    rows_per_band = n_perm // bands
+    band_ids, band_hashes, doc_ids = [], [], []
+    for doc_id, text in zip(ids, texts):
+        sig = minhash_signature(text, n_perm)
+        for bi in range(bands):
+            seg = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+            h = zlib.crc32(seg.tobytes())
+            band_ids.append(bi)
+            band_hashes.append(h)
+            doc_ids.append(doc_id)
+    return pa.table({
+        "band": pa.array(band_ids, type=pa.int32()),
+        "band_hash": pa.array(band_hashes, type=pa.int64()),
+        "doc_id": pa.array(doc_ids, type=pa.int64()),
+    })
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact word-k-shingle Jaccard (the verify stage for LSH candidates)."""
+    a = set(np.asarray(_shingle_hashes(text_a, k)).tolist())
+    b = set(np.asarray(_shingle_hashes(text_b, k)).tolist())
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def verify_candidates(pairs: set[tuple[int, int]], texts_by_id: dict,
+                      threshold: float = 0.8) -> list[tuple[int, int, float]]:
+    out = []
+    for ia, ib in sorted(pairs):
+        j = jaccard(texts_by_id[ia], texts_by_id[ib])
+        if j >= threshold:
+            out.append((ia, ib, j))
+    return out
+
+
+# ---- simhash ---------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (crc-based token hashes)."""
+    words = text.split()
+    if not words:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for w in set(words):
+        h = np.uint64(int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big"))
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == np.uint64(1), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    sigs = [simhash64(t) for t in texts]
+    # pigeonhole: 4 x 16-bit segments; pairs within Hamming<=3 share at
+    # least one exact segment
+    segs = {f"seg{i}": [int((s >> (16 * i)) & 0xFFFF) for s in sigs] for i in range(4)}
+    cols = {
+        id_col: batch.column(id_col),
+        "simhash": pa.array(np.array(sigs, dtype=np.uint64).astype(np.int64)),
+    }
+    for name, vals in segs.items():
+        cols[name] = pa.array(vals, type=pa.int32())
+    return pa.table(cols)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def simhash_near_pairs(table: pa.Table, max_hamming: int = 3) -> list[tuple[int, int, int]]:
+    """Bucket by each 16-bit segment; verify Hamming distance in-bucket."""
+    ids = table.column("doc_id").to_pylist()
+    sigs = [s & ((1 << 64) - 1) for s in
+            np.array(table.column("simhash").to_pylist(), dtype=np.int64).astype(np.uint64).tolist()]
+    pairs = set()
+    for seg in range(4):
+        buckets = defaultdict(list)
+        for i, s in enumerate(sigs):
+            buckets[(s >> (16 * seg)) & 0xFFFF].append(i)
+        for members in buckets.values():
+            for ai in range(len(members)):
+                for bi in range(ai + 1, len(members)):
+                    i, j = members[ai], members[bi]
+                    if hamming64(sigs[i], sigs[j]) <= max_hamming:
+                        pairs.add((min(ids[i], ids[j]), max(ids[i], ids[j]),
+                                   hamming64(sigs[i], sigs[j])))
+    return sorted(pairs)
+
+
+# ---- embedding cosine ------------------------------------------------------
+
+
+def cosine_pairs_block(block: np.ndarray, block_ids: np.ndarray,
+                       other: np.ndarray, other_ids: np.ndarray,
+                       threshold: float) -> list[tuple[int, int, float]]:
+    """All pairs (block x other) with cosine > threshold; caller ensures
+    id_a < id_b de-dup. Inputs must be L2-normalized float64."""
+    sims = block @ other.T
+    ia, ib = np.nonzero(sims > threshold)
+    out = []
+    for x, y in zip(ia, ib):
+        a, b = int(block_ids[x]), int(other_ids[y])
+        if a < b:
+            out.append((a, b, float(sims[x, y])))
+    return out
+
+
+def normalize_rows(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms

@@ -1,0 +1,140 @@
+"""Training-data operators: SQL-oracle parity for the expressible ones
+(covered in test_driver_contract-style comparison here at sf0.001) and
+planted-duplicate verification for the sketch operators."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+SQL_NAMES = [
+    "doc_dedup_exact", "emb_dedup_cosine", "emb_similarity_topk",
+    "doc_token_stats", "doc_lang_id", "multimodal_payload_stats",
+    "customer_nation_agg", "lineitem_pricing_summary", "orders_by_month",
+    "events_hourly",
+]
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "customer", "nation", "orders",
+              "lineitem", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", SQL_NAMES)
+def test_dataop_matches_sql(ray_session, name):
+    from sbo_ray.pipelines.dataqueries import data_oracle_sql, data_queries
+
+    import ray.data as rd
+
+    res = data_queries()[name](SF)
+    got = res.to_pandas() if isinstance(res, (rd.Dataset, pa.Table)) else res
+    want = _con().execute(data_oracle_sql()[name]).df()
+    got, want = _norm(got), _norm(want)
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        if got[c].dtype.kind == "f":
+            assert np.allclose(got[c].values, want[c].values, atol=1e-6), c
+        else:
+            assert (got[c].astype(str).values == want[c].astype(str).values).all(), c
+
+
+# ---- sketch operators vs brute force on planted duplicates ----------------
+
+
+@pytest.fixture(scope="module")
+def planted(tmp_path_factory):
+    """documents table with planted exact + near duplicates."""
+    rng = np.random.RandomState(4)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "data", "table", "row", "scan"]
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(60)]
+    texts[10] = texts[3]                       # exact dup
+    words = texts[5].split(); words[7] = "MUTATED"
+    texts[20] = " ".join(words)                # near dup (1 of 40 words)
+    words = texts[8].split(); words[0] = "X"; words[39] = "Y"
+    texts[30] = " ".join(words)                # near dup (2 of 40 words)
+    t = pa.table({
+        "doc_id": pa.array(range(60), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    d = tmp_path_factory.mktemp("planted")
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d), texts
+
+
+def test_minhash_finds_planted_dups(ray_session, planted):
+    from sbo_ray.functions.dedup import jaccard
+    from sbo_ray.pipelines.datapipe import doc_dedup_minhash
+
+    d, texts = planted
+    got = doc_dedup_minhash(d, threshold=0.5).to_pandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (3, 10) in pairs   # exact dup
+    assert (5, 20) in pairs   # near dup
+    # brute-force check: every reported pair really is >= threshold
+    for a, b in pairs:
+        assert jaccard(texts[a], texts[b]) >= 0.5
+
+
+def test_simhash_finds_exact_dup(ray_session, planted):
+    from sbo_ray.pipelines.datapipe import doc_dedup_simhash
+
+    d, texts = planted
+    got = doc_dedup_simhash(d, max_hamming=6).to_pandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (3, 10) in pairs   # identical text -> hamming 0
+
+
+def test_fingerprint_deterministic_and_dup_sensitive(ray_session, planted):
+    from sbo_ray.pipelines.datapipe import doc_fingerprint
+
+    d, texts = planted
+    got = doc_fingerprint(d).to_pandas().set_index("doc_id")
+    assert list(got.loc[3, "fingerprint"]) == list(got.loc[10, "fingerprint"])
+    got2 = doc_fingerprint(d).to_pandas().set_index("doc_id")
+    assert list(got.loc[0, "fingerprint"]) == list(got2.loc[0, "fingerprint"])
+
+
+def test_ann_lsh_recall(ray_session):
+    from sbo_ray.pipelines.datapipe import emb_ann_lsh, emb_similarity_topk
+
+    exact = set(emb_similarity_topk(SF).to_pandas()["vec_id"])
+    approx = set(emb_ann_lsh(SF, n_bits=4).to_pandas()["vec_id"])
+    # bucket-restricted search must find a reasonable share of true top-k
+    assert len(approx & exact) >= 3
+
+
+def test_multimodal_features_stub(ray_session):
+    from sbo_ray.functions.multimodal import DecoderStub
+    from sbo_ray.pipelines.datapipe import multimodal_features
+
+    got = multimodal_features(SF).to_pandas()
+    assert len(got) == 500
+    assert len(got.loc[0, "features"]) == 16
+    # the non-fake path is an explicit stub
+    import pyarrow as pa_
+
+    with pytest.raises(NotImplementedError):
+        DecoderStub(fake=False)(pa_.table({
+            "doc_id": [1], "payload": [b"x"], "media_type": ["image/png"],
+            "payload_bytes": [1],
+        }))
