@@ -126,9 +126,18 @@ def synth_lines(
     weights = _zipf_weights(n_sources)
     fmts = {name: source_format(i) for i, name in enumerate(names)}
 
-    # per-source clocks: distinct base time + zone offset per source
+    # per-source clocks: distinct base time + zone offset per source.
+    # The log SPAN is fixed (~7 days) regardless of n_rows — real logs
+    # get denser with more traffic, they don't stretch over more time —
+    # so aggregate-key cardinality (windows x keys) stays bounded as data
+    # grows instead of scaling with row count.
+    span_sec = 7 * 86400
     base = datetime(2025, 7, 2, 10, 0, 0, tzinfo=timezone.utc)
     clocks = {name: base + timedelta(minutes=7 * i) for i, name in enumerate(names)}
+    mean_step = {
+        name: span_sec / max(1.0, n_rows * weights[i])
+        for i, name in enumerate(names)
+    }
     zones = {name: [ "+0000", "-0700", "+0200", "+0530"][i % 4] for i, name in enumerate(names)}
 
     ip_pool = [f"192.0.2.{i}" for i in range(1, 40)] + [f"198.51.100.{i}" for i in range(1, 15)]
@@ -151,10 +160,7 @@ def synth_lines(
     src_choices = rng.choices(names, weights=weights, k=n_rows)
     for i, src in enumerate(src_choices):
         fmt = fmts[src]
-        # ~1s average advance: realistic row density per 10-minute window
-        # (hundreds of rows/window/source), so window-key cardinality stays
-        # proportional to wall time covered, not to row count
-        clocks[src] += timedelta(seconds=rng.randint(0, 2))
+        clocks[src] += timedelta(seconds=rng.expovariate(1.0 / mean_step[src]))
         ts = clocks[src]
         if ooo_frac > 0 and rng.random() < ooo_frac:
             ts = ts - timedelta(minutes=rng.randint(5, 90))
@@ -253,7 +259,7 @@ def ensure_input(sf_dir: str, seed: int = SEED_DEFAULT, n_sources: int = 12,
 def ensure_rows(n_rows: int, seed: int = SEED_DEFAULT, n_sources: int = 12,
                 cache_root: str = "/tmp/sbo_synth") -> str:
     """Idempotently materialize a synthetic input table of n_rows."""
-    out = os.path.join(cache_root, f"v4_n{n_rows}_s{seed}_k{n_sources}")
+    out = os.path.join(cache_root, f"v5_n{n_rows}_s{seed}_k{n_sources}")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
