@@ -1,0 +1,151 @@
+"""Command-line entry point — the ``sbologp`` analog (main.go:238-340).
+
+Profiles (the reference's ``-p`` + config-file modes, re-expressed):
+
+    python -m sbo_ray.cli count  INPUT...  [--format F] [--top-n N]
+    python -m sbo_ray.cli metrics INPUT... [--config cfg.json] [--out DIR]
+    python -m sbo_ray.cli run    INPUT...  [--config cfg.json] [--out DIR]
+                                 [--resume] [--group-size N]
+
+INPUT is either Parquet shards of the token table or raw ``.log``/.txt
+files (auto-lifted through sources.textlog). ``--config`` takes the
+JSON config with ``--default--`` merge semantics (config.py). ``run``
+is the single-pass flagship with the checkpoint manifest; ``--resume``
+continues a killed run.
+
+Owns its Ray session (the only module besides bench.py and tests that
+does): guarded init, shutdown at exit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "0")) or None,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _load_job(args, inputs: list[str]):
+    from .config import JobConfig, SourceConfig
+
+    if args.config:
+        with open(args.config) as f:
+            job = JobConfig.from_json(f.read())
+    else:
+        job = JobConfig(default=SourceConfig(log_format=args.format))
+    return job
+
+
+def _input_dataset(inputs: list[str]):
+    from .sources.textlog import read_text_logs
+
+    if all(p.endswith(".parquet") or os.path.isdir(p) for p in inputs):
+        import ray.data as rd
+
+        return rd.read_parquet(inputs), True
+    return read_text_logs(inputs), False
+
+
+def cmd_count(args) -> int:
+    from .pipelines import logpipe
+    from .report import keyed_counters_table_to_dict, render_counter_report
+
+    _init_ray()
+    job = _load_job(args, args.inputs)
+    ds, _ = _input_dataset(args.inputs)
+    g = logpipe.global_counters(logpipe.enriched_dataset_from(ds, job))
+    ds2, _ = _input_dataset(args.inputs)
+    keyed = logpipe.keyed_counters_dataset(logpipe.enriched_dataset_from(ds2, job))
+    kd = keyed_counters_table_to_dict(keyed.to_pandas())
+    print(render_counter_report(g, kd, args.top_n))
+    return 0
+
+
+def cmd_metrics(args) -> int:
+    from .pipelines import logpipe
+
+    _init_ray()
+    ds, _ = _input_dataset(args.inputs)
+    job = _load_job(args, args.inputs)
+    enriched = logpipe.enriched_dataset_from(ds, job)
+    metrics = logpipe.metrics_dataset(enriched)
+    out = args.out or "/tmp/sbo_ray_out/metrics"
+    metrics.write_parquet(out)
+    print(f"metrics written to {out}")
+    return 0
+
+
+def cmd_run(args) -> int:
+    from .config import JobConfig
+    from .state.lineage import CheckpointedPipeline
+
+    _init_ray()
+    job = _load_job(args, args.inputs)
+    out = args.out or "/tmp/sbo_ray_out/run"
+    paths = args.inputs
+    cp = CheckpointedPipeline(paths, job, out, group_size=args.group_size)
+    if not args.resume and cp.manifest.committed_shards():
+        print("existing manifest found; pass --resume to continue it",
+              file=sys.stderr)
+        return 2
+    cp.run_all()
+    final = cp.finalize()
+    import pyarrow.parquet as pq
+
+    pq.write_table(final["metrics"], os.path.join(out, "metrics.parquet"))
+    pq.write_table(final["keyed_counters"], os.path.join(out, "counters.parquet"))
+    with open(os.path.join(out, "metrics.prom"), "w") as f:
+        f.write(cp.manifest.prometheus_text())
+    print(json.dumps({
+        "out": out,
+        "shards": len(cp.manifest.committed_shards()),
+        "counters": cp.manifest.counters_total(),
+    }))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="sbo_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in (("count", cmd_count), ("metrics", cmd_metrics),
+                     ("run", cmd_run)):
+        sp = sub.add_parser(name)
+        sp.add_argument("inputs", nargs="+")
+        sp.add_argument("--config", default=None)
+        sp.add_argument("--format", default="apache_combined")
+        sp.add_argument("--out", default=None)
+        sp.add_argument("--top-n", type=int, default=10)
+        sp.add_argument("--group-size", type=int, default=8)
+        sp.add_argument("--resume", action="store_true")
+        sp.set_defaults(fn=fn)
+    args = p.parse_args(argv)
+    import ray
+
+    owned_session = not ray.is_initialized()
+    try:
+        return args.fn(args)
+    finally:
+        # only tear down a session this invocation created (embedding
+        # callers — tests, notebooks — keep theirs)
+        if owned_session and ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -69,6 +69,18 @@ def read_input(input_dir: str) -> rd.Dataset:
     return rd.read_parquet(input_dir)
 
 
+def enriched_dataset_from(ds: rd.Dataset, job: JobConfig,
+                          batch_size: int = 32768) -> rd.Dataset:
+    """Parse+enrich an already-constructed input Dataset (token schema)."""
+    tune_context()
+    return ds.map_batches(
+        make_parse_fn(job),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+
 def enriched_dataset(input_dir: str, job: JobConfig,
                      batch_size: int = 32768) -> rd.Dataset:
     """Token table -> enriched table.
@@ -300,6 +312,18 @@ def full_pipeline(input_paths, job: JobConfig, out_dir: str,
                                  glob.column("value").to_pylist())
         },
     }
+
+
+def write_enriched_jsonl(enriched: rd.Dataset, out_dir: str) -> None:
+    """K3: the WRITE_TO_FILE handler analog — one JSON record per parsed
+    row (handlers/writetofile.go:50-90). The reference marshals the
+    SBOHttpRequestLog struct; we emit the enriched columns minus the
+    token payload."""
+    parsed = enriched.map_batches(
+        lambda t: t.filter(t.column("parse_ok")).drop_columns(["tokens"]),
+        batch_format="pyarrow",
+    )
+    parsed.write_json(out_dir)
 
 
 def write_metrics(metrics: rd.Dataset, out_dir: str) -> None:

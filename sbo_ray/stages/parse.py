@@ -156,11 +156,17 @@ class ParseEnrich:
         self.job: JobConfig = job
         self._fmt_of: dict[str, str] = {}
         self._wm_of: dict[str, int] = {}
+        self._skip_of: dict[str, str | None] = {}
         for name, cfg in job.sources.items():
             self._fmt_of[name] = cfg.log_format
             self._wm_of[name] = cfg.time_window_minutes
+            self._skip_of[name] = cfg.skip_line_regex
         self._default_fmt = job.default.log_format
         self._default_wm = job.default.time_window_minutes
+        self._default_skip = job.default.skip_line_regex
+        self._any_skip = bool(
+            self._default_skip or any(v for v in self._skip_of.values())
+        )
         self._caches = _CACHES
 
     def _uri_info(self, uri: str) -> tuple:
@@ -177,6 +183,27 @@ class ParseEnrich:
         if batch.num_rows == 0:
             return ENRICHED_SCHEMA.empty_table()
         lines = decode_tokens(batch.column("tokens"))
+        if self._any_skip:
+            # SkipIfLineMatchesRegex (F6): the reference stores but never
+            # implements this config field (main.go:1021, conf/README.md);
+            # we implement it as a pre-parse drop, per source.
+            keep = np.ones(batch.num_rows, dtype=bool)
+            src_np = batch.column("source").to_numpy(zero_copy_only=False)
+            for src in set(src_np.tolist()):
+                rx = self._skip_of.get(src, self._default_skip)
+                if not rx:
+                    continue
+                rows = src_np == src
+                hits = pc.match_substring_regex(
+                    lines.filter(pa.array(rows)), rx
+                ).to_numpy(zero_copy_only=False)
+                keep[np.flatnonzero(rows)[hits]] = False
+            if not keep.all():
+                mask = pa.array(keep)
+                batch = batch.filter(mask)
+                lines = lines.filter(mask)
+                if batch.num_rows == 0:
+                    return ENRICHED_SCHEMA.empty_table()
         sources = batch.column("source")
         # format per row via the (small) source dictionary
         src_enc = pc.dictionary_encode(sources.combine_chunks() if isinstance(sources, pa.ChunkedArray) else sources)

@@ -1,0 +1,139 @@
+"""Raw text-log source, skip-regex filter (F6), JSONL sink (K3), counter
+report rendering (K1) and the CLI entry."""
+
+import glob
+import json
+import os
+
+import pytest
+
+from sbo_ray import synth
+from sbo_ray.config import JobConfig, SourceConfig
+from sbo_ray.oracle.pipeline import run_oracle
+from sbo_ray.pipelines import logpipe
+
+N_ROWS = 1200
+SEED = 91
+
+
+@pytest.fixture(scope="module")
+def log_files(tmp_path_factory):
+    """Raw .log files equivalent to the synthetic token table: one file
+    per source, lines in synth order."""
+    doc_ids, lines, sources = synth.synth_lines(N_ROWS, seed=SEED)
+    cfg = synth.source_config(12)
+    d = tmp_path_factory.mktemp("rawlogs")
+    per_source: dict[str, list[str]] = {}
+    for line, src in zip(lines, sources):
+        per_source.setdefault(src, []).append(line)
+    paths = []
+    for src, ls in sorted(per_source.items()):
+        p = d / f"{src}.log"
+        p.write_text("\n".join(ls) + "\n")
+        paths.append(str(p))
+    return paths, doc_ids, lines, sources, cfg
+
+
+def test_text_source_matches_oracle_counts(ray_session, log_files):
+    from sbo_ray.sources.textlog import read_text_logs
+
+    paths, doc_ids, lines, sources, cfg = log_files
+    # source names are file basenames: web-XX.log -> config keyed likewise
+    job = JobConfig.from_format_map(
+        {f"{k}.log": v for k, v in cfg.items()}
+    )
+    ds = read_text_logs(paths)
+    assert ds.count() == N_ROWS
+    enriched = logpipe.enriched_dataset_from(ds, job)
+    g = logpipe.global_counters(enriched)
+    oracle = run_oracle(doc_ids, lines, sources, cfg, exact_totals=True)
+    assert g["requests"] == oracle.counters["requests"]
+    assert g["bytes_sent"] == oracle.counters["bytes_sent"]
+    assert g["parse_errors"] == oracle.parse_errors
+
+
+def test_text_source_skip_rows(ray_session, log_files):
+    from sbo_ray.sources.textlog import read_text_logs
+
+    paths, *_ = log_files
+    full = read_text_logs(paths[:1]).count()
+    skipped = read_text_logs(paths[:1], skip_rows=5).count()
+    assert skipped == full - 5
+    assert read_text_logs(paths[:1], skip_rows=-1).count() == 0
+
+
+def test_skip_line_regex_f6(ray_session, tmp_path):
+    doc_ids, lines, sources = synth.synth_lines(800, seed=12)
+    cfg = synth.source_config(12)
+    table = synth.build_table(doc_ids, lines, sources)
+    paths = synth.write_sharded(table, str(tmp_path), n_shards=2)
+    job = JobConfig.from_format_map(cfg)
+    base = logpipe.enriched_dataset(paths, job).count()
+    # drop every HEAD request before parsing
+    job2 = JobConfig.from_format_map(cfg)
+    for scfg in job2.sources.values():
+        scfg.skip_line_regex = r'"HEAD '
+    n2 = logpipe.enriched_dataset(paths, job2).count()
+    n_head = sum(1 for ln in lines if '"HEAD ' in ln)
+    assert n_head > 0
+    assert n2 == base - n_head
+
+
+def test_jsonl_sink(ray_session, tmp_path):
+    doc_ids, lines, sources = synth.synth_lines(300, seed=13)
+    cfg = synth.source_config(12)
+    table = synth.build_table(doc_ids, lines, sources)
+    paths = synth.write_sharded(table, str(tmp_path / "in"), n_shards=1)
+    job = JobConfig.from_format_map(cfg)
+    out = str(tmp_path / "jsonl")
+    logpipe.write_enriched_jsonl(logpipe.enriched_dataset(paths, job), out)
+    rows = []
+    for f in glob.glob(os.path.join(out, "*.json")):
+        with open(f) as fh:
+            rows.extend(json.loads(l) for l in fh if l.strip())
+    oracle = run_oracle(doc_ids, lines, sources, cfg, exact_totals=True)
+    assert len(rows) == oracle.counters["requests"]
+    assert "ua_family" in rows[0] and "tokens" not in rows[0]
+
+
+def test_counter_report_render(ray_session, tmp_path):
+    from sbo_ray.report import keyed_counters_table_to_dict, render_counter_report
+
+    doc_ids, lines, sources = synth.synth_lines(300, seed=14)
+    cfg = synth.source_config(12)
+    table = synth.build_table(doc_ids, lines, sources)
+    paths = synth.write_sharded(table, str(tmp_path), n_shards=1)
+    job = JobConfig.from_format_map(cfg)
+    g = logpipe.global_counters(logpipe.enriched_dataset(paths, job))
+    kd = keyed_counters_table_to_dict(
+        logpipe.keyed_counters_dataset(logpipe.enriched_dataset(paths, job)).to_pandas()
+    )
+    text = render_counter_report(g, kd, 10)
+    assert "Total requests" in text
+    assert "Status codes:" in text
+    assert "200" in text
+    # top-N limiting applies to clients/referers/paths
+    clients_block = text.split("Clients:")[1].split("User agents:")[0]
+    assert len([l for l in clients_block.splitlines() if l.strip()]) <= 10
+
+
+def test_cli_run_and_count(ray_session, tmp_path, capsys):
+    from sbo_ray import cli
+
+    doc_ids, lines, sources = synth.synth_lines(400, seed=15)
+    cfg = synth.source_config(12)
+    table = synth.build_table(doc_ids, lines, sources)
+    paths = synth.write_sharded(table, str(tmp_path / "in"), n_shards=2)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(
+        {"--default--": {"log_format": "apache_combined"},
+         **{k: {"log_format": v} for k, v in cfg.items()}}
+    ))
+    out = str(tmp_path / "run_out")
+    rc = cli.main(["run", *paths, "--config", str(cfg_path), "--out", out])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "metrics.parquet"))
+    assert os.path.exists(os.path.join(out, "metrics.prom"))
+    rc = cli.main(["count", *paths, "--config", str(cfg_path)])
+    assert rc == 0
+    assert "Total requests" in capsys.readouterr().out
