@@ -321,6 +321,35 @@ def orders_by_month(sf_dir: str):
     })
 
 
+def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows over the events stream: per user, events closer
+    than ``gap_minutes`` belong to one session (the classic stream
+    sessionization, expressed as groupby(user).map_groups over
+    ts-sorted groups — the Ray-idiomatic stream-window pattern).
+
+    Partitioning assumption: one user's events fit in a worker (holds
+    by construction for per-user activity; salt heavy users if not).
+    Output: one row per session."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        gaps = g["ts"].diff().dt.total_seconds().fillna(1e18)
+        session_no = (gaps > gap_minutes * 60).cumsum()
+        out = g.groupby(session_no).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "count"),
+            sum_value=("value", "sum"),
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = out["sum_value"].round(2)
+        return out.reset_index(drop=True)
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
 def events_hourly(sf_dir: str):
     """Tumbling 1-hour window aggregate over the events stream table."""
 

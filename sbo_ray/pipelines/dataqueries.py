@@ -110,6 +110,25 @@ SELECT strftime(o_orderdate, '%Y-%m') AS month,
 FROM orders GROUP BY 1
 """
 
+SQL_EVENTS_SESSIONIZE = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM numbered GROUP BY user_id, session_no
+"""
+
 SQL_EVENTS_HOURLY = """
 SELECT event_type, date_trunc('hour', ts) AS hour,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -135,6 +154,7 @@ def data_queries() -> dict:
         "lineitem_pricing_summary": P.lineitem_pricing_summary,
         "orders_by_month": P.orders_by_month,
         "events_hourly": P.events_hourly,
+        "events_sessionize": P.events_sessionize,
     }
 
 
@@ -152,6 +172,7 @@ def data_oracle_sql() -> dict:
         "lineitem_pricing_summary": SQL_LINEITEM_PRICING,
         "orders_by_month": SQL_ORDERS_BY_MONTH,
         "events_hourly": SQL_EVENTS_HOURLY,
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
     }
 
 

@@ -164,6 +164,15 @@ def q_log_metrics_basic(sf_dir: str):
     )
 
 
+def q_log_metrics_compat(sf_dir: str):
+    """Faithful streaming bounded-window semantics (stages/compat.py).
+    On chronological input (the default synth) its totals coincide with
+    the exact oracle dump, so the same materialized oracle gates it."""
+    from ..stages.compat import metrics_dataset_compat
+
+    return metrics_dataset_compat(_enriched(sf_dir), window_size=3)
+
+
 def q_log_keyed_counters(sf_dir: str):
     return logpipe.keyed_counters_dataset(_enriched(sf_dir))
 
@@ -218,6 +227,7 @@ def q_log_parse_stats(sf_dir: str):
 def log_queries() -> dict:
     return {
         "log_metrics": q_log_metrics,
+        "log_metrics_compat": q_log_metrics_compat,
         "log_metrics_basic": q_log_metrics_basic,
         "log_keyed_counters": q_log_keyed_counters,
         "log_global_counters": q_log_global_counters,
@@ -237,6 +247,7 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_parse_stats": sql_parse_stats(cache),
         # materialized pure-Python-oracle dumps (engine vs oracle)
         "log_metrics": f"SELECT * FROM read_parquet('{cache}/oracle_metrics.parquet')",
+        "log_metrics_compat": f"SELECT * FROM read_parquet('{cache}/oracle_metrics.parquet')",
         "log_keyed_counters": f"SELECT * FROM read_parquet('{cache}/oracle_keyed_counters.parquet')",
         "log_global_counters": f"SELECT * FROM read_parquet('{cache}/oracle_global_counters.parquet')",
         "log_routed": f"SELECT * FROM read_parquet('{cache}/oracle_routed.parquet')",

@@ -14,7 +14,7 @@ SQL_NAMES = [
     "doc_dedup_exact", "emb_dedup_cosine", "emb_similarity_topk",
     "doc_token_stats", "doc_lang_id", "multimodal_payload_stats",
     "customer_nation_agg", "lineitem_pricing_summary", "orders_by_month",
-    "events_hourly",
+    "events_hourly", "events_sessionize",
 ]
 
 
