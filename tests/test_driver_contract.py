@@ -37,8 +37,9 @@ def contract(ray_session):
 
 
 @pytest.mark.parametrize("name", [
-    "log_metrics", "log_metrics_basic", "log_keyed_counters",
-    "log_global_counters", "log_routed", "log_top_paths", "log_parse_stats",
+    "log_metrics", "log_metrics_compat", "log_metrics_basic",
+    "log_keyed_counters", "log_global_counters", "log_routed",
+    "log_top_paths", "log_parse_stats",
 ])
 def test_query_matches_oracle_sql(contract, name):
     queries, sqls = contract
