@@ -52,6 +52,14 @@ METRIC_SCHEMA = pa.schema([
 GROUP_KEYS = ["source", "metric_type", "key_value", "time_window"]
 
 
+def const_str(n: int, value: str) -> pa.Array:
+    """Constant string column without a per-row Python loop (dictionary
+    of one value expanded by an Arrow take)."""
+    return pa.DictionaryArray.from_arrays(
+        pa.array(np.zeros(n, dtype=np.int32)), pa.array([value], type=pa.string())
+    ).cast(pa.string())
+
+
 def metric_fanout(batch: pa.Table) -> pa.Table:
     """Enriched batch -> pre-aggregated long metric rows."""
     batch = batch.filter(batch.column("parse_ok"))
@@ -62,7 +70,7 @@ def metric_fanout(batch: pa.Table) -> pa.Table:
     source = batch.column("source").combine_chunks()
     tw = batch.column("time_window").combine_chunks()
     ones = pa.array(np.ones(n, dtype=np.int64))
-    empty_key = pa.array([""] * n, type=pa.string())
+    empty_key = const_str(n, "")
 
     pieces: list[pa.Table] = []
 
@@ -144,7 +152,7 @@ def counter_melt(batch: pa.Table) -> pa.Table:
     source = batch.column("source").combine_chunks()
     pieces = []
     for dim, col in COUNTER_DIMENSIONS:
-        dim_arr = pa.array([dim] * n, type=pa.string())
+        dim_arr = const_str(n, dim)
         pieces.append(
             pa.Table.from_arrays(
                 [source, dim_arr, batch.column(col).combine_chunks(), ones],

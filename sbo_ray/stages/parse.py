@@ -239,8 +239,10 @@ class ParseEnrich:
         ok = pc.is_valid(ext)
         ok_np = ok.to_numpy(zero_copy_only=False)
 
+        from .metrics import const_str
+
         pattern = L.FORMAT_PATTERNS[fmt]
-        empty = pa.array([""] * n, type=pa.string())
+        empty = const_str(n, "")
 
         def f(name: str) -> pa.Array:
             if f"?P<{name}>" not in pattern:

@@ -65,8 +65,9 @@ def relevance_mask(batch: pa.Table) -> pa.Array:
 
 def _truncate(arr: pa.Array, limit: int, keep_last: bool = False) -> pa.Array:
     """Byte-wise truncation (db/mysqldb.go:224-238). Fast path: if no value
-    exceeds the byte limit, return the array untouched; otherwise fix only
-    the offending rows through a per-unique Python pass."""
+    exceeds the byte limit, return the array untouched; otherwise fix the
+    *dictionary* (unique values) and expand with an Arrow take — the
+    Python truncation runs once per distinct long value, not per row."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     lengths = pc.binary_length(arr.cast(pa.binary()))
@@ -74,9 +75,14 @@ def _truncate(arr: pa.Array, limit: int, keep_last: bool = False) -> pa.Array:
     if mx is None or mx <= limit:
         return arr
     fn = reduce_to_max_len_keeping_last if keep_last else reduce_to_max_len
-    vals = arr.to_pylist()
-    out = [v if v is None or len(v.encode()) <= limit else fn(v, limit) for v in vals]
-    return pa.array(out, type=pa.string())
+    enc = pc.dictionary_encode(arr)
+    fixed = [
+        v if v is None or len(v.encode()) <= limit else fn(v, limit)
+        for v in enc.dictionary.to_pylist()
+    ]
+    return pa.DictionaryArray.from_arrays(
+        enc.indices, pa.array(fixed, type=pa.string())
+    ).cast(pa.string())
 
 
 def routed_projection(batch: pa.Table, mask_ips: bool = False,
