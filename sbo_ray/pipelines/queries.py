@@ -47,6 +47,7 @@ _GROUPS = {
     "method": {0: 5, 1: 5, 2: 6, 3: 4, 4: 4},
     "status": {0: 8, 1: 8, 2: 9, 3: 7, 4: 7},
     "bytes": {0: 9, 1: 9, 2: 10, 3: 8, 4: 8},
+    "client_ip": {0: 1, 1: 1, 2: 2, 3: 1, 4: 1},
 }
 
 
@@ -138,6 +139,46 @@ FROM pat GROUP BY source
 """
 
 
+def sql_geo_counts(cache: str) -> str:
+    """Independent SQL mirror of the broadcast geo lookup (/24 prefixes)."""
+    return _pattern_cte(cache) + f"""
+, parsed AS (
+  SELECT source, {_extract_case("client_ip")} AS ip
+  FROM pat WHERE {_matches_case()}
+)
+SELECT source,
+  CASE WHEN ip LIKE '192.0.2.%' THEN 'testnet-1'
+       WHEN ip LIKE '198.51.100.%' THEN 'testnet-2'
+       WHEN ip LIKE '203.0.113.%' THEN 'testnet-3'
+       ELSE 'unknown' END AS geo,
+  CAST(COUNT(*) AS BIGINT) AS cnt
+FROM parsed GROUP BY 1, 2
+"""
+
+
+def sql_status_class_counts(cache: str) -> str:
+    return _pattern_cte(cache) + f"""
+, parsed AS (
+  SELECT source, {_extract_case("status")} AS status
+  FROM pat WHERE {_matches_case()}
+)
+SELECT source, substr(status, 1, 1) || 'xx' AS status_class,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM parsed GROUP BY 1, 2
+"""
+
+
+def sql_distinct_clients(cache: str) -> str:
+    return _pattern_cte(cache) + f"""
+, parsed AS (
+  SELECT source, {_extract_case("client_ip")} AS ip
+  FROM pat WHERE {_matches_case()}
+)
+SELECT source, CAST(COUNT(DISTINCT ip) AS BIGINT) AS n_clients
+FROM parsed GROUP BY source
+"""
+
+
 # ---- Ray-side callables ----------------------------------------------------
 def _input_paths(sf_dir: str) -> list[str]:
     cache = materialize.cache_dir_for(sf_dir)
@@ -200,6 +241,74 @@ def q_log_top_paths(sf_dir: str):
     return logpipe.top_n_dataset(kc, "paths", 10)
 
 
+def q_log_geo_counts(sf_dir: str):
+    """GeoIP-style broadcast-lookup enrich -> per (source, geo) counts."""
+    from ..stages.geo import make_geo_enricher
+
+    enr = _enriched(sf_dir).map_batches(
+        make_geo_enricher(), batch_format="pyarrow"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("parse_ok"))
+        g = t.select(["source", "geo"]).group_by(["source", "geo"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["source", "geo", "cnt"])
+
+    parts = pa.concat_tables(
+        enr.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    g = parts.group_by(["source", "geo"]).aggregate([("cnt", "sum")])
+    g = g.rename_columns(["source", "geo", "cnt"])
+    return pa.table({
+        "source": g.column("source"),
+        "geo": g.column("geo"),
+        "cnt": g.column("cnt").cast(pa.int64()),
+    })
+
+
+def q_log_status_class_counts(sf_dir: str):
+    """Status-class (2xx/3xx/4xx/5xx) enrichment counts per source."""
+    enr = _enriched(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("parse_ok"))
+        cls = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(t.column("status").combine_chunks(), 0, 1),
+            "xx", "",
+        )
+        g = pa.table({"source": t.column("source").combine_chunks(),
+                      "status_class": cls}).group_by(
+            ["source", "status_class"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "status_class", "cnt"])
+
+    parts = pa.concat_tables(
+        enr.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    g = parts.group_by(["source", "status_class"]).aggregate([("cnt", "sum")])
+    g = g.rename_columns(["source", "status_class", "cnt"])
+    return pa.table({
+        "source": g.column("source"),
+        "status_class": g.column("status_class"),
+        "cnt": g.column("cnt").cast(pa.int64()),
+    })
+
+
+def q_log_distinct_clients(sf_dir: str):
+    """Distinct client IPs per source (the distinct/unique operator),
+    derived from the keyed-counter aggregate (clients dimension)."""
+    kc = logpipe.keyed_counters_dataset(_enriched(sf_dir))
+    df = kc.filter(expr='dimension == "clients"').to_pandas()
+    out = df.groupby("source").size().reset_index(name="n_clients")
+    out["n_clients"] = out["n_clients"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_log_parse_stats(sf_dir: str):
     import pandas as pd
 
@@ -234,6 +343,9 @@ def log_queries() -> dict:
         "log_routed": q_log_routed,
         "log_top_paths": q_log_top_paths,
         "log_parse_stats": q_log_parse_stats,
+        "log_geo_counts": q_log_geo_counts,
+        "log_status_class_counts": q_log_status_class_counts,
+        "log_distinct_clients": q_log_distinct_clients,
     }
 
 
@@ -245,6 +357,9 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         # independent SQL implementations
         "log_metrics_basic": sql_metrics_basic(cache),
         "log_parse_stats": sql_parse_stats(cache),
+        "log_geo_counts": sql_geo_counts(cache),
+        "log_status_class_counts": sql_status_class_counts(cache),
+        "log_distinct_clients": sql_distinct_clients(cache),
         # materialized pure-Python-oracle dumps (engine vs oracle)
         "log_metrics": f"SELECT * FROM read_parquet('{cache}/oracle_metrics.parquet')",
         "log_metrics_compat": f"SELECT * FROM read_parquet('{cache}/oracle_metrics.parquet')",

@@ -39,7 +39,8 @@ def contract(ray_session):
 @pytest.mark.parametrize("name", [
     "log_metrics", "log_metrics_compat", "log_metrics_basic",
     "log_keyed_counters", "log_global_counters", "log_routed",
-    "log_top_paths", "log_parse_stats",
+    "log_top_paths", "log_parse_stats", "log_geo_counts",
+    "log_status_class_counts", "log_distinct_clients",
 ])
 def test_query_matches_oracle_sql(contract, name):
     queries, sqls = contract
