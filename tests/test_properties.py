@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for the codec and scalar semantics,
+plus equality of the distributed final="groupby" aggregation path."""
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sbo_ray.codec import decode_tokens, encode_lines
+from sbo_ray.functions import loglines as L
+from sbo_ray.oracle.pipeline import top_n
+
+
+@given(st.lists(st.text(max_size=200), max_size=50))
+@settings(max_examples=50, deadline=None)
+def test_codec_roundtrip_any_unicode(lines):
+    arr = encode_lines(lines)
+    assert decode_tokens(arr).to_pylist() == lines
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=100, deadline=None)
+def test_split_path_total(uri):
+    """split_path never raises and keeps the malicious precedence domain."""
+    p = L.split_path(uri)
+    assert p.malicious in (0, 1, 10, 20, 30)
+    if p.malicious == 1:
+        assert p.path1 == p.path2 == p.path3 == ""
+
+
+@given(st.text(max_size=120), st.text(max_size=120))
+@settings(max_examples=60, deadline=None)
+def test_normalize_referer_total(referer, uri):
+    out = L.normalize_referer(referer, uri)
+    assert isinstance(out, str)
+    assert not out.startswith("www.") or "utm_source=" in uri
+
+
+@given(st.dictionaries(st.text(min_size=1, max_size=8),
+                       st.integers(min_value=0, max_value=100), max_size=30),
+       st.integers(min_value=1, max_value=10))
+@settings(max_examples=50, deadline=None)
+def test_top_n_properties(counts, n):
+    out = top_n(counts, n)
+    assert len(out) == min(n, len(counts))
+    if out and len(counts) > n:
+        kept_min = min(out.values())
+        dropped = {k: v for k, v in counts.items() if k not in out}
+        assert all(v <= kept_min for v in dropped.values())
+
+
+def test_groupby_final_path_equals_stream(ray_session, tmp_path):
+    """The distributed hash-shuffle finalizer must agree with the driver
+    streaming combine (they are alternative final stages of the same
+    partial-agg pipeline)."""
+    from sbo_ray import synth
+    from sbo_ray.config import JobConfig
+    from sbo_ray.pipelines import logpipe
+
+    doc_ids, lines, sources = synth.synth_lines(2000, seed=8)
+    cfg = synth.source_config(12)
+    table = synth.build_table(doc_ids, lines, sources)
+    paths = synth.write_sharded(table, str(tmp_path), n_shards=2)
+    job = JobConfig.from_format_map(cfg)
+
+    def norm(df):
+        return df.sort_values(
+            ["source", "metric_type", "key_value", "time_window"]
+        ).reset_index(drop=True)
+
+    a = norm(logpipe.metrics_dataset(
+        logpipe.enriched_dataset(paths, job), final="stream").to_pandas())
+    b = norm(logpipe.metrics_dataset(
+        logpipe.enriched_dataset(paths, job), final="groupby").to_pandas())
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    ka = logpipe.keyed_counters_dataset(
+        logpipe.enriched_dataset(paths, job), final="stream").to_pandas()
+    kb = logpipe.keyed_counters_dataset(
+        logpipe.enriched_dataset(paths, job), final="groupby").to_pandas()
+    key = ["source", "dimension", "key_value"]
+    pd.testing.assert_frame_equal(
+        ka.sort_values(key).reset_index(drop=True),
+        kb.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
