@@ -50,6 +50,51 @@ def to_payload_table(batch: pa.Table, text_col: str = "text",
     )
 
 
+FRAME_BYTES = 64
+
+
+def frame_sample(batch: pa.Table, every_k: int = 4) -> pa.Table:
+    """Frame-sampling plumbing for video-like payloads: treat the payload
+    as fixed-size frames and keep every k-th. Real codecs would decode
+    container frames here (actor-pool stage); the fixed-byte framing is
+    the deterministic stand-in — the batch/schema mechanics are real.
+    One input row -> one row per sampled frame (the fan-out shape a video
+    pipeline produces)."""
+    doc_ids, frame_nos, frames = [], [], []
+    for doc_id, payload in zip(batch.column("doc_id").to_pylist(),
+                               batch.column("payload").to_pylist()):
+        if not payload:
+            continue
+        n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+        for fi in range(0, n_frames, every_k):
+            doc_ids.append(doc_id)
+            frame_nos.append(fi)
+            frames.append(payload[fi * FRAME_BYTES:(fi + 1) * FRAME_BYTES])
+    return pa.table({
+        "doc_id": pa.array(doc_ids, type=pa.int64()),
+        "frame_no": pa.array(frame_nos, type=pa.int32()),
+        "frame": pa.array(frames, type=pa.binary()),
+    })
+
+
+def resize_features(batch: pa.Table, out_dim: int = 8) -> pa.Table:
+    """Resize stage stand-in: average-pool the feature vector down to
+    ``out_dim`` (what an image resize + re-embed would do dimensionally)."""
+    feats = batch.column("features")
+    if isinstance(feats, pa.ChunkedArray):
+        feats = feats.combine_chunks()
+    m = feats.values.to_numpy(zero_copy_only=False).reshape(len(feats), -1)
+    factor = m.shape[1] // out_dim
+    pooled = m[:, : factor * out_dim].reshape(len(feats), out_dim, factor).mean(axis=2)
+    flat = pa.array(pooled.astype(np.float32).reshape(-1))
+    offsets = pa.array(np.arange(0, (len(feats) + 1) * out_dim, out_dim,
+                                 dtype=np.int32))
+    return batch.set_column(
+        batch.schema.get_field_index("features"), "features",
+        pa.ListArray.from_arrays(offsets, flat),
+    )
+
+
 class DecoderStub:
     """Actor-pool decode/feature stage for binary payload columns.
 

@@ -138,3 +138,26 @@ def test_multimodal_features_stub(ray_session):
             "doc_id": [1], "payload": [b"x"], "media_type": ["image/png"],
             "payload_bytes": [1],
         }))
+
+
+def test_multimodal_frame_sample_and_resize(ray_session):
+    import pyarrow as pa
+
+    from sbo_ray.functions.multimodal import (
+        FRAME_BYTES, DecoderStub, frame_sample, resize_features, to_payload_table,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["x" * 300, "y" * 10], type=pa.string()),
+    })
+    payload = to_payload_table(t)
+    frames = frame_sample(payload, every_k=2)
+    # doc 1: 300 bytes -> 5 frames -> sampled frames 0, 2, 4
+    d1 = frames.filter(pa.compute.equal(frames["doc_id"], 1))
+    assert d1.column("frame_no").to_pylist() == [0, 2, 4]
+    assert len(d1.column("frame")[0].as_py()) == FRAME_BYTES
+    # resize pools 16-dim features to 8
+    feats = DecoderStub(fake=True)(payload)
+    resized = resize_features(feats, out_dim=8)
+    assert len(resized.column("features")[0].as_py()) == 8
