@@ -115,3 +115,27 @@ def test_top_n(enriched, oracle_result, ray_session):
         for key, cnt in top_n(counts, 10).items()
     }
     assert {(r["source"], r["key_value"]): r["cnt"] for r in got} == want
+
+
+def test_actor_pool_parse_variant(ray_session, input_dir, synth_data):
+    """The documented actor-pool stage (SURVEY §2.4 ST1) produces the
+    same result as the default task-pool path."""
+    import ray
+    import ray.data as rd
+
+    from sbo_ray.stages.parse import ParseEnrich
+
+    _, _, _, cfg = synth_data
+    job = JobConfig.from_format_map(cfg)
+    job_ref = ray.put(job)
+    ds = rd.read_parquet(input_dir).map_batches(
+        ParseEnrich,
+        fn_constructor_args=(job_ref,),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=2,
+        num_cpus=1,
+    )
+    got = logpipe.global_counters(ds)
+    want = logpipe.global_counters(logpipe.enriched_dataset(input_dir, job))
+    assert got == want
