@@ -309,6 +309,18 @@ def q_log_distinct_clients(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_log_top_paths_cms(sf_dir: str):
+    """Approximate top-K paths via per-partition count-min + merge (the
+    north-star sketch mode; exact `log_top_paths` is its oracle). No SQL
+    gate: estimates are upper bounds, asserted in tests/test_sketch.py."""
+    from ..stages.sketch import topk_count_min
+
+    enriched = _enriched(sf_dir).map_batches(
+        lambda t: t.filter(t.column("parse_ok")), batch_format="pyarrow"
+    )
+    return topk_count_min(enriched, "path", k=10)
+
+
 def q_log_parse_stats(sf_dir: str):
     import pandas as pd
 
@@ -342,6 +354,7 @@ def log_queries() -> dict:
         "log_global_counters": q_log_global_counters,
         "log_routed": q_log_routed,
         "log_top_paths": q_log_top_paths,
+        "log_top_paths_cms": q_log_top_paths_cms,
         "log_parse_stats": q_log_parse_stats,
         "log_geo_counts": q_log_geo_counts,
         "log_status_class_counts": q_log_status_class_counts,
