@@ -121,15 +121,46 @@ def _run_id(shards: list[str], stage_hash: str) -> str:
 class CheckpointedPipeline:
     """Resumable wrapper around the single-pass flagship pipeline."""
 
-    def __init__(self, input_paths: list[str], job, out_dir: str,
+    def __init__(self, input_paths: list[str] | str, job, out_dir: str,
                  group_size: int = 8, **pipeline_kwargs) -> None:
-        self.input_paths = sorted(input_paths)
+        self._input_spec = input_paths  # list of files OR a glob pattern
+        self.input_paths = self._resolve_inputs()
         self.job = job
         self.out_dir = out_dir
         self.group_size = group_size
         self.pipeline_kwargs = pipeline_kwargs
         self.manifest = CheckpointManifest(out_dir)
         self.stage_hash = _stage_hash(job)
+
+    def _resolve_inputs(self) -> list[str]:
+        if isinstance(self._input_spec, str):
+            import glob as g
+
+            return sorted(g.glob(self._input_spec))
+        return sorted(self._input_spec)
+
+    def refresh(self) -> int:
+        """Follow-mode analog (the reference's fsnotify tail,
+        main.go:863-922, re-expressed for batch): re-glob the input spec;
+        shards that appeared since the last resolve become pending.
+        Returns the number of newly discovered shards."""
+        before = set(self.input_paths)
+        self.input_paths = self._resolve_inputs()
+        return len(set(self.input_paths) - before)
+
+    def follow(self, poll_seconds: float = 5.0, idle_rounds: int = 3) -> None:
+        """Poll-process loop: process pending shards, re-glob, repeat;
+        stops after ``idle_rounds`` consecutive empty polls."""
+        import time as _time
+
+        idle = 0
+        while idle < idle_rounds:
+            self.run_all()
+            if self.refresh() == 0 and not self.pending_shards():
+                idle += 1
+                _time.sleep(poll_seconds)
+            else:
+                idle = 0
 
     def pending_shards(self) -> list[str]:
         done = set(self.manifest.committed_shards())

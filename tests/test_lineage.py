@@ -100,3 +100,34 @@ def test_config_change_changes_stage_hash(setup):
                                      time_window_minutes=30)
     cp2 = CheckpointedPipeline(paths, job2, out, group_size=3)
     assert cp.stage_hash != cp2.stage_hash
+
+
+def test_follow_mode_incremental_shards(setup):
+    """New shards appearing after the first run are picked up by
+    refresh() and the final aggregates equal the full-input oracle
+    (the follow-mode/log-rotation analog, SURVEY.md §2.1 S3)."""
+    import shutil
+
+    paths, job, oracle, tmp = setup
+    in2 = str(tmp.mktemp("follow_in"))
+    out = str(tmp.mktemp("follow_out"))
+    # wave 1: first 3 shards
+    for p in paths[:3]:
+        shutil.copy(p, in2)
+    cp = CheckpointedPipeline(os.path.join(in2, "*.parquet"), job, out,
+                              group_size=2)
+    cp.run_all()
+    assert len(cp.manifest.committed_shards()) == 3
+    # wave 2: remaining shards "arrive"
+    for p in paths[3:]:
+        shutil.copy(p, in2)
+    assert cp.refresh() == len(paths) - 3
+    cp.run_all()
+    assert len(cp.manifest.committed_shards()) == len(paths)
+    final = cp.finalize()
+    want = pd.DataFrame(
+        oracle.metrics,
+        columns=["source", "metric_type", "key_value", "time_window", "metric_value"],
+    ).sort_values(["source", "metric_type", "key_value", "time_window"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(_metrics_df(final["metrics"]), want,
+                                  check_dtype=False)
