@@ -184,6 +184,35 @@ def simhash_near_pairs(table: pa.Table, max_hamming: int = 3) -> list[tuple[int,
     return sorted(pairs)
 
 
+# ---- clustering over near-dup pairs ---------------------------------------
+
+
+def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find over candidate pairs -> {doc_id: cluster_root(min id)}.
+
+    Runs on the driver: LSH verification leaves a candidate set orders of
+    magnitude smaller than the corpus (the guide's "union-find on the
+    driver only if the candidate set is provably small" case). For
+    candidate sets that rival the corpus, iterate min-label propagation
+    with groupby rounds instead.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+            parent.setdefault(lo, lo)
+    return {x: find(x) for x in parent}
+
+
 # ---- embedding cosine ------------------------------------------------------
 
 

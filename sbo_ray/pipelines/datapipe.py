@@ -103,6 +103,21 @@ def doc_dedup_simhash(sf_dir: str, max_hamming: int = 3):
     })
 
 
+def doc_dedup_clusters(sf_dir: str, threshold: float = 0.8):
+    """Near-dup CLUSTERS: MinHash-LSH pairs -> connected components ->
+    one row per clustered doc with its cluster representative (min
+    doc_id). Docs without any near-dup are omitted (singletons)."""
+    pairs_t = doc_dedup_minhash(sf_dir, threshold)
+    pairs = list(zip(pairs_t.column("id_a").to_pylist(),
+                     pairs_t.column("id_b").to_pylist()))
+    labels = D.connected_components(pairs)
+    items = sorted(labels.items())
+    return pa.table({
+        "doc_id": pa.array([k for k, _ in items], type=pa.int64()),
+        "cluster_id": pa.array([v for _, v in items], type=pa.int64()),
+    })
+
+
 def emb_dedup_cosine(sf_dir: str, threshold: float = 0.35):
     """Embedding near-dup pairs: per-block numpy matmul against the
     broadcast (normalized) corpus matrix — O(n^2/blocks) inside blocks,

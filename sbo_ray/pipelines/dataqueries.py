@@ -141,6 +141,7 @@ def data_queries() -> dict:
     return {
         "doc_dedup_exact": P.doc_dedup_exact,
         "doc_dedup_minhash": P.doc_dedup_minhash,
+        "doc_dedup_clusters": P.doc_dedup_clusters,
         "doc_dedup_simhash": P.doc_dedup_simhash,
         "emb_dedup_cosine": P.emb_dedup_cosine,
         "emb_similarity_topk": P.emb_similarity_topk,

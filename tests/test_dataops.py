@@ -161,3 +161,18 @@ def test_multimodal_frame_sample_and_resize(ray_session):
     feats = DecoderStub(fake=True)(payload)
     resized = resize_features(feats, out_dim=8)
     assert len(resized.column("features")[0].as_py()) == 8
+
+
+def test_dedup_clusters_on_planted(ray_session, planted):
+    from sbo_ray.functions.dedup import connected_components
+    from sbo_ray.pipelines.datapipe import doc_dedup_clusters
+
+    d, texts = planted
+    got = doc_dedup_clusters(d, threshold=0.5).to_pandas()
+    labels = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert labels[3] == labels[10] == 3   # exact dups cluster to min id
+    assert labels[5] == labels[20] == 5
+    # transitivity sanity on a synthetic chain
+    cc = connected_components([(1, 2), (2, 3), (7, 8)])
+    assert cc[1] == cc[2] == cc[3] == 1
+    assert cc[7] == cc[8] == 7
