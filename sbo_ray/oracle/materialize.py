@@ -92,6 +92,17 @@ def oracle_dir_for(sf_dir: str) -> str:
     )
     pq.write_table(routed_t, os.path.join(cache, "oracle_routed.parquet"))
 
+    # masked variant (MaskIPs=1: null client_ip + keep-last-part UA,
+    # db/mysqldb.go:166-170, 208)
+    res_masked = run_oracle(doc_ids, lines, sources, cfg, exact_totals=True,
+                            mask_ips=True)
+    routed_masked_t = pa.table(
+        {name: pa.array([r[name] for r in res_masked.routed], type=typ)
+         for name, typ in routed_cols}
+    )
+    pq.write_table(routed_masked_t,
+                   os.path.join(cache, "oracle_routed_masked.parquet"))
+
     # per-source top-10 paths (one CounterHandler per file in the reference)
     per_source: dict[str, dict[str, int]] = {}
     for (src, key), cnt in res.keyed_counters["paths"].items():

@@ -236,6 +236,14 @@ def q_log_routed(sf_dir: str):
     return routed.select_columns(cols)
 
 
+def q_log_routed_masked(sf_dir: str):
+    """IP-masked raw-log sink (MaskIPs=1): null client_ip, keep-last-part
+    UA truncation (db/mysqldb.go:166-170, 208)."""
+    routed = logpipe.routed_dataset(_enriched(sf_dir), mask_ips=True)
+    cols = [c for c in routed.schema().names if c != "tokens"]
+    return routed.select_columns(cols)
+
+
 def q_log_top_paths(sf_dir: str):
     kc = logpipe.keyed_counters_dataset(_enriched(sf_dir))
     return logpipe.top_n_dataset(kc, "paths", 10)
@@ -353,6 +361,7 @@ def log_queries() -> dict:
         "log_keyed_counters": q_log_keyed_counters,
         "log_global_counters": q_log_global_counters,
         "log_routed": q_log_routed,
+        "log_routed_masked": q_log_routed_masked,
         "log_top_paths": q_log_top_paths,
         "log_top_paths_cms": q_log_top_paths_cms,
         "log_parse_stats": q_log_parse_stats,
@@ -379,5 +388,6 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_keyed_counters": f"SELECT * FROM read_parquet('{cache}/oracle_keyed_counters.parquet')",
         "log_global_counters": f"SELECT * FROM read_parquet('{cache}/oracle_global_counters.parquet')",
         "log_routed": f"SELECT * FROM read_parquet('{cache}/oracle_routed.parquet')",
+        "log_routed_masked": f"SELECT * FROM read_parquet('{cache}/oracle_routed_masked.parquet')",
         "log_top_paths": f"SELECT * FROM read_parquet('{cache}/oracle_top_paths.parquet')",
     }

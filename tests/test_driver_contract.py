@@ -39,6 +39,7 @@ def contract(ray_session):
 @pytest.mark.parametrize("name", [
     "log_metrics", "log_metrics_compat", "log_metrics_basic",
     "log_keyed_counters", "log_global_counters", "log_routed",
+    "log_routed_masked",
     "log_top_paths", "log_parse_stats", "log_geo_counts",
     "log_status_class_counts", "log_distinct_clients",
 ])

@@ -1,0 +1,83 @@
+"""Parse-stage edge cases: all-garbage batches, unknown sources,
+empty batches, mixed formats in one batch."""
+
+import pyarrow as pa
+import pytest
+
+from sbo_ray.codec import encode_lines
+from sbo_ray.config import JobConfig, SourceConfig
+from sbo_ray.stages.parse import ENRICHED_SCHEMA, ParseEnrich
+from sbo_ray.synth import SCHEMA
+
+
+def _table(lines, sources):
+    return pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(len(lines))]),
+        "tokens": encode_lines(lines),
+        "n_tok": pa.array([len(l.encode()) for l in lines], type=pa.int32()),
+        "source": pa.array(sources),
+    }, schema=SCHEMA)
+
+
+def _job(**src):
+    return JobConfig(default=SourceConfig(log_format="apache_combined"),
+                     sources={k: SourceConfig(log_format=v) for k, v in src.items()})
+
+
+def test_all_garbage_batch():
+    pe = ParseEnrich(_job())
+    t = _table(["garbage", "", "also not a log line \x01"], ["s", "s", "s"])
+    out = pe(t)
+    assert out.num_rows == 3
+    assert out.schema.equals(ENRICHED_SCHEMA)
+    assert out.column("parse_ok").to_pylist() == [False, False, False]
+    assert out.column("time_window").to_pylist() == [101010000] * 3
+
+
+def test_unknown_source_uses_default_format():
+    pe = ParseEnrich(_job())
+    line = '1.2.3.4 - - [10/Oct/2000:13:55:36 -0700] "GET /a HTTP/1.1" 200 5 "-" "curl/8.0"'
+    out = pe(_table([line], ["never-configured"]))
+    assert out.column("parse_ok").to_pylist() == [True]
+    assert out.column("ua_family").to_pylist() == ["Script"]
+
+
+def test_empty_batch():
+    pe = ParseEnrich(_job())
+    out = pe(SCHEMA.empty_table())
+    assert out.num_rows == 0
+    assert out.schema.equals(ENRICHED_SCHEMA)
+
+
+def test_mixed_formats_one_batch():
+    clf = '1.1.1.1 - - [10/Oct/2000:13:55:36 -0700] "GET /a HTTP/1.0" 200 10'
+    combined = '2.2.2.2 - - [10/Oct/2000:13:55:36 -0700] "GET /b HTTP/1.1" 404 20 "-" "curl/8"'
+    vhost = 'x.com:443 3.3.3.3 - - [10/Oct/2000:13:55:36 -0700] "GET /c HTTP/2.0" 500 30 "-" "Bytespider"'
+    pe = ParseEnrich(_job(a="apache_common", b="apache_combined",
+                          c="apache_vhost_combined"))
+    out = pe(_table([clf, combined, vhost], ["a", "b", "c"]))
+    by_ip = {r["client_ip"]: r for r in out.to_pylist()}
+    assert by_ip["1.1.1.1"]["parse_ok"] and by_ip["1.1.1.1"]["path"] == "/a"
+    assert by_ip["2.2.2.2"]["status"] == "404"
+    assert by_ip["3.3.3.3"]["domain"] == "x.com:443"
+    assert by_ip["3.3.3.3"]["ua_family"] == "SocialBot"
+    # CLF has no UA -> empty-string classification (documented divergence)
+    assert by_ip["1.1.1.1"]["ua_family"] == "Other"
+    assert by_ip["1.1.1.1"]["ua_human"] == "NonHuman"
+
+
+def test_nondefault_window_size_per_source():
+    line = '1.1.1.1 - - [10/Oct/2000:13:57:36 -0700] "GET /a HTTP/1.1" 200 10 "-" "curl/8"'
+    job = JobConfig(
+        default=SourceConfig(log_format="apache_combined"),
+        sources={"s60": SourceConfig(log_format="apache_combined",
+                                     time_window_minutes=60),
+                 "s5": SourceConfig(log_format="apache_combined",
+                                    time_window_minutes=5)},
+    )
+    pe = ParseEnrich(job)
+    out = pe(_table([line, line], ["s60", "s5"]))
+    tw = dict(zip(out.column("source").to_pylist(),
+                  out.column("time_window").to_pylist()))
+    assert tw["s60"] == 200010101300
+    assert tw["s5"] == 200010101355
