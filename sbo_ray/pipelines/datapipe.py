@@ -281,6 +281,38 @@ def customer_nation_agg(sf_dir: str):
     })
 
 
+def orders_mktsegment_revenue(sf_dir: str):
+    """Both-sides-distributed hash join via native ``Dataset.join``
+    (hash-partitioned on the key): orders x customer -> revenue per
+    market segment. Complements the broadcast-join path
+    (customer_nation_agg) with the shuffle-join primitive."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(customer, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["c_mktsegment", "o_totalprice"]).group_by(
+            "c_mktsegment").aggregate([("o_totalprice", "sum"),
+                                       ("o_totalprice", "count")])
+        return g.rename_columns(["c_mktsegment", "revenue", "n_orders"])
+
+    parts = pa.concat_tables(
+        joined.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    g = parts.group_by("c_mktsegment").aggregate(
+        [("revenue", "sum"), ("n_orders", "sum")]
+    )
+    g = g.rename_columns(["c_mktsegment", "revenue", "n_orders"])
+    return pa.table({
+        "c_mktsegment": g.column("c_mktsegment"),
+        "n_orders": g.column("n_orders").cast(pa.int64()),
+        "revenue": pc.round(g.column("revenue"), 2),
+    })
+
+
 def lineitem_pricing_summary(sf_dir: str):
     """TPC-H Q1-style pricing summary (grouped multi-aggregate)."""
     from ray.data.aggregate import Count, Sum

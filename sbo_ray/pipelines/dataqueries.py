@@ -103,6 +103,14 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """
 
+SQL_ORDERS_MKTSEGMENT_REVENUE = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
 SQL_ORDERS_BY_MONTH = """
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -152,6 +160,7 @@ def data_queries() -> dict:
         "multimodal_payload_stats": P.multimodal_payload_stats,
         "multimodal_features": P.multimodal_features,
         "customer_nation_agg": P.customer_nation_agg,
+        "orders_mktsegment_revenue": P.orders_mktsegment_revenue,
         "lineitem_pricing_summary": P.lineitem_pricing_summary,
         "orders_by_month": P.orders_by_month,
         "events_hourly": P.events_hourly,
@@ -170,6 +179,7 @@ def data_oracle_sql() -> dict:
         "doc_lang_id": SQL_DOC_LANG_ID,
         "multimodal_payload_stats": SQL_MULTIMODAL_PAYLOAD_STATS,
         "customer_nation_agg": SQL_CUSTOMER_NATION_AGG,
+        "orders_mktsegment_revenue": SQL_ORDERS_MKTSEGMENT_REVENUE,
         "lineitem_pricing_summary": SQL_LINEITEM_PRICING,
         "orders_by_month": SQL_ORDERS_BY_MONTH,
         "events_hourly": SQL_EVENTS_HOURLY,
