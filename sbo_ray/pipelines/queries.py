@@ -330,8 +330,6 @@ def q_log_top_paths_cms(sf_dir: str):
 
 
 def q_log_parse_stats(sf_dir: str):
-    import pandas as pd
-
     enr = _enriched(sf_dir)
 
     def partial(t: pa.Table) -> pa.Table:

@@ -27,7 +27,6 @@ import pandas as pd
 import pyarrow as pa
 
 from ..oracle.pipeline import OracleMetricsManager, metric_fanout
-from ..functions import loglines as L
 
 COMPAT_SCHEMA = pa.schema([
     ("source", pa.string()),

@@ -14,7 +14,6 @@ the explicit bucket pattern in stages/shuffle.py.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 

@@ -68,8 +68,6 @@ def _hash_keys(keys: list[str]) -> np.ndarray:
 def sketch_partial(batch: pa.Table, key_col: str, n_candidates: int = 64,
                    width: int = 2048, depth: int = 4) -> pa.Table:
     """One block -> (serialized sketch, local candidates) row."""
-    import pyarrow.compute as pc
-
     keys_arr = batch.column(key_col)
     if isinstance(keys_arr, pa.ChunkedArray):
         keys_arr = keys_arr.combine_chunks()
