@@ -49,6 +49,22 @@ def render_counter_report(global_counters: dict[str, int],
     return "\n".join(out) + "\n"
 
 
+def metrics_json_dump(metrics_table, source: str | None = None) -> str:
+    """K2: the MetricGeneratorHandler debug dump analog
+    (metricgenerator.go:79-83, End()): the metric map as indented JSON,
+    nested {metric_type: {key_value: {time_window: value}}} per source."""
+    import json
+
+    df = metrics_table.to_pandas() if hasattr(metrics_table, "to_pandas") else metrics_table
+    if source is not None:
+        df = df[df["source"] == source]
+    out: dict = {}
+    for r in df.itertuples():
+        out.setdefault(r.source, {}).setdefault(str(int(r.metric_type)), {}) \
+           .setdefault(r.key_value, {})[str(int(r.time_window))] = int(r.metric_value)
+    return json.dumps(out, indent=4, sort_keys=True)
+
+
 def keyed_counters_table_to_dict(table, source: str | None = None
                                  ) -> dict[str, dict[str, int]]:
     """(source, dimension, key_value, cnt) rows -> {dim: {key: cnt}},

@@ -124,9 +124,17 @@ class _RowView:
         return _UA
 
 
-def replay_group(g: pd.DataFrame, window_size: int = 3) -> pd.DataFrame:
+def replay_group(g: pd.DataFrame, window_size: int = 3,
+                 replace_existing: bool = False) -> pd.DataFrame:
     """Replay one (source, metric_type, key_value) group through the
-    faithful Go accumulator in arrival order; emit evictions + flush."""
+    faithful Go accumulator in arrival order; emit evictions + flush.
+
+    ``replace_existing`` selects the sink merge policy
+    (db/mysqldb.go:147-151): add-merge (default; re-emissions for the
+    same window accumulate) vs replace (ON DUPLICATE KEY UPDATE
+    metric_value=VALUES: last write wins). They differ only when a
+    window is re-emitted, i.e. evicted and later re-created by
+    out-of-order arrivals."""
     g = g.sort_values("arrival", kind="stable")
     src = g["source"].iloc[0]
     mtype = int(g["metric_type"].iloc[0])
@@ -139,11 +147,12 @@ def replay_group(g: pd.DataFrame, window_size: int = 3) -> pd.DataFrame:
             emitted.append(ev)
     for (_, _, _, tw, val) in mgr.flush():
         emitted.append((tw, val))
-    # add-merge sink semantics (db/mysqldb.go:150): same (key, window)
-    # emitted twice accumulates
     acc: dict[int, int] = {}
     for tw, val in emitted:
-        acc[tw] = acc.get(tw, 0) + val
+        if replace_existing:
+            acc[tw] = val
+        else:
+            acc[tw] = acc.get(tw, 0) + val
     return pd.DataFrame({
         "source": src,
         "metric_type": np.int32(mtype),
@@ -153,10 +162,12 @@ def replay_group(g: pd.DataFrame, window_size: int = 3) -> pd.DataFrame:
     })
 
 
-def metrics_dataset_compat(enriched, window_size: int = 3):
+def metrics_dataset_compat(enriched, window_size: int = 3,
+                           replace_existing: bool = False):
     """Faithful streaming-window metric totals as a Ray pipeline."""
     long_ds = enriched.map_batches(ordered_fanout, batch_format="pyarrow")
     out = long_ds.groupby(["source", "metric_type", "key_value"]).map_groups(
-        lambda g: replay_group(g, window_size), batch_format="pandas"
+        lambda g: replay_group(g, window_size, replace_existing),
+        batch_format="pandas",
     )
     return out

@@ -63,3 +63,58 @@ def test_default_mode_still_exact_on_ooo_input(ooo_data):
         for r in got.itertuples()
     }
     assert got_map == _agg(exact.metrics)
+
+
+def test_replace_vs_add_sink_policy():
+    """A3 sink merge policies (db/mysqldb.go:147-151).
+
+    Analysis (verified by exhaustive search over the accumulator): an
+    evicted window can never be *re-created* by later arrivals — the Go
+    keys array keeps the evicted window as its floor, so any late equal
+    or older arrival is dropped (SBOMetrics.go:192-196). The only double
+    emission path is the ``Values[tw] < 1`` quirk (SBOMetrics.go:188): a
+    stored 0 (possible for BYTES_SENT) is treated as absent, duplicating
+    the window in ``keys`` — only then do add-merge and replace differ.
+    """
+    import pandas as pd
+
+    from sbo_ray.stages.compat import replay_group
+
+    def run(tws, vals, mode):
+        n = len(tws)
+        rows = pd.DataFrame({
+            "source": ["s"] * n, "metric_type": [2] * n, "key_value": [""] * n,
+            "time_window": tws, "value": vals,
+            "arrival": [f"a{i:03d}" for i in range(n)],
+        })
+        out = replay_group(rows, window_size=3, replace_existing=mode)
+        return dict(zip(out["time_window"], out["metric_value"]))
+
+    # the zero-value corner (found by search): window 3 stored as 0,
+    # re-inserted, emitted twice
+    tws = [3, 2, 3, 4, 3, 5, 2, 2]
+    vals = [0, 1, 1, 0, 0, 5, 0, 0]
+    assert run(tws, vals, False) == {2: 1, 3: 1, 4: 0, 5: 5}
+    assert run(tws, vals, True) == {2: 1, 3: 0, 4: 0, 5: 5}
+
+    # ordinary positive-valued sequences: the two policies coincide
+    tws2 = [1, 2, 3, 4, 2, 2]
+    vals2 = [10, 20, 30, 40, 5, 6]
+    assert run(tws2, vals2, False) == run(tws2, vals2, True)
+
+
+def test_metrics_json_dump():
+    import pyarrow as pa
+
+    from sbo_ray.report import metrics_json_dump
+
+    t = pa.table({
+        "source": ["s", "s"], "metric_type": [1, 3],
+        "key_value": ["", "200"], "time_window": [202501011200, 202501011200],
+        "metric_value": [5, 3],
+    })
+    import json
+
+    d = json.loads(metrics_json_dump(t))
+    assert d["s"]["1"][""]["202501011200"] == 5
+    assert d["s"]["3"]["200"]["202501011200"] == 3
