@@ -22,6 +22,11 @@ import pyarrow as pa
 TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
 ALPHA_RE = re.compile(r"[a-z]+")
 PUNCT_RE = re.compile(r"[.,;:!?]")
+# GPT2-style pretokenizer restricted to ASCII classes so Python re and
+# DuckDB RE2 agree exactly (both leftmost-first): contractions, then
+# space-prefixed letter runs, digit runs, symbol runs, whitespace runs
+BPE_RE_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+BPE_RE = re.compile(BPE_RE_PATTERN)
 
 # keep in lockstep with the oracle SQL in pipelines/dataqueries.py
 LANG_STOPWORDS: dict[str, frozenset[str]] = {
@@ -42,6 +47,7 @@ def token_stats(batch: pa.Table) -> pa.Table:
     n_punct = np.empty(n, dtype=np.int64)
     n_alpha = np.empty(n, dtype=np.int64)
     n_stop_en = np.empty(n, dtype=np.int64)
+    n_bpe = np.empty(n, dtype=np.int64)
     en = LANG_STOPWORDS["en"]
     for i, t in enumerate(texts):
         n_tokens[i] = len(TOKEN_RE.findall(t))
@@ -49,12 +55,14 @@ def token_stats(batch: pa.Table) -> pa.Table:
         alpha = ALPHA_RE.findall(t.lower())
         n_alpha[i] = len(alpha)
         n_stop_en[i] = sum(1 for w in alpha if w in en)
+        n_bpe[i] = len(BPE_RE.findall(t))
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "n_tokens": pa.array(n_tokens),
         "n_punct": pa.array(n_punct),
         "n_alpha_tokens": pa.array(n_alpha),
         "n_stop_en": pa.array(n_stop_en),
+        "n_bpe_tokens": pa.array(n_bpe),
     })
 
 

@@ -33,7 +33,10 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
   CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
   CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
-       x -> x IN ({_sql_list(LANG_STOPWORDS["en"])}))) AS BIGINT) AS n_stop_en
+       x -> x IN ({_sql_list(LANG_STOPWORDS["en"])}))) AS BIGINT) AS n_stop_en,
+  CAST(len(regexp_extract_all(text,
+       '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+       AS BIGINT) AS n_bpe_tokens
 FROM documents
 """
 
