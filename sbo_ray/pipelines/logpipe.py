@@ -223,12 +223,11 @@ def full_pipeline(input_paths, job: JobConfig, out_dir: str,
     Returns {"metrics": ..., "keyed_counters": ..., "global_counters": ...}
     pyarrow Tables; routed rows land under ``out_dir``/routed/source=*/.
     """
+    import hashlib
+
     import pyarrow.parquet as pq
 
     tune_context()
-    import uuid
-
-    from ..stages.metrics import METRIC_SCHEMA  # noqa: F401
 
     parse_fn = make_parse_fn(job)
     routed_root = os.path.join(out_dir, "routed")
@@ -239,11 +238,17 @@ def full_pipeline(input_paths, job: JobConfig, out_dir: str,
         routed = routed_projection(enriched, mask_ips=mask_ips,
                                    relevant_only=relevant_only)
         if routed.num_rows:
-            # one flat fragment per task (source rides as a column):
-            # per-source hive layout would mean tasks x sources tiny files;
-            # use write_routed() for the partitioned layout when needed
-            part = uuid.uuid4().hex[:12]
-            pq.write_table(routed, os.path.join(routed_root, f"part-{part}.parquet"))
+            # one flat fragment per batch (source rides as a column; use
+            # write_routed() for the per-source hive layout). The name is
+            # derived from the batch's doc_id span, so a RETRIED task
+            # rewrites the same file instead of duplicating rows
+            # (at-least-once side effects made idempotent).
+            ids = batch.column("doc_id")
+            span = f"{ids[0].as_py()}|{ids[-1].as_py()}|{batch.num_rows}"
+            part = hashlib.sha1(span.encode()).hexdigest()[:16]
+            tmp_path = os.path.join(routed_root, f".part-{part}.tmp")
+            pq.write_table(routed, tmp_path)
+            os.replace(tmp_path, os.path.join(routed_root, f"part-{part}.parquet"))
 
         m = metric_fanout(enriched)
         c = counter_melt(enriched)
