@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..oracle.pipeline import OracleMetricsManager, metric_fanout
+from ..oracle.pipeline import OracleMetricsManager
 
 COMPAT_SCHEMA = pa.schema([
     ("source", pa.string()),
@@ -37,91 +37,74 @@ COMPAT_SCHEMA = pa.schema([
 ])
 
 
+ORDERED_SCHEMA = pa.schema([
+    ("source", pa.string()),
+    ("metric_type", pa.int32()),
+    ("key_value", pa.string()),
+    ("time_window", pa.int64()),
+    ("value", pa.int64()),
+    ("arrival", pa.string()),
+])
+
+
 def ordered_fanout(batch: pa.Table, order_col: str = "doc_id") -> pa.Table:
     """Enriched batch -> long metric rows WITH the arrival-order key
-    (no pre-aggregation: the accumulator is order-sensitive)."""
+    (no pre-aggregation: the accumulator is order-sensitive). Same
+    fan-out rules as stages.metrics.metric_fanout
+    (metricgenerator.go:86-126), vectorized with Arrow masks."""
+    import pyarrow.compute as pc
+
+    from ..oracle.pipeline import (
+        METRIC_BYTES_SENT, METRIC_DEVICE_TYPE, METRIC_HTTP_STATUS,
+        METRIC_IS_HUMAN, METRIC_METHOD, METRIC_OS_FAMILY, METRIC_PATH,
+        METRIC_REFERER, METRIC_REQ_COUNT, METRIC_REQUEST_INTENT,
+        METRIC_UA_FAMILY,
+    )
+
     batch = batch.filter(batch.column("parse_ok"))
     n = batch.num_rows
     if n == 0:
-        return pa.schema(
-            list(COMPAT_SCHEMA) [:4] + [pa.field("value", pa.int64()),
-                                        pa.field("arrival", pa.string())]
-        ).empty_table()
-    cols = {c: batch.column(c).to_pylist()
-            for c in ("source", "status", "method", "referer", "path1",
-                      "path2", "path3", "bytes_sent", "ua_family", "ua_os",
-                      "ua_device_type", "ua_human", "ua_intent",
-                      "time_window", order_col)}
-    out_src, out_type, out_key, out_tw, out_val, out_ord = [], [], [], [], [], []
-    for i in range(n):
-        row = _RowView(cols, i)
-        for mtype, key, value in metric_fanout(row):
-            out_src.append(cols["source"][i])
-            out_type.append(mtype)
-            out_key.append(key)
-            out_tw.append(cols["time_window"][i])
-            out_val.append(value)
-            out_ord.append(cols[order_col][i])
-    return pa.table({
-        "source": pa.array(out_src, type=pa.string()),
-        "metric_type": pa.array(out_type, type=pa.int32()),
-        "key_value": pa.array(out_key, type=pa.string()),
-        "time_window": pa.array(out_tw, type=pa.int64()),
-        "value": pa.array(out_val, type=pa.int64()),
-        "arrival": pa.array(out_ord, type=pa.string()),
-    })
+        return ORDERED_SCHEMA.empty_table()
+    source = batch.column("source").combine_chunks()
+    tw = batch.column("time_window").combine_chunks()
+    arrival = batch.column(order_col).combine_chunks().cast(pa.string())
+    ones = pa.array(np.ones(n, dtype=np.int64))
+    empty_key = pa.DictionaryArray.from_arrays(
+        pa.array(np.zeros(n, dtype=np.int32)), pa.array([""], type=pa.string())
+    ).cast(pa.string())
 
+    pieces: list[pa.Table] = []
 
-class _RowView:
-    """Adapts enriched columns to the oracle's ParsedLine interface for
-    metric_fanout (duck-typed: only the fields fan-out reads)."""
+    def emit(mtype: int, key: pa.Array, value: pa.Array, mask=None) -> None:
+        s, t, k, v, o = source, tw, key, value, arrival
+        if mask is not None:
+            s, t = s.filter(mask), t.filter(mask)
+            k, v, o = k.filter(mask), v.filter(mask), o.filter(mask)
+        if len(k) == 0:
+            return
+        mt = pa.array(np.full(len(k), mtype, dtype=np.int32))
+        pieces.append(pa.Table.from_arrays([s, mt, k, t, v, o],
+                                           schema=ORDERED_SCHEMA))
 
-    __slots__ = ("_c", "_i")
-
-    def __init__(self, cols: dict, i: int) -> None:
-        self._c = cols
-        self._i = i
-
-    @property
-    def status(self):
-        return self._c["status"][self._i]
-
-    @property
-    def method(self):
-        return self._c["method"][self._i]
-
-    @property
-    def referer(self):
-        return self._c["referer"][self._i]
-
-    @property
-    def path1(self):
-        return self._c["path1"][self._i]
-
-    @property
-    def path2(self):
-        return self._c["path2"][self._i]
-
-    @property
-    def path3(self):
-        return self._c["path3"][self._i]
-
-    @property
-    def bytes_sent(self):
-        return int(self._c["bytes_sent"][self._i])
-
-    @property
-    def ua(self):
-        c, i = self._c, self._i
-
-        class _UA:
-            family = c["ua_family"][i]
-            os = c["ua_os"][i]
-            device_type = c["ua_device_type"][i]
-            human = c["ua_human"][i]
-            intent = c["ua_intent"][i]
-
-        return _UA
+    emit(METRIC_REQ_COUNT, empty_key, ones)
+    emit(METRIC_BYTES_SENT, empty_key, batch.column("bytes_sent").combine_chunks())
+    emit(METRIC_HTTP_STATUS, batch.column("status").combine_chunks(), ones)
+    emit(METRIC_METHOD, batch.column("method").combine_chunks(), ones)
+    referer = batch.column("referer").combine_chunks()
+    emit(METRIC_REFERER, referer, ones, mask=pc.not_equal(referer, ""))
+    is2xx = pc.starts_with(batch.column("status").combine_chunks(), "2")
+    p1 = batch.column("path1").combine_chunks()
+    p2 = batch.column("path2").combine_chunks()
+    p3 = batch.column("path3").combine_chunks()
+    emit(METRIC_PATH, p1, ones, mask=is2xx)
+    emit(METRIC_PATH, p2, ones, mask=pc.and_(is2xx, pc.not_equal(p2, "")))
+    emit(METRIC_PATH, p3, ones, mask=pc.and_(is2xx, pc.not_equal(p3, "")))
+    emit(METRIC_UA_FAMILY, batch.column("ua_family").combine_chunks(), ones)
+    emit(METRIC_OS_FAMILY, batch.column("ua_os").combine_chunks(), ones)
+    emit(METRIC_DEVICE_TYPE, batch.column("ua_device_type").combine_chunks(), ones)
+    emit(METRIC_IS_HUMAN, batch.column("ua_human").combine_chunks(), ones)
+    emit(METRIC_REQUEST_INTENT, batch.column("ua_intent").combine_chunks(), ones)
+    return pa.concat_tables(pieces)
 
 
 def replay_group(g: pd.DataFrame, window_size: int = 3,

@@ -67,3 +67,23 @@ def test_routed_fragments_match(everything):
     # token invariant on the routed fragments
     for _, row in got.head(50).iterrows():
         assert bytes(int(t) for t in row["tokens"]).decode() == by_id[row["doc_id"]]
+
+
+def test_rerun_overwrites_fragments_not_duplicates(ray_session, tmp_path):
+    """Task-retry idempotency: running the same pipeline twice into one
+    output dir rewrites the same content-named fragments instead of
+    appending duplicates (at-least-once side effects made idempotent)."""
+    doc_ids, lines, sources = synth.synth_lines(1000, seed=66)
+    cfg = synth.source_config(12)
+    table = synth.build_table(doc_ids, lines, sources)
+    paths = synth.write_sharded(table, str(tmp_path / "in"), n_shards=2)
+    job = JobConfig.from_format_map(cfg)
+    out = str(tmp_path / "out")
+    r1 = logpipe.full_pipeline(paths, job, out)
+    files1 = sorted(glob.glob(os.path.join(out, "routed", "*.parquet")))
+    rows1 = sum(pq.ParquetFile(f).metadata.num_rows for f in files1)
+    r2 = logpipe.full_pipeline(paths, job, out)
+    files2 = sorted(glob.glob(os.path.join(out, "routed", "*.parquet")))
+    rows2 = sum(pq.ParquetFile(f).metadata.num_rows for f in files2)
+    assert files1 == files2
+    assert rows1 == rows2
