@@ -139,3 +139,24 @@ def test_actor_pool_parse_variant(ray_session, input_dir, synth_data):
     got = logpipe.global_counters(ds)
     want = logpipe.global_counters(logpipe.enriched_dataset(input_dir, job))
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_metrics_equal_oracle_multi_seed(ray_session, tmp_path, seed):
+    """Seed sweep: engine==oracle holds across independent synthetic
+    corpora (different source mixes, specials, formats)."""
+    doc_ids, lines, sources = synth.synth_lines(1500, seed=seed)
+    cfg = synth.source_config(12)
+    table = synth.build_table(doc_ids, lines, sources)
+    paths = synth.write_sharded(table, str(tmp_path), n_shards=2)
+    job = JobConfig.from_format_map(cfg)
+    got = logpipe.metrics_dataset(logpipe.enriched_dataset(paths, job)).to_pandas()
+    got_map = {
+        (r.source, int(r.metric_type), r.key_value, int(r.time_window)): int(r.metric_value)
+        for r in got.itertuples()
+    }
+    oracle = run_oracle(doc_ids, lines, sources, cfg, exact_totals=True)
+    want = {}
+    for s, t, k, tw, v in oracle.metrics:
+        want[(s, t, k, tw)] = want.get((s, t, k, tw), 0) + v
+    assert got_map == want
