@@ -140,6 +140,154 @@ def _ua_info(ua: str, cache: dict) -> tuple:
     return hit
 
 
+_FIELD_NAMES = ("client_ip", "remote_logname", "remote_user", "ts", "method",
+                "uri", "protocol", "status", "bytes_sent", "referer", "ua",
+                "domain")
+
+
+def _extract_fields(lines: pa.Array, fmt: str) -> tuple[pa.Array, dict]:
+    """Field extraction with a structural fast path.
+
+    ``parse_ok`` is ALWAYS the anchored-regex match (exact reference
+    semantics). Field values for matching rows are extracted by quote/
+    space splitting — ~10x faster than RE2 capture groups — but only for
+    rows whose split structure is unambiguous (expected quote-part and
+    token counts, literal separators in place); any structurally odd row
+    (e.g. a quote inside the \\S+ URI, a spaced timestamp) falls back to
+    ``pc.extract_regex``, so fast and slow paths are value-identical.
+
+    Returns (ok_mask, {field: full-length string array, "" on non-match}).
+    """
+    pattern = L.FORMAT_PATTERNS[fmt]
+    n = len(lines)
+    ok = pc.match_substring_regex(lines, pattern)
+    ok_np = ok.to_numpy(zero_copy_only=False)
+    good_pos = np.flatnonzero(ok_np)
+    glines = lines.filter(ok) if not ok_np.all() else lines
+    ng = len(glines)
+
+    from .metrics import const_str
+
+    fields: dict[str, object] = {}
+    if ng == 0:
+        empty_all = const_str(n, "")
+        return ok, {name: empty_all for name in _FIELD_NAMES}
+
+    is_clf = fmt == L.FORMAT_APACHE_COMMON
+    is_vhost = fmt == L.FORMAT_APACHE_VHOST_COMBINED
+    is_nginx = fmt in (L.FORMAT_NGINX_COMBINED, L.FORMAT_NGINX_CUSTOM)
+    has_tail = fmt == L.FORMAT_NGINX_CUSTOM
+    exp_q = 3 if is_clf else 7
+    exp_p = 7 if is_vhost else 6
+    exp_m = 3 if is_clf else 4
+
+    # stage A: quote-structure filter
+    qparts = pc.split_pattern(glines, '"')
+    qlen = pc.list_value_length(qparts).to_numpy(zero_copy_only=False)
+    mask_a = qlen == exp_q
+    pos_a = good_pos[np.flatnonzero(mask_a)]
+    qp_a = qparts.filter(pa.array(mask_a))
+    # stage B: token-count filters on the sub-splits
+    prefix = pc.list_element(qp_a, 0)
+    request = pc.list_element(qp_a, 1)
+    mid = pc.list_element(qp_a, 2)
+    pp = pc.split_pattern(prefix, " ")
+    rp = pc.split_pattern(request, " ")
+    mp = pc.split_pattern(mid, " ")
+    plen = pc.list_value_length(pp).to_numpy(zero_copy_only=False)
+    rlen = pc.list_value_length(rp).to_numpy(zero_copy_only=False)
+    mlen = pc.list_value_length(mp).to_numpy(zero_copy_only=False)
+    mask_b = (plen == exp_p) & (rlen == 3) & (mlen == exp_m)
+    b = pa.array(mask_b)
+    pos_b = pos_a[np.flatnonzero(mask_b)]
+    qp_b, pp_b = qp_a.filter(b), pp.filter(b)
+    rp_b, mp_b = rp.filter(b), mp.filter(b)
+    # stage C: literal-separator / alignment value checks
+    ts_a = pc.list_element(pp_b, exp_p - 3)   # "[dd/Mon/yyyy:HH:MM:SS"
+    ts_b = pc.list_element(pp_b, exp_p - 2)   # "+zzzz]"
+    checks = [
+        pc.equal(pc.list_element(pp_b, exp_p - 1), ""),  # trailing space
+        pc.starts_with(ts_a, "["),
+        pc.ends_with(ts_b, "]"),
+        pc.equal(pc.list_element(mp_b, 0), ""),
+    ]
+    if is_nginx:
+        checks.append(pc.equal(pc.list_element(pp_b, 1), "-"))
+    if not is_clf:
+        checks.append(pc.equal(pc.list_element(qp_b, 4), " "))
+        checks.append(pc.equal(pc.list_element(mp_b, 3), ""))
+        if not has_tail:
+            checks.append(pc.equal(pc.list_element(qp_b, 6), ""))
+    mask_c = checks[0]
+    for c in checks[1:]:
+        mask_c = pc.and_(mask_c, c)
+    c_np = mask_c.to_numpy(zero_copy_only=False)
+    pos_fast = pos_b[np.flatnonzero(c_np)]
+    cmask = pa.array(c_np)
+    qp_f, pp_f = qp_b.filter(cmask), pp_b.filter(cmask)
+    rp_f, mp_f = rp_b.filter(cmask), mp_b.filter(cmask)
+
+    # fast-path field values
+    p_base = 1 if is_vhost else 0
+    fast: dict[str, pa.Array] = {
+        "client_ip": pc.list_element(pp_f, p_base + 0),
+        "remote_logname": (
+            const_str(len(pos_fast), "") if is_nginx
+            else pc.list_element(pp_f, p_base + 1)
+        ),
+        "remote_user": pc.list_element(pp_f, p_base + 2),
+        "ts": pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(pc.list_element(pp_f, exp_p - 3), 1),
+            pc.utf8_slice_codeunits(pc.list_element(pp_f, exp_p - 2), 0, -1),
+            " ",
+        ),
+        "method": pc.list_element(rp_f, 0),
+        "uri": pc.list_element(rp_f, 1),
+        "protocol": pc.list_element(rp_f, 2),
+        "status": pc.list_element(mp_f, 1),
+        "bytes_sent": pc.list_element(mp_f, 2),
+        "referer": (const_str(len(pos_fast), "") if is_clf
+                    else pc.list_element(qp_f, 3)),
+        "ua": (const_str(len(pos_fast), "") if is_clf
+               else pc.list_element(qp_f, 5)),
+        "domain": (pc.list_element(pp_f, 0) if is_vhost
+                   else const_str(len(pos_fast), "")),
+    }
+
+    # slow path: exact regex extraction for structurally ambiguous rows
+    fast_set = np.zeros(n, dtype=bool)
+    fast_set[pos_fast] = True
+    slow_mask_np = ok_np & ~fast_set
+    pos_slow = np.flatnonzero(slow_mask_np)
+    if len(pos_slow):
+        slines = lines.filter(pa.array(slow_mask_np))
+        ext = pc.extract_regex(slines, pattern)
+        empty_s = const_str(len(pos_slow), "")
+        slow = {
+            name: (pc.fill_null(pc.struct_field(ext, name), "")
+                   if f"?P<{name}>" in pattern else empty_s)
+            for name in _FIELD_NAMES
+        }
+    else:
+        slow = {name: const_str(0, "") for name in _FIELD_NAMES}
+
+    # scatter fast + slow + failed("") back to original row order
+    pos_bad = np.flatnonzero(~ok_np)
+    order = np.concatenate([pos_fast, pos_slow, pos_bad])
+    inv = np.empty(n, dtype=np.int64)
+    inv[order] = np.arange(n)
+    take_idx = pa.array(inv)
+    n_bad = len(pos_bad)
+    for name in _FIELD_NAMES:
+        merged = pa.concat_arrays([
+            fast[name].combine_chunks() if isinstance(fast[name], pa.ChunkedArray) else fast[name],
+            slow[name].combine_chunks() if isinstance(slow[name], pa.ChunkedArray) else slow[name],
+            const_str(n_bad, ""),
+        ])
+        fields[name] = merged.take(take_idx)
+    return ok, fields
+
+
 class ParseEnrich:
     """Parse+enrich stage. Usable as a task-pool function target (via
     :func:`make_parse_fn`) or an actor-pool callable class; both share the
@@ -235,34 +383,27 @@ class ParseEnrich:
     def _parse_one_format(self, sub: pa.Table, lines: pa.Array, fmt: str,
                           window_minutes: np.ndarray) -> pa.Table:
         n = sub.num_rows
-        ext = pc.extract_regex(lines, L.FORMAT_PATTERNS[fmt])
-        ok = pc.is_valid(ext)
+        ok, fields = _extract_fields(lines, fmt)
         ok_np = ok.to_numpy(zero_copy_only=False)
 
-        from .metrics import const_str
-
-        pattern = L.FORMAT_PATTERNS[fmt]
-        empty = const_str(n, "")
-
-        def f(name: str) -> pa.Array:
-            if f"?P<{name}>" not in pattern:
-                return empty
-            return pc.fill_null(pc.struct_field(ext, name), "")
-
-        client_ip = f("client_ip")
-        remote_logname = f("remote_logname")
-        remote_user = f("remote_user")
-        method = f("method")
-        protocol = f("protocol")
-        status = f("status")
-        domain = f("domain")
+        client_ip = fields["client_ip"]
+        remote_logname = fields["remote_logname"]
+        remote_user = fields["remote_user"]
+        method = fields["method"]
+        protocol = fields["protocol"]
+        status = fields["status"]
+        domain = fields["domain"]
         bytes_sent = pc.fill_null(
-            pc.cast(pc.struct_field(ext, "bytes_sent"), pa.int64(), safe=False), 0
+            pc.cast(
+                pc.if_else(pc.equal(fields["bytes_sent"], ""),
+                           pa.nulls(n, pa.string()), fields["bytes_sent"]),
+                pa.int64(), safe=False,
+            ),
+            0,
         )
 
         # ---- timestamp: local clock fields + numeric offset ----------------
-        ts_str = pc.struct_field(ext, "ts")
-        tsx = pc.extract_regex(pc.fill_null(ts_str, ""), _TS_PIECES)
+        tsx = pc.extract_regex(fields["ts"], _TS_PIECES)
         local_dt = pc.strptime(
             pc.struct_field(tsx, "dt"), format="%d/%b/%Y:%H:%M:%S", unit="s",
             error_is_null=True,
@@ -306,8 +447,7 @@ class ParseEnrich:
                 pa.array(values, type=pa.string()),
             ).cast(pa.string())
 
-        uri = pc.fill_null(pc.struct_field(ext, "uri"), "")
-        uri_enc = pc.dictionary_encode(uri)
+        uri_enc = pc.dictionary_encode(fields["uri"])
         uidx = uri_enc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
         uinfo = [self._uri_info(u) for u in uri_enc.dictionary.to_pylist()]
         path_c = dict_col(uidx, [x[0] for x in uinfo])
@@ -322,8 +462,7 @@ class ParseEnrich:
 
         # ---- referer + UA (per unique; only formats that capture them) -----
         if fmt in L.FORMATS_WITH_UA:
-            ref_raw = pc.fill_null(pc.struct_field(ext, "referer"), "")
-            ref_enc = pc.dictionary_encode(ref_raw)
+            ref_enc = pc.dictionary_encode(fields["referer"])
             ridx = ref_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             host_vals = [self._ref_host(r) for r in ref_enc.dictionary.to_pylist()]
             # final referer depends on the (uri, referer-header) pair:
@@ -336,8 +475,7 @@ class ParseEnrich:
             ]
             referer_c = dict_col(pair_inv.astype(np.int32), ref_final)
 
-            ua_raw = pc.fill_null(pc.struct_field(ext, "ua"), "")
-            ua_enc = pc.dictionary_encode(ua_raw)
+            ua_enc = pc.dictionary_encode(fields["ua"])
             aidx = ua_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             ua_uniques = ua_enc.dictionary.to_pylist()
             ua_fullname_c = dict_col(aidx.astype(np.int32), ua_uniques)

@@ -81,3 +81,39 @@ def test_nondefault_window_size_per_source():
                   out.column("time_window").to_pylist()))
     assert tw["s60"] == 200010101300
     assert tw["s5"] == 200010101355
+
+
+def test_fast_path_fallback_adversarial():
+    """Structurally ambiguous lines (quote inside the \\S+ URI, spaced or
+    bracketless timestamps) must fall back to exact regex extraction and
+    still match the row-at-a-time oracle field-for-field."""
+    from sbo_ray.functions import loglines as L
+
+    adversarial = [
+        # quote inside URI (regex matches; quote-split misaligns)
+        '1.2.3.4 - - [10/Oct/2000:13:55:36 -0700] "GET /a"b HTTP/1.1" 200 5 "-" "curl/8"',
+        # another quote pattern
+        '1.2.3.4 - - [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.1" 200 5 "ref"er" "curl/8"',
+        # timestamp with two spaces inside brackets
+        '1.2.3.4 - - [weird ts here] "GET /x HTTP/1.1" 200 5 "-" "curl/8"',
+        # timestamp with no space
+        '1.2.3.4 - - [nospacets] "GET /x HTTP/1.1" 200 5 "-" "curl/8"',
+        # normal fast-path line for contrast
+        '1.2.3.4 - frank [10/Oct/2000:13:55:36 -0700] "GET /x?q=1 HTTP/1.1" 404 55 "http://www.e.com/" "curl/8"',
+    ]
+    fmt = "apache_combined"
+    pe = ParseEnrich(_job())
+    out = pe(_table(adversarial, ["s"] * len(adversarial))).to_pylist()
+    for line, row in zip(adversarial, out):
+        o = L.parse_line(line, fmt)
+        assert row["parse_ok"] == o.ok, line
+        if not o.ok:
+            continue
+        assert row["client_ip"] == o.client_ip, line
+        assert row["method"] == o.method, line
+        assert row["path"] == o.path, line
+        assert row["status"] == o.status, line
+        assert row["bytes_sent"] == o.bytes_sent, line
+        assert row["referer"] == o.referer, line
+        assert row["ua_fullname"] == (o.ua.full_name if o.ua else ""), line
+        assert row["remote_user"] == o.remote_user, line
