@@ -16,16 +16,35 @@ import numpy as np
 import pyarrow as pa
 
 
-def encode_lines(lines: list[str]) -> pa.ListArray:
-    """str -> list<int32> of UTF-8 bytes (synthesizer / test helper)."""
+def encode_lines(lines: list[str]):
+    """str -> list<int32> of UTF-8 bytes (synthesizer / test helper).
+
+    Built in bounded chunks: a single ListArray's int32 offsets overflow
+    once total payload exceeds 2^31 bytes (hit at ~16M realistic log
+    lines), so large inputs return a ChunkedArray of safe chunks."""
+    CHUNK = 2_000_000  # lines per chunk; ~bytes stays far under 2^31
+    if len(lines) <= CHUNK:
+        return _encode_chunk(lines)
+    chunks = [
+        _encode_chunk(lines[i : i + CHUNK]) for i in range(0, len(lines), CHUNK)
+    ]
+    return pa.chunked_array(chunks)
+
+
+def _encode_chunk(lines: list[str]) -> pa.ListArray:
     payload = "".join(lines)
     data = np.frombuffer(payload.encode("utf-8"), dtype=np.uint8).astype(np.int32)
     lengths = np.fromiter(
         (len(s.encode("utf-8")) for s in lines), dtype=np.int64, count=len(lines)
     )
+    total = int(lengths.sum())
+    if total >= 1 << 31:
+        raise ValueError("chunk exceeds int32 list-offset range")
     offsets = np.zeros(len(lines) + 1, dtype=np.int32)
     np.cumsum(lengths, out=offsets[1:])
-    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(data, type=pa.int32()))
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(data, type=pa.int32())
+    )
 
 
 def decode_tokens(tokens: pa.Array) -> pa.Array:
