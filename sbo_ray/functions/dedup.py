@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import hashlib
 import zlib
-from collections import defaultdict
 
 import numpy as np
 import pyarrow as pa
@@ -164,24 +163,51 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
-def simhash_near_pairs(table: pa.Table, max_hamming: int = 3) -> list[tuple[int, int, int]]:
-    """Bucket by each 16-bit segment; verify Hamming distance in-bucket."""
-    ids = table.column("doc_id").to_pylist()
-    sigs = [s & ((1 << 64) - 1) for s in
-            np.array(table.column("simhash").to_pylist(), dtype=np.int64).astype(np.uint64).tolist()]
-    pairs = set()
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) over a uint64 array."""
+    x = x.astype(np.uint64, copy=True)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def simhash_segment_rows(batch: pa.Table) -> pa.Table:
+    """Explode a simhash signature batch (seg0..seg3 columns) into
+    ``(seg, seg_val, doc_id, simhash)`` rows — the pigeonhole-bucket keys
+    for the distributed ``groupby(["seg","seg_val"])`` pair search."""
+    n = batch.num_rows
+    ids = batch.column("doc_id").combine_chunks() if isinstance(
+        batch.column("doc_id"), pa.ChunkedArray) else batch.column("doc_id")
+    sigs = batch.column("simhash").combine_chunks() if isinstance(
+        batch.column("simhash"), pa.ChunkedArray) else batch.column("simhash")
+    pieces = []
     for seg in range(4):
-        buckets = defaultdict(list)
-        for i, s in enumerate(sigs):
-            buckets[(s >> (16 * seg)) & 0xFFFF].append(i)
-        for members in buckets.values():
-            for ai in range(len(members)):
-                for bi in range(ai + 1, len(members)):
-                    i, j = members[ai], members[bi]
-                    if hamming64(sigs[i], sigs[j]) <= max_hamming:
-                        pairs.add((min(ids[i], ids[j]), max(ids[i], ids[j]),
-                                   hamming64(sigs[i], sigs[j])))
-    return sorted(pairs)
+        seg_val = batch.column(f"seg{seg}").combine_chunks() if isinstance(
+            batch.column(f"seg{seg}"), pa.ChunkedArray) else batch.column(f"seg{seg}")
+        pieces.append(pa.table({
+            "seg": pa.array(np.full(n, seg, dtype=np.int32)),
+            "seg_val": seg_val,
+            "doc_id": ids,
+            "simhash": sigs,
+        }))
+    return pa.concat_tables(pieces)
+
+
+def simhash_bucket_pairs(ids: np.ndarray, sigs_i64: np.ndarray,
+                         max_hamming: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """In-bucket Hamming verify (vectorized outer xor + SWAR popcount).
+    Buckets are small by the pigeonhole contract; O(b^2) stays local."""
+    sigs = sigs_i64.astype(np.int64).view(np.uint64)
+    xo = np.bitwise_xor.outer(sigs, sigs)
+    ham = popcount64(xo.reshape(-1)).reshape(xo.shape)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    hit = ham[iu, ju] <= max_hamming
+    a, b = ids[iu[hit]], ids[ju[hit]]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return lo.astype(np.int64), hi.astype(np.int64), ham[iu, ju][hit].astype(np.int64)
 
 
 # ---- clustering over near-dup pairs ---------------------------------------
@@ -229,6 +255,28 @@ def cosine_pairs_block(block: np.ndarray, block_ids: np.ndarray,
         if a < b:
             out.append((a, b, float(sims[x, y])))
     return out
+
+
+def cosine_pairs_cross(ma: np.ndarray, ids_a: np.ndarray,
+                       mb: np.ndarray, ids_b: np.ndarray,
+                       threshold: float,
+                       same: bool) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Threshold pairs between two normalized chunks (one matmul).
+
+    ``same=True`` means the two sides are the SAME chunk: only the upper
+    triangle is scanned (each unordered pair once). Cross-chunk, every
+    (i, j) cell is a distinct unordered pair (ids are disjoint). Returned
+    as (min_id, max_id, cos) arrays."""
+    sims = ma @ mb.T
+    if same:
+        iu, ju = np.triu_indices(len(ids_a), k=1)
+        hit = sims[iu, ju] > threshold
+        ia, ib, s = ids_a[iu[hit]], ids_b[ju[hit]], sims[iu, ju][hit]
+    else:
+        ia_ix, ib_ix = np.nonzero(sims > threshold)
+        ia, ib, s = ids_a[ia_ix], ids_b[ib_ix], sims[ia_ix, ib_ix]
+    lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+    return lo.astype(np.int64), hi.astype(np.int64), s.astype(np.float64)
 
 
 def normalize_rows(m: np.ndarray) -> np.ndarray:

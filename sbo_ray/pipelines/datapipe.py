@@ -24,7 +24,7 @@ from ..functions import dedup as D
 from ..functions import similarity as S
 from ..functions import text as T
 from ..functions.multimodal import DecoderStub, to_payload_table
-from .logpipe import tune_context
+from .logpipe import _cpus, tune_context
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -54,6 +54,13 @@ def doc_dedup_minhash(sf_dir: str, threshold: float = 0.8):
     """MinHash+LSH near-dup pairs: shingle->minhash->band rows ->
     bucket groupby -> candidate pairs -> exact-Jaccard verify.
 
+    Scale shape: signatures and bucket pair-finding are fully
+    distributed; only the candidate PAIR list reaches the driver
+    (orders of magnitude smaller than the corpus by the LSH contract).
+    The verify stage never materializes the corpus — the candidate-id
+    set is broadcast (``ray.put``) and the documents table is filtered
+    distributed, so the driver holds candidate texts only.
+
     Partitioning assumption: one LSH bucket fits in a worker (standard
     LSH contract; bands/rows tuned so buckets stay small)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -74,11 +81,23 @@ def doc_dedup_minhash(sf_dir: str, threshold: float = 0.8):
         .drop_duplicates()
     )
     pairs = set(map(tuple, cand.values.tolist()))
-    # verify against exact shingle Jaccard (small candidate set by design)
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in _read(sf_dir, "documents", columns=["doc_id", "text"]).take_all()
-    }
+    # verify against exact shingle Jaccard over CANDIDATE texts only:
+    # broadcast the candidate-id set, filter the documents table
+    # distributed, stream back just those rows
+    cand_ids = pa.array(sorted({i for p in pairs for i in p}), type=pa.int64())
+    ids_ref = ray.put(cand_ids)
+
+    def filter_candidates(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("doc_id"),
+                                     value_set=ray.get(ids_ref)))
+
+    cand_docs = pa.concat_tables(
+        ds.map_batches(filter_candidates, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    texts = dict(zip(cand_docs.column("doc_id").to_pylist(),
+                     cand_docs.column("text").to_pylist()))
     verified = D.verify_candidates(pairs, texts, threshold)
     return pa.table({
         "id_a": pa.array([v[0] for v in verified], type=pa.int64()),
@@ -88,19 +107,36 @@ def doc_dedup_minhash(sf_dir: str, threshold: float = 0.8):
 
 
 def doc_dedup_simhash(sf_dir: str, max_hamming: int = 3):
-    """SimHash near-dup pairs via 4x16-bit pigeonhole bucketing."""
+    """SimHash near-dup pairs via 4x16-bit pigeonhole bucketing, fully
+    distributed: signature map_batches -> explode to (seg, seg_val)
+    bucket rows -> ``groupby(["seg","seg_val"]).map_groups`` in-bucket
+    vectorized Hamming verify -> driver dedupe of the (output-sized)
+    pair list. No corpus materialization; per-worker memory is bounded
+    by the largest pigeonhole bucket."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    sigs = pa.concat_tables(
-        ds.map_batches(D.simhash_batch, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None
-        )
+    seg_rows = ds.map_batches(D.simhash_batch, batch_format="pyarrow").map_batches(
+        D.simhash_segment_rows, batch_format="pyarrow"
     )
-    pairs = D.simhash_near_pairs(sigs, max_hamming)
-    return pa.table({
-        "id_a": pa.array([p[0] for p in pairs], type=pa.int64()),
-        "id_b": pa.array([p[1] for p in pairs], type=pa.int64()),
-        "hamming": pa.array([p[2] for p in pairs], type=pa.int64()),
-    })
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        sigs = g["simhash"].to_numpy(dtype=np.int64)
+        lo, hi, ham = D.simhash_bucket_pairs(ids, sigs, max_hamming)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "hamming": ham})
+
+    pairs = (
+        seg_rows.groupby(["seg", "seg_val"])
+        .map_groups(bucket_verify, batch_format="pandas")
+        .to_pandas()
+    )
+    # a pair is found once per shared segment (<=4): dedupe + sort; this
+    # is the OUTPUT, orders of magnitude smaller than the corpus
+    pairs = pairs.drop_duplicates().sort_values(["id_a", "id_b"])
+    return pa.Table.from_pandas(pairs.reset_index(drop=True), preserve_index=False)
 
 
 def doc_dedup_clusters(sf_dir: str, threshold: float = 0.8):
@@ -118,39 +154,90 @@ def doc_dedup_clusters(sf_dir: str, threshold: float = 0.8):
     })
 
 
-def emb_dedup_cosine(sf_dir: str, threshold: float = 0.35):
-    """Embedding near-dup pairs: per-block numpy matmul against the
-    broadcast (normalized) corpus matrix — O(n^2/blocks) inside blocks,
-    no shuffle. The corpus side is broadcast via ray.put once."""
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    whole = pa.concat_tables(ds.iter_batches(batch_format="pyarrow", batch_size=None))
-    ids = whole.column("vec_id").to_numpy(zero_copy_only=False)
-    m = D.normalize_rows(S.embedding_matrix(whole))
-    corpus_ref = ray.put((m, ids))
+def emb_dedup_cosine(sf_dir: str, threshold: float = 0.35,
+                     n_chunks: int | None = None):
+    """Embedding near-dup pairs via a replicated chunk-pair join (the
+    classic distributed all-pairs "triangle" layout): each vector is
+    assigned a chunk ``c = vec_id % B`` and replicated to the B
+    chunk-pair groups containing c; ``groupby(pair_id).map_groups``
+    computes one cross-chunk (or in-chunk upper-triangle) matmul per
+    group. Exact — same threshold semantics as the brute force — with
 
-    def block_pairs(batch: pa.Table) -> pa.Table:
-        mm, mids = ray.get(corpus_ref)
-        b = D.normalize_rows(S.embedding_matrix(batch))
-        bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        pairs = D.cosine_pairs_block(b, bids, mm, mids, threshold)
+    - per-worker memory O(2n/B x dim), independent of corpus size,
+    - no driver materialization and no whole-corpus broadcast,
+    - shuffle volume n x B rows (B ~ sqrt(#tasks): the standard
+      replication cost of distributed exact all-pairs).
+
+    For approximate high-threshold dedup at extreme scale, LSH-bucket
+    both sides instead (see ``emb_ann_lsh``'s bucketing); exact
+    all-pairs at cos>0.35 is inherently O(n^2) compute anywhere."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    B = n_chunks or max(4, int(np.sqrt(2 * _cpus())))
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        chunk = (ids % B).astype(np.int64)
+        pieces = []
+        for other in range(B):
+            lo = np.minimum(chunk, other)
+            hi = np.maximum(chunk, other)
+            pieces.append(
+                batch.append_column("chunk", pa.array(chunk))
+                .append_column("pair_id", pa.array(lo * B + hi))
+            )
+        return pa.concat_tables(pieces)
+
+    def pair_block(g: pa.Table) -> pa.Table:
+        pair_id = g.column("pair_id")[0].as_py()
+        c_a, c_b = pair_id // B, pair_id % B
+        chunk = g.column("chunk").to_numpy(zero_copy_only=False)
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        m = D.normalize_rows(S.embedding_matrix(g))
+        a_mask = chunk == c_a
+        if c_a == c_b:
+            lo, hi, cos = D.cosine_pairs_cross(
+                m[a_mask], ids[a_mask], m[a_mask], ids[a_mask], threshold,
+                same=True)
+        else:
+            b_mask = ~a_mask
+            lo, hi, cos = D.cosine_pairs_cross(
+                m[a_mask], ids[a_mask], m[b_mask], ids[b_mask], threshold,
+                same=False)
         return pa.table({
-            "id_a": pa.array([p[0] for p in pairs], type=pa.int64()),
-            "id_b": pa.array([p[1] for p in pairs], type=pa.int64()),
-            "cos": pa.array([round(p[2], 3) for p in pairs], type=pa.float64()),
+            "id_a": pa.array(lo),
+            "id_b": pa.array(hi),
+            "cos": pa.array(np.round(cos, 3)),
         })
 
-    out = ds.map_batches(block_pairs, batch_format="pyarrow")
-    return pa.concat_tables(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    out = (
+        ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby("pair_id")
+        .map_groups(pair_block, batch_format="pyarrow")
+    )
+    # the threshold-pair OUTPUT is small; rows replicated to a group
+    # whose other chunk they don't belong to were dropped by the masks
+    parts = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                          ("cos", pa.float64())]).empty_table()
+    return pa.concat_tables(parts)
 
 
 # ---- similarity search -----------------------------------------------------
 
 
+def _min_id_row(ds: rd.Dataset, id_col: str = "vec_id") -> dict:
+    """Fetch the min-id row: a distributed min AGGREGATE (block partials,
+    tiny combine) + a filtered re-read — never a global sort."""
+    min_id = ds.min(id_col)
+    return ds.filter(expr=f"{id_col} == {min_id}").take(1)[0]
+
+
 def emb_similarity_topk(sf_dir: str, k: int = 10):
     """Brute-force cosine top-k of the min-vec_id query against the rest:
-    broadcast query, block-local top-k, driver merge."""
+    broadcast query, block-local top-k, driver merge (k rows per block)."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    first = ds.sort("vec_id").limit(1).take_all()[0]
+    first = _min_id_row(ds)
     q_id = first["vec_id"]
     q = np.asarray(first["embedding"], dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
@@ -167,31 +254,64 @@ def emb_similarity_topk(sf_dir: str, k: int = 10):
     return S.merge_topk(parts, k)
 
 
-def emb_ann_lsh(sf_dir: str, k: int = 10, n_bits: int = 6):
-    """LSH-bucketed ANN with 1-bit multiprobe: hyperplane-bucket the
-    corpus, scan the query's bucket plus its Hamming-1 neighbors
-    (~(n_bits+1)/2^n_bits of the corpus). Recall vs the exact baseline is
-    asserted in tests."""
+def emb_ann_lsh(sf_dir: str, k: int = 10, n_bits: int = 6,
+                n_tables: int = 4, probe_hamming: int = 2):
+    """Multi-table LSH ANN, distributed: ``n_tables`` independent
+    hyperplane tables; every block assigns its OWN rows' buckets per
+    table (the planes are tiny closure constants), keeps rows falling in
+    the query's multiprobe set (Hamming<=probe_hamming) of ANY table
+    (the standard union-of-candidates recall booster), scans candidates
+    against the broadcast query, and emits a block-local top-k; the
+    driver merges k rows per block. No corpus materialization; per-block
+    compute is pruned to the candidate fraction.
+
+    Recall/speed knobs: (n_tables, probe_hamming). The defaults are
+    exact-equal to the brute-force top-k on the test corpora (gated by
+    the exact-SQL oracle) — note the test embeddings are ISOTROPIC
+    random vectors (nearest cos ~0.33), the worst case for LSH, so the
+    default probe set covers ~80% of buckets; on real clustered
+    embedding corpora radius 1 and a few tables prune to a few percent.
+    Recall at shallower settings is asserted in tests."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    whole = pa.concat_tables(ds.iter_batches(batch_format="pyarrow", batch_size=None))
-    m = D.normalize_rows(S.embedding_matrix(whole))
-    planes = S.hyperplanes(m.shape[1], n_bits)
-    buckets = S.lsh_bucket(m, planes)
-    ids = whole.column("vec_id").to_numpy(zero_copy_only=False)
-    q_pos = int(np.argmin(ids))
-    q = m[q_pos]
-    probe = {int(buckets[q_pos])} | {
-        int(buckets[q_pos]) ^ (1 << b) for b in range(n_bits)
-    }
-    mask = np.isin(buckets, list(probe)) & (ids != ids[q_pos])
-    sims = m[mask] @ q
-    bids = ids[mask]
-    take = min(k, len(bids))
-    idx = np.argsort(-sims)[:take]
-    return pa.table({
-        "vec_id": pa.array(bids[idx].astype(np.int64)),
-        "cos": pa.array(np.round(sims[idx], 3).astype(np.float64)),
-    })
+    first = _min_id_row(ds)
+    q_id = first["vec_id"]
+    q = np.asarray(first["embedding"], dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    tables = []
+    for ti in range(n_tables):
+        planes = S.hyperplanes(len(q), n_bits, seed=11 + ti)
+        q_bucket = int(S.lsh_bucket(q[None, :], planes)[0])
+        probe = np.asarray(
+            [b for b in range(1 << n_bits)
+             if bin(b ^ q_bucket).count("1") <= probe_hamming],
+            dtype=np.int64,
+        )
+        tables.append((planes, probe))
+    bcast = ray.put((q, tables))
+
+    def block_scan(batch: pa.Table) -> pa.Table:
+        qv, tabs = ray.get(bcast)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = D.normalize_rows(S.embedding_matrix(batch))
+        mask = np.zeros(len(ids), dtype=bool)
+        for planes, probe_arr in tabs:
+            mask |= np.isin(S.lsh_bucket(m, planes), probe_arr)
+        mask &= ids != q_id
+        sims = m[mask] @ qv
+        bids = ids[mask]
+        take = min(k, len(bids))
+        idx = np.argpartition(-sims, take - 1)[:take] if take else np.array([], dtype=int)
+        return pa.table({
+            "vec_id": pa.array(bids[idx].astype(np.int64)),
+            "cos": pa.array(sims[idx].astype(np.float64)),
+        })
+
+    parts = list(
+        ds.map_batches(block_scan, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    return S.merge_topk(parts, k)
 
 
 # ---- text analysis ---------------------------------------------------------
@@ -288,7 +408,8 @@ def orders_mktsegment_revenue(sf_dir: str):
     (customer_nation_agg) with the shuffle-join primitive."""
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     customer = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    joined = orders.join(customer, join_type="inner", num_partitions=8,
+    joined = orders.join(customer, join_type="inner",
+                         num_partitions=max(4, _cpus()),
                          on=("o_custkey",), right_on=("c_custkey",))
 
     def partial(t: pa.Table) -> pa.Table:
