@@ -330,8 +330,27 @@ def doc_lang_id(sf_dir: str):
 
 
 def doc_fingerprint(sf_dir: str):
+    """Winnowing-style document fingerprints, exploded to one row per
+    (doc_id, fp_rank, fp_hash) — scalar columns so the DuckDB oracle
+    (an exact SQL mirror of the rolling hash) gates values directly."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        fp = T.fingerprint(batch)
+        col = fp.column("fingerprint")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        doc_ids = fp.column("doc_id").to_numpy(zero_copy_only=False)
+        rank = np.concatenate([np.arange(1, n + 1) for n in lengths]) if len(
+            lengths) else np.array([], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(doc_ids, lengths), type=pa.int64()),
+            "fp_rank": pa.array(rank, type=pa.int64()),
+            "fp_hash": col.values,
+        })
+
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        T.fingerprint, batch_format="pyarrow"
+        explode, batch_format="pyarrow"
     )
 
 

@@ -2,18 +2,18 @@
 
 Oracle styles per query (see queries.py for the taxonomy):
 - independent SQL over the pre-registered testdata views — used wherever
-  the semantics are ANSI-SQL-expressible (exact dedup, token stats,
-  lang-ID, cosine pairs/top-k, joins, windowed aggregates);
-- no SQL entry (driver rows-only check) for the genuinely
-  non-SQL-expressible sketch operators (MinHash-LSH, SimHash,
-  fingerprinting, LSH-ANN, stubbed multimodal decode) — these are
-  instead verified in pytest against brute-force Python oracles with
-  planted duplicates (tests/test_dataops.py).
+  the semantics are SQL-expressible, including the brute-force mirrors
+  of the sketch operators (exact Jaccard for MinHash-LSH pairs +
+  transitive-closure clusters, md5-vote simhash + all-pairs Hamming,
+  the Karp-Rabin rolling fingerprint, exact top-k for the LSH ANN);
+- no SQL entry (driver rows-only check) only for the stubbed multimodal
+  decode, gated by deterministic pytest goldens instead
+  (tests/test_dataops.py).
 """
 
 from __future__ import annotations
 
-from ..functions.text import LANG_STOPWORDS
+from ..functions.text import _FP_BASE, _FP_WINDOW, LANG_STOPWORDS
 from . import datapipe as P
 
 
@@ -60,6 +60,132 @@ SELECT doc_id,
     WHEN c_es >= c_fr THEN 'es'
     ELSE 'fr' END AS pred_lang
 FROM c
+"""
+
+# Brute-force exact word-3-shingle Jaccard (the independent mirror of the
+# MinHash-LSH pair pipeline). The engine hashes shingles with crc32 before
+# set operations; set Jaccard is identical as long as no within-doc crc
+# collision occurs — verified exact on the test corpora. LSH recall at
+# threshold 0.8 with 16 bands x 4 rows misses a qualifying pair with
+# p ~ (1-0.8^4)^16 ~ 2e-4; exact equality holds on the fixed testdata.
+_SQL_MINHASH_CORE = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+         ELSE list_transform(range(1, len(words) - 1),
+                             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+    END AS shingles
+  FROM w
+), ds AS (
+  SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT ia AS id_a, ib AS id_b,
+         ROUND(c * 1.0 / (sa.n + sb.n - c), 3) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = ia
+  JOIN sizes sb ON sb.doc_id = ib
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+)
+"""
+
+SQL_DOC_DEDUP_MINHASH = (
+    _SQL_MINHASH_CORE + "SELECT id_a, id_b, jaccard FROM pairs"
+)
+
+# Connected components over the near-dup pairs via transitive closure
+# (recursive CTE) with min-id cluster labels — mirrors the engine's
+# union-find output exactly.
+SQL_DOC_DEDUP_CLUSTERS = (
+    _SQL_MINHASH_CORE.replace("WITH w AS", "WITH RECURSIVE w AS", 1)
+    + r""",
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+)
+SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+"""
+)
+
+# Exact SQL mirror of simhash64: md5-based 64-bit word hashes (first 8
+# digest bytes big-endian == first 16 hex chars), +/-1 bit votes over
+# distinct words, bit set iff vote > 0; signatures compared all-pairs
+# with bit_count(xor()) — exact because the 4x16-bit pigeonhole the
+# engine uses guarantees every Hamming<=3 pair is found.
+SQL_DOC_DEDUP_SIMHASH = r"""
+WITH words AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '\S+'))) AS w
+  FROM documents
+), wh AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM words
+), bits AS (
+  SELECT doc_id, b AS bit,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM wh CROSS JOIN (SELECT unnest(range(64)) AS b)
+  GROUP BY doc_id, b
+), sig0 AS (
+  SELECT doc_id,
+    SUM(CASE WHEN acc > 0 THEN
+          CASE WHEN bit = 63 THEN -9223372036854775808
+               ELSE (1::BIGINT << bit) END
+        ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+), sig AS (
+  SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+# Exact SQL mirror of the Karp-Rabin rolling fingerprint: byte-level
+# polynomial hashes with uint64 wraparound (power constants precomputed
+# mod 2^64 and inlined), distinct, 8 smallest per doc in UNSIGNED order,
+# emitted as signed int64 — one row per (doc, rank).
+_FP_POWERS = ", ".join(
+    f"{pow(int(_FP_BASE), _FP_WINDOW - 1 - k, 1 << 64)}::HUGEINT"
+    for k in range(_FP_WINDOW)
+)
+SQL_DOC_FINGERPRINT = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         GREATEST(octet_length(encode(text)), {_FP_WINDOW}) AS n
+  FROM documents
+), pos AS (
+  SELECT doc_id, hx, n, unnest(range(1, n - {_FP_WINDOW} + 2)) AS i FROM b
+), terms AS (
+  SELECT doc_id, i, k,
+    CASE WHEN (i + k) * 2 <= strlen(hx)
+         THEN ('0x' || substr(hx, (i + k - 1) * 2 + 1, 2))::UBIGINT::HUGEINT
+         ELSE 0::HUGEINT END
+      * ([{_FP_POWERS}])[k + 1] AS term
+  FROM pos CROSS JOIN (SELECT unnest(range({_FP_WINDOW})) AS k)
+), h AS (
+  SELECT DISTINCT doc_id, SUM(term) % 18446744073709551616::HUGEINT AS hv
+  FROM terms GROUP BY doc_id, i
+), ranked AS (
+  SELECT doc_id, hv,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hv) AS rn
+  FROM h
+)
+SELECT doc_id, rn AS fp_rank,
+       CASE WHEN hv >= 9223372036854775808::HUGEINT
+            THEN (hv - 18446744073709551616::HUGEINT)::BIGINT
+            ELSE hv::BIGINT END AS fp_hash
+FROM ranked WHERE rn <= 8
 """
 
 SQL_EMB_DEDUP_COSINE = """
@@ -172,10 +298,18 @@ def data_queries() -> dict:
 
 
 def data_oracle_sql() -> dict:
-    # non-SQL-expressible (rows-only): doc_dedup_minhash, doc_dedup_simhash,
-    # emb_ann_lsh, doc_fingerprint, multimodal_features
+    # rows-only (genuinely non-SQL-gateable): multimodal_features (the
+    # stubbed decode; pytest-golden-gated instead). emb_ann_lsh is gated
+    # against the EXACT top-k SQL: with the default multi-table multiprobe
+    # settings its result is exact-equal on the test corpora (see the
+    # operator docstring for the recall/speed trade-off).
     return {
         "doc_dedup_exact": SQL_DOC_DEDUP_EXACT,
+        "doc_dedup_minhash": SQL_DOC_DEDUP_MINHASH,
+        "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
+        "doc_dedup_simhash": SQL_DOC_DEDUP_SIMHASH,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "emb_ann_lsh": SQL_EMB_SIMILARITY_TOPK,
         "emb_dedup_cosine": SQL_EMB_DEDUP_COSINE,
         "emb_similarity_topk": SQL_EMB_SIMILARITY_TOPK,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
