@@ -9,9 +9,11 @@ validation clamps (``main.go:376-397``: metrics reorder window 2..10 else
 
 Differences from the reference, by design (SURVEY.md §7.0):
 
-- the log *format* is explicit per source, never sniffed from the first
-  line (the reference's detection drops the detection line via the
-  shadowed ``parseResult :=`` at ``main.go:744`` — divergence documented);
+- the log *format* is explicit per source by default; ``log_format:
+  "auto"`` opts into the reference's first-line sniffing
+  (last-match-wins, main.go:728-748) MINUS its dropped-detection-line
+  accident (the shadowed ``parseResult :=`` at ``main.go:744``) — the
+  detection line is parsed normally here;
 - ``SkipIfLineMatchesRegex`` is implemented (the reference only stores
   it; ``conf/README.md`` marks it unimplemented).
 """
@@ -22,7 +24,7 @@ import json
 from dataclasses import dataclass, field, fields
 from typing import Any
 
-from .functions.loglines import FORMATS
+from .functions.loglines import FORMAT_AUTO, FORMATS
 
 DEFAULT_KEY = "--default--"
 
@@ -60,7 +62,7 @@ class SourceConfig:
     handlers: tuple[str, ...] = ("METRICS",)  # handler chain (main.go:692-694)
 
     def __post_init__(self) -> None:
-        if self.log_format not in FORMATS:
+        if self.log_format not in FORMATS and self.log_format != FORMAT_AUTO:
             raise ValueError(f"unknown log format {self.log_format!r}")
         if self.time_window_minutes not in VALID_TIME_WINDOW_MINUTES:
             self.time_window_minutes = 10  # metricgenerator.go:152 default arm

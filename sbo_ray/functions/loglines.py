@@ -99,6 +99,25 @@ _COMPILED = {name: re.compile(p) for name, p in FORMAT_PATTERNS.items()}
 # documented divergence since the Go handlers would nil-panic on CLF input)
 FORMATS_WITH_UA = frozenset(FORMATS) - {FORMAT_APACHE_COMMON}
 
+# sentinel format: sniff the format from the source's first parseable line
+FORMAT_AUTO = "auto"
+
+
+def detect_format(line: str) -> str | None:
+    """First-line format sniffing (main.go:728-748): try every format and
+    take the LAST one that matches — the reference's detection loop has no
+    ``break``, so e.g. an apache_combined line (remote_logname "-") is
+    detected as nginx_combined. Reproduced bug-for-bug; the reference's
+    OTHER detection accident (the shadowed ``parseResult :=`` at
+    main.go:744 silently drops the detection line) is deliberately FIXED
+    here — the detection line is parsed normally. Returns None when no
+    format matches (the reference keeps trying on subsequent lines)."""
+    found = None
+    for name in FORMATS:
+        if _COMPILED[name].match(line):
+            found = name
+    return found
+
 # ---- timestamps ------------------------------------------------------------
 # Go zero time (time.Time{}) formats as 0001-01-01 00:00:00; the reference
 # drops timestamp parse errors (httpservers.go:175) so a bad ts flows through

@@ -112,24 +112,83 @@ def enriched_dataset(input_dir: str, job: JobConfig,
     )
 
 
-def _stream_merge(long_ds: rd.Dataset, keys: list[str], value: str) -> pa.Table:
-    """Final combine of block-local partial aggregates: stream the (small)
-    partial blocks to the driver and merge with one Arrow group_by.
+@ray.remote
+def _merge_partials(keys: list[str], value: str, *tables) -> pa.Table | None:
+    """Worker-side combine of partial-aggregate tables (one tree node)."""
+    ts = []
+    for t in tables:
+        if t is None:
+            continue
+        if not isinstance(t, pa.Table):  # tolerate pandas blocks
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows:
+            ts.append(t)
+    if not ts:
+        return None
+    g = pa.concat_tables(ts).group_by(keys).aggregate([(value, "sum")])
+    return g.rename_columns(keys + [value])
+
+
+def _stream_merge(long_ds: rd.Dataset, keys: list[str], value: str,
+                  fanin: int = 16, driver_rows_budget: int = 1 << 20) -> pa.Table:
+    """Final combine of block-local partial aggregates.
 
     The heavy reduction already happened distributed (the per-block
-    partial agg inside map_batches); what reaches the driver is
-    ~blocks x per-block-distinct-groups rows — MBs, not the input. Valid
-    while the aggregate key space is bounded (source x enum-key x
-    time-window). For key spaces that rival the row count (where even
-    the partial stream would swamp one node) use ``final="groupby"``
-    (fully distributed hash shuffle); measured locally the streaming
-    merge is 4-5x faster because Ray's all-to-all operators carry
-    multi-second fixed costs per execution."""
-    parts = list(long_ds.iter_batches(batch_format="pyarrow", batch_size=None))
-    t = pa.concat_tables(parts) if parts else None
-    if t is None or t.num_rows == 0:
+    partial agg inside map_batches). The partial blocks are consumed as
+    a stream of object refs (``iter_internal_ref_bundles`` — single
+    execution, safe with side-effect stages). Two regimes:
+
+    - small partial stream (the bounded-cardinality common case):
+      blocks stream to the driver and one Arrow group_by merges them —
+      measured 4-5x faster locally than Ray's all-to-all operators,
+      which carry multi-second fixed costs per execution;
+    - once the streamed partial rows exceed ``driver_rows_budget`` (or
+      block count grows past 256 with unknown counts — data-dependent
+      key spaces like PATH/REFERER at high block counts), the combine
+      auto-switches to a distributed TREE: every ``fanin`` pending
+      partials are merged by a worker task (overlapping the still-
+      running upstream), recursively, so driver memory is bounded by
+      O(final distinct keys + fanin x per-block keys) instead of
+      growing linearly with block count.
+
+    ``final="groupby"`` on the callers remains the fully-shuffled
+    escape hatch for key spaces that rival the row count."""
+    pending: list = []
+    rows_seen = 0
+    blocks_seen = 0
+    merging = False
+    for bundle in long_ds.iter_internal_ref_bundles():
+        for block_ref, md in bundle.blocks:
+            pending.append(block_ref)
+            blocks_seen += 1
+            rows_seen += md.num_rows or 0
+            if not merging and (rows_seen > driver_rows_budget or blocks_seen > 256):
+                merging = True
+            while merging and len(pending) >= fanin:
+                batch_refs, pending = pending[:fanin], pending[fanin:]
+                pending.append(_merge_partials.remote(keys, value, *batch_refs))
+    if merging:
+        # finish the reduction remotely down to ONE table so the driver
+        # only ever reads the final result (zero-copy from the object
+        # store), never an intermediate concat
+        while len(pending) > 1:
+            batch_refs, pending = pending[:fanin], pending[fanin:]
+            pending.append(_merge_partials.remote(keys, value, *batch_refs))
+        final = ray.get(pending[0])
+        if final is None or final.num_rows == 0:
+            return long_ds.schema().base_schema.empty_table()
+        return final
+    tables = []
+    for t in ray.get(pending):
+        if t is None:
+            continue
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows:
+            tables.append(t)
+    if not tables:
         return long_ds.schema().base_schema.empty_table()
-    g = t.group_by(keys).aggregate([(value, "sum")])
+    g = pa.concat_tables(tables).group_by(keys).aggregate([(value, "sum")])
     return g.rename_columns(keys + [value])
 
 

@@ -329,9 +329,7 @@ def q_log_top_paths_cms(sf_dir: str):
     return topk_count_min(enriched, "path", k=10)
 
 
-def q_log_parse_stats(sf_dir: str):
-    enr = _enriched(sf_dir)
-
+def _parse_stats_from(enr) -> pa.Table:
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by("source").aggregate([("parse_ok", "sum"), ("parse_ok", "count")])
         return g.rename_columns(["source", "parsed", "total_lines"])
@@ -351,6 +349,40 @@ def q_log_parse_stats(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_log_parse_stats(sf_dir: str):
+    return _parse_stats_from(_enriched(sf_dir))
+
+
+def _auto_job() -> JobConfig:
+    """No format map at all — every source sniffs its format from its
+    first parseable line (S-auto, main.go:728-748)."""
+    from ..config import SourceConfig
+
+    return JobConfig(default=SourceConfig(log_format="auto"))
+
+
+def q_log_parse_stats_auto(sf_dir: str):
+    """Format auto-detection mode on mixed-format input (the 12 synth
+    sources cycle through all 5 formats) with NO explicit format config;
+    gated by the same independent SQL as log_parse_stats — detection must
+    reproduce the explicit-config parse outcome per line."""
+    return _parse_stats_from(
+        logpipe.enriched_dataset(_input_paths(sf_dir), _auto_job())
+    )
+
+
+def q_log_metrics_basic_auto(sf_dir: str):
+    """Auto-detected formats must yield identical parsed FIELDS, not just
+    parse counts: the windowed basic metrics under auto detection, gated
+    by the same independent SQL as log_metrics_basic."""
+    basic = pa.array([1, 2, 3, 5], type=pa.int32())
+    enr = logpipe.enriched_dataset(_input_paths(sf_dir), _auto_job())
+    return logpipe.metrics_dataset(enr).map_batches(
+        lambda t: t.filter(pc.is_in(t["metric_type"], value_set=basic)),
+        batch_format="pyarrow",
+    )
+
+
 def log_queries() -> dict:
     return {
         "log_metrics": q_log_metrics,
@@ -363,6 +395,8 @@ def log_queries() -> dict:
         "log_top_paths": q_log_top_paths,
         "log_top_paths_cms": q_log_top_paths_cms,
         "log_parse_stats": q_log_parse_stats,
+        "log_parse_stats_auto": q_log_parse_stats_auto,
+        "log_metrics_basic_auto": q_log_metrics_basic_auto,
         "log_geo_counts": q_log_geo_counts,
         "log_status_class_counts": q_log_status_class_counts,
         "log_distinct_clients": q_log_distinct_clients,
@@ -377,6 +411,10 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         # independent SQL implementations
         "log_metrics_basic": sql_metrics_basic(cache),
         "log_parse_stats": sql_parse_stats(cache),
+        # auto-detection must reproduce the explicit-config results, so
+        # the SAME independent SQL gates the auto-mode queries
+        "log_parse_stats_auto": sql_parse_stats(cache),
+        "log_metrics_basic_auto": sql_metrics_basic(cache),
         "log_geo_counts": sql_geo_counts(cache),
         "log_status_class_counts": sql_status_class_counts(cache),
         "log_distinct_clients": sql_distinct_clients(cache),

@@ -302,6 +302,7 @@ class ParseEnrich:
         except (ImportError, TypeError):  # pure-local testing without ray
             pass
         self.job: JobConfig = job
+        self._detected: dict[str, str | None] = {}  # auto-detect cache
         self._fmt_of: dict[str, str] = {}
         self._wm_of: dict[str, int] = {}
         self._skip_of: dict[str, str | None] = {}
@@ -356,8 +357,31 @@ class ParseEnrich:
         # format per row via the (small) source dictionary
         src_enc = pc.dictionary_encode(sources.combine_chunks() if isinstance(sources, pa.ChunkedArray) else sources)
         src_uniques = src_enc.dictionary.to_pylist()
+
+        def fmt_for(src: str, src_idx: int) -> int:
+            fmt = self._fmt_of.get(src, self._default_fmt)
+            if fmt != L.FORMAT_AUTO:
+                return L.FORMATS.index(fmt)
+            # auto-detect (S-auto, main.go:728-748): sniff this source's
+            # lines in order until one matches; lock per (worker, source).
+            # Single-format sources converge to the same answer in every
+            # worker (non-matching lines match NO format); truly
+            # mixed-format sources are outside the reference's contract.
+            det = self._detected.get(src)
+            if det is None:
+                rows = pc.equal(src_enc.indices, src_idx)
+                for line in lines.filter(rows).to_pylist():
+                    det = L.detect_format(line)
+                    if det is not None:
+                        self._detected[src] = det
+                        break
+            # undetected: parse as format 0 — every row fails its anchored
+            # regex, yielding parse_error rows (the reference likewise
+            # counts lines as errors until detection succeeds)
+            return L.FORMATS.index(det) if det else 0
+
         fmt_codes = np.array(
-            [L.FORMATS.index(self._fmt_of.get(s, self._default_fmt)) for s in src_uniques],
+            [fmt_for(s, i) for i, s in enumerate(src_uniques)],
             dtype=np.int8,
         )[src_enc.indices.to_numpy(zero_copy_only=False)]
         wm_uniques = np.array(
@@ -551,8 +575,22 @@ class ParseEnrich:
         return pa.Table.from_arrays(arrays, schema=ENRICHED_SCHEMA)
 
 
-# task-pool entry: one cached ParseEnrich per (worker process, job identity)
-_FN_CACHE: dict[int, ParseEnrich] = {}
+# task-pool entry: one cached ParseEnrich per (worker process, job content)
+_FN_CACHE: dict[str, ParseEnrich] = {}
+
+
+def _job_fingerprint(job: JobConfig) -> str:
+    """Content hash of the job config — the worker-side cache key. Keyed
+    by CONTENT, not ``id(job)``: CPython id reuse after GC could hand a
+    long-lived worker a stale ParseEnrich built from a previous config."""
+    import hashlib
+
+    from dataclasses import asdict
+
+    blob = repr(sorted(asdict(job.default).items())) + repr(
+        sorted((k, sorted(asdict(v).items())) for k, v in job.sources.items())
+    )
+    return hashlib.sha1(blob.encode()).hexdigest()
 
 
 def make_parse_fn(job: JobConfig):
@@ -562,7 +600,7 @@ def make_parse_fn(job: JobConfig):
     caches (and the memoized ParseEnrich) persist across batches and
     queries without actor-pool startup cost. The job config rides along
     in the (tiny) serialized closure."""
-    key = id(job)
+    key = _job_fingerprint(job)
 
     def parse_enrich(batch: pa.Table) -> pa.Table:
         pe = _FN_CACHE.get(key)

@@ -119,6 +119,7 @@ def synth_lines(
     n_sources: int = 12,
     ooo_frac: float = 0.0,
     special_frac: float = 0.05,
+    unique_paths: bool = False,
 ) -> tuple[list[str], list[str], list[str]]:
     """Generate (doc_ids, lines, sources), deterministic in all args."""
     rng = random.Random(seed)
@@ -177,6 +178,11 @@ def synth_lines(
         method = rng.choice(METHODS)
         if rng.random() < special_frac:
             uri = rng.choice(SPECIAL_URIS)
+        elif unique_paths:
+            # adversarial high-cardinality variant: every row a distinct
+            # URL, so PATH metrics / paths counters get ~row-count keys
+            # and per-block partial aggregation cannot shrink anything
+            uri = f"/u/{i:012d}"
         else:
             uri = path_pool[min(int(rng.expovariate(0.03)), len(path_pool) - 1)]
             if rng.random() < 0.15:
@@ -257,13 +263,18 @@ def ensure_input(sf_dir: str, seed: int = SEED_DEFAULT, n_sources: int = 12,
 
 
 def ensure_rows(n_rows: int, seed: int = SEED_DEFAULT, n_sources: int = 12,
-                cache_root: str = "/tmp/sbo_synth") -> str:
-    """Idempotently materialize a synthetic input table of n_rows."""
-    out = os.path.join(cache_root, f"v5_n{n_rows}_s{seed}_k{n_sources}")
+                cache_root: str = "/tmp/sbo_synth",
+                unique_paths: bool = False) -> str:
+    """Idempotently materialize a synthetic input table of n_rows.
+    ``unique_paths=True`` is the adversarial high-key-cardinality variant
+    (own cache key)."""
+    tag = "v5hc" if unique_paths else "v5"
+    out = os.path.join(cache_root, f"{tag}_n{n_rows}_s{seed}_k{n_sources}")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
-    doc_ids, lines, sources = synth_lines(n_rows, seed=seed, n_sources=n_sources)
+    doc_ids, lines, sources = synth_lines(n_rows, seed=seed, n_sources=n_sources,
+                                          unique_paths=unique_paths)
     table = build_table(doc_ids, lines, sources)
     n_shards = max(8, min(64, n_rows // 50_000 + 8))
     import shutil

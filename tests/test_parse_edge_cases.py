@@ -117,3 +117,72 @@ def test_fast_path_fallback_adversarial():
         assert row["referer"] == o.referer, line
         assert row["ua_fullname"] == (o.ua.full_name if o.ua else ""), line
         assert row["remote_user"] == o.remote_user, line
+
+
+# ---- format auto-detection (S-auto, main.go:728-748) -----------------------
+
+CLF = '1.1.1.1 - - [10/Oct/2000:13:55:36 -0700] "GET /a HTTP/1.0" 200 10'
+COMBINED = '2.2.2.2 - frank [10/Oct/2000:13:55:36 -0700] "GET /b HTTP/1.1" 404 20 "-" "curl/8"'
+VHOST = 'x.com:443 3.3.3.3 - - [10/Oct/2000:13:55:36 -0700] "GET /c HTTP/2.0" 500 30 "-" "Bytespider"'
+NGINX_CUSTOM = '4.4.4.4 - - [10/Oct/2000:13:55:36 -0700] "GET /d HTTP/1.1" 200 40 "-" "curl/8" 0.001 0.001'
+
+
+def _auto_job():
+    return JobConfig(default=SourceConfig(log_format="auto"))
+
+
+def test_auto_detect_mixed_sources_no_format_map():
+    pe = ParseEnrich(_auto_job())
+    out = pe(_table([CLF, COMBINED, VHOST, NGINX_CUSTOM],
+                    ["s1", "s2", "s3", "s4"]))
+    by_ip = {r["client_ip"]: r for r in out.to_pylist()}
+    assert all(r["parse_ok"] for r in by_ip.values())
+    assert by_ip["1.1.1.1"]["path"] == "/a"
+    assert by_ip["2.2.2.2"]["remote_user"] == "frank"
+    assert by_ip["3.3.3.3"]["domain"] == "x.com:443"
+    assert by_ip["4.4.4.4"]["path"] == "/d"
+
+
+def test_auto_detect_last_match_wins_like_reference():
+    """An apache_combined line also matches nginx_combined; the reference's
+    detection loop has no break, so the LAST match (nginx_combined) wins —
+    reproduced bug-for-bug (main.go:741-747)."""
+    pe = ParseEnrich(_auto_job())
+    pe(_table([COMBINED], ["s"]))
+    assert pe._detected["s"] == "nginx_combined"
+
+
+def test_auto_detect_skips_leading_garbage_then_locks():
+    pe = ParseEnrich(_auto_job())
+    out = pe(_table(["### garbage", CLF, "### more", CLF], ["s"] * 4))
+    assert out.column("parse_ok").to_pylist() == [False, True, False, True]
+    # the detection line itself is parsed (the reference drops it;
+    # documented fix)
+    assert out.column("path").to_pylist()[1] == "/a"
+    assert pe._detected["s"] == "apache_common"
+
+
+def test_auto_detect_never_matches_all_errors():
+    pe = ParseEnrich(_auto_job())
+    out = pe(_table(["junk1", "junk2"], ["s", "s"]))
+    assert out.column("parse_ok").to_pylist() == [False, False]
+    assert "s" not in pe._detected  # keeps trying on later batches
+
+
+def test_auto_vs_explicit_same_fields():
+    """Auto-detected parse must produce the same enriched fields as the
+    explicit config (modulo remote_logname for combined-as-nginx, which
+    matches the reference's own detection outcome)."""
+    lines = [CLF, COMBINED, VHOST, NGINX_CUSTOM] * 3
+    sources = ["a", "b", "c", "d"] * 3
+    explicit = ParseEnrich(_job(a="apache_common", b="apache_combined",
+                                c="apache_vhost_combined", d="nginx_custom"))
+    auto = ParseEnrich(_auto_job())
+    t = _table(lines, sources)
+    e, o = explicit(t).to_pylist(), auto(t).to_pylist()
+    for re_, ro in zip(sorted(e, key=lambda r: r["doc_id"]),
+                       sorted(o, key=lambda r: r["doc_id"])):
+        for k in re_:
+            if k == "remote_logname":
+                continue
+            assert re_[k] == ro[k], k
