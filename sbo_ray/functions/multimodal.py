@@ -2,12 +2,12 @@
 
 Image/audio/video payloads are carried as ``binary`` columns with typed
 metadata columns alongside. The decode / feature-extract steps run as an
-actor-pool ``map_batches`` stage. The actual codecs are NOT available in
-this environment, so the decoder is stubbed: ``DecoderStub`` raises
-``NotImplementedError`` for real decoding and offers a deterministic
-fake feature extractor (byte histogram) so the Ray-side plumbing —
-schema, batch sizing, actor signature, output layout — is real and
-tested end-to-end.
+actor-pool ``map_batches`` stage. PPM (P6) images decode NATIVELY here
+(pure-numpy parser, no external codec) with integer channel-sum
+features, gated by an exact SQL oracle; media types whose codecs aren't
+in this container (PNG/JPEG/audio) raise ``NotImplementedError`` from
+the same stage, and a deterministic fake feature extractor (byte
+histogram) remains for plumbing tests.
 
 Scale notes: payload batches are large; callers should use a small
 ``batch_size`` (payload bytes x batch_size x concurrency must fit worker
@@ -95,26 +95,120 @@ def resize_features(batch: pa.Table, out_dim: int = 8) -> pa.Table:
     )
 
 
+# ---- PPM (P6) image support: real, pure-numpy ------------------------------
+PPM_MEDIA_TYPE = "image/x-portable-pixmap"
+
+
+def make_ppm(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """Render an RGB pixel array (uint8, len == 3*w*h) as a binary PPM
+    (P6) payload."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    return header + pixels.astype(np.uint8).tobytes()
+
+
+def synth_ppm(doc_id: int, width: int = 12, height: int = 8) -> bytes:
+    """Deterministic synthetic image per doc: byte k of the RGB raster is
+    ``(doc_id*31 + k*17 + 23) % 256`` — a closed form the DuckDB oracle
+    reproduces exactly (integer channel sums, no float rounding)."""
+    k = np.arange(3 * width * height, dtype=np.int64)
+    return make_ppm(width, height, ((doc_id * 31 + k * 17 + 23) % 256))
+
+
+def decode_ppm(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse a binary PPM (P6): magic, whitespace/#-comment-tolerant
+    header tokens (width, height, maxval), single whitespace, raster.
+    Returns (width, height, maxval, uint8 array of 3*w*h). Raises
+    ValueError on malformed input."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":  # comment to end of line
+            while pos < len(data) and data[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(data[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval
+    width, height, maxval = tokens
+    n = 3 * width * height
+    raster = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
+    if len(raster) < n:
+        raise ValueError("truncated PPM raster")
+    return width, height, maxval, raster
+
+
+FEATURE_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("media_type", pa.string()),
+    ("payload_bytes", pa.int64()),
+    ("width", pa.int64()),
+    ("height", pa.int64()),
+    ("sum_r", pa.int64()),
+    ("sum_g", pa.int64()),
+    ("sum_b", pa.int64()),
+])
+
+
 class DecoderStub:
     """Actor-pool decode/feature stage for binary payload columns.
 
-    ``__init__`` is where a real build would load the codec / model once
+    ``__init__`` is where a real build would load codecs / models once
     per actor; ``__call__`` processes one payload batch. With
-    ``fake=False`` it raises NotImplementedError (no image/audio libs in
-    this container); with ``fake=True`` it emits a deterministic byte
-    histogram as the "feature" so downstream stages can be exercised.
+    ``fake=False`` it REALLY decodes ``image/x-portable-pixmap``
+    payloads (pure-numpy P6 parser above) and emits integer per-channel
+    feature sums; other media types raise NotImplementedError (their
+    codecs aren't in this container). ``fake=True`` keeps the
+    deterministic byte-histogram mode for plumbing tests.
     """
 
     def __init__(self, fake: bool = True) -> None:
         self.fake = fake
         # real build: self.model = load_decoder(...)  (once per actor)
 
+    def _decode(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        media = batch.column("media_type").to_pylist()
+        w_v, h_v, r_v, g_v, b_v = [], [], [], [], []
+        for mt, p in zip(media, payloads):
+            if mt != PPM_MEDIA_TYPE:
+                raise NotImplementedError(
+                    f"no codec for {mt!r} in this environment "
+                    f"(only {PPM_MEDIA_TYPE} decodes natively)"
+                )
+            w, h, _maxval, raster = decode_ppm(p)
+            px = raster.astype(np.int64)
+            w_v.append(w)
+            h_v.append(h)
+            r_v.append(int(px[0::3].sum()))
+            g_v.append(int(px[1::3].sum()))
+            b_v.append(int(px[2::3].sum()))
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id").combine_chunks() if isinstance(
+                    batch.column("doc_id"), pa.ChunkedArray) else batch.column("doc_id"),
+                batch.column("media_type").combine_chunks() if isinstance(
+                    batch.column("media_type"), pa.ChunkedArray) else batch.column("media_type"),
+                batch.column("payload_bytes").combine_chunks() if isinstance(
+                    batch.column("payload_bytes"), pa.ChunkedArray) else batch.column("payload_bytes"),
+                pa.array(w_v, type=pa.int64()),
+                pa.array(h_v, type=pa.int64()),
+                pa.array(r_v, type=pa.int64()),
+                pa.array(g_v, type=pa.int64()),
+                pa.array(b_v, type=pa.int64()),
+            ],
+            schema=FEATURE_SCHEMA,
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError(
-                "payload decoding requires image/audio codecs not present "
-                "in this environment; run with fake=True for the plumbing"
-            )
+            return self._decode(batch)
         payloads = batch.column("payload").to_pylist()
         feats = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float32)
         for i, p in enumerate(payloads):

@@ -367,13 +367,34 @@ def multimodal_payload_stats(sf_dir: str):
 
 
 def multimodal_features(sf_dir: str):
-    """Full plumbing incl. the (stubbed) actor-pool decode stage."""
-    payload = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        to_payload_table, batch_format="pyarrow"
+    """REAL image decode through the actor-pool stage: deterministic
+    synthetic PPM payloads (one per doc), decoded by the pure-numpy P6
+    parser inside ``DecoderStub(fake=False)`` — header parse, raster
+    extraction, integer per-channel feature sums. Gated by an exact SQL
+    oracle (the pixel generator is a closed form). Actor-pool shape:
+    decode state loads once per actor; small batch_size because payload
+    batches are large."""
+    from ..functions.multimodal import PAYLOAD_SCHEMA, PPM_MEDIA_TYPE, synth_ppm
+
+    def to_images(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = [synth_ppm(int(i)) for i in ids]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array(payloads, type=pa.binary()),
+                pa.array([PPM_MEDIA_TYPE] * len(ids), type=pa.string()),
+                pa.array([len(p) for p in payloads], type=pa.int64()),
+            ],
+            schema=PAYLOAD_SCHEMA,
+        )
+
+    payload = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        to_images, batch_format="pyarrow"
     )
     return payload.map_batches(
         DecoderStub,
-        fn_constructor_kwargs={"fake": True},
+        fn_constructor_kwargs={"fake": False},
         batch_format="pyarrow",
         batch_size=256,
         concurrency=2,

@@ -6,9 +6,10 @@ Oracle styles per query (see queries.py for the taxonomy):
   of the sketch operators (exact Jaccard for MinHash-LSH pairs +
   transitive-closure clusters, md5-vote simhash + all-pairs Hamming,
   the Karp-Rabin rolling fingerprint, exact top-k for the LSH ANN);
-- no SQL entry (driver rows-only check) only for the stubbed multimodal
-  decode, gated by deterministic pytest goldens instead
-  (tests/test_dataops.py).
+- every data query is SQL-gated, including the real PPM decode
+  (multimodal_features: closed-form pixel sums); only the log-side CMS
+  sketch remains rows-only (approximate by nature, accuracy gated in
+  tests/test_sketch.py).
 """
 
 from __future__ import annotations
@@ -213,6 +214,24 @@ SQL_MULTIMODAL_PAYLOAD_STATS = """
 SELECT doc_id, CAST(strlen(text) AS BIGINT) AS payload_bytes FROM documents
 """
 
+# Exact mirror of the real PPM decode path: the synthetic image's RGB
+# raster byte k is (doc_id*31 + k*17 + 23) % 256 (multimodal.synth_ppm),
+# 12x8 px => 288 raster bytes + 12 header bytes; channel c = bytes k%3==c.
+# If the engine's P6 header parse or raster offset were wrong, the sums
+# would not match.
+SQL_MULTIMODAL_FEATURES = """
+SELECT d.doc_id,
+       'image/x-portable-pixmap' AS media_type,
+       CAST(300 AS BIGINT) AS payload_bytes,
+       CAST(12 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(SUM(CASE WHEN k % 3 = 0 THEN (d.doc_id*31 + k*17 + 23) % 256 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN k % 3 = 1 THEN (d.doc_id*31 + k*17 + 23) % 256 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN k % 3 = 2 THEN (d.doc_id*31 + k*17 + 23) % 256 END) AS BIGINT) AS sum_b
+FROM documents d CROSS JOIN (SELECT unnest(range(288)) AS k)
+GROUP BY d.doc_id
+"""
+
 SQL_CUSTOMER_NATION_AGG = """
 SELECT n.n_name,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -298,11 +317,10 @@ def data_queries() -> dict:
 
 
 def data_oracle_sql() -> dict:
-    # rows-only (genuinely non-SQL-gateable): multimodal_features (the
-    # stubbed decode; pytest-golden-gated instead). emb_ann_lsh is gated
-    # against the EXACT top-k SQL: with the default multi-table multiprobe
-    # settings its result is exact-equal on the test corpora (see the
-    # operator docstring for the recall/speed trade-off).
+    # emb_ann_lsh is gated against the EXACT top-k SQL: with the default
+    # multi-table multiprobe settings its result is exact-equal on the
+    # test corpora (see the operator docstring for the recall/speed
+    # trade-off).
     return {
         "doc_dedup_exact": SQL_DOC_DEDUP_EXACT,
         "doc_dedup_minhash": SQL_DOC_DEDUP_MINHASH,
@@ -310,6 +328,7 @@ def data_oracle_sql() -> dict:
         "doc_dedup_simhash": SQL_DOC_DEDUP_SIMHASH,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "emb_ann_lsh": SQL_EMB_SIMILARITY_TOPK,
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "emb_dedup_cosine": SQL_EMB_DEDUP_COSINE,
         "emb_similarity_topk": SQL_EMB_SIMILARITY_TOPK,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

@@ -168,6 +168,44 @@ FROM parsed GROUP BY 1, 2
 """
 
 
+def sql_counter_deltas(cache: str) -> str:
+    """Independent SQL: windowed counter deltas (counter.go:53-56,
+    255-284) — the reference's per-tick report is (current cumulative,
+    current-previous); in event-time the per-window count IS that delta
+    and the running sum is the cumulative, via SUM OVER."""
+    return _pattern_cte(cache) + f"""
+, parsed AS (
+  SELECT source,
+    {_extract_case("ts")} AS ts_str,
+    {_extract_case("method")} AS method,
+    {_extract_case("status")} AS status,
+    {_extract_case("client_ip")} AS ip
+  FROM pat WHERE {_matches_case()}
+), w2 AS (
+  SELECT source, method, status, ip,
+    CAST(year(lt) AS BIGINT)*100000000 + month(lt)*1000000 + day(lt)*10000
+      + hour(lt)*100 + (minute(lt) - minute(lt)%10) AS time_window
+  FROM (SELECT *, try_strptime(split_part(ts_str, ' ', 1),
+                               '%d/%b/%Y:%H:%M:%S') AS lt FROM parsed)
+), counts AS (
+  SELECT source, 'status_codes' AS dimension, status AS key_value,
+         time_window, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM w2 GROUP BY source, status, time_window
+  UNION ALL
+  SELECT source, 'methods', method, time_window, CAST(COUNT(*) AS BIGINT)
+  FROM w2 GROUP BY source, method, time_window
+  UNION ALL
+  SELECT source, 'clients', ip, time_window, CAST(COUNT(*) AS BIGINT)
+  FROM w2 GROUP BY source, ip, time_window
+)
+SELECT source, dimension, key_value, time_window, cnt,
+       CAST(SUM(cnt) OVER (PARTITION BY source, dimension, key_value
+                           ORDER BY time_window
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative
+FROM counts
+"""
+
+
 def sql_distinct_clients(cache: str) -> str:
     return _pattern_cte(cache) + f"""
 , parsed AS (
@@ -353,6 +391,58 @@ def q_log_parse_stats(sf_dir: str):
     return _parse_stats_from(_enriched(sf_dir))
 
 
+def q_log_counter_deltas(sf_dir: str):
+    """K1-deltas: the counter report's per-interval view (counter.go
+    53-56 CurrentValue/PreviousValue, 255-284 startNewWindow) in
+    event-time: per (source, dimension, key_value, time_window) the
+    in-window count (== current-previous of the cumulative counter) and
+    the running cumulative. Distributed melt + partial agg + tree/stream
+    combine; the running sum runs over the (bounded, aggregate-sized)
+    counter table on the driver — same contract as the top-N report."""
+    import numpy as np
+
+    from ..stages.metrics import const_str
+
+    enr = _enriched(sf_dir)
+    dims = (("status_codes", "status"), ("methods", "method"),
+            ("clients", "client_ip"))
+
+    def melt(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("parse_ok"))
+        n = t.num_rows
+        pieces = []
+        if n:
+            ones = pa.array(np.ones(n, dtype=np.int64))
+            for dim, col in dims:
+                pieces.append(pa.table({
+                    "source": t.column("source").combine_chunks(),
+                    "dimension": const_str(n, dim),
+                    "key_value": t.column(col).combine_chunks(),
+                    "time_window": t.column("time_window").combine_chunks(),
+                    "cnt": ones,
+                }))
+        if not pieces:
+            return pa.schema([
+                ("source", pa.string()), ("dimension", pa.string()),
+                ("key_value", pa.string()), ("time_window", pa.int64()),
+                ("cnt", pa.int64()),
+            ]).empty_table()
+        long_t = pa.concat_tables(pieces)
+        keys = ["source", "dimension", "key_value", "time_window"]
+        g = long_t.group_by(keys).aggregate([("cnt", "sum")])
+        return g.rename_columns(keys + ["cnt"])
+
+    long_ds = enr.map_batches(melt, batch_format="pyarrow")
+    agg = logpipe._stream_merge(
+        long_ds, ["source", "dimension", "key_value", "time_window"], "cnt")
+    df = agg.to_pandas().sort_values(
+        ["source", "dimension", "key_value", "time_window"])
+    df["cumulative"] = df.groupby(
+        ["source", "dimension", "key_value"])["cnt"].cumsum().astype("int64")
+    df["cnt"] = df["cnt"].astype("int64")
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
 def _auto_job() -> JobConfig:
     """No format map at all — every source sniffs its format from its
     first parseable line (S-auto, main.go:728-748)."""
@@ -397,6 +487,7 @@ def log_queries() -> dict:
         "log_parse_stats": q_log_parse_stats,
         "log_parse_stats_auto": q_log_parse_stats_auto,
         "log_metrics_basic_auto": q_log_metrics_basic_auto,
+        "log_counter_deltas": q_log_counter_deltas,
         "log_geo_counts": q_log_geo_counts,
         "log_status_class_counts": q_log_status_class_counts,
         "log_distinct_clients": q_log_distinct_clients,
@@ -415,6 +506,7 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         # the SAME independent SQL gates the auto-mode queries
         "log_parse_stats_auto": sql_parse_stats(cache),
         "log_metrics_basic_auto": sql_metrics_basic(cache),
+        "log_counter_deltas": sql_counter_deltas(cache),
         "log_geo_counts": sql_geo_counts(cache),
         "log_status_class_counts": sql_status_class_counts(cache),
         "log_distinct_clients": sql_distinct_clients(cache),

@@ -129,14 +129,23 @@ def test_ann_lsh_recall(ray_session):
     assert len(approx & exact) >= 3
 
 
-def test_multimodal_features_stub(ray_session):
+def test_multimodal_features_real_decode(ray_session):
     from sbo_ray.functions.multimodal import DecoderStub
     from sbo_ray.pipelines.datapipe import multimodal_features
 
-    got = multimodal_features(SF).to_pandas()
+    got = multimodal_features(SF).to_pandas().set_index("doc_id")
     assert len(got) == 500
-    assert len(got.loc[0, "features"]) == 16
-    # the non-fake path is an explicit stub
+    # golden: doc 0's raster byte k is (k*17 + 23) % 256; channel sums
+    # computed independently here
+    import numpy as np
+
+    k = np.arange(288)
+    vals = (0 * 31 + k * 17 + 23) % 256
+    assert got.loc[0, "sum_r"] == vals[0::3].sum()
+    assert got.loc[0, "sum_g"] == vals[1::3].sum()
+    assert got.loc[0, "sum_b"] == vals[2::3].sum()
+    assert (got["width"] == 12).all() and (got["height"] == 8).all()
+    # media types without a native codec still raise explicitly
     import pyarrow as pa_
 
     with pytest.raises(NotImplementedError):
@@ -144,6 +153,27 @@ def test_multimodal_features_stub(ray_session):
             "doc_id": [1], "payload": [b"x"], "media_type": ["image/png"],
             "payload_bytes": [1],
         }))
+
+
+def test_ppm_decode_roundtrip_and_malformed():
+    import numpy as np
+
+    from sbo_ray.functions.multimodal import decode_ppm, make_ppm, synth_ppm
+
+    px = np.arange(3 * 4 * 2) % 256
+    data = make_ppm(4, 2, px)
+    w, h, maxval, raster = decode_ppm(data)
+    assert (w, h, maxval) == (4, 2, 255)
+    assert (raster == px).all()
+    # comment-tolerant header
+    commented = b"P6\n# a comment\n4 2\n255\n" + px.astype("uint8").tobytes()
+    assert decode_ppm(commented)[3].tolist() == px.tolist()
+    # deterministic synth
+    assert synth_ppm(7) == synth_ppm(7)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError):
+        decode_ppm(make_ppm(4, 2, px)[:-10])
 
 
 def test_multimodal_frame_sample_and_resize(ray_session):
