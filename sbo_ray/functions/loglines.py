@@ -129,9 +129,12 @@ _MONTHS = {
     "Jan": 1, "Feb": 2, "Mar": 3, "Apr": 4, "May": 5, "Jun": 6,
     "Jul": 7, "Aug": 8, "Sep": 9, "Oct": 10, "Nov": 11, "Dec": 12,
 }
+# Day is EXACTLY 2 digits (Go layout "02" = zero-padded, fixed-width
+# getnum) while hour accepts 1-2 digits (layout "15" parses non-fixed) —
+# matches time.Parse on non-standard timestamps exactly
 _RE_APACHE_TS = re.compile(
-    r"^(\d{1,2})/(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)/(\d{4}):"
-    r"(\d{2}):(\d{2}):(\d{2}) ([+-])(\d{2})(\d{2})$"
+    r"^(\d{2})/(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)/(\d{4}):"
+    r"(\d{1,2}):(\d{2}):(\d{2}) ([+-])(\d{2})(\d{2})$"
 )
 
 
@@ -153,8 +156,8 @@ def parse_apache_timestamp(value: str) -> datetime:
 
 
 _RE_HAPROXY_TS = re.compile(
-    r"^(\d{1,2})/(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)/(\d{4}):"
-    r"(\d{2}):(\d{2}):(\d{2})\.(\d{3})$"
+    r"^(\d{2})/(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)/(\d{4}):"
+    r"(\d{1,2}):(\d{2}):(\d{2})\.(\d{3})$"
 )
 
 

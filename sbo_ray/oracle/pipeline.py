@@ -105,7 +105,9 @@ class OracleMetricsManager:
 
 def metric_fanout(row: L.ParsedLine) -> list[tuple[int, str, int]]:
     """HandleEntry fan-out (metricgenerator.go:86-126): one parsed row ->
-    up to 12 (metric_type, key_value, value) emissions."""
+    up to 12 (metric_type, key_value, value) emissions. Keys are
+    truncated to 100 bytes like the sbo_metrics sink
+    (ReduceToMaxColumnLen, db/mysqldb.go:152)."""
     out = [
         (METRIC_REQ_COUNT, "", 1),
         (METRIC_BYTES_SENT, "", row.bytes_sent),
@@ -128,7 +130,7 @@ def metric_fanout(row: L.ParsedLine) -> list[tuple[int, str, int]]:
         (METRIC_IS_HUMAN, ua.human, 1),
         (METRIC_REQUEST_INTENT, ua.intent, 1),
     ])
-    return out
+    return [(mt, L.reduce_to_max_len(k, 100), v) for mt, k, v in out]
 
 
 def is_relevant(row: L.ParsedLine) -> bool:

@@ -291,6 +291,12 @@ def full_pipeline(input_paths, job: JobConfig, out_dir: str,
     parse_fn = make_parse_fn(job)
     routed_root = os.path.join(out_dir, "routed")
     os.makedirs(routed_root, exist_ok=True)
+    # clear fragments from any previous invocation: content-derived names
+    # make RETRIES idempotent within a run, but a reused out_dir with
+    # different input/batching would otherwise mix stale fragments in
+    for stale in os.listdir(routed_root):
+        if stale.startswith(("part-", ".part-")):
+            os.unlink(os.path.join(routed_root, stale))
 
     def stage(batch: pa.Table) -> pa.Table:
         enriched = parse_fn(batch)

@@ -111,6 +111,18 @@ def metric_fanout(batch: pa.Table) -> pa.Table:
     emit(METRIC_REQUEST_INTENT, batch.column("ua_intent").combine_chunks(), ones)
 
     long_t = pa.concat_tables(pieces)
+    # the sbo_metrics sink truncates key_value to 100 bytes
+    # (ReduceToMaxColumnLen, db/mysqldb.go:152), merging counts for keys
+    # sharing a 100-byte prefix; applied BEFORE the aggregation so the
+    # merge happens here instead of in a DB upsert
+    from .route import _truncate
+
+    kv = long_t.column("key_value")
+    kv = kv.combine_chunks() if isinstance(kv, pa.ChunkedArray) else kv
+    long_t = long_t.set_column(
+        long_t.schema.get_field_index("key_value"), "key_value",
+        _truncate(kv, 100),
+    )
     # partial pre-aggregation: shrink before the global shuffle
     agg = long_t.group_by(GROUP_KEYS).aggregate([("metric_value", "sum")])
     agg = agg.rename_columns(GROUP_KEYS + ["metric_value"])

@@ -70,9 +70,12 @@ ENRICHED_FIELDS = [
 ]
 ENRICHED_SCHEMA = pa.schema(ENRICHED_FIELDS)
 
+# day exactly 2 digits / hour 1-2 digits: Go time.Parse layout semantics
+# ("02" fixed-width vs "15" non-fixed), keep in lockstep with
+# loglines._RE_APACHE_TS
 _TS_PIECES = (
-    r"^(?P<dt>\d{1,2}/(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)/\d{4}"
-    r":\d{2}:\d{2}:\d{2}) (?P<sign>[+-])(?P<zh>\d{2})(?P<zm>\d{2})$"
+    r"^(?P<dt>\d{2}/(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)/\d{4}"
+    r":\d{1,2}:\d{2}:\d{2}) (?P<sign>[+-])(?P<zh>\d{2})(?P<zm>\d{2})$"
 )
 
 

@@ -60,13 +60,30 @@ class CheckpointManifest:
         out: dict[str, CommitRecord] = {}
         if not os.path.exists(self.path):
             return out
-        with open(self.path) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
+        with open(self.path, "rb") as f:
+            raw = f.read()
+        lines = raw.splitlines(keepends=True)
+        consumed = 0
+        for i, bline in enumerate(lines):
+            line = bline.strip()
+            if not line:
+                consumed += len(bline)
+                continue
+            try:
                 rec = CommitRecord(**json.loads(line))
-                out[rec.shard] = rec
+            except (json.JSONDecodeError, TypeError, UnicodeDecodeError):
+                if i == len(lines) - 1:
+                    # a crash mid-append can tear the FINAL record. Treat
+                    # it as uncommitted (its shard simply reruns) AND
+                    # truncate it away so subsequent appends don't bury
+                    # the torn bytes mid-file (which would poison every
+                    # later resume).
+                    with open(self.path, "r+b") as f:
+                        f.truncate(consumed)
+                    continue
+                raise  # torn bytes mid-file: real corruption, surface it
+            out[rec.shard] = rec
+            consumed += len(bline)
         return out
 
     def committed_run_ids(self) -> set[str]:

@@ -131,3 +131,39 @@ def test_follow_mode_incremental_shards(setup):
     ).sort_values(["source", "metric_type", "key_value", "time_window"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(_metrics_df(final["metrics"]), want,
                                   check_dtype=False)
+
+
+def test_torn_trailing_manifest_line_is_skipped(tmp_path):
+    """A crash mid-append may tear the FINAL record; resume must treat it
+    as uncommitted instead of raising."""
+    import json
+
+    from sbo_ray.state.lineage import CheckpointManifest, CommitRecord
+
+    m = CheckpointManifest(str(tmp_path))
+    rec = CommitRecord(shard="s1", run_id="r1", rows_in=5, row_range=[0, 4],
+                       stage_hash="h")
+    m.commit([rec])
+    with open(m.path, "a") as f:
+        f.write('{"shard": "s2", "run_id": "r2", "rows_')  # torn append
+    got = m.committed_shards()
+    assert set(got) == {"s1"}
+    # the read REPAIRS the manifest (truncates the torn tail) so later
+    # appends don't bury torn bytes mid-file
+    rec3 = CommitRecord(shard="s3", run_id="r3", rows_in=1, row_range=[0, 0],
+                        stage_hash="h")
+    m.commit([rec3])
+    assert set(m.committed_shards()) == {"s1", "s3"}
+    # torn bytes that end up mid-file WITHOUT a repairing read in between
+    # are real corruption -> raise
+    with open(m.path, "a") as f:
+        f.write('{"shard": "s4", "run_id"')
+        f.write("\n" + json.dumps({"shard": "s5", "run_id": "r5", "rows_in": 1,
+                                    "row_range": [0, 0],
+                                    "stage_hash": "h"}) + "\n")
+    try:
+        m.committed_shards()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised

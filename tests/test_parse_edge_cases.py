@@ -186,3 +186,44 @@ def test_auto_vs_explicit_same_fields():
             if k == "remote_logname":
                 continue
             assert re_[k] == ro[k], k
+
+
+# ---- Go time.Parse layout fidelity + metric key truncation ----------------
+
+def test_timestamp_day_must_be_two_digits_hour_may_be_one():
+    """Go layout '02' is fixed-width (1-digit day -> parse error -> zero
+    time), '15' is not (1-digit hour parses)."""
+    from sbo_ray.functions.loglines import GO_ZERO_TIME, parse_apache_timestamp
+
+    assert parse_apache_timestamp("2/Oct/2000:13:55:36 -0700") == GO_ZERO_TIME
+    ok = parse_apache_timestamp("10/Oct/2000:3:55:36 -0700")
+    assert ok.hour == 3 and ok.year == 2000
+    # vectorized engine path agrees
+    one_digit_day = '1.1.1.1 - - [2/Oct/2000:13:55:36 -0700] "GET /a HTTP/1.0" 200 1'
+    one_digit_hour = '1.1.1.1 - - [02/Oct/2000:3:55:36 -0700] "GET /a HTTP/1.0" 200 1'
+    pe = ParseEnrich(_job(s="apache_common"))
+    out = pe(_table([one_digit_day, one_digit_hour], ["s", "s"]))
+    tw = out.column("time_window").to_pylist()
+    assert tw[0] == 101010000          # zero-time window marker
+    assert tw[1] == 200010020350       # real window from the 1-digit hour
+
+
+def test_metric_key_100_byte_truncation_engine_and_oracle():
+    """ReduceToMaxColumnLen at the metrics sink (db/mysqldb.go:152):
+    keys sharing a 100-byte prefix merge; engine and oracle agree."""
+    from sbo_ray.functions import loglines as L
+    from sbo_ray.oracle.pipeline import METRIC_PATH, metric_fanout as oracle_fanout
+    from sbo_ray.stages.metrics import metric_fanout
+
+    long_seg = "x" * 120
+    line = (f'1.1.1.1 - - [10/Oct/2000:13:55:36 -0700] '
+            f'"GET /{long_seg} HTTP/1.1" 200 5 "-" "curl/8"')
+    pe = ParseEnrich(_job(s="apache_combined"))
+    enriched = pe(_table([line, line], ["s", "s"]))
+    m = metric_fanout(enriched)
+    path_keys = [r["key_value"] for r in m.to_pylist()
+                 if r["metric_type"] == METRIC_PATH]
+    assert path_keys == ["/" + "x" * 99]          # truncated AND merged
+    row = L.parse_line(line, "apache_combined")
+    okeys = [k for mt, k, v in oracle_fanout(row) if mt == METRIC_PATH]
+    assert okeys == ["/" + "x" * 99]
