@@ -35,7 +35,9 @@ def cache_dir_for(sf_dir: str) -> str:
 def oracle_dir_for(sf_dir: str) -> str:
     """Ensure input + line view + oracle dumps exist; return the cache dir."""
     cache = cache_dir_for(sf_dir)
-    marker = os.path.join(cache, "_ORACLE_DONE")
+    # versioned marker: bump when a new oracle dump is added so existing
+    # caches regenerate
+    marker = os.path.join(cache, "_ORACLE_DONE_v2")
     if os.path.exists(marker):
         return cache
     n_rows = synth._sf_rows(sf_dir)
@@ -128,6 +130,40 @@ def oracle_dir_for(sf_dir: str) -> str:
         "parse_errors": pa.array([res.parse_errors], type=pa.int64()),
     })
     pq.write_table(gc_t, os.path.join(cache, "oracle_global_counters.parquet"))
+
+    # ST5-as-intended: the reference's lastN ring buffer is write-only dead
+    # code, but its TODO states the intent ("check if we received invalid
+    # requests from a client repeatedly -> malicious",
+    # handlers/metricgenerator.go:73). Oracle = a LITERAL per-client ring
+    # buffer of the last 50 parsed entries in file order, row at a time.
+    from collections import defaultdict, deque
+
+    from ..functions import loglines as L
+
+    LASTN = 50  # METRIC_GENERATOR_LAST_N_WINDOW_SIZE (metricgenerator.go:36)
+    rings: dict[tuple, deque] = defaultdict(lambda: deque(maxlen=LASTN))
+    stats: dict[tuple, list] = defaultdict(lambda: [0, 0])  # n_requests, max_in_window
+    for line, src in zip(lines, sources):
+        fmt = cfg[src]
+        row = L.parse_line(line, fmt)
+        if not row.ok:
+            continue
+        key = (src, row.client_ip)
+        ring = rings[key]
+        ring.append(1 if row.malicious != L.MALICIOUS_UNKNOWN else 0)
+        st = stats[key]
+        st[0] += 1
+        st[1] = max(st[1], sum(ring))
+    ro_rows = sorted((src, ip, st[0], st[1], 1 if st[1] >= 3 else 0)
+                     for (src, ip), st in stats.items())
+    ro_t = pa.table({
+        "source": pa.array([r[0] for r in ro_rows], type=pa.string()),
+        "client_ip": pa.array([r[1] for r in ro_rows], type=pa.string()),
+        "n_requests": pa.array([r[2] for r in ro_rows], type=pa.int64()),
+        "max_malicious_in_window": pa.array([r[3] for r in ro_rows], type=pa.int64()),
+        "flagged": pa.array([r[4] for r in ro_rows], type=pa.int64()),
+    })
+    pq.write_table(ro_t, os.path.join(cache, "oracle_repeat_offenders.parquet"))
 
     with open(marker, "w") as f:
         f.write("ok")

@@ -391,6 +391,41 @@ def q_log_parse_stats(sf_dir: str):
     return _parse_stats_from(_enriched(sf_dir))
 
 
+def q_log_repeat_offenders(sf_dir: str):
+    """ST5 lastN window, implemented AS INTENDED (the reference's ring
+    buffer is write-only dead code; its TODO at metricgenerator.go:73
+    says "check if we received invalid requests from a client repeatedly
+    -> malicious"): per (source, client_ip), a sliding window over the
+    client's last 50 parsed entries in file order counts malicious
+    requests; a client whose window ever holds >=3 is flagged.
+
+    Ray shape: groupby(client).map_groups with a vectorized pandas
+    rolling sum (one client's history fits a worker — the sessionize
+    contract); the oracle is a literal row-at-a-time ring buffer."""
+
+    def offenders(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable")
+        bad = (g["malicious"] != 0).astype("int64")
+        max_in_window = int(bad.rolling(50, min_periods=1).sum().max())
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]],
+            "client_ip": [g["client_ip"].iloc[0]],
+            "n_requests": pd.array([len(g)], dtype="int64"),
+            "max_malicious_in_window": pd.array([max_in_window], dtype="int64"),
+            "flagged": pd.array([1 if max_in_window >= 3 else 0], dtype="int64"),
+        })
+
+    import pandas as pd
+
+    enr = _enriched(sf_dir).map_batches(
+        lambda t: t.filter(t.column("parse_ok")).select(
+            ["source", "client_ip", "doc_id", "malicious"]),
+        batch_format="pyarrow",
+    )
+    return enr.groupby(["source", "client_ip"]).map_groups(
+        offenders, batch_format="pandas")
+
+
 def q_log_counter_deltas(sf_dir: str):
     """K1-deltas: the counter report's per-interval view (counter.go
     53-56 CurrentValue/PreviousValue, 255-284 startNewWindow) in
@@ -488,6 +523,7 @@ def log_queries() -> dict:
         "log_parse_stats_auto": q_log_parse_stats_auto,
         "log_metrics_basic_auto": q_log_metrics_basic_auto,
         "log_counter_deltas": q_log_counter_deltas,
+        "log_repeat_offenders": q_log_repeat_offenders,
         "log_geo_counts": q_log_geo_counts,
         "log_status_class_counts": q_log_status_class_counts,
         "log_distinct_clients": q_log_distinct_clients,
@@ -518,4 +554,5 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_routed": f"SELECT * FROM read_parquet('{cache}/oracle_routed.parquet')",
         "log_routed_masked": f"SELECT * FROM read_parquet('{cache}/oracle_routed_masked.parquet')",
         "log_top_paths": f"SELECT * FROM read_parquet('{cache}/oracle_top_paths.parquet')",
+        "log_repeat_offenders": f"SELECT * FROM read_parquet('{cache}/oracle_repeat_offenders.parquet')",
     }
