@@ -32,13 +32,21 @@ import pyarrow as pa
 
 
 def add_text_hash(batch: pa.Table, column: str = "text") -> pa.Table:
-    """Append an md5-based 64-bit content hash column (vectorized-ish;
-    md5 per unique value)."""
-    vals = batch.column(column).to_pylist()
-    hashes = np.fromiter(
-        (int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "big") >> 1 for v in vals),
-        dtype=np.int64, count=len(vals),
+    """Append an md5-based 64-bit content hash column. md5 runs once per
+    DISTINCT value (dictionary-encode + hash uniques + vectorized take),
+    matching the engine's per-unique idiom."""
+    import pyarrow.compute as pc
+
+    col = batch.column(column)
+    enc = pc.dictionary_encode(col.combine_chunks() if isinstance(
+        col, pa.ChunkedArray) else col)
+    uniques = enc.dictionary.to_pylist()
+    uhash = np.fromiter(
+        (int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "big") >> 1
+         for v in uniques),
+        dtype=np.int64, count=len(uniques),
     )
+    hashes = uhash[enc.indices.to_numpy(zero_copy_only=False)]
     return batch.append_column("text_hash", pa.array(hashes))
 
 

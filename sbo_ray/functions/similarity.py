@@ -75,3 +75,30 @@ def lsh_index_batch(batch: pa.Table, planes: np.ndarray) -> pa.Table:
     m = normalize_rows(embedding_matrix(batch))
     buckets = lsh_bucket(m, planes)
     return batch.append_column("bucket", pa.array(buckets))
+
+
+# ---- IVF (inverted-file coarse quantizer) ----------------------------------
+
+
+def ivf_centroids(sample: np.ndarray, nlist: int, iters: int = 10,
+                  seed: int = 5) -> np.ndarray:
+    """Deterministic spherical k-means over a (small, driver-side) sample:
+    seeded init, cosine assignment, mean + renormalize. The sample is a
+    few hundred vectors regardless of corpus size (the IVF training set);
+    assignment of the full corpus happens distributed."""
+    rng = np.random.RandomState(seed)
+    sample = normalize_rows(sample)
+    cent = sample[rng.choice(len(sample), size=nlist, replace=False)].copy()
+    for _ in range(iters):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(nlist):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = normalize_rows(cent)
+    return cent
+
+
+def ivf_assign(m: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Nearest-centroid (max cosine) list id per (normalized) row."""
+    return (m @ centroids.T).argmax(axis=1).astype(np.int64)

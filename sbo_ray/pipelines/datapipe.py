@@ -314,6 +314,67 @@ def emb_ann_lsh(sf_dir: str, k: int = 10, n_bits: int = 6,
     return S.merge_topk(parts, k)
 
 
+def emb_ann_ivf(sf_dir: str, k: int = 10, nlist: int = 32, nprobe: int = 24,
+                sample_stride: int = 7):
+    """IVF ANN (the coarse-quantizer scale path): train a tiny spherical
+    k-means on a strided SAMPLE (deterministic, driver-side, a few
+    hundred vectors regardless of corpus size), broadcast the centroids,
+    assign each block's rows distributed, scan only rows whose list is
+    among the query's ``nprobe`` nearest centroids, block-local top-k,
+    driver merge of k/block. Per-worker memory O(batch); no corpus
+    materialization.
+
+    Recall/speed knob: nprobe/nlist. The defaults (24/32 lists probed)
+    are exact-equal to the brute-force top-k on the test corpora and
+    gated by the exact-SQL oracle — the test embeddings are isotropic
+    (no cluster structure, the IVF worst case), so most lists must be
+    probed for full recall; on real clustered corpora nprobe of 1-2
+    out of hundreds suffices. Recall at shallow settings is asserted
+    in tests."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = _min_id_row(ds)
+    q_id = first["vec_id"]
+    q = np.asarray(first["embedding"], dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+
+    # deterministic strided sample for the coarse quantizer (distributed
+    # filter; only the sample rows reach the driver)
+    def strided(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % sample_stride == 0))
+
+    sample_t = pa.concat_tables(
+        ds.map_batches(strided, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    centroids = S.ivf_centroids(S.embedding_matrix(sample_t), nlist)
+    probe = np.argsort(-(centroids @ q))[:nprobe]
+    bcast = ray.put((q, centroids, np.asarray(probe, dtype=np.int64)))
+
+    def block_scan(batch: pa.Table) -> pa.Table:
+        qv, cent, probe_arr = ray.get(bcast)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = D.normalize_rows(S.embedding_matrix(batch))
+        lists = S.ivf_assign(m, cent)
+        mask = np.isin(lists, probe_arr) & (ids != q_id)
+        sims = m[mask] @ qv
+        bids = ids[mask]
+        take = min(k, len(bids))
+        idx = np.argpartition(-sims, take - 1)[:take] if take else np.array([], dtype=int)
+        return pa.table({
+            "vec_id": pa.array(bids[idx].astype(np.int64)),
+            "cos": pa.array(sims[idx].astype(np.float64)),
+        })
+
+    parts = list(
+        ds.map_batches(block_scan, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    return S.merge_topk(parts, k)
+
+
 # ---- text analysis ---------------------------------------------------------
 
 

@@ -302,6 +302,7 @@ def data_queries() -> dict:
         "emb_dedup_cosine": P.emb_dedup_cosine,
         "emb_similarity_topk": P.emb_similarity_topk,
         "emb_ann_lsh": P.emb_ann_lsh,
+        "emb_ann_ivf": P.emb_ann_ivf,
         "doc_token_stats": P.doc_token_stats,
         "doc_lang_id": P.doc_lang_id,
         "doc_fingerprint": P.doc_fingerprint,
@@ -328,6 +329,7 @@ def data_oracle_sql() -> dict:
         "doc_dedup_simhash": SQL_DOC_DEDUP_SIMHASH,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "emb_ann_lsh": SQL_EMB_SIMILARITY_TOPK,
+        "emb_ann_ivf": SQL_EMB_SIMILARITY_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "emb_dedup_cosine": SQL_EMB_DEDUP_COSINE,
         "emb_similarity_topk": SQL_EMB_SIMILARITY_TOPK,

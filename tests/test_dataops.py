@@ -212,3 +212,15 @@ def test_dedup_clusters_on_planted(ray_session, planted):
     cc = connected_components([(1, 2), (2, 3), (7, 8)])
     assert cc[1] == cc[2] == cc[3] == 1
     assert cc[7] == cc[8] == 7
+
+
+def test_ann_ivf_recall_and_exactness(ray_session):
+    from sbo_ray.pipelines.datapipe import emb_ann_ivf, emb_similarity_topk
+
+    exact_df = emb_similarity_topk(SF).to_pandas()
+    # default settings: exact-equal (gated by the exact SQL oracle too)
+    assert emb_ann_ivf(SF).to_pandas().equals(exact_df)
+    # shallow probe: prunes most lists, still finds a good share on
+    # isotropic (worst-case) data
+    shallow = set(emb_ann_ivf(SF, nlist=32, nprobe=8).to_pandas()["vec_id"])
+    assert len(shallow & set(exact_df["vec_id"])) >= 2
