@@ -596,8 +596,9 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     sessionization, expressed as groupby(user).map_groups over
     ts-sorted groups — the Ray-idiomatic stream-window pattern).
 
-    Partitioning assumption: one user's events fit in a worker (holds
-    by construction for per-user activity; salt heavy users if not).
+    Partitioning assumption: one user's events fit in a worker. For
+    hot users where that breaks, use ``events_sessionize_salted`` —
+    the two-phase time-bucketed variant with identical output.
     Output: one row per session."""
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
@@ -617,6 +618,64 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
 
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def events_sessionize_salted(sf_dir: str, gap_minutes: int = 30,
+                             bucket: str = "day"):
+    """Skew-safe sessionization (the scale path for hot users): phase 1
+    groups by (user, coarse time bucket) — a hot user's events split
+    across buckets, bounding any single group — and builds partial
+    sessions inside each bucket; phase 2 groups by user over the PARTIAL
+    SESSION rows (orders of magnitude fewer than events: bounded by
+    events/bucket compression) and merges sessions whose boundary gap is
+    within ``gap_minutes``. Result is exactly equal to the single-pass
+    sessionization — a session spanning a bucket edge is reassembled in
+    the merge — so the same SQL oracle gates it.
+
+    Partitioning assumption: one user's SESSIONS (not events) fit in a
+    worker; the bucket granularity is the skew knob."""
+
+    def partial_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        gaps = g["ts"].diff().dt.total_seconds().fillna(1e18)
+        session_no = (gaps > gap_minutes * 60).cumsum()
+        out = g.groupby(session_no).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "count"),
+            sum_value=("value", "sum"),
+        )
+        return out.reset_index(drop=True)
+
+    def merge_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["session_start", "session_end"], kind="stable")
+        gaps = (g["session_start"] - g["session_end"].shift()).dt.total_seconds()
+        new_session = (gaps.fillna(1e18) > gap_minutes * 60).cumsum()
+        out = g.groupby(new_session).agg(
+            user_id=("user_id", "first"),
+            session_start=("session_start", "min"),
+            session_end=("session_end", "max"),
+            n_events=("n_events", "sum"),
+            sum_value=("sum_value", "sum"),
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = out["sum_value"].round(2)
+        return out.reset_index(drop=True)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.floor_temporal(t["ts"], unit=bucket).cast(pa.int64())
+        )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    partials = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["user_id", "bucket"])
+        .map_groups(partial_sessions, batch_format="pandas")
+    )
+    return partials.groupby("user_id").map_groups(
+        merge_sessions, batch_format="pandas")
 
 
 def events_hourly(sf_dir: str):

@@ -314,6 +314,7 @@ def data_queries() -> dict:
         "orders_by_month": P.orders_by_month,
         "events_hourly": P.events_hourly,
         "events_sessionize": P.events_sessionize,
+        "events_sessionize_salted": P.events_sessionize_salted,
     }
 
 
@@ -342,6 +343,7 @@ def data_oracle_sql() -> dict:
         "orders_by_month": SQL_ORDERS_BY_MONTH,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "events_sessionize_salted": SQL_EVENTS_SESSIONIZE,
     }
 
 

@@ -224,3 +224,19 @@ def test_ann_ivf_recall_and_exactness(ray_session):
     # isotropic (worst-case) data
     shallow = set(emb_ann_ivf(SF, nlist=32, nprobe=8).to_pandas()["vec_id"])
     assert len(shallow & set(exact_df["vec_id"])) >= 2
+
+
+def test_sessionize_salted_equals_single_pass(ray_session):
+    """The two-phase skew-safe sessionization must reproduce the
+    single-pass result exactly, including sessions spanning bucket
+    edges (hour buckets force many boundary merges)."""
+    from sbo_ray.pipelines.datapipe import events_sessionize, events_sessionize_salted
+
+    def norm(df):
+        return df.reindex(sorted(df.columns), axis=1).sort_values(
+            ["user_id", "session_start"]).reset_index(drop=True)
+
+    plain = norm(events_sessionize(SF).to_pandas())
+    for bucket in ("day", "hour"):
+        salted = norm(events_sessionize_salted(SF, bucket=bucket).to_pandas())
+        assert salted.equals(plain), bucket
