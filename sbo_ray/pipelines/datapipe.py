@@ -154,6 +154,62 @@ def doc_dedup_clusters(sf_dir: str, threshold: float = 0.8):
     })
 
 
+def doc_dedup_clusters_lp(sf_dir: str, threshold: float = 0.8,
+                          max_rounds: int = 50):
+    """Near-dup clusters via DISTRIBUTED min-label propagation — the
+    scale path for candidate sets too large for driver union-find
+    (doc_dedup_clusters documents that contract). Each round:
+    labels (node -> current min label) join edges -> propagated labels
+    -> groupby(node).min; converges in O(cluster diameter) rounds.
+    Only ONE number (the count of changed labels) reaches the driver per
+    round; the label table lives in the object store between rounds.
+    Output == union-find exactly (same min-id cluster labels), so the
+    same recursive-CTE SQL oracle gates it."""
+    from ray.data.aggregate import Min
+
+    pairs_t = doc_dedup_minhash(sf_dir, threshold)
+    if pairs_t.num_rows == 0:  # empty graph: no docs cluster
+        return pa.schema([("doc_id", pa.int64()),
+                          ("cluster_id", pa.int64())]).empty_table()
+    ua = pairs_t.column("id_a").to_numpy(zero_copy_only=False)
+    ub = pairs_t.column("id_b").to_numpy(zero_copy_only=False)
+    edges = rd.from_arrow(pa.table({
+        "u": pa.array(np.concatenate([ua, ub]), type=pa.int64()),
+        "v": pa.array(np.concatenate([ub, ua]), type=pa.int64()),
+    }))
+    nodes = np.unique(np.concatenate([ua, ub]))
+    labels = rd.from_arrow(pa.table({
+        "u": pa.array(nodes, type=pa.int64()),
+        "label": pa.array(nodes, type=pa.int64()),
+    })).materialize()
+    n_parts = max(2, _cpus() // 2)
+    for _ in range(max_rounds):
+        # propagate: every node offers its label to each neighbor...
+        prop = edges.join(labels, join_type="inner", num_partitions=n_parts,
+                          on=("u",)).select_columns(["v", "label"]) \
+            .rename_columns(["u", "label"])
+        # ...and keeps its own
+        new_labels = labels.union(prop).groupby("u").aggregate(
+            Min("label", alias_name="label")).materialize()
+        changed = (
+            new_labels.join(labels.rename_columns(["u", "old"]),
+                            join_type="inner", num_partitions=n_parts,
+                            on=("u",))
+            .filter(expr="label != old")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    out = pa.concat_tables(labels.iter_batches(batch_format="pyarrow",
+                                               batch_size=None))
+    order = pc.sort_indices(out.column("u"))
+    return pa.table({
+        "doc_id": out.column("u").take(order),
+        "cluster_id": out.column("label").take(order),
+    })
+
+
 def emb_dedup_cosine(sf_dir: str, threshold: float = 0.35,
                      n_chunks: int | None = None):
     """Embedding near-dup pairs via a replicated chunk-pair join (the

@@ -298,6 +298,7 @@ def data_queries() -> dict:
         "doc_dedup_exact": P.doc_dedup_exact,
         "doc_dedup_minhash": P.doc_dedup_minhash,
         "doc_dedup_clusters": P.doc_dedup_clusters,
+        "doc_dedup_clusters_lp": P.doc_dedup_clusters_lp,
         "doc_dedup_simhash": P.doc_dedup_simhash,
         "emb_dedup_cosine": P.emb_dedup_cosine,
         "emb_similarity_topk": P.emb_similarity_topk,
@@ -327,6 +328,7 @@ def data_oracle_sql() -> dict:
         "doc_dedup_exact": SQL_DOC_DEDUP_EXACT,
         "doc_dedup_minhash": SQL_DOC_DEDUP_MINHASH,
         "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
+        "doc_dedup_clusters_lp": SQL_DOC_DEDUP_CLUSTERS,
         "doc_dedup_simhash": SQL_DOC_DEDUP_SIMHASH,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "emb_ann_lsh": SQL_EMB_SIMILARITY_TOPK,

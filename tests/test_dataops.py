@@ -240,3 +240,13 @@ def test_sessionize_salted_equals_single_pass(ray_session):
     for bucket in ("day", "hour"):
         salted = norm(events_sessionize_salted(SF, bucket=bucket).to_pandas())
         assert salted.equals(plain), bucket
+
+
+def test_clusters_label_propagation_equals_union_find(ray_session, planted):
+    from sbo_ray.pipelines.datapipe import doc_dedup_clusters, doc_dedup_clusters_lp
+
+    d, _ = planted
+    uf = doc_dedup_clusters(d, threshold=0.5).to_pandas()
+    lp = doc_dedup_clusters_lp(d, threshold=0.5).to_pandas()
+    assert lp.sort_values("doc_id").reset_index(drop=True).equals(
+        uf.sort_values("doc_id").reset_index(drop=True))
