@@ -205,17 +205,36 @@ def simhash_segment_rows(batch: pa.Table) -> pa.Table:
 
 
 def simhash_bucket_pairs(ids: np.ndarray, sigs_i64: np.ndarray,
-                         max_hamming: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """In-bucket Hamming verify (vectorized outer xor + SWAR popcount).
-    Buckets are small by the pigeonhole contract; O(b^2) stays local."""
+                         max_hamming: int,
+                         row_chunk: int = 1024) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """In-bucket Hamming verify, vectorized xor + SWAR popcount computed
+    in ROW CHUNKS: peak extra memory is O(row_chunk x b), never O(b^2),
+    so a skewed pigeonhole bucket degrades to more chunks instead of an
+    OOM. Compute stays O(b^2) — that is inherent to in-bucket verify."""
     sigs = sigs_i64.astype(np.int64).view(np.uint64)
-    xo = np.bitwise_xor.outer(sigs, sigs)
-    ham = popcount64(xo.reshape(-1)).reshape(xo.shape)
-    iu, ju = np.triu_indices(len(ids), k=1)
-    hit = ham[iu, ju] <= max_hamming
-    a, b = ids[iu[hit]], ids[ju[hit]]
-    lo, hi = np.minimum(a, b), np.maximum(a, b)
-    return lo.astype(np.int64), hi.astype(np.int64), ham[iu, ju][hit].astype(np.int64)
+    b = len(ids)
+    lo_parts, hi_parts, ham_parts = [], [], []
+    for start in range(0, b, row_chunk):
+        stop = min(start + row_chunk, b)
+        # each row i in [start, stop) pairs with columns j > i only
+        xo = sigs[start:stop, None] ^ sigs[None, :]
+        ham = popcount64(xo.reshape(-1)).reshape(xo.shape)
+        ii, jj = np.nonzero(ham <= max_hamming)
+        gi = ii + start
+        keep = jj > gi  # upper triangle: each unordered pair once
+        ii, gi, jj = ii[keep], gi[keep], jj[keep]
+        if len(gi) == 0:
+            continue
+        a, c = ids[gi], ids[jj]
+        lo_parts.append(np.minimum(a, c))
+        hi_parts.append(np.maximum(a, c))
+        ham_parts.append(ham[ii, jj].astype(np.int64))
+    if not lo_parts:
+        z = np.array([], dtype=np.int64)
+        return z, z, z
+    return (np.concatenate(lo_parts).astype(np.int64),
+            np.concatenate(hi_parts).astype(np.int64),
+            np.concatenate(ham_parts))
 
 
 # ---- clustering over near-dup pairs ---------------------------------------

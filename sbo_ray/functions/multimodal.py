@@ -137,6 +137,10 @@ def decode_ppm(data: bytes) -> tuple[int, int, int, np.ndarray]:
         tokens.append(int(data[start:pos]))
     pos += 1  # exactly one whitespace byte after maxval
     width, height, maxval = tokens
+    if not 0 < maxval < 256:
+        # maxval > 255 means 2-byte samples (PPM spec); decoding them as
+        # uint8 would yield garbage silently — reject instead
+        raise ValueError(f"unsupported PPM maxval {maxval} (1-byte samples only)")
     n = 3 * width * height
     raster = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
     if len(raster) < n:

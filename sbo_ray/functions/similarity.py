@@ -88,6 +88,9 @@ def ivf_centroids(sample: np.ndarray, nlist: int, iters: int = 10,
     assignment of the full corpus happens distributed."""
     rng = np.random.RandomState(seed)
     sample = normalize_rows(sample)
+    if len(sample) == 0:
+        raise ValueError("IVF training sample is empty")
+    nlist = min(nlist, len(sample))  # small corpora: fewer lists, not a crash
     cent = sample[rng.choice(len(sample), size=nlist, replace=False)].copy()
     for _ in range(iters):
         assign = (sample @ cent.T).argmax(axis=1)

@@ -201,6 +201,14 @@ def doc_dedup_clusters_lp(sf_dir: str, threshold: float = 0.8,
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent wrong labels would break the ==union-find contract on
+        # exactly the large components this scale path exists for
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing); a cluster's diameter "
+            f"exceeds max_rounds — raise max_rounds"
+        )
     out = pa.concat_tables(labels.iter_batches(batch_format="pyarrow",
                                                batch_size=None))
     order = pc.sort_indices(out.column("u"))

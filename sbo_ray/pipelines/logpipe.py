@@ -153,33 +153,42 @@ def _stream_merge(long_ds: rd.Dataset, keys: list[str], value: str,
 
     ``final="groupby"`` on the callers remains the fully-shuffled
     escape hatch for key spaces that rival the row count."""
-    pending: list = []
+    pending: list = []          # (ref, is_merged_result)
     rows_seen = 0
     blocks_seen = 0
     merging = False
     for bundle in long_ds.iter_internal_ref_bundles():
         for block_ref, md in bundle.blocks:
-            pending.append(block_ref)
+            pending.append((block_ref, False))
             blocks_seen += 1
             rows_seen += md.num_rows or 0
             if not merging and (rows_seen > driver_rows_budget or blocks_seen > 256):
                 merging = True
             while merging and len(pending) >= fanin:
-                batch_refs, pending = pending[:fanin], pending[fanin:]
-                pending.append(_merge_partials.remote(keys, value, *batch_refs))
+                batch, pending = pending[:fanin], pending[fanin:]
+                merged = _merge_partials.remote(keys, value,
+                                                *[r for r, _ in batch])
+                pending.append((merged, True))
     if merging:
         # finish the reduction remotely down to ONE table so the driver
         # only ever reads the final result (zero-copy from the object
         # store), never an intermediate concat
         while len(pending) > 1:
-            batch_refs, pending = pending[:fanin], pending[fanin:]
-            pending.append(_merge_partials.remote(keys, value, *batch_refs))
-        final = ray.get(pending[0])
+            batch, pending = pending[:fanin], pending[fanin:]
+            merged = _merge_partials.remote(keys, value, *[r for r, _ in batch])
+            pending.append((merged, True))
+        ref, is_merged = pending[0]
+        if not is_merged:
+            # a single oversized RAW block flipped merging without any
+            # merge round: run the combine it skipped (pandas tolerance
+            # + group_by)
+            ref = _merge_partials.remote(keys, value, ref)
+        final = ray.get(ref)
         if final is None or final.num_rows == 0:
             return long_ds.schema().base_schema.empty_table()
         return final
     tables = []
-    for t in ray.get(pending):
+    for t in ray.get([r for r, _ in pending]):
         if t is None:
             continue
         if not isinstance(t, pa.Table):

@@ -235,12 +235,18 @@ def q_log_metrics(sf_dir: str):
     return logpipe.metrics_dataset(_enriched(sf_dir))
 
 
-def q_log_metrics_basic(sf_dir: str):
+def _metrics_basic_from(enr):
+    """Basic metric types (1,2,3,5) — shared by the explicit-config and
+    auto-detect queries so the filter cannot drift between them."""
     basic = pa.array([1, 2, 3, 5], type=pa.int32())
-    return logpipe.metrics_dataset(_enriched(sf_dir)).map_batches(
+    return logpipe.metrics_dataset(enr).map_batches(
         lambda t: t.filter(pc.is_in(t["metric_type"], value_set=basic)),
         batch_format="pyarrow",
     )
+
+
+def q_log_metrics_basic(sf_dir: str):
+    return _metrics_basic_from(_enriched(sf_dir))
 
 
 def q_log_metrics_compat(sf_dir: str):
@@ -500,11 +506,8 @@ def q_log_metrics_basic_auto(sf_dir: str):
     """Auto-detected formats must yield identical parsed FIELDS, not just
     parse counts: the windowed basic metrics under auto detection, gated
     by the same independent SQL as log_metrics_basic."""
-    basic = pa.array([1, 2, 3, 5], type=pa.int32())
-    enr = logpipe.enriched_dataset(_input_paths(sf_dir), _auto_job())
-    return logpipe.metrics_dataset(enr).map_batches(
-        lambda t: t.filter(pc.is_in(t["metric_type"], value_set=basic)),
-        batch_format="pyarrow",
+    return _metrics_basic_from(
+        logpipe.enriched_dataset(_input_paths(sf_dir), _auto_job())
     )
 
 

@@ -372,11 +372,17 @@ class ParseEnrich:
             # mixed-format sources are outside the reference's contract.
             det = self._detected.get(src)
             if det is None:
-                rows = pc.equal(src_enc.indices, src_idx)
-                for line in lines.filter(rows).to_pylist():
-                    det = L.detect_format(line)
+                # scan this source's lines in SLICES (never materialize
+                # the whole column as a Python list); early-exit on the
+                # first detecting line, like the reference's per-line loop
+                cand = lines.filter(pc.equal(src_enc.indices, src_idx))
+                for start in range(0, len(cand), 64):
+                    for line in cand.slice(start, 64).to_pylist():
+                        det = L.detect_format(line)
+                        if det is not None:
+                            self._detected[src] = det
+                            break
                     if det is not None:
-                        self._detected[src] = det
                         break
             # undetected: parse as format 0 — every row fails its anchored
             # regex, yielding parse_error rows (the reference likewise
@@ -602,8 +608,17 @@ def make_parse_fn(job: JobConfig):
     Task pools reuse Ray's long-lived worker processes, so the module
     caches (and the memoized ParseEnrich) persist across batches and
     queries without actor-pool startup cost. The job config rides along
-    in the (tiny) serialized closure."""
-    key = _job_fingerprint(job)
+    in the (tiny) serialized closure.
+
+    The cache key is the config CONTENT hash (stale-config safety) PLUS
+    a per-call nonce: ParseEnrich carries run-scoped mutable state (the
+    auto-detect cache), which must not leak across different
+    datasets/runs that happen to share a config — the reference binds
+    a detected parser per file per RUN (main.go parserFunction). The
+    expensive per-unique caches are module-level and persist regardless."""
+    import uuid
+
+    key = f"{_job_fingerprint(job)}-{uuid.uuid4().hex}"
 
     def parse_enrich(batch: pa.Table) -> pa.Table:
         pe = _FN_CACHE.get(key)

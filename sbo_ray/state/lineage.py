@@ -73,24 +73,34 @@ class CheckpointManifest:
                 rec = CommitRecord(**json.loads(line))
             except (json.JSONDecodeError, TypeError, UnicodeDecodeError):
                 if i == len(lines) - 1:
-                    # a crash mid-append can tear the FINAL record. Treat
-                    # it as uncommitted (its shard simply reruns) AND
-                    # truncate it away so subsequent appends don't bury
-                    # the torn bytes mid-file (which would poison every
-                    # later resume).
-                    with open(self.path, "r+b") as f:
-                        f.truncate(consumed)
+                    # a crash mid-append can tear the FINAL record: treat
+                    # it as uncommitted (its shard simply reruns). The
+                    # READ never mutates the file — a concurrent writer
+                    # may still be appending the rest of this record;
+                    # the WRITER repairs its own torn tail in commit().
                     continue
                 raise  # torn bytes mid-file: real corruption, surface it
             out[rec.shard] = rec
             consumed += len(bline)
+        self._valid_bytes = consumed
         return out
 
     def committed_run_ids(self) -> set[str]:
         return {r.run_id for r in self.committed_shards().values()}
 
     def commit(self, records: list[CommitRecord]) -> None:
-        """Atomic-enough append: one write+flush+fsync of all records."""
+        """Atomic-enough append: one write+flush+fsync of all records.
+
+        Before appending, the WRITER (which owns the file; one resume per
+        out_dir is the contract) truncates a torn tail left by a previous
+        crash so its append cannot bury torn bytes mid-file — the repair
+        lives on the write path so readers stay side-effect-free."""
+        if os.path.exists(self.path):
+            self.committed_shards()  # computes _valid_bytes
+            valid = getattr(self, "_valid_bytes", None)
+            if valid is not None and valid < os.path.getsize(self.path):
+                with open(self.path, "r+b") as f:
+                    f.truncate(valid)
         payload = "".join(json.dumps(asdict(r)) + "\n" for r in records)
         with open(self.path, "a") as f:
             f.write(payload)
