@@ -119,6 +119,21 @@ def go_url_parse(rawurl: str, via_request: bool) -> GoURL | None:
     headers: scheme split, first-``?`` query cut, authority extraction,
     strict percent-escape validation in the path.
     """
+    if not via_request:
+        # Go's url.Parse cuts the '#fragment' BEFORE parsing (frag is
+        # stored separately; bad %-escapes in it still fail the parse via
+        # setFragment). ParseRequestURI does NOT cut fragments.
+        rawurl, sep, frag = rawurl.partition("#")
+        if sep:
+            i = 0
+            while i < len(frag):  # validate fragment escapes only
+                if frag[i] == "%":
+                    if (i + 2 >= len(frag) or frag[i + 1] not in _HEX
+                            or frag[i + 2] not in _HEX):
+                        return None
+                    i += 3
+                else:
+                    i += 1
     if _has_ctl_byte(rawurl):
         return None
     if rawurl == "" and via_request:

@@ -267,19 +267,23 @@ def split_path(request_uri: str) -> PathInfo:
     return PathInfo(path, path1, path2, path3, malicious)
 
 
-# ---- truncation (db/mysqldb.go:224-238; byte-wise, ASCII-assumed) ----------
+# ---- truncation (db/mysqldb.go:224-238; byte-wise) -------------------------
+# Go slices raw bytes and will happily store an invalid-UTF-8 tail; Arrow
+# strings must be valid UTF-8, so a truncation that splits a multibyte
+# character DROPS the partial character (errors="ignore") — ≤3 bytes
+# shorter than Go's cut, never longer; documented divergence.
 def reduce_to_max_len(s: str, n: int) -> str:
     b = s.encode("utf-8", "surrogateescape")
     if len(b) <= n:
         return s
-    return b[:n].decode("utf-8", "surrogateescape")
+    return b[:n].decode("utf-8", "ignore")
 
 
 def reduce_to_max_len_keeping_last(s: str, n: int) -> str:
     b = s.encode("utf-8", "surrogateescape")
     if len(b) <= n:
         return s
-    return b[len(b) - n:].decode("utf-8", "surrogateescape")
+    return b[len(b) - n:].decode("utf-8", "ignore")
 
 
 # ---- scalar full-row parse (oracle path) ----------------------------------
@@ -320,9 +324,10 @@ def parse_line(line: str, fmt: str) -> ParsedLine:
     g = m.groupdict()
     uri = g["uri"]
     pathinfo = split_path(uri)
-    try:
-        bytes_sent = int(g["bytes_sent"])
-    except ValueError:  # unreachable given \d+ capture; Atoi err dropped
+    bytes_sent = int(g["bytes_sent"])
+    if bytes_sent > 0x7FFFFFFFFFFFFFFF:
+        # Go's strconv.Atoi errors on int64 overflow and the reference
+        # drops the error (httpservers.go:175-176) -> value stays 0
         bytes_sent = 0
 
     if fmt in FORMATS_WITH_UA:

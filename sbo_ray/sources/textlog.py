@@ -44,7 +44,11 @@ def read_text_logs(paths: list[str] | str, skip_rows: int = 0) -> rd.Dataset:
         for path, data in zip(batch.column("path").to_pylist(),
                               batch.column("bytes").to_pylist()):
             base = os.path.basename(path)
-            text = data.decode("utf-8", "surrogateescape")
+            # invalid UTF-8 bytes become U+FFFD: Arrow strings (and the
+            # byte codec) require valid UTF-8; junk-byte lines fail the
+            # anchored format regexes downstream and count as parse
+            # errors, same as the reference classifies them
+            text = data.decode("utf-8", "replace")
             raw_lines = text.split("\n")
             if text.endswith("\n"):
                 raw_lines = raw_lines[:-1]  # trailing-newline artifact

@@ -104,7 +104,17 @@ def ordered_fanout(batch: pa.Table, order_col: str = "doc_id") -> pa.Table:
     emit(METRIC_DEVICE_TYPE, batch.column("ua_device_type").combine_chunks(), ones)
     emit(METRIC_IS_HUMAN, batch.column("ua_human").combine_chunks(), ones)
     emit(METRIC_REQUEST_INTENT, batch.column("ua_intent").combine_chunks(), ones)
-    return pa.concat_tables(pieces)
+    long_t = pa.concat_tables(pieces)
+    # same 100-byte sink truncation as metrics.metric_fanout / the oracle
+    # (ReduceToMaxColumnLen, db/mysqldb.go:152)
+    from .route import _truncate
+
+    kv = long_t.column("key_value")
+    kv = kv.combine_chunks() if isinstance(kv, pa.ChunkedArray) else kv
+    return long_t.set_column(
+        long_t.schema.get_field_index("key_value"), "key_value",
+        _truncate(kv, 100),
+    )
 
 
 def replay_group(g: pd.DataFrame, window_size: int = 3,

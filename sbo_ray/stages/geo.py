@@ -56,6 +56,11 @@ def make_geo_enricher(geo_table: dict[str, str] | None = None):
         if isinstance(ips, pa.ChunkedArray):
             ips = ips.combine_chunks()
         enc = pc.dictionary_encode(ips)
+        if len(cache) > (1 << 19):
+            # client-IP cardinality is unbounded at scale; cap like the
+            # parse-stage per-unique caches (full clear; hit rates on
+            # log-shaped data recover within a batch)
+            cache.clear()
         labels = []
         for ip in enc.dictionary.to_pylist():
             hit = cache.get(ip)

@@ -8,7 +8,7 @@ counting correction; numpy-vectorized register updates.
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -25,12 +25,10 @@ class HyperLogLog:
         self.registers = np.zeros(self.m, dtype=np.uint8)
 
     def add_hashes(self, hashes: np.ndarray) -> None:
+        # expects FULL 64-bit hashes (md5-based): a 32-bit base hash
+        # saturates near 4.3B distinct values no matter the scramble,
+        # silently underestimating exactly at the scale HLL exists for
         h = hashes.astype(np.uint64)
-        # scramble crc32 (32-bit) into 64 bits
-        h = h * np.uint64(0x9E3779B97F4A7C15)
-        h ^= h >> np.uint64(29)
-        h *= np.uint64(0xBF58476D1CE4E5B9)
-        h ^= h >> np.uint64(32)
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
         # rank = leading zeros of the remaining bits + 1
@@ -63,8 +61,12 @@ class HyperLogLog:
 
 
 def _hash_strings(vals: list[str]) -> np.ndarray:
-    return np.fromiter((zlib.crc32(v.encode()) for v in vals),
-                       dtype=np.uint64, count=len(vals))
+    """64-bit md5-based hash per value (the engine's per-unique idiom)."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "big")
+         for v in vals),
+        dtype=np.uint64, count=len(vals),
+    )
 
 
 def hll_partial(batch: pa.Table, column: str, p: int = 12) -> pa.Table:

@@ -426,12 +426,20 @@ class ParseEnrich:
         protocol = fields["protocol"]
         status = fields["status"]
         domain = fields["domain"]
+        # digit runs beyond int64 behave like Go's dropped Atoi overflow
+        # error -> 0 (the \d+ capture guarantees all-digit strings, so a
+        # length/lexicographic check decides overflow exactly)
+        bs = fields["bytes_sent"]
+        bs_len = pc.utf8_length(bs)
+        fits = pc.or_(
+            pc.less(bs_len, 19),
+            pc.and_(pc.equal(bs_len, 19),
+                    pc.less_equal(bs, "9223372036854775807")),
+        )
+        bad = pc.or_(pc.equal(bs, ""), pc.invert(fits))
         bytes_sent = pc.fill_null(
-            pc.cast(
-                pc.if_else(pc.equal(fields["bytes_sent"], ""),
-                           pa.nulls(n, pa.string()), fields["bytes_sent"]),
-                pa.int64(), safe=False,
-            ),
+            pc.cast(pc.if_else(bad, pa.nulls(n, pa.string()), bs),
+                    pa.int64(), safe=False),
             0,
         )
 
@@ -447,6 +455,14 @@ class ParseEnrich:
         off = pc.add(pc.multiply(zh, 3600), pc.multiply(zm, 60))
         off = pc.if_else(neg, pc.negate_checked(off), off)
         off = pc.fill_null(off, 0)
+        # numeric zones at/beyond ±24h: Python's timezone() cannot
+        # represent them, so engine AND oracle treat the timestamp as
+        # unparseable (zero time) — documented divergence from Go, which
+        # range-checks nothing on numeric zones
+        sane = pc.less(pc.abs_checked(off), 86400)
+        local_dt = pc.if_else(sane, local_dt,
+                              pa.nulls(n, pa.timestamp("s")))
+        off = pc.if_else(sane, off, pa.scalar(0, pa.int32()))
         ts_utc = pc.subtract(
             local_dt, pc.cast(pc.cast(off, pa.int64()), pa.duration("s"))
         )
@@ -623,7 +639,11 @@ def make_parse_fn(job: JobConfig):
     def parse_enrich(batch: pa.Table) -> pa.Table:
         pe = _FN_CACHE.get(key)
         if pe is None:
-            _FN_CACHE.clear()
+            while len(_FN_CACHE) >= 4:
+                # bounded eviction (oldest first) instead of clear-all:
+                # concurrent pipelines on one worker must not thrash each
+                # other's ParseEnrich (and its run-scoped detect cache)
+                _FN_CACHE.pop(next(iter(_FN_CACHE)))
             pe = _FN_CACHE.setdefault(key, ParseEnrich(job))
         return pe(batch)
 

@@ -19,7 +19,7 @@ chosen from eps/delta).
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -61,8 +61,15 @@ class CountMinSketch:
 
 
 def _hash_keys(keys: list[str]) -> np.ndarray:
-    return np.fromiter((zlib.crc32(k.encode()) for k in keys),
-                       dtype=np.uint64, count=len(keys))
+    """64-bit md5-based base hash per key: depth rows are derived from it
+    by independent scrambles, so a full-row collision needs a 64-bit
+    collision (2^-64/pair), not a crc32 one (2^-32/pair) — preserving the
+    depth-based error guarantee at large key cardinalities."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(k.encode()).digest()[:8], "big")
+         for k in keys),
+        dtype=np.uint64, count=len(keys),
+    )
 
 
 def sketch_partial(batch: pa.Table, key_col: str, n_candidates: int = 64,

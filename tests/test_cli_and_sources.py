@@ -137,3 +137,18 @@ def test_cli_run_and_count(ray_session, tmp_path, capsys):
     rc = cli.main(["count", *paths, "--config", str(cfg_path)])
     assert rc == 0
     assert "Total requests" in capsys.readouterr().out
+
+
+def test_text_source_tolerates_invalid_utf8(ray_session, tmp_path):
+    """Raw-log ingestion must not crash on junk bytes (binary requests
+    are routine in real logs); invalid bytes become U+FFFD and the line
+    counts as a parse error downstream."""
+    import ray.data as rd
+
+    from sbo_ray.sources.textlog import read_text_logs
+
+    p = tmp_path / "junk.log"
+    p.write_bytes(b'GET /a\x80\xfeb\n1.2.3.4 - - [10/Oct/2000:13:55:36 -0700] "GET /ok HTTP/1.0" 200 5\n')
+    ds = read_text_logs([str(p)])
+    rows = ds.take_all()
+    assert len(rows) == 2

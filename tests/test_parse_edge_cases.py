@@ -227,3 +227,82 @@ def test_metric_key_100_byte_truncation_engine_and_oracle():
     row = L.parse_line(line, "apache_combined")
     okeys = [k for mt, k, v in oracle_fanout(row) if mt == METRIC_PATH]
     assert okeys == ["/" + "x" * 99]
+
+
+# ---- hostile-input robustness (round-2 hardening) --------------------------
+
+def test_truncation_mid_multibyte_char_drops_partial():
+    """Byte truncation that splits a UTF-8 char drops the partial char
+    (Arrow strings must be valid UTF-8; ≤3 bytes shorter than Go's raw
+    byte cut — documented divergence)."""
+    from sbo_ray.functions.loglines import (
+        reduce_to_max_len,
+        reduce_to_max_len_keeping_last,
+    )
+
+    s = "a" * 99 + "é" + "rest"   # é = 2 bytes, straddles the 100 limit
+    out = reduce_to_max_len(s, 100)
+    assert out == "a" * 99
+    out.encode("utf-8")  # must be valid UTF-8
+    s2 = "x" * 50 + "€" + "y" * 98  # € = 3 bytes; keep-last cut mid-char
+    out2 = reduce_to_max_len_keeping_last(s2, 100)
+    assert out2.endswith("y" * 98)
+    out2.encode("utf-8")
+
+
+def test_truncated_long_nonascii_path_through_engine():
+    """A >100-byte path with a multibyte char at the boundary flows
+    through routed_projection + metric_fanout without UnicodeEncodeError."""
+    from sbo_ray.stages.metrics import metric_fanout
+    from sbo_ray.stages.route import routed_projection
+
+    path = "/" + "p" * 97 + "éxx"
+    line = (f'1.1.1.1 - - [10/Oct/2000:13:55:36 -0700] '
+            f'"GET {path} HTTP/1.1" 200 5 "-" "curl/8"')
+    pe = ParseEnrich(_job(s="apache_combined"))
+    enriched = pe(_table([line], ["s"]))
+    routed = routed_projection(enriched, relevant_only=False)
+    m = metric_fanout(enriched)
+    assert routed.num_rows == 1 and m.num_rows > 0
+
+
+def test_bytes_sent_overflow_is_zero_like_go_atoi():
+    from sbo_ray.functions.loglines import parse_line
+
+    big = "9" * 25
+    line = f'1.1.1.1 - - [10/Oct/2000:13:55:36 -0700] "GET /a HTTP/1.0" 200 {big}'
+    # oracle scalar path
+    row = parse_line(line, "apache_common")
+    assert row.ok and row.bytes_sent == 0
+    # vectorized engine path
+    pe = ParseEnrich(_job(s="apache_common"))
+    out = pe(_table([line], ["s"]))
+    assert out.column("parse_ok").to_pylist() == [True]
+    assert out.column("bytes_sent").to_pylist() == [0]
+    # 19-digit boundary: max int64 accepted, max+1 -> 0
+    okmax = line.replace(big, "9223372036854775807")
+    over = line.replace(big, "9223372036854775808")
+    out2 = pe(_table([okmax, over], ["s", "s"]))
+    assert out2.column("bytes_sent").to_pylist() == [9223372036854775807, 0]
+
+
+def test_extreme_zone_offset_zero_time_engine_and_oracle():
+    from sbo_ray.functions.loglines import GO_ZERO_TIME, parse_apache_timestamp
+
+    assert parse_apache_timestamp("01/Jan/2024:00:00:00 +2500") == GO_ZERO_TIME
+    line = '1.1.1.1 - - [01/Jan/2024:00:00:00 +2500] "GET /a HTTP/1.0" 200 1'
+    pe = ParseEnrich(_job(s="apache_common"))
+    out = pe(_table([line], ["s"]))
+    assert out.column("time_window").to_pylist() == [101010000]
+
+
+def test_referer_fragment_stripped_like_go_url_parse():
+    from sbo_ray.functions.gourl import go_referer_hostname
+
+    assert go_referer_hostname("http://example.com#sec") == "example.com"
+    assert go_referer_hostname("http://example.com/p#a%zz") is None  # bad frag escape
+    # ParseRequestURI does NOT cut fragments (request path keeps '#')
+    from sbo_ray.functions.gourl import go_parse_request_uri
+
+    u = go_parse_request_uri("/a#b")
+    assert u is not None and u.path == "/a#b"
