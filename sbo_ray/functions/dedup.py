@@ -130,6 +130,25 @@ def verify_candidates(pairs: set[tuple[int, int]], texts_by_id: dict,
     return out
 
 
+# ---- character n-gram Jaccard ----------------------------------------------
+
+
+def char_ngrams(text: str, n: int = 5) -> set[str]:
+    """Distinct character n-grams; texts shorter than n yield the whole
+    text (mirrors the word-shingle short-text rule)."""
+    if len(text) < n:
+        return {text}
+    return {text[i:i + n] for i in range(len(text) - n + 1)}
+
+
+def ngram_jaccard(a: str, b: str, n: int = 5) -> float:
+    sa, sb = char_ngrams(a, n), char_ngrams(b, n)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
 # ---- simhash ---------------------------------------------------------------
 
 

@@ -154,6 +154,74 @@ def doc_dedup_clusters(sf_dir: str, threshold: float = 0.8):
     })
 
 
+def doc_dedup_ngram(sf_dir: str, threshold: float = 0.4, n: int = 5,
+                    n_chunks: int | None = None):
+    """Exact character-n-gram Jaccard near-dup pairs via the replicated
+    chunk-pair join (same distributed all-pairs layout as
+    ``emb_dedup_cosine``): each doc replicated to the B chunk-pair
+    groups containing its chunk; inside a group, n-gram sets are built
+    ONCE per doc and compared pairwise. Per-worker memory O(2n_docs/B x
+    doc n-grams); no corpus materialization. Finer-grained than the
+    word-shingle MinHash pipeline (catches char-level edits); exact, so
+    the brute-force SQL oracle gates it directly."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    B = n_chunks or max(4, int(np.sqrt(2 * _cpus())))
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        chunk = (ids % B).astype(np.int64)
+        pieces = []
+        for other in range(B):
+            lo = np.minimum(chunk, other)
+            hi = np.maximum(chunk, other)
+            pieces.append(
+                batch.append_column("chunk", pa.array(chunk))
+                .append_column("pair_id", pa.array(lo * B + hi))
+            )
+        return pa.concat_tables(pieces)
+
+    def pair_block(g: pa.Table) -> pa.Table:
+        pair_id = g.column("pair_id")[0].as_py()
+        c_a, c_b = pair_id // B, pair_id % B
+        chunk = g.column("chunk").to_numpy(zero_copy_only=False)
+        ids = g.column("vec_id" if "vec_id" in g.schema.names else "doc_id"
+                       ).to_numpy(zero_copy_only=False)
+        texts = g.column("text").to_pylist()
+        grams = [D.char_ngrams(t, n) for t in texts]
+        a_idx = np.flatnonzero(chunk == c_a)
+        b_idx = a_idx if c_a == c_b else np.flatnonzero(chunk == c_b)
+        out_a, out_b, out_j = [], [], []
+        for x_pos, i in enumerate(a_idx):
+            js = a_idx[x_pos + 1:] if c_a == c_b else b_idx
+            si = grams[i]
+            for j in js:
+                sj = grams[j]
+                inter = len(si & sj)
+                union = len(si) + len(sj) - inter
+                jac = inter / union if union else 1.0
+                if jac >= threshold:
+                    a, b = int(ids[i]), int(ids[j])
+                    out_a.append(min(a, b))
+                    out_b.append(max(a, b))
+                    out_j.append(round(jac, 3))
+        return pa.table({
+            "id_a": pa.array(out_a, type=pa.int64()),
+            "id_b": pa.array(out_b, type=pa.int64()),
+            "jaccard": pa.array(out_j, type=pa.float64()),
+        })
+
+    out = (
+        ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby("pair_id")
+        .map_groups(pair_block, batch_format="pyarrow")
+    )
+    parts = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                          ("jaccard", pa.float64())]).empty_table()
+    return pa.concat_tables(parts)
+
+
 def doc_dedup_clusters_lp(sf_dir: str, threshold: float = 0.8,
                           max_rounds: int = 50):
     """Near-dup clusters via DISTRIBUTED min-label propagation — the

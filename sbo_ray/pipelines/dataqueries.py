@@ -101,6 +101,33 @@ SQL_DOC_DEDUP_MINHASH = (
     _SQL_MINHASH_CORE + "SELECT id_a, id_b, jaccard FROM pairs"
 )
 
+# Exact character-5-gram Jaccard pairs (doc_dedup_ngram's brute-force
+# mirror; the engine computes the same thing via the distributed
+# chunk-pair join).
+SQL_DOC_DEDUP_NGRAM = r"""
+WITH g AS (
+  SELECT doc_id,
+    CASE WHEN strlen(text) < 5 THEN [text]
+         ELSE list_transform(range(1, strlen(text) - 3), i -> substr(text, i, 5))
+    END AS grams
+  FROM documents
+), dg AS (
+  SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(grams) AS s FROM g)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+  FROM dg a JOIN dg b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       ROUND(c * 1.0 / (sa.n + sb.n - c), 3) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = ia
+JOIN sizes sb ON sb.doc_id = ib
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.4
+"""
+
 # Connected components over the near-dup pairs via transitive closure
 # (recursive CTE) with min-id cluster labels — mirrors the engine's
 # union-find output exactly.
@@ -297,6 +324,7 @@ def data_queries() -> dict:
     return {
         "doc_dedup_exact": P.doc_dedup_exact,
         "doc_dedup_minhash": P.doc_dedup_minhash,
+        "doc_dedup_ngram": P.doc_dedup_ngram,
         "doc_dedup_clusters": P.doc_dedup_clusters,
         "doc_dedup_clusters_lp": P.doc_dedup_clusters_lp,
         "doc_dedup_simhash": P.doc_dedup_simhash,
@@ -327,6 +355,7 @@ def data_oracle_sql() -> dict:
     return {
         "doc_dedup_exact": SQL_DOC_DEDUP_EXACT,
         "doc_dedup_minhash": SQL_DOC_DEDUP_MINHASH,
+        "doc_dedup_ngram": SQL_DOC_DEDUP_NGRAM,
         "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
         "doc_dedup_clusters_lp": SQL_DOC_DEDUP_CLUSTERS,
         "doc_dedup_simhash": SQL_DOC_DEDUP_SIMHASH,

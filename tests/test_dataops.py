@@ -250,3 +250,15 @@ def test_clusters_label_propagation_equals_union_find(ray_session, planted):
     lp = doc_dedup_clusters_lp(d, threshold=0.5).to_pandas()
     assert lp.sort_values("doc_id").reset_index(drop=True).equals(
         uf.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_ngram_jaccard_dedup_planted(ray_session, planted):
+    from sbo_ray.functions.dedup import ngram_jaccard
+    from sbo_ray.pipelines.datapipe import doc_dedup_ngram
+
+    d, texts = planted
+    got = doc_dedup_ngram(d, threshold=0.5).to_pandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (3, 10) in pairs   # exact dup -> jaccard 1.0
+    for a, b in pairs:        # every reported pair really is >= threshold
+        assert ngram_jaccard(texts[a], texts[b]) >= 0.5
