@@ -361,6 +361,56 @@ def q_log_distinct_clients(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_log_distinct_clients_hll(sf_dir: str):
+    """Approximate distinct clients per source via mergeable HyperLogLog
+    sketches (one 2^p-register sketch per block, max-merged — the scale
+    path where exact distinct counting would shuffle every key). No SQL
+    gate (estimates are approximate by nature); accuracy vs the exact
+    count is asserted in tests/test_joins_hll.py and in the driver by
+    comparing row counts with log_distinct_clients."""
+    import numpy as np
+
+    from ..stages.hll import HyperLogLog, _hash_strings
+
+    P = 12
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("parse_ok"))
+        srcs, sketches = [], []
+        if t.num_rows:
+            enc = pc.dictionary_encode(t.column("source").combine_chunks())
+            ips = t.column("client_ip").combine_chunks()
+            for i, src in enumerate(enc.dictionary.to_pylist()):
+                uniq = pc.unique(ips.filter(pc.equal(enc.indices, i))).to_pylist()
+                hll = HyperLogLog(P)
+                hll.add_hashes(_hash_strings([str(u) for u in uniq]))
+                srcs.append(src)
+                sketches.append(hll.registers.tobytes())
+        return pa.table({
+            "source": pa.array(srcs, type=pa.string()),
+            "sketch": pa.array(sketches, type=pa.binary()),
+        })
+
+    parts = pa.concat_tables(
+        _enriched(sf_dir).map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    merged: dict[str, HyperLogLog] = {}
+    for src, blob in zip(parts.column("source").to_pylist(),
+                         parts.column("sketch").to_pylist()):
+        hll = merged.get(src)
+        if hll is None:
+            hll = merged[src] = HyperLogLog(P)
+        other = HyperLogLog(P)
+        other.registers = np.frombuffer(blob, dtype=np.uint8).copy()
+        hll.merge(other)
+    rows = sorted((s, int(round(h.estimate()))) for s, h in merged.items())
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_clients_est": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+
+
 def q_log_top_paths_cms(sf_dir: str):
     """Approximate top-K paths via per-partition count-min + merge (the
     north-star sketch mode; exact `log_top_paths` is its oracle). No SQL
@@ -530,6 +580,7 @@ def log_queries() -> dict:
         "log_geo_counts": q_log_geo_counts,
         "log_status_class_counts": q_log_status_class_counts,
         "log_distinct_clients": q_log_distinct_clients,
+        "log_distinct_clients_hll": q_log_distinct_clients_hll,
     }
 
 

@@ -56,3 +56,19 @@ def test_hll_accuracy_and_merge(ds):
     ab.add_hashes(_hash_strings(xs + ys))
     a.merge(b)
     assert a.estimate() == ab.estimate()
+
+
+def test_hll_distinct_clients_query_accuracy(ray_session):
+    from sbo_ray.pipelines.queries import (
+        q_log_distinct_clients,
+        q_log_distinct_clients_hll,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    est = q_log_distinct_clients_hll(SF).to_pandas().set_index("source")
+    exact = q_log_distinct_clients(SF)
+    exact = (exact.to_pandas() if hasattr(exact, "to_pandas") else exact
+             ).set_index("source")
+    j = est.join(exact)
+    rel = (j["n_clients_est"] - j["n_clients"]).abs() / j["n_clients"]
+    assert rel.max() <= 0.05  # p=12 -> ~1.6% std err
