@@ -83,3 +83,70 @@ def test_groupby_final_path_equals_stream(ray_session, tmp_path):
         kb.sort_values(key).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+# ---- round-2 scalar functions ----------------------------------------------
+
+@given(st.text(max_size=300), st.integers(min_value=1, max_value=120))
+@settings(max_examples=150, deadline=None)
+def test_truncation_always_valid_utf8_and_within_limit(s, n):
+    """Byte truncation yields valid UTF-8 of <= n bytes, idempotent."""
+    out = L.reduce_to_max_len(s, n)
+    b = out.encode("utf-8")  # must not raise
+    assert len(b) <= n
+    assert L.reduce_to_max_len(out, n) == out
+    out2 = L.reduce_to_max_len_keeping_last(s, n)
+    assert len(out2.encode("utf-8")) <= n
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                min_size=0, max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_popcount64_matches_python(vals):
+    import numpy as np
+
+    from sbo_ray.functions.dedup import popcount64
+
+    arr = np.array(vals, dtype=np.uint64)
+    got = popcount64(arr)
+    assert [int(x) for x in got] == [bin(v).count("1") for v in vals]
+
+
+@given(st.text(max_size=200), st.text(max_size=200),
+       st.integers(min_value=1, max_value=8))
+@settings(max_examples=100, deadline=None)
+def test_ngram_jaccard_bounds_and_symmetry(a, b, n):
+    from sbo_ray.functions.dedup import ngram_jaccard
+
+    j = ngram_jaccard(a, b, n)
+    assert 0.0 <= j <= 1.0
+    assert ngram_jaccard(b, a, n) == j
+    assert ngram_jaccard(a, a, n) == 1.0
+
+
+@given(st.integers(min_value=1, max_value=16),
+       st.integers(min_value=1, max_value=16),
+       st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=50, deadline=None)
+def test_ppm_roundtrip_any_size(w, h, seed):
+    import numpy as np
+
+    from sbo_ray.functions.multimodal import decode_ppm, make_ppm
+
+    rng = np.random.RandomState(seed % 2**31)
+    px = rng.randint(0, 256, size=3 * w * h).astype(np.uint8)
+    got_w, got_h, maxval, raster = decode_ppm(make_ppm(w, h, px))
+    assert (got_w, got_h, maxval) == (w, h, 255)
+    assert (raster == px).all()
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_referer_hostname_total_and_fragment_free(ref):
+    """go_referer_hostname never raises; a '#' never survives into the
+    hostname (url.Parse cuts fragments first)."""
+    from sbo_ray.functions.gourl import go_referer_hostname
+
+    host = go_referer_hostname(ref)
+    if host is not None:
+        assert "#" not in host
