@@ -154,6 +154,27 @@ def doc_dedup_clusters(sf_dir: str, threshold: float = 0.8):
     })
 
 
+def _chunk_pair_replicate(id_col: str, B: int):
+    """map_batches fn for the replicated chunk-pair join: each row gets
+    chunk ``id % B`` and is emitted once per chunk-pair group containing
+    its chunk (shared by emb_dedup_cosine and doc_dedup_ngram)."""
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        chunk = (ids % B).astype(np.int64)
+        pieces = []
+        for other in range(B):
+            lo = np.minimum(chunk, other)
+            hi = np.maximum(chunk, other)
+            pieces.append(
+                batch.append_column("chunk", pa.array(chunk))
+                .append_column("pair_id", pa.array(lo * B + hi))
+            )
+        return pa.concat_tables(pieces)
+
+    return replicate
+
+
 def doc_dedup_ngram(sf_dir: str, threshold: float = 0.4, n: int = 5,
                     n_chunks: int | None = None):
     """Exact character-n-gram Jaccard near-dup pairs via the replicated
@@ -167,25 +188,11 @@ def doc_dedup_ngram(sf_dir: str, threshold: float = 0.4, n: int = 5,
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     B = n_chunks or max(4, int(np.sqrt(2 * _cpus())))
 
-    def replicate(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        chunk = (ids % B).astype(np.int64)
-        pieces = []
-        for other in range(B):
-            lo = np.minimum(chunk, other)
-            hi = np.maximum(chunk, other)
-            pieces.append(
-                batch.append_column("chunk", pa.array(chunk))
-                .append_column("pair_id", pa.array(lo * B + hi))
-            )
-        return pa.concat_tables(pieces)
-
     def pair_block(g: pa.Table) -> pa.Table:
         pair_id = g.column("pair_id")[0].as_py()
         c_a, c_b = pair_id // B, pair_id % B
         chunk = g.column("chunk").to_numpy(zero_copy_only=False)
-        ids = g.column("vec_id" if "vec_id" in g.schema.names else "doc_id"
-                       ).to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
         texts = g.column("text").to_pylist()
         grams = [D.char_ngrams(t, n) for t in texts]
         a_idx = np.flatnonzero(chunk == c_a)
@@ -211,7 +218,7 @@ def doc_dedup_ngram(sf_dir: str, threshold: float = 0.4, n: int = 5,
         })
 
     out = (
-        ds.map_batches(replicate, batch_format="pyarrow")
+        ds.map_batches(_chunk_pair_replicate("doc_id", B), batch_format="pyarrow")
         .groupby("pair_id")
         .map_groups(pair_block, batch_format="pyarrow")
     )
@@ -306,19 +313,6 @@ def emb_dedup_cosine(sf_dir: str, threshold: float = 0.35,
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     B = n_chunks or max(4, int(np.sqrt(2 * _cpus())))
 
-    def replicate(batch: pa.Table) -> pa.Table:
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        chunk = (ids % B).astype(np.int64)
-        pieces = []
-        for other in range(B):
-            lo = np.minimum(chunk, other)
-            hi = np.maximum(chunk, other)
-            pieces.append(
-                batch.append_column("chunk", pa.array(chunk))
-                .append_column("pair_id", pa.array(lo * B + hi))
-            )
-        return pa.concat_tables(pieces)
-
     def pair_block(g: pa.Table) -> pa.Table:
         pair_id = g.column("pair_id")[0].as_py()
         c_a, c_b = pair_id // B, pair_id % B
@@ -342,7 +336,7 @@ def emb_dedup_cosine(sf_dir: str, threshold: float = 0.35,
         })
 
     out = (
-        ds.map_batches(replicate, batch_format="pyarrow")
+        ds.map_batches(_chunk_pair_replicate("vec_id", B), batch_format="pyarrow")
         .groupby("pair_id")
         .map_groups(pair_block, batch_format="pyarrow")
     )
