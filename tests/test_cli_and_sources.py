@@ -152,3 +152,76 @@ def test_text_source_tolerates_invalid_utf8(ray_session, tmp_path):
     ds = read_text_logs([str(p)])
     rows = ds.take_all()
     assert len(rows) == 2
+
+
+def test_tail_text_log_incremental_partial_and_rotation(tmp_path):
+    """S3 follow-mode core: byte-offset tail, partial-line holdback,
+    rotation reopen (main.go:863-922 semantics, poll-based)."""
+    from sbo_ray.sources.textlog import TailState, tail_text_log
+
+    p = tmp_path / "app.log"
+    p.write_bytes(b"line0\nline1\n")
+    t, st = tail_text_log(str(p))
+    assert t.num_rows == 2
+    # append one complete + one partial line: partial held back
+    with open(p, "ab") as f:
+        f.write(b"line2\npart")
+    t2, st = tail_text_log(str(p), st)
+    assert t2.num_rows == 1
+    assert t2.column("doc_id").to_pylist() == ["app.log:000000000002"]
+    # nothing new -> empty
+    t3, st = tail_text_log(str(p), st)
+    assert t3.num_rows == 0
+    # the partial line completes
+    with open(p, "ab") as f:
+        f.write(b"ial\n")
+    t4, st = tail_text_log(str(p), st)
+    assert t4.num_rows == 1
+    from sbo_ray.codec import decode_tokens
+
+    assert decode_tokens(t4.column("tokens")).to_pylist() == ["partial"]
+    # rotation: replace with a fresh (shorter) file -> reopen from 0,
+    # line numbering continues so doc_ids never collide
+    p.unlink()
+    p.write_bytes(b"rotated0\n")
+    t5, st = tail_text_log(str(p), st)
+    assert t5.num_rows == 1
+    assert decode_tokens(t5.column("tokens")).to_pylist() == ["rotated0"]
+    assert t5.column("doc_id").to_pylist() == ["app.log:000000000004"]
+
+
+def test_tail_start_from_end_and_skip(tmp_path):
+    from sbo_ray.sources.textlog import tail_text_log
+
+    p = tmp_path / "s.log"
+    p.write_bytes(b"old0\nold1\n")
+    # StartFrom -1: only lines appended AFTER the first poll
+    t, st = tail_text_log(str(p), start_from=-1)
+    assert t.num_rows == 0
+    with open(p, "ab") as f:
+        f.write(b"new0\n")
+    t2, st = tail_text_log(str(p), st, start_from=-1)
+    assert t2.num_rows == 1
+    # StartFrom N: skip first N lines
+    t3, _ = tail_text_log(str(p), start_from=2)
+    assert t3.num_rows == 1  # only new0 (old0/old1 skipped)
+
+
+def test_follow_feeds_the_engine_incrementally(ray_session, tmp_path):
+    """follow -> enriched_dataset_from -> metrics: the incremental analog
+    of the reference's live handler chain."""
+    import ray.data as rd
+
+    from sbo_ray.config import JobConfig, SourceConfig
+    from sbo_ray.pipelines import logpipe
+    from sbo_ray.sources.textlog import follow_text_log
+
+    p = tmp_path / "live.log"
+    line = '1.2.3.4 - - [10/Oct/2000:13:55:36 -0700] "GET /ok HTTP/1.0" 200 5\n'
+    p.write_text(line * 3)
+    job = JobConfig(default=SourceConfig(log_format="apache_common"))
+    total = 0
+    for t in follow_text_log(str(p), poll_sec=0.01, max_rounds=2):
+        enr = logpipe.enriched_dataset_from(rd.from_arrow(t), job)
+        total += logpipe.global_counters(enr)["requests"]
+    assert total == 3
