@@ -91,6 +91,47 @@ def cmd_metrics(args) -> int:
     return 0
 
 
+def cmd_follow(args) -> int:
+    """The reference's live counter profile (``sbologp -p count -f FILE``,
+    main.go:863-922 + handlers/counter.go): tail one raw log file and
+    print a counter report per poll round with CUMULATIVE totals and the
+    per-interval DELTA (current - previous, counter.go:53-56). Bounded
+    rounds via --rounds (0 = follow until interrupted)."""
+    import ray.data as rd
+
+    from .pipelines import logpipe
+    from .report import keyed_counters_table_to_dict, render_counter_report
+    from .sources.textlog import follow_text_log
+
+    _init_ray()
+    if len(args.inputs) != 1:
+        print("follow takes exactly one raw log file", file=sys.stderr)
+        return 2
+    if not os.path.exists(args.inputs[0]):
+        print(f"no such file: {args.inputs[0]}", file=sys.stderr)
+        return 2
+    job = _load_job(args, args.inputs)
+    totals: dict[str, int] = {}
+    prev: dict[str, int] = {}
+    rounds = args.rounds if args.rounds > 0 else None
+    start_from = -1 if args.from_end else 0
+    for t in follow_text_log(args.inputs[0], start_from=start_from,
+                             poll_sec=args.interval, max_rounds=rounds):
+        enr = logpipe.enriched_dataset_from(rd.from_arrow(t), job)
+        g = logpipe.global_counters(enr)
+        keyed = logpipe.keyed_counters_dataset(enr)
+        for k, v in g.items():
+            totals[k] = totals.get(k, 0) + v
+        deltas = {k: totals[k] - prev.get(k, 0) for k in totals}
+        prev = dict(totals)
+        kd = keyed_counters_table_to_dict(keyed.to_pandas())
+        print(render_counter_report(totals, kd, args.top_n))
+        print("interval deltas:",
+              json.dumps({k: v for k, v in sorted(deltas.items()) if v}))
+        sys.stdout.flush()
+    return 0
+
+
 def cmd_run(args) -> int:
     from .config import JobConfig
     from .state.lineage import CheckpointedPipeline
@@ -124,7 +165,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="sbo_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in (("count", cmd_count), ("metrics", cmd_metrics),
-                     ("run", cmd_run)):
+                     ("run", cmd_run), ("follow", cmd_follow)):
         sp = sub.add_parser(name)
         sp.add_argument("inputs", nargs="+")
         sp.add_argument("--config", default=None)
@@ -133,6 +174,12 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--top-n", type=int, default=10)
         sp.add_argument("--group-size", type=int, default=8)
         sp.add_argument("--resume", action="store_true")
+        sp.add_argument("--rounds", type=int, default=0,
+                        help="follow: stop after N poll rounds (0=forever)")
+        sp.add_argument("--interval", type=float, default=1.0,
+                        help="follow: poll interval seconds")
+        sp.add_argument("--from-end", action="store_true",
+                        help="follow: StartFrom -1 (only new lines)")
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)
     import ray
