@@ -97,13 +97,13 @@ def cmd_follow(args) -> int:
     print a counter report per poll round with CUMULATIVE totals and the
     per-interval DELTA (current - previous, counter.go:53-56). Bounded
     rounds via --rounds (0 = follow until interrupted)."""
-    import ray.data as rd
+    import pandas as pd
 
-    from .pipelines import logpipe
     from .report import keyed_counters_table_to_dict, render_counter_report
     from .sources.textlog import follow_text_log
+    from .stages.metrics import counter_melt, global_counter_partial
+    from .stages.parse import make_parse_fn
 
-    _init_ray()
     if len(args.inputs) != 1:
         print("follow takes exactly one raw log file", file=sys.stderr)
         return 2
@@ -111,23 +111,34 @@ def cmd_follow(args) -> int:
         print(f"no such file: {args.inputs[0]}", file=sys.stderr)
         return 2
     job = _load_job(args, args.inputs)
+    # tail rounds are small incremental batches: parse them DRIVER-side
+    # with the same stage functions the Ray pipeline uses (one parse per
+    # round, no per-round Ray executions; the reference's handler chain
+    # is likewise in-process). Large backlogs go through `run`.
+    parse_fn = make_parse_fn(job)
     totals: dict[str, int] = {}
-    prev: dict[str, int] = {}
+    kc_acc = None  # cumulative keyed counters across the tail session
     rounds = args.rounds if args.rounds > 0 else None
     start_from = -1 if args.from_end else 0
     for t in follow_text_log(args.inputs[0], start_from=start_from,
                              poll_sec=args.interval, max_rounds=rounds):
-        enr = logpipe.enriched_dataset_from(rd.from_arrow(t), job)
-        g = logpipe.global_counters(enr)
-        keyed = logpipe.keyed_counters_dataset(enr)
-        for k, v in g.items():
+        enriched = parse_fn(t)
+        g_t = global_counter_partial(enriched)
+        round_g = {c: g_t.column(c)[0].as_py() for c in g_t.column_names}
+        for k, v in round_g.items():
             totals[k] = totals.get(k, 0) + v
-        deltas = {k: totals[k] - prev.get(k, 0) for k in totals}
-        prev = dict(totals)
-        kd = keyed_counters_table_to_dict(keyed.to_pandas())
+        kc = counter_melt(enriched).to_pandas()
+        kc_acc = kc if kc_acc is None else (
+            pd.concat([kc_acc, kc])
+            .groupby(["source", "dimension", "key_value"], as_index=False)["cnt"]
+            .sum()
+        )
+        kd = keyed_counters_table_to_dict(kc_acc)
         print(render_counter_report(totals, kd, args.top_n))
+        # per-interval view (current - previous cumulative == this
+        # round's increments, counter.go:53-56)
         print("interval deltas:",
-              json.dumps({k: v for k, v in sorted(deltas.items()) if v}))
+              json.dumps({k: v for k, v in sorted(round_g.items()) if v}))
         sys.stdout.flush()
     return 0
 

@@ -112,9 +112,11 @@ def enriched_dataset(input_dir: str, job: JobConfig,
     )
 
 
-@ray.remote
-def _merge_partials(keys: list[str], value: str, *tables) -> pa.Table | None:
-    """Worker-side combine of partial-aggregate tables (one tree node)."""
+def _combine_partials(keys: list[str], value: str, tables) -> pa.Table | None:
+    """Normalize (None-skip, pandas tolerance, empty-skip) + concat +
+    group_by sum — the ONE combine used by both the worker-side tree
+    nodes and the driver-side small-stream path, so the two regimes
+    cannot drift."""
     ts = []
     for t in tables:
         if t is None:
@@ -127,6 +129,12 @@ def _merge_partials(keys: list[str], value: str, *tables) -> pa.Table | None:
         return None
     g = pa.concat_tables(ts).group_by(keys).aggregate([(value, "sum")])
     return g.rename_columns(keys + [value])
+
+
+@ray.remote
+def _merge_partials(keys: list[str], value: str, *tables) -> pa.Table | None:
+    """Worker-side combine of partial-aggregate tables (one tree node)."""
+    return _combine_partials(keys, value, tables)
 
 
 def _stream_merge(long_ds: rd.Dataset, keys: list[str], value: str,
@@ -187,18 +195,10 @@ def _stream_merge(long_ds: rd.Dataset, keys: list[str], value: str,
         if final is None or final.num_rows == 0:
             return long_ds.schema().base_schema.empty_table()
         return final
-    tables = []
-    for t in ray.get([r for r, _ in pending]):
-        if t is None:
-            continue
-        if not isinstance(t, pa.Table):
-            t = pa.Table.from_pandas(t, preserve_index=False)
-        if t.num_rows:
-            tables.append(t)
-    if not tables:
+    final = _combine_partials(keys, value, ray.get([r for r, _ in pending]))
+    if final is None or final.num_rows == 0:
         return long_ds.schema().base_schema.empty_table()
-    g = pa.concat_tables(tables).group_by(keys).aggregate([(value, "sum")])
-    return g.rename_columns(keys + [value])
+    return final
 
 
 def metrics_dataset(enriched: rd.Dataset, final: str = "stream") -> rd.Dataset:

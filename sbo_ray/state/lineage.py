@@ -65,6 +65,15 @@ class CheckpointManifest:
         lines = raw.splitlines(keepends=True)
         consumed = 0
         for i, bline in enumerate(lines):
+            if not bline.endswith(b"\n"):
+                # a record is committed only once its NEWLINE landed: a
+                # newline-less tail — even if it parses as JSON — is a
+                # torn append (the shard reruns, idempotently). Counting
+                # it would let the next append merge two records into
+                # one unparseable line and silently lose BOTH.
+                if i == len(lines) - 1:
+                    continue
+                raise ValueError("manifest line without newline mid-file")
             line = bline.strip()
             if not line:
                 consumed += len(bline)
@@ -73,11 +82,9 @@ class CheckpointManifest:
                 rec = CommitRecord(**json.loads(line))
             except (json.JSONDecodeError, TypeError, UnicodeDecodeError):
                 if i == len(lines) - 1:
-                    # a crash mid-append can tear the FINAL record: treat
-                    # it as uncommitted (its shard simply reruns). The
-                    # READ never mutates the file — a concurrent writer
-                    # may still be appending the rest of this record;
-                    # the WRITER repairs its own torn tail in commit().
+                    # torn FINAL record: uncommitted; the READ never
+                    # mutates the file (a concurrent writer may still be
+                    # appending) — the WRITER repairs in commit().
                     continue
                 raise  # torn bytes mid-file: real corruption, surface it
             out[rec.shard] = rec

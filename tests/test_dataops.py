@@ -15,7 +15,10 @@ SQL_NAMES = [
     "doc_token_stats", "doc_lang_id", "multimodal_payload_stats",
     "customer_nation_agg", "orders_mktsegment_revenue",
     "lineitem_pricing_summary", "orders_by_month",
-    "events_hourly", "events_sessionize",
+    "events_hourly", "events_sessionize", "events_sessionize_salted",
+    "doc_dedup_minhash", "doc_dedup_ngram", "doc_dedup_simhash",
+    "doc_dedup_clusters", "doc_dedup_clusters_lp", "doc_fingerprint",
+    "emb_ann_lsh", "emb_ann_ivf", "multimodal_features",
 ]
 
 

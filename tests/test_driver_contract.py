@@ -42,6 +42,8 @@ def contract(ray_session):
     "log_routed_masked",
     "log_top_paths", "log_parse_stats", "log_geo_counts",
     "log_status_class_counts", "log_distinct_clients",
+    "log_parse_stats_auto", "log_metrics_basic_auto",
+    "log_counter_deltas", "log_repeat_offenders",
 ])
 def test_query_matches_oracle_sql(contract, name):
     queries, sqls = contract
