@@ -541,6 +541,80 @@ def doc_fingerprint(sf_dir: str):
     )
 
 
+def doc_curation_pipeline(sf_dir: str, lang: str = "en",
+                          min_tokens: int = 20, max_tokens: int = 1000,
+                          min_stop_ratio: float = 0.015):
+    """The flagship training-data CURATION flow, composing the dedup and
+    text-analysis operators in ONE streaming pass over documents:
+
+      exact dedup (keep the min-doc_id representative per distinct text)
+      -> language filter (stopword-argmax lang id == ``lang``)
+      -> quality filter (token count in [min,max], English-stopword
+         ratio above threshold)
+
+    Shape: one map_batches computes hash+lang+quality columns per block
+    (all vectorized, single text scan), ONE groupby on the 8-byte text
+    hash picks representatives (the only shuffle; payload text never
+    moves — kept doc_ids are re-read by a broadcast-filter, the
+    minhash-verify pattern). Output: the kept doc_ids with their stats —
+    exactly what a 100 TB curation job materializes (plus the filtered
+    corpus itself via the same broadcast filter)."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        hashed = D.add_text_hash(batch)
+        stats = T.token_stats(batch)
+        langs = T.lang_id(batch)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text_hash": hashed.column("text_hash"),
+            "pred_lang": langs.column("pred_lang"),
+            "n_tokens": stats.column("n_tokens"),
+            "n_alpha_tokens": stats.column("n_alpha_tokens"),
+            "n_stop_en": stats.column("n_stop_en"),
+        })
+
+    # annotated columns are tiny (no text): materialize once so the
+    # representative-pick and the filter pass reuse the same scan
+    ann = ds.map_batches(annotate, batch_format="pyarrow").materialize()
+    # the ONLY shuffle: min doc_id per distinct text (8-byte keys)
+    reps = ann.groupby("text_hash").aggregate(Min("doc_id", alias_name="doc_id"))
+    rep_ids = pa.concat_tables(
+        reps.select_columns(["doc_id"]).iter_batches(batch_format="pyarrow",
+                                                     batch_size=None)
+    ).column("doc_id")
+    rep_ref = ray.put(rep_ids.combine_chunks() if isinstance(
+        rep_ids, pa.ChunkedArray) else rep_ids)
+
+    # integer-exact stopword-ratio gate (n_stop/max(1,n_alpha) >= r as
+    # n_stop*SCALE >= r*SCALE*max(1,n_alpha)) — no float rounding drift
+    # between engine and SQL oracle
+    SCALE = 10000
+    thr = int(round(min_stop_ratio * SCALE))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        alpha = pc.max_element_wise(batch.column("n_alpha_tokens"), 1)
+        ratio_ok = pc.greater_equal(
+            pc.multiply(pc.cast(batch.column("n_stop_en"), pa.int64()),
+                        pa.scalar(SCALE, pa.int64())),
+            pc.multiply(pc.cast(alpha, pa.int64()), pa.scalar(thr, pa.int64())),
+        )
+        m = pc.and_(
+            pc.and_(pc.is_in(batch.column("doc_id"), value_set=ray.get(rep_ref)),
+                    pc.equal(batch.column("pred_lang"), lang)),
+            pc.and_(
+                pc.and_(pc.greater_equal(batch.column("n_tokens"), min_tokens),
+                        pc.less_equal(batch.column("n_tokens"), max_tokens)),
+                ratio_ok,
+            ),
+        )
+        return batch.filter(m).select(["doc_id", "n_tokens", "n_stop_en"])
+
+    return ann.map_batches(keep, batch_format="pyarrow")
+
+
 # ---- multimodal plumbing ---------------------------------------------------
 
 

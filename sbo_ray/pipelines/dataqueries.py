@@ -216,6 +216,43 @@ SELECT doc_id, rn AS fp_rank,
 FROM ranked WHERE rn <= 8
 """
 
+# The flagship curation pipeline's brute-force mirror: exact dedup reps
+# (min doc_id per distinct TEXT — equivalent to the engine's 8-byte
+# content hash absent collisions), stopword-argmax language id, token
+# bounds, and the integer-exact stopword-ratio gate (x10000, no float
+# rounding drift).
+SQL_DOC_CURATION = f"""
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+), c AS (
+  SELECT doc_id,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        x -> x IN ({_sql_list(LANG_STOPWORDS["de"])}))) AS c_de,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        x -> x IN ({_sql_list(LANG_STOPWORDS["en"])}))) AS c_en,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        x -> x IN ({_sql_list(LANG_STOPWORDS["es"])}))) AS c_es,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        x -> x IN ({_sql_list(LANG_STOPWORDS["fr"])}))) AS c_fr,
+    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+    len(regexp_extract_all(lower(text), '[a-z]+')) AS n_alpha
+  FROM documents
+), lang AS (
+  SELECT doc_id, n_tokens, n_alpha, CAST(c_en AS BIGINT) AS n_stop_en,
+    CASE
+      WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+      WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+      WHEN c_es >= c_fr THEN 'es'
+      ELSE 'fr' END AS pred_lang
+  FROM c
+)
+SELECT l.doc_id, l.n_tokens, l.n_stop_en
+FROM lang l JOIN reps r ON l.doc_id = r.doc_id
+WHERE l.pred_lang = 'en'
+  AND l.n_tokens BETWEEN 20 AND 1000
+  AND l.n_stop_en * 10000 >= GREATEST(1, l.n_alpha) * 150
+"""
+
 SQL_EMB_DEDUP_COSINE = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) AS cos
@@ -325,6 +362,7 @@ def data_queries() -> dict:
         "doc_dedup_exact": P.doc_dedup_exact,
         "doc_dedup_minhash": P.doc_dedup_minhash,
         "doc_dedup_ngram": P.doc_dedup_ngram,
+        "doc_curation_pipeline": P.doc_curation_pipeline,
         "doc_dedup_clusters": P.doc_dedup_clusters,
         "doc_dedup_clusters_lp": P.doc_dedup_clusters_lp,
         "doc_dedup_simhash": P.doc_dedup_simhash,
@@ -356,6 +394,7 @@ def data_oracle_sql() -> dict:
         "doc_dedup_exact": SQL_DOC_DEDUP_EXACT,
         "doc_dedup_minhash": SQL_DOC_DEDUP_MINHASH,
         "doc_dedup_ngram": SQL_DOC_DEDUP_NGRAM,
+        "doc_curation_pipeline": SQL_DOC_CURATION,
         "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
         "doc_dedup_clusters_lp": SQL_DOC_DEDUP_CLUSTERS,
         "doc_dedup_simhash": SQL_DOC_DEDUP_SIMHASH,
