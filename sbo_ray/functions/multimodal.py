@@ -83,8 +83,13 @@ def resize_features(batch: pa.Table, out_dim: int = 8) -> pa.Table:
     feats = batch.column("features")
     if isinstance(feats, pa.ChunkedArray):
         feats = feats.combine_chunks()
+    if len(feats) == 0:
+        return batch
     m = feats.values.to_numpy(zero_copy_only=False).reshape(len(feats), -1)
     factor = m.shape[1] // out_dim
+    if factor == 0:
+        raise ValueError(
+            f"cannot pool {m.shape[1]}-dim features down to {out_dim}")
     pooled = m[:, : factor * out_dim].reshape(len(feats), out_dim, factor).mean(axis=2)
     flat = pa.array(pooled.astype(np.float32).reshape(-1))
     offsets = pa.array(np.arange(0, (len(feats) + 1) * out_dim, out_dim,
@@ -137,6 +142,9 @@ def decode_ppm(data: bytes) -> tuple[int, int, int, np.ndarray]:
         tokens.append(int(data[start:pos]))
     pos += 1  # exactly one whitespace byte after maxval
     width, height, maxval = tokens
+    if width <= 0 or height <= 0:
+        # a negative count would make np.frombuffer read the whole buffer
+        raise ValueError(f"invalid PPM dimensions {width}x{height}")
     if not 0 < maxval < 256:
         # maxval > 255 means 2-byte samples (PPM spec); decoding them as
         # uint8 would yield garbage silently — reject instead

@@ -26,25 +26,43 @@ def embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     return flat.reshape(len(arr), -1)
 
 
+_EMPTY_TOPK = pa.schema([("vec_id", pa.int64()), ("cos", pa.float64())])
+
+
+def topk_rows(ids: np.ndarray, sims: np.ndarray, k: int,
+              round_digits: int = 3) -> pa.Table:
+    """Block-local top-k by the SAME ordering the merge and the SQL
+    oracle use — (round(cos) desc, vec_id asc) — so rounding ties at the
+    block's k-boundary cannot prune differently from the oracle."""
+    take = min(k, len(ids))
+    if take == 0:
+        return _EMPTY_TOPK.empty_table()
+    order = np.lexsort((ids, -np.round(sims, round_digits)))[:take]
+    return pa.table({
+        "vec_id": pa.array(ids[order].astype(np.int64)),
+        "cos": pa.array(sims[order].astype(np.float64)),
+    })
+
+
 def topk_block(batch: pa.Table, query: np.ndarray, k: int,
                exclude_id: int | None = None) -> pa.Table:
-    """Block-local cosine top-k against a (normalized) query vector."""
+    """Block-local cosine top-k against a (normalized) query vector.
+    The excluded (query) row is REMOVED, not just deprioritized — with
+    blocks smaller than k a -inf row would leak into the result."""
+    if batch.num_rows == 0:
+        return _EMPTY_TOPK.empty_table()
     ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
     m = normalize_rows(embedding_matrix(batch))
-    sims = m @ query
     if exclude_id is not None:
-        sims = np.where(ids == exclude_id, -np.inf, sims)
-    take = min(k, len(ids))
-    idx = np.argpartition(-sims, take - 1)[:take]
-    return pa.table({
-        "vec_id": pa.array(ids[idx].astype(np.int64)),
-        "cos": pa.array(sims[idx].astype(np.float64)),
-    })
+        keep = ids != exclude_id
+        ids, m = ids[keep], m[keep]
+    return topk_rows(ids, m @ query, k)
 
 
 def merge_topk(tables: list[pa.Table], k: int, round_digits: int = 3) -> pa.Table:
     """Merge block-local top-ks: order by (round(cos) desc, vec_id asc) —
     the deterministic tie-break mirrored by the oracle SQL."""
+    tables = [t for t in tables if t.num_rows] or [_EMPTY_TOPK.empty_table()]
     t = pa.concat_tables(tables)
     ids = t.column("vec_id").to_numpy(zero_copy_only=False)
     cos = t.column("cos").to_numpy(zero_copy_only=False)

@@ -41,7 +41,7 @@ LANGS = sorted(LANG_STOPWORDS)  # de, en, es, fr — tie-break order
 def token_stats(batch: pa.Table) -> pa.Table:
     """Per-doc token/quality stats: token count, punct count, alpha token
     count, English-stopword count, stopword ratio."""
-    texts = batch.column("text").to_pylist()
+    texts = [t or "" for t in batch.column("text").to_pylist()]  # null -> ""
     n = len(texts)
     n_tokens = np.empty(n, dtype=np.int64)
     n_punct = np.empty(n, dtype=np.int64)
@@ -68,7 +68,7 @@ def token_stats(batch: pa.Table) -> pa.Table:
 
 def lang_id(batch: pa.Table) -> pa.Table:
     """Stopword-count argmax language ID with deterministic tie-break."""
-    texts = batch.column("text").to_pylist()
+    texts = [t or "" for t in batch.column("text").to_pylist()]  # null -> ""
     counts = np.zeros((len(texts), len(LANGS)), dtype=np.int64)
     for i, t in enumerate(texts):
         alpha = ALPHA_RE.findall(t.lower())
@@ -107,11 +107,11 @@ def fingerprint(batch: pa.Table, n_min: int = 8) -> pa.Table:
     """Document fingerprint: the n_min smallest rolling-window hashes
     (a winnowing-style min-sample; equal docs -> equal fingerprints,
     high overlap -> high fingerprint overlap)."""
-    texts = batch.column("text").to_pylist()
+    texts = [t or "" for t in batch.column("text").to_pylist()]  # null -> ""
     fps = []
     for t in texts:
         h = _rolling_hashes(t.encode("utf-8"))
-        smallest = np.sort(np.unique(h))[:n_min]
+        smallest = np.unique(h)[:n_min]  # unique() is already sorted
         fps.append([int(x) for x in smallest.astype(np.int64)])
     return pa.table({
         "doc_id": batch.column("doc_id"),

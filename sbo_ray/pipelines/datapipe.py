@@ -416,6 +416,8 @@ def emb_ann_lsh(sf_dir: str, k: int = 10, n_bits: int = 6,
     bcast = ray.put((q, tables))
 
     def block_scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return S._EMPTY_TOPK.empty_table()
         qv, tabs = ray.get(bcast)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         m = D.normalize_rows(S.embedding_matrix(batch))
@@ -423,14 +425,7 @@ def emb_ann_lsh(sf_dir: str, k: int = 10, n_bits: int = 6,
         for planes, probe_arr in tabs:
             mask |= np.isin(S.lsh_bucket(m, planes), probe_arr)
         mask &= ids != q_id
-        sims = m[mask] @ qv
-        bids = ids[mask]
-        take = min(k, len(bids))
-        idx = np.argpartition(-sims, take - 1)[:take] if take else np.array([], dtype=int)
-        return pa.table({
-            "vec_id": pa.array(bids[idx].astype(np.int64)),
-            "cos": pa.array(sims[idx].astype(np.float64)),
-        })
+        return S.topk_rows(ids[mask], m[mask] @ qv, k)
 
     parts = list(
         ds.map_batches(block_scan, batch_format="pyarrow").iter_batches(
@@ -479,19 +474,14 @@ def emb_ann_ivf(sf_dir: str, k: int = 10, nlist: int = 32, nprobe: int = 24,
     bcast = ray.put((q, centroids, np.asarray(probe, dtype=np.int64)))
 
     def block_scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return S._EMPTY_TOPK.empty_table()
         qv, cent, probe_arr = ray.get(bcast)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         m = D.normalize_rows(S.embedding_matrix(batch))
         lists = S.ivf_assign(m, cent)
         mask = np.isin(lists, probe_arr) & (ids != q_id)
-        sims = m[mask] @ qv
-        bids = ids[mask]
-        take = min(k, len(bids))
-        idx = np.argpartition(-sims, take - 1)[:take] if take else np.array([], dtype=int)
-        return pa.table({
-            "vec_id": pa.array(bids[idx].astype(np.int64)),
-            "cos": pa.array(sims[idx].astype(np.float64)),
-        })
+        return S.topk_rows(ids[mask], m[mask] @ qv, k)
 
     parts = list(
         ds.map_batches(block_scan, batch_format="pyarrow").iter_batches(

@@ -32,7 +32,15 @@ def anti_join(ds: rd.Dataset, column: str, keys) -> rd.Dataset:
 
 
 def _key_filter(ds: rd.Dataset, column: str, keys, keep: bool) -> rd.Dataset:
-    key_ref = ray.put(pa.array(sorted(set(keys))))
+    keys = sorted(set(keys))
+    if not keys:
+        # empty key set: pa.array([]) infers null type and is_in raises
+        # against a typed column — handle the no-op/drop-all explicitly
+        if keep:
+            return ds.map_batches(lambda b: b.slice(0, 0),
+                                  batch_format="pyarrow")
+        return ds
+    key_ref = ray.put(pa.array(keys))
 
     def flt(batch: pa.Table) -> pa.Table:
         ks = ray.get(key_ref)
@@ -57,10 +65,7 @@ def broadcast_lookup(ds: rd.Dataset, column: str, mapping: dict,
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         enc = pc.dictionary_encode(col)
-        vals = [m.get(v, default) for v in enc.dictionary.to_pylist()]
-        out = pa.DictionaryArray.from_arrays(enc.indices, pa.array(vals)).cast(
-            pa.array(vals).type
-        )
-        return batch.append_column(out_column, out)
+        vals = pa.array([m.get(v, default) for v in enc.dictionary.to_pylist()])
+        return batch.append_column(out_column, vals.take(enc.indices))
 
     return ds.map_batches(enrich, batch_format="pyarrow")

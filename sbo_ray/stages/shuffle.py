@@ -46,10 +46,15 @@ def salted_groupby_sum(ds: rd.Dataset, keys: list[str], value: str,
 
 
 def repartition_by_key(ds: rd.Dataset, key: str, num_partitions: int) -> rd.Dataset:
-    """Explicit hash repartition on a key column: co-locates equal keys
-    into the same output partition (the pre-step for per-key sinks).
-    Implemented as a bucket column + sort — equal buckets become
-    contiguous — which is the portable exchange on this Ray version."""
+    """Explicit hash bucketing on a key column: equal keys become
+    CONTIGUOUS in the global row order (bucket column + sort — the
+    portable exchange on this Ray version). NOTE: contiguity is in row
+    order, not block boundaries — Ray's range partitioner may split a
+    bucket across adjacent blocks, so per-key SINKS should use
+    ``write_parquet(partition_cols=[key])`` (which handles keys spanning
+    blocks) rather than assuming one-block-per-bucket; the bucketing's
+    value is locality (a bucket's rows land in at most two adjacent
+    blocks) for downstream merge-style consumers."""
 
     import zlib
 
