@@ -617,6 +617,33 @@ def multimodal_payload_stats(sf_dir: str):
     return payload.select_columns(["doc_id", "payload_bytes"])
 
 
+def multimodal_frame_sample(sf_dir: str, every_k: int = 4):
+    """Video-style frame-sampling plumbing as a gated query: payloads
+    (text bytes) split into fixed 64-byte frames, every k-th kept, one
+    output row per sampled frame with its byte length — the fan-out
+    shape + boundary arithmetic are SQL-mirrored exactly."""
+    from ..functions.multimodal import frame_sample
+
+    payload = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        to_payload_table, batch_format="pyarrow"
+    )
+    frames = payload.map_batches(
+        lambda b: frame_sample(b, every_k=every_k), batch_format="pyarrow"
+    )
+
+    def lengths(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "frame_no": pc.cast(b.column("frame_no"), pa.int64()),
+            "frame_len": pc.binary_length(
+                b.column("frame").combine_chunks() if isinstance(
+                    b.column("frame"), pa.ChunkedArray) else b.column("frame")
+            ).cast(pa.int64()),
+        })
+
+    return frames.map_batches(lengths, batch_format="pyarrow")
+
+
 def multimodal_features(sf_dir: str):
     """REAL image decode through the actor-pool stage: deterministic
     synthetic PPM payloads (one per doc), decoded by the pure-numpy P6

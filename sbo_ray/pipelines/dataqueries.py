@@ -296,6 +296,21 @@ FROM documents d CROSS JOIN (SELECT unnest(range(288)) AS k)
 GROUP BY d.doc_id
 """
 
+# Frame-sampling mirror: payload = text bytes, 64-byte frames, every
+# 4th kept (frame indices 0,4,8,...); last frame may be short.
+SQL_MULTIMODAL_FRAMES = """
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+  WHERE octet_length(encode(text)) > 0
+), f AS (
+  SELECT doc_id, n, unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT), 4)) AS frame_no
+  FROM b
+)
+SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+       CAST(LEAST(64, n - frame_no * 64) AS BIGINT) AS frame_len
+FROM f
+"""
+
 SQL_CUSTOMER_NATION_AGG = """
 SELECT n.n_name,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -374,6 +389,7 @@ def data_queries() -> dict:
         "doc_lang_id": P.doc_lang_id,
         "doc_fingerprint": P.doc_fingerprint,
         "multimodal_payload_stats": P.multimodal_payload_stats,
+        "multimodal_frame_sample": P.multimodal_frame_sample,
         "multimodal_features": P.multimodal_features,
         "customer_nation_agg": P.customer_nation_agg,
         "orders_mktsegment_revenue": P.orders_mktsegment_revenue,
@@ -402,6 +418,7 @@ def data_oracle_sql() -> dict:
         "emb_ann_lsh": SQL_EMB_SIMILARITY_TOPK,
         "emb_ann_ivf": SQL_EMB_SIMILARITY_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,
         "emb_dedup_cosine": SQL_EMB_DEDUP_COSINE,
         "emb_similarity_topk": SQL_EMB_SIMILARITY_TOPK,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

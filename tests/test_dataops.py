@@ -19,7 +19,7 @@ SQL_NAMES = [
     "doc_dedup_minhash", "doc_dedup_ngram", "doc_dedup_simhash",
     "doc_dedup_clusters", "doc_dedup_clusters_lp", "doc_fingerprint",
     "emb_ann_lsh", "emb_ann_ivf", "multimodal_features",
-    "doc_curation_pipeline",
+    "doc_curation_pipeline", "multimodal_frame_sample",
 ]
 
 
