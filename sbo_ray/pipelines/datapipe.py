@@ -133,6 +133,12 @@ def doc_dedup_simhash(sf_dir: str, max_hamming: int = 3):
         .map_groups(bucket_verify, batch_format="pandas")
         .to_pandas()
     )
+    # Ray's empty-Dataset to_pandas() loses column schema (CLAUDE.md
+    # soft spot): guard before sort_values, like doc_dedup_ngram
+    if pairs.empty or "id_a" not in pairs.columns:
+        return pa.table({"id_a": pa.array([], type=pa.int64()),
+                         "id_b": pa.array([], type=pa.int64()),
+                         "hamming": pa.array([], type=pa.int64())})
     # a pair is found once per shared segment (<=4): dedupe + sort; this
     # is the OUTPUT, orders of magnitude smaller than the corpus
     pairs = pairs.drop_duplicates().sort_values(["id_a", "id_b"])

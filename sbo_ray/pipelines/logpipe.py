@@ -26,6 +26,7 @@ from ray.data.aggregate import Sum
 
 from ..config import JobConfig
 from ..stages.metrics import (
+    COUNTER_SCHEMA,
     GROUP_KEYS,
     METRIC_SCHEMA,
     counter_melt,
@@ -138,7 +139,8 @@ def _merge_partials(keys: list[str], value: str, *tables) -> pa.Table | None:
 
 
 def _stream_merge(long_ds: rd.Dataset, keys: list[str], value: str,
-                  fanin: int = 16, driver_rows_budget: int = 1 << 20) -> pa.Table:
+                  fanin: int = 16, driver_rows_budget: int = 1 << 20,
+                  schema: pa.Schema | None = None) -> pa.Table:
     """Final combine of block-local partial aggregates.
 
     The heavy reduction already happened distributed (the per-block
@@ -160,7 +162,17 @@ def _stream_merge(long_ds: rd.Dataset, keys: list[str], value: str,
       growing linearly with block count.
 
     ``final="groupby"`` on the callers remains the fully-shuffled
-    escape hatch for key spaces that rival the row count."""
+    escape hatch for key spaces that rival the row count.
+
+    ``schema`` is the expected result schema, used only for the typed
+    empty result when no partial row survives: on a fully empty input
+    ``long_ds.schema()`` can be None (Ray returns no blocks at all), so
+    callers should pass it explicitly."""
+
+    def _empty() -> pa.Table:
+        if schema is not None:
+            return schema.empty_table()
+        return long_ds.schema().base_schema.empty_table()
     pending: list = []          # (ref, is_merged_result)
     rows_seen = 0
     blocks_seen = 0
@@ -193,11 +205,11 @@ def _stream_merge(long_ds: rd.Dataset, keys: list[str], value: str,
             ref = _merge_partials.remote(keys, value, ref)
         final = ray.get(ref)
         if final is None or final.num_rows == 0:
-            return long_ds.schema().base_schema.empty_table()
+            return _empty()
         return final
     final = _combine_partials(keys, value, ray.get([r for r, _ in pending]))
     if final is None or final.num_rows == 0:
-        return long_ds.schema().base_schema.empty_table()
+        return _empty()
     return final
 
 
@@ -212,7 +224,8 @@ def metrics_dataset(enriched: rd.Dataset, final: str = "stream") -> rd.Dataset:
         return long_ds.groupby(GROUP_KEYS).aggregate(
             Sum("metric_value", alias_name="metric_value")
         )
-    return rd.from_arrow(_stream_merge(long_ds, GROUP_KEYS, "metric_value"))
+    return rd.from_arrow(_stream_merge(long_ds, GROUP_KEYS, "metric_value",
+                                      schema=METRIC_SCHEMA))
 
 
 def keyed_counters_dataset(enriched: rd.Dataset, final: str = "stream") -> rd.Dataset:
@@ -221,7 +234,8 @@ def keyed_counters_dataset(enriched: rd.Dataset, final: str = "stream") -> rd.Da
     keys = ["source", "dimension", "key_value"]
     if final == "groupby":
         return long_ds.groupby(keys).aggregate(Sum("cnt", alias_name="cnt"))
-    return rd.from_arrow(_stream_merge(long_ds, keys, "cnt"))
+    return rd.from_arrow(_stream_merge(long_ds, keys, "cnt",
+                                      schema=COUNTER_SCHEMA))
 
 
 def global_counters(enriched: rd.Dataset) -> dict[str, int]:
@@ -237,6 +251,19 @@ def global_counters(enriched: rd.Dataset) -> dict[str, int]:
         Sum("parse_errors", alias_name="parse_errors"),
     )
     return {k: int(v) for k, v in out.items()}
+
+
+def to_pandas_with_schema(ds: rd.Dataset, schema: pa.Schema) -> "pd.DataFrame":
+    """Materialize a SMALL final aggregate as pandas, preserving column
+    schema when the Dataset is empty: Ray's empty-Dataset ``to_pandas()``
+    returns a zero-column frame (CLAUDE.md soft spot), which breaks any
+    downstream ``sort_values``/column access. ``schema`` is the expected
+    Arrow schema; it is only consulted on the empty path (consulting
+    ``ds.schema()`` would execute the plan twice)."""
+    df = ds.to_pandas()
+    if len(df) == 0:
+        return schema.empty_table().to_pandas()
+    return df
 
 
 def routed_dataset(enriched: rd.Dataset, mask_ips: bool = False,
@@ -255,7 +282,11 @@ def top_n_dataset(keyed_counters: rd.Dataset, dimension: str, n: int = 10) -> pa
     The keyed-counter aggregate is small (bounded key cardinality), so the
     per-source head-N runs as a grouped map over the aggregate, not over
     raw rows."""
-    df = keyed_counters.filter(expr=f'dimension == "{dimension}"').to_pandas()
+    df = to_pandas_with_schema(
+        keyed_counters.filter(expr=f'dimension == "{dimension}"'),
+        pa.schema([("source", pa.string()), ("dimension", pa.string()),
+                   ("key_value", pa.string()), ("cnt", pa.int64())]),
+    )
     df = df.sort_values(["source", "cnt", "key_value"],
                         ascending=[True, False, True])
     df = df.groupby("source", group_keys=False).head(n)
@@ -377,7 +408,7 @@ def full_pipeline(input_paths, job: JobConfig, out_dir: str,
     # NOTE: consume via iter_batches — to_arrow_refs() runs the plan twice
     # (an extra limit=1 schema pass), which would duplicate the routed
     # side-effect writes
-    table = _stream_merge(ds, UNIFIED_KEYS, "value")
+    table = _stream_merge(ds, UNIFIED_KEYS, "value", schema=UNIFIED_SCHEMA)
 
     kinds = table.column("kind")
     import pyarrow.compute as pc_

@@ -355,7 +355,11 @@ def q_log_distinct_clients(sf_dir: str):
     """Distinct client IPs per source (the distinct/unique operator),
     derived from the keyed-counter aggregate (clients dimension)."""
     kc = logpipe.keyed_counters_dataset(_enriched(sf_dir))
-    df = kc.filter(expr='dimension == "clients"').to_pandas()
+    df = logpipe.to_pandas_with_schema(
+        kc.filter(expr='dimension == "clients"'),
+        pa.schema([("source", pa.string()), ("dimension", pa.string()),
+                   ("key_value", pa.string()), ("cnt", pa.int64())]),
+    )
     out = df.groupby("source").size().reset_index(name="n_clients")
     out["n_clients"] = out["n_clients"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -433,7 +437,11 @@ def _parse_stats_from(enr) -> pa.Table:
         .groupby("source")
         .sum(["parsed", "total_lines"])
     )
-    df = agg.to_pandas().rename(
+    df = logpipe.to_pandas_with_schema(
+        agg,
+        pa.schema([("source", pa.string()), ("sum(parsed)", pa.int64()),
+                   ("sum(total_lines)", pa.int64())]),
+    ).rename(
         columns={"sum(parsed)": "parsed", "sum(total_lines)": "total_lines"}
     )
     df["parse_errors"] = df["total_lines"] - df["parsed"]
@@ -525,7 +533,12 @@ def q_log_counter_deltas(sf_dir: str):
 
     long_ds = enr.map_batches(melt, batch_format="pyarrow")
     agg = logpipe._stream_merge(
-        long_ds, ["source", "dimension", "key_value", "time_window"], "cnt")
+        long_ds, ["source", "dimension", "key_value", "time_window"], "cnt",
+        schema=pa.schema([
+            ("source", pa.string()), ("dimension", pa.string()),
+            ("key_value", pa.string()), ("time_window", pa.int64()),
+            ("cnt", pa.int64()),
+        ]))
     df = agg.to_pandas().sort_values(
         ["source", "dimension", "key_value", "time_window"])
     df["cumulative"] = df.groupby(

@@ -430,15 +430,19 @@ class ParseEnrich:
         # error -> 0 (the \d+ capture guarantees all-digit strings, so a
         # length/lexicographic check decides overflow exactly)
         bs = fields["bytes_sent"]
-        bs_len = pc.utf8_length(bs)
+        # strip leading zeros first (Go's Atoi parses "000...0123" as 123;
+        # only true >int64 magnitudes overflow), mapping all-zeros -> "0";
+        # "" also maps to "0", matching Atoi("")'s error->0 result
+        bs_trim = pc.utf8_ltrim(bs, "0")
+        bs_norm = pc.if_else(pc.equal(bs_trim, ""), "0", bs_trim)
+        bs_len = pc.utf8_length(bs_norm)
         fits = pc.or_(
             pc.less(bs_len, 19),
             pc.and_(pc.equal(bs_len, 19),
-                    pc.less_equal(bs, "9223372036854775807")),
+                    pc.less_equal(bs_norm, "9223372036854775807")),
         )
-        bad = pc.or_(pc.equal(bs, ""), pc.invert(fits))
         bytes_sent = pc.fill_null(
-            pc.cast(pc.if_else(bad, pa.nulls(n, pa.string()), bs),
+            pc.cast(pc.if_else(fits, bs_norm, pa.nulls(n, pa.string())),
                     pa.int64(), safe=False),
             0,
         )

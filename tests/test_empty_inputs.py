@@ -1,0 +1,74 @@
+"""Empty-input behavior: Ray's empty-Dataset ``to_pandas()`` loses
+column schema (CLAUDE.md soft spot); callers that sort/select columns on
+a materialized aggregate must go through
+``logpipe.to_pandas_with_schema`` or an explicit typed-empty guard
+(VERDICT r2 item 5, ADVICE r2 simhash finding)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sbo_ray import synth
+from sbo_ray.config import JobConfig
+from sbo_ray.pipelines import logpipe
+
+
+@pytest.fixture(scope="module")
+def empty_token_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_tokens")
+    pq.write_table(synth.SCHEMA.empty_table(), str(d / "shard-0000.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def empty_doc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_docs")
+    pq.write_table(
+        pa.schema([("doc_id", pa.int64()), ("text", pa.string())]).empty_table(),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def _job():
+    return JobConfig.from_format_map(synth.source_config(2))
+
+
+def test_top_n_dataset_empty(ray_session, empty_token_dir):
+    enr = logpipe.enriched_dataset(
+        sorted([f"{empty_token_dir}/shard-0000.parquet"]), _job())
+    kc = logpipe.keyed_counters_dataset(enr)
+    out = logpipe.top_n_dataset(kc, "paths", n=5)
+    assert out.num_rows == 0
+    assert out.schema.names == ["source", "key_value", "cnt"]
+
+
+def test_distinct_clients_empty(ray_session, empty_token_dir, monkeypatch):
+    from sbo_ray.pipelines import queries as Q
+
+    monkeypatch.setattr(
+        Q, "_input_paths", lambda sf: [f"{empty_token_dir}/shard-0000.parquet"])
+    monkeypatch.setattr(Q, "_job", _job)
+    out = Q.q_log_distinct_clients("ignored")
+    assert out.num_rows == 0
+    assert out.schema.names == ["source", "n_clients"]
+
+
+def test_parse_stats_empty(ray_session, empty_token_dir, monkeypatch):
+    from sbo_ray.pipelines import queries as Q
+
+    monkeypatch.setattr(
+        Q, "_input_paths", lambda sf: [f"{empty_token_dir}/shard-0000.parquet"])
+    monkeypatch.setattr(Q, "_job", _job)
+    out = Q.q_log_parse_stats("ignored")
+    assert out.num_rows == 0
+    assert out.schema.names == ["source", "total_lines", "parsed", "parse_errors"]
+
+
+def test_simhash_empty_documents(ray_session, empty_doc_dir):
+    from sbo_ray.pipelines.datapipe import doc_dedup_simhash
+
+    out = doc_dedup_simhash(empty_doc_dir)
+    assert out.num_rows == 0
+    assert out.schema.names == ["id_a", "id_b", "hamming"]
+    assert out.schema.field("id_a").type == pa.int64()

@@ -148,8 +148,9 @@ def test_torn_trailing_manifest_line_is_skipped(tmp_path):
         f.write('{"shard": "s2", "run_id": "r2", "rows_')  # torn append
     got = m.committed_shards()
     assert set(got) == {"s1"}
-    # the read REPAIRS the manifest (truncates the torn tail) so later
-    # appends don't bury torn bytes mid-file
+    # the read SKIPS the torn tail (side-effect-free); the WRITER
+    # (commit()) truncates it before appending so torn bytes never end
+    # up mid-file
     rec3 = CommitRecord(shard="s3", run_id="r3", rows_in=1, row_range=[0, 0],
                         stage_hash="h")
     m.commit([rec3])

@@ -286,6 +286,30 @@ def test_bytes_sent_overflow_is_zero_like_go_atoi():
     assert out2.column("bytes_sent").to_pylist() == [9223372036854775807, 0]
 
 
+def test_bytes_sent_leading_zeros_parse_like_go_atoi():
+    """Zero-padded digit strings are small values, not overflow: Go's
+    strconv.Atoi('0000...0123') == 123 regardless of string length
+    (ADVICE r2). Engine and scalar oracle must agree."""
+    from sbo_ray.functions.loglines import parse_line
+
+    padded = "0" * 19 + "123"        # 22 chars, value 123
+    zeros = "0" * 25                  # all zeros, value 0
+    padmax = "00" + "9223372036854775807"  # padded max int64
+    padover = "00" + "9223372036854775808"  # padded max+1 -> overflow -> 0
+    lines = [
+        f'1.1.1.1 - - [10/Oct/2000:13:55:36 -0700] "GET /a HTTP/1.0" 200 {v}'
+        for v in (padded, zeros, padmax, padover)
+    ]
+    want = [123, 0, 9223372036854775807, 0]
+    for line, w in zip(lines, want):
+        row = parse_line(line, "apache_common")
+        assert row.ok and row.bytes_sent == w, line
+    pe = ParseEnrich(_job(s="apache_common"))
+    out = pe(_table(lines, ["s"] * len(lines)))
+    assert out.column("parse_ok").to_pylist() == [True] * len(lines)
+    assert out.column("bytes_sent").to_pylist() == want
+
+
 def test_extreme_zone_offset_zero_time_engine_and_oracle():
     from sbo_ray.functions.loglines import GO_ZERO_TIME, parse_apache_timestamp
 
