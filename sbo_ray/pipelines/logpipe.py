@@ -321,22 +321,24 @@ def full_pipeline(input_paths, job: JobConfig, out_dir: str,
 
     Returns {"metrics": ..., "keyed_counters": ..., "global_counters": ...}
     pyarrow Tables; routed rows land under ``out_dir``/routed/source=*/.
+
+    ``out_dir`` may be a plain local path (default) or an fsspec URI
+    (``file://``, ``s3://``, ...) — on a multi-node cluster pass shared
+    storage; worker tasks resolve the URI per process (`sbo_ray.fsio`).
     """
     import hashlib
 
-    import pyarrow.parquet as pq
+    from .. import fsio
 
     tune_context()
 
     parse_fn = make_parse_fn(job)
-    routed_root = os.path.join(out_dir, "routed")
-    os.makedirs(routed_root, exist_ok=True)
+    routed_root = fsio.join(out_dir, "routed")
+    fsio.makedirs(routed_root)
     # clear fragments from any previous invocation: content-derived names
     # make RETRIES idempotent within a run, but a reused out_dir with
     # different input/batching would otherwise mix stale fragments in
-    for stale in os.listdir(routed_root):
-        if stale.startswith(("part-", ".part-")):
-            os.unlink(os.path.join(routed_root, stale))
+    fsio.clear_fragments(routed_root)
 
     def stage(batch: pa.Table) -> pa.Table:
         enriched = parse_fn(batch)
@@ -351,9 +353,7 @@ def full_pipeline(input_paths, job: JobConfig, out_dir: str,
             ids = batch.column("doc_id")
             span = f"{ids[0].as_py()}|{ids[-1].as_py()}|{batch.num_rows}"
             part = hashlib.sha1(span.encode()).hexdigest()[:16]
-            tmp_path = os.path.join(routed_root, f".part-{part}.tmp")
-            pq.write_table(routed, tmp_path)
-            os.replace(tmp_path, os.path.join(routed_root, f"part-{part}.parquet"))
+            fsio.write_fragment(routed_root, f"part-{part}.parquet", routed)
 
         m = metric_fanout(enriched)
         c = counter_melt(enriched)
@@ -424,9 +424,7 @@ def full_pipeline(input_paths, job: JobConfig, out_dir: str,
         .rename_columns(["source", "dimension", "key_value", "cnt"])
     )
     glob = table.filter(pc_.equal(kinds, 2)).select(["dimension", "value"])
-    pq_dir = os.path.join(out_dir, "metrics")
-    os.makedirs(pq_dir, exist_ok=True)
-    pq.write_table(metrics, os.path.join(pq_dir, "metrics.parquet"))
+    fsio.write_table(fsio.join(out_dir, "metrics"), "metrics.parquet", metrics)
     return {
         "metrics": metrics,
         "keyed_counters": counters,
@@ -451,10 +449,13 @@ def write_enriched_jsonl(enriched: rd.Dataset, out_dir: str) -> None:
 
 def write_metrics(metrics: rd.Dataset, out_dir: str) -> None:
     """Metrics sink: partitioned Parquet keyed on source (the sbo_metrics
-    table analog, db/mysqldb.go:145-151)."""
+    table analog, db/mysqldb.go:145-151). ``out_dir`` may be a URI —
+    Ray's write_parquet resolves it through pyarrow.fs (file://, s3://,
+    gcs://; not memory://)."""
     metrics.write_parquet(out_dir, partition_cols=["source"])
 
 
 def write_routed(routed: rd.Dataset, out_dir: str) -> None:
-    """Routed raw-log sink partitioned by source (sbo_rawlogs analog)."""
+    """Routed raw-log sink partitioned by source (sbo_rawlogs analog).
+    ``out_dir`` may be a URI (see write_metrics)."""
     routed.write_parquet(out_dir, partition_cols=["source"])
