@@ -1,0 +1,158 @@
+"""Monotonic fast path for compat mode (VERDICT r2 item 2).
+
+The fast path finalizes order-insensitive groups from plain per-window
+sums and replays only groups that reorder or carry zero-valued adds.
+These tests pin (1) the function-level equivalence claim, (2) the
+zero-value corner where plain sums are WRONG and eligibility must route
+to replay, (3) engine-level fast == slow on chronological and OOO
+inputs."""
+
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sbo_ray import synth
+from sbo_ray.config import JobConfig
+from sbo_ray.pipelines import logpipe
+from sbo_ray.stages.compat import metrics_dataset_compat, replay_group
+
+
+def _replay(tws, vals, mode=False, window_size=3):
+    n = len(tws)
+    rows = pd.DataFrame({
+        "source": ["s"] * n, "metric_type": [2] * n, "key_value": [""] * n,
+        "time_window": tws, "value": vals,
+        "arrival": [f"a{i:04d}" for i in range(n)],
+    })
+    out = replay_group(rows, window_size=window_size, replace_existing=mode)
+    return dict(zip(out["time_window"], out["metric_value"]))
+
+
+def _sums(tws, vals):
+    acc = {}
+    for t, v in zip(tws, vals):
+        acc[t] = acc.get(t, 0) + v
+    return acc
+
+
+def test_monotone_positive_replay_equals_sums_property():
+    """The fast-path claim at the accumulator level: any non-decreasing
+    window sequence with all values >= 1 replays to the plain sums, in
+    BOTH sink-merge policies (random search over 300 sequences)."""
+    rng = random.Random(11)
+    for trial in range(300):
+        n = rng.randint(1, 25)
+        tws = sorted(rng.randint(1, 8) for _ in range(n))
+        vals = [rng.randint(1, 100) for _ in range(n)]
+        want = _sums(tws, vals)
+        assert _replay(tws, vals, False) == want, (tws, vals)
+        assert _replay(tws, vals, True) == want, (tws, vals)
+
+
+def test_zero_value_monotone_sequence_can_diverge_from_sums():
+    """Why eligibility requires values >= 1 even for monotone input: 3
+    leading zero adds re-run the insertion path (Values[tw] < 1,
+    SBOMetrics.go:188), fill the key buffer with duplicates, and the
+    4th (nonzero) add is LATE-DROPPED. Plain sums would report 500."""
+    tws = [7, 7, 7, 7]
+    vals = [0, 0, 0, 500]
+    assert _sums(tws, vals) == {7: 500}
+    assert _replay(tws, vals) == {7: 0}
+
+
+def _mk_input(tmp_path, lines, n_shards=2):
+    n = len(lines)
+    doc_ids = [f"d{i:06d}" for i in range(n)]
+    sources = ["web-00"] * n
+    table = synth.build_table(doc_ids, lines, sources)
+    paths = synth.write_sharded(table, str(tmp_path), n_shards=n_shards)
+    job = JobConfig.from_format_map(synth.source_config(1))
+    return paths, job
+
+
+def _compat_map(enriched, fast):
+    got = metrics_dataset_compat(enriched, window_size=3, fast=fast).to_pandas()
+    return {
+        (r.source, int(r.metric_type), r.key_value, int(r.time_window)):
+            int(r.metric_value)
+        for r in got.itertuples()
+    }
+
+
+def test_engine_zero_byte_corner_matches_slow_path(ray_session, tmp_path):
+    """Engine-level zero-value corner: one window with 3 zero-byte
+    requests then a 500-byte one. The faithful result drops the 500
+    (BYTES_SENT total 0); the fast path must detect min_val < 1 and
+    replay, NOT sum."""
+    base = '1.1.1.{i} - - [10/Oct/2024:13:0{m}:00 +0000] "GET /a HTTP/1.0" 200 {b}'
+    lines = [
+        base.format(i=1, m=1, b=0),
+        base.format(i=2, m=2, b=0),
+        base.format(i=3, m=3, b=0),
+        base.format(i=4, m=4, b=500),
+    ]
+    paths, job = _mk_input(tmp_path, lines, n_shards=1)
+    fast = _compat_map(logpipe.enriched_dataset(paths, job), fast=True)
+    slow = _compat_map(logpipe.enriched_dataset(paths, job), fast=False)
+    assert fast == slow
+    # METRIC_BYTES_SENT == 2: the dropped add really is dropped
+    bytes_rows = {k: v for k, v in fast.items() if k[1] == 2}
+    assert sum(bytes_rows.values()) == 0
+    # and REQ_COUNT (always value 1) still sums exactly
+    req_rows = {k: v for k, v in fast.items() if k[1] == 1}
+    assert sum(req_rows.values()) == 4
+
+
+def test_engine_fast_equals_slow_chronological(ray_session, tmp_path):
+    doc_ids, lines, sources = synth.synth_lines(1200, seed=91, n_sources=4)
+    table = synth.build_table(doc_ids, lines, sources)
+    paths = synth.write_sharded(table, str(tmp_path), n_shards=3)
+    job = JobConfig.from_format_map(synth.source_config(4))
+    fast = _compat_map(logpipe.enriched_dataset(paths, job), fast=True)
+    slow = _compat_map(logpipe.enriched_dataset(paths, job), fast=False)
+    assert fast == slow and len(fast) > 50
+
+
+def test_engine_fast_equals_slow_ooo(ray_session, tmp_path):
+    """Adversarial OOO: 15% of rows pushed into the past — the affected
+    groups must take the replay branch and still match bit-for-bit."""
+    doc_ids, lines, sources = synth.synth_lines(1200, seed=92, n_sources=4,
+                                                ooo_frac=0.15)
+    table = synth.build_table(doc_ids, lines, sources)
+    paths = synth.write_sharded(table, str(tmp_path), n_shards=3)
+    job = JobConfig.from_format_map(synth.source_config(4))
+    fast = _compat_map(logpipe.enriched_dataset(paths, job), fast=True)
+    slow = _compat_map(logpipe.enriched_dataset(paths, job), fast=False)
+    assert fast == slow
+
+    # the OOO input must actually diverge from exact sums somewhere,
+    # or this test proves nothing
+    exact = logpipe.metrics_dataset(logpipe.enriched_dataset(paths, job)).to_pandas()
+    exact_map = {
+        (r.source, int(r.metric_type), r.key_value, int(r.time_window)):
+            int(r.metric_value)
+        for r in exact.itertuples()
+    }
+    assert fast != exact_map
+
+
+def test_engine_fast_equals_slow_replace_mode(ray_session, tmp_path):
+    doc_ids, lines, sources = synth.synth_lines(800, seed=93, n_sources=3,
+                                                ooo_frac=0.15)
+    table = synth.build_table(doc_ids, lines, sources)
+    paths = synth.write_sharded(table, str(tmp_path), n_shards=2)
+    job = JobConfig.from_format_map(synth.source_config(3))
+
+    def m(fast):
+        got = metrics_dataset_compat(
+            logpipe.enriched_dataset(paths, job), window_size=3,
+            replace_existing=True, fast=fast).to_pandas()
+        return {
+            (r.source, int(r.metric_type), r.key_value, int(r.time_window)):
+                int(r.metric_value)
+            for r in got.itertuples()
+        }
+
+    assert m(True) == m(False)
