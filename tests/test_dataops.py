@@ -100,6 +100,31 @@ def test_minhash_finds_planted_dups(ray_session, planted):
         assert jaccard(texts[a], texts[b]) >= 0.5
 
 
+def test_minhash_one_giant_bucket_distributed_verify(ray_session, tmp_path):
+    """Adversarial LSH input: 36 IDENTICAL documents collapse every band
+    into one bucket, producing all C(36,2)=630 candidate pairs. The
+    distributed verify (slot-join + per-pair groupby, VERDICT r2 item 4)
+    must resolve them all without the driver ever holding candidate
+    texts — only the pair list and the verified output."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import doc_dedup_minhash
+
+    n_dup, text = 36, " ".join(f"tok{i % 17}" for i in range(120))
+    texts = [text] * n_dup + [f"unique doc number {i} with its own words "
+                              f"{'x' * i}" for i in range(8)]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = doc_dedup_minhash(str(tmp_path), threshold=0.8).to_pandas()
+    dup_pairs = got[(got["id_a"] < n_dup) & (got["id_b"] < n_dup)]
+    assert len(dup_pairs) == n_dup * (n_dup - 1) // 2
+    assert (dup_pairs["jaccard"] == 1.0).all()
+    assert (got["id_a"] < got["id_b"]).all()
+
+
 def test_simhash_finds_exact_dup(ray_session, planted):
     from sbo_ray.pipelines.datapipe import doc_dedup_simhash
 
