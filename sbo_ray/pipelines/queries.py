@@ -45,6 +45,7 @@ _P = {
 _GROUPS = {
     "ts": {0: 4, 1: 4, 2: 5, 3: 3, 4: 3},
     "method": {0: 5, 1: 5, 2: 6, 3: 4, 4: 4},
+    "uri": {0: 6, 1: 6, 2: 7, 3: 5, 4: 5},
     "status": {0: 8, 1: 8, 2: 9, 3: 7, 4: 7},
     "bytes": {0: 9, 1: 9, 2: 10, 3: 8, 4: 8},
     "client_ip": {0: 1, 1: 1, 2: 2, 3: 1, 4: 1},
@@ -203,6 +204,174 @@ SELECT source, dimension, key_value, time_window, cnt,
                            ORDER BY time_window
                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative
 FROM counts
+"""
+
+
+# ---- Go net/url parse + malicious classifier, in pure SQL ------------------
+#
+# A genuinely independent third implementation of split_path
+# (httpservers.go:95-165 / functions/gourl.py + loglines.split_path):
+# scheme scan, ForceQuery / first-'?' query cut, authority + userinfo
+# strip, strict %-escape validation, Latin-1-style byte decode (chr per
+# byte — matches Go's byte-string unescape), path1-3 splitting and the
+# INVALID > TRAVERSAL > XSS > SQLI precedence. Validated against the
+# Python port over 63 adversarial URIs + every distinct corpus URI
+# (tests/test_sql_url_parity.py).
+
+_HEXD = "0123456789abcdef"
+
+
+def _sql_hexval(c: str) -> str:
+    return f"(strpos('{_HEXD}', lower({c}))-1)"
+
+
+def _sql_bad_escapes(col: str) -> str:
+    """True iff ``col`` contains a '%' not starting a valid 2-hex escape
+    (RE2 has no lookahead, so check the split parts)."""
+    parts = f"str_split({col}, '%')"
+    return (f"(strpos({col}, '%') > 0 AND list_bool_or(list_transform("
+            f"list_slice({parts}, 2, len({parts})),"
+            f" p -> NOT regexp_matches(substr(p, 1, 2), '^[0-9a-fA-F]{{2}}$'))))")
+
+
+def _sql_decode(col: str) -> str:
+    """Percent-decode (escapes pre-validated): chr(byte) per %XX, i.e.
+    Latin-1 code points exactly like the engine's _unescape_path."""
+    parts = f"str_split({col}, '%')"
+    return (f"CASE WHEN strpos({col}, '%') = 0 THEN {col} ELSE "
+            f"list_extract({parts}, 1) || list_aggregate("
+            f"list_transform(list_slice({parts}, 2, len({parts})),"
+            f" p -> chr(CAST({_sql_hexval('substr(p,1,1)')}*16"
+            f" + {_sql_hexval('substr(p,2,1)')} AS INTEGER)) || substr(p, 3)),"
+            f" 'string_agg', '') END")
+
+
+def _sql_url_ctes() -> str:
+    """CTE chain ``u0``..``urlparsed``: expects a prior CTE ``parsedu``
+    with a ``uri`` column (other columns pass through); yields ``path``,
+    ``path1..3`` and ``malicious``."""
+    return f"""
+, u0 AS (
+  SELECT *,
+    regexp_matches(uri, '[\\x00-\\x1f\\x7f]') AS has_ctl,
+    CASE WHEN regexp_matches(uri, '^[A-Za-z][A-Za-z0-9+.\\-]*:')
+         THEN lower(regexp_extract(uri, '^([A-Za-z][A-Za-z0-9+.\\-]*):', 1)) ELSE '' END AS scheme,
+    CASE WHEN regexp_matches(uri, '^[A-Za-z][A-Za-z0-9+.\\-]*:')
+         THEN regexp_extract(uri, '^[A-Za-z][A-Za-z0-9+.\\-]*:(.*)$', 1) ELSE uri END AS rest
+  FROM parsedu
+), u1 AS (
+  SELECT *,
+    CASE WHEN ends_with(rest, '?') AND strpos(substr(rest, 1, len(rest)-1), '?') = 0
+         THEN substr(rest, 1, len(rest)-1) ELSE split_part(rest, '?', 1) END AS rest2,
+    CASE WHEN ends_with(rest, '?') AND strpos(substr(rest, 1, len(rest)-1), '?') = 0 THEN ''
+         WHEN strpos(rest, '?') > 0 THEN substr(rest, strpos(rest, '?')+1)
+         ELSE '' END AS raw_query
+  FROM u0
+), u2 AS (
+  SELECT *,
+    (scheme <> '' AND rest2 LIKE '//%') AS has_auth,
+    CASE WHEN scheme <> '' AND rest2 LIKE '//%' THEN substr(rest2, 3) ELSE '' END AS authfull
+  FROM u1
+), u3 AS (
+  SELECT *,
+    CASE WHEN has_auth AND strpos(authfull, '/') > 0
+         THEN substr(authfull, 1, strpos(authfull, '/')-1)
+         WHEN has_auth THEN authfull ELSE '' END AS auth,
+    CASE WHEN has_auth AND strpos(authfull, '/') > 0 THEN substr(authfull, strpos(authfull, '/'))
+         WHEN has_auth THEN ''
+         ELSE rest2 END AS prepath
+  FROM u2
+), u4 AS (
+  SELECT *,
+    CASE WHEN strpos(auth, '@') > 0 THEN regexp_extract(auth, '@([^@]*)$', 1) ELSE auth END AS hostp
+  FROM u3
+), u5 AS (
+  SELECT *,
+    (uri = '*') AS is_star,
+    (uri <> '*' AND scheme <> '' AND NOT rest2 LIKE '/%') AS is_opaque,
+    (has_ctl OR uri = '' OR uri LIKE ':%'
+      OR (uri <> '*' AND scheme = '' AND NOT rest2 LIKE '/%')
+      OR (has_auth AND (regexp_matches(hostp, '[\\x00-\\x1f\\x7f]') OR {_sql_bad_escapes('hostp')}))
+      OR (uri <> '*' AND NOT (scheme <> '' AND NOT rest2 LIKE '/%') AND {_sql_bad_escapes('prepath')})
+    ) AS parse_fail
+  FROM u4
+), u6 AS (
+  SELECT *,
+    CASE WHEN parse_fail THEN split_part(uri, '?', 1)
+         WHEN is_star THEN '*'
+         WHEN is_opaque THEN ''
+         ELSE {_sql_decode('prepath')} END AS path,
+    CASE WHEN parse_fail OR is_star THEN '' ELSE raw_query END AS rq
+  FROM u5
+), u7 AS (
+  SELECT *, CASE WHEN parse_fail THEN 0 ELSE len(str_split(path, '/')) END AS nseg
+  FROM u6
+), urlparsed AS (
+  SELECT *,
+    CASE WHEN parse_fail OR path = '' THEN '' WHEN nseg = 1 THEN '/'
+         ELSE '/' || str_split(path,'/')[2] END AS path1,
+    CASE WHEN NOT parse_fail AND path <> '' AND nseg > 2
+         THEN '/' || str_split(path,'/')[2] || '/' || str_split(path,'/')[3] ELSE '' END AS path2,
+    CASE WHEN NOT parse_fail AND path <> '' AND nseg > 3
+         THEN '/' || str_split(path,'/')[2] || '/' || str_split(path,'/')[3] || '/' || str_split(path,'/')[4]
+         ELSE '' END AS path3,
+    CASE WHEN parse_fail THEN 1
+         WHEN strpos(path, '/../') > 0 OR strpos(uri, '%00') > 0 THEN 30
+         WHEN regexp_matches(rq, '<script|script>|alert|onmouseover|onmouseout') THEN 20
+         WHEN regexp_matches(rq, $sqli${_SQLI_RE}$sqli$) THEN 10
+         ELSE 0 END AS malicious
+  FROM u7
+)"""
+
+
+_SQLI_RE = "'.*(insert|update|exec|execute)"
+
+
+def sql_top_paths(cache: str) -> str:
+    """Independent SQL: per-source exact top-10 full paths with the
+    engine's deterministic (cnt desc, key asc) tie-break — the counter
+    'paths' dimension counts the FULL decoded path of every parsed row
+    (counter.go:222), including the raw-cut path of INVALID URIs."""
+    return _pattern_cte(cache) + f"""
+, parsedu AS (
+  SELECT source, {_extract_case("uri")} AS uri
+  FROM pat WHERE {_matches_case()}
+)""" + _sql_url_ctes() + """
+, counts AS (
+  SELECT source, path AS key_value, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM urlparsed GROUP BY source, path
+), ranked AS (
+  SELECT source, key_value, cnt,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, key_value ASC) AS rk
+  FROM counts
+)
+SELECT source, key_value, cnt FROM ranked WHERE rk <= 10
+"""
+
+
+def sql_repeat_offenders(cache: str) -> str:
+    """Independent SQL: the lastN ring-buffer flagging (the
+    metricgenerator.go:73 TODO implemented as intended) — per (source,
+    client) sliding last-50 window over parsed rows in file order,
+    flagged when the window ever holds >= 3 malicious requests."""
+    return _pattern_cte(cache) + f"""
+, parsedu AS (
+  SELECT source, doc_id, {_extract_case("client_ip")} AS client_ip,
+         {_extract_case("uri")} AS uri
+  FROM pat WHERE {_matches_case()}
+)""" + _sql_url_ctes() + """
+, rolled AS (
+  SELECT source, client_ip,
+    SUM(CASE WHEN malicious <> 0 THEN 1 ELSE 0 END) OVER (
+      PARTITION BY source, client_ip ORDER BY doc_id
+      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS win_bad
+  FROM urlparsed
+)
+SELECT source, client_ip,
+  CAST(COUNT(*) AS BIGINT) AS n_requests,
+  CAST(MAX(win_bad) AS BIGINT) AS max_malicious_in_window,
+  CAST(CASE WHEN MAX(win_bad) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM rolled GROUP BY source, client_ip
 """
 
 
@@ -613,6 +782,10 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_geo_counts": sql_geo_counts(cache),
         "log_status_class_counts": sql_status_class_counts(cache),
         "log_distinct_clients": sql_distinct_clients(cache),
+        # moved to independent SQL in r3 (Go net/url + malicious
+        # classifier re-implemented in pure SQL, see _sql_url_ctes)
+        "log_top_paths": sql_top_paths(cache),
+        "log_repeat_offenders": sql_repeat_offenders(cache),
         # materialized pure-Python-oracle dumps (engine vs oracle)
         "log_metrics": f"SELECT * FROM read_parquet('{cache}/oracle_metrics.parquet')",
         "log_metrics_compat": f"SELECT * FROM read_parquet('{cache}/oracle_metrics.parquet')",
@@ -620,6 +793,4 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_global_counters": f"SELECT * FROM read_parquet('{cache}/oracle_global_counters.parquet')",
         "log_routed": f"SELECT * FROM read_parquet('{cache}/oracle_routed.parquet')",
         "log_routed_masked": f"SELECT * FROM read_parquet('{cache}/oracle_routed_masked.parquet')",
-        "log_top_paths": f"SELECT * FROM read_parquet('{cache}/oracle_top_paths.parquet')",
-        "log_repeat_offenders": f"SELECT * FROM read_parquet('{cache}/oracle_repeat_offenders.parquet')",
     }
