@@ -32,6 +32,18 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _n_parts() -> int:
+    """Hash-partition count for the partition-grouped pattern: Ray's
+    ``groupby().map_groups`` pays ~60us of per-group pandas overhead, so
+    grouping millions of tiny buckets (LSH bands, users) directly is
+    minutes of pure overhead. Instead group by ``key_hash % P`` and do
+    the real (vectorized) grouping inside each partition — same rows
+    shuffled, P pandas calls instead of millions. Partitioning
+    assumption: one hash partition fits in a worker; raise P for bigger
+    inputs."""
+    return max(16, _cpus() * 4)
+
+
 # ---- dedup -----------------------------------------------------------------
 
 
@@ -66,19 +78,42 @@ def doc_dedup_minhash(sf_dir: str, threshold: float = 0.8):
     Partitioning assumption: one LSH bucket fits in a worker (standard
     LSH contract; bands/rows tuned so buckets stay small)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    bands = ds.map_batches(D.minhash_bands, batch_format="pyarrow")
+    P = _n_parts()
+    bands = ds.map_batches(D.minhash_bands, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column(
+            "part", pa.array(t.column("band_hash").to_numpy() % P)),
+        batch_format="pyarrow",
+    )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        if not out:
+    def bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        # one call per HASH PARTITION (P total), vectorized grouping
+        # inside — per-bucket map_groups paid ~60us x millions of tiny
+        # buckets; see _n_parts
+        g = g.sort_values(["band", "band_hash", "doc_id"], kind="stable")
+        band = g["band"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        nb = np.ones(len(g), dtype=bool)
+        nb[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        bounds = np.append(np.flatnonzero(nb), len(g))
+        outs_a, outs_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = e - s
+            if m >= 2:
+                bucket_ids = np.sort(ids[s:e])
+                iu, ju = np.triu_indices(m, 1)
+                outs_a.append(bucket_ids[iu])
+                outs_b.append(bucket_ids[ju])
+        if not outs_a:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame(out, columns=["id_a", "id_b"])
+        return pd.DataFrame({
+            "id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)
+        }).drop_duplicates()
 
     cand = (
-        bands.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        bands.groupby("part")
+        .map_groups(bucket_pairs_part, batch_format="pandas")
         .to_pandas()
         .drop_duplicates()
     )
@@ -136,23 +171,43 @@ def doc_dedup_simhash(sf_dir: str, max_hamming: int = 3):
     pair list. No corpus materialization; per-worker memory is bounded
     by the largest pigeonhole bucket."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    P = _n_parts()
     seg_rows = ds.map_batches(D.simhash_batch, batch_format="pyarrow").map_batches(
         D.simhash_segment_rows, batch_format="pyarrow"
+    ).map_batches(
+        lambda t: t.append_column("part", pa.array(
+            (t.column("seg_val").to_numpy() * 4 + t.column("seg").to_numpy()) % P)),
+        batch_format="pyarrow",
     )
 
-    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy(dtype=np.int64)
-        if len(ids) < 2:
+    def bucket_verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        # partition-grouped (see _n_parts): vectorized per-bucket verify
+        # inside one call per hash partition
+        g = g.sort_values(["seg", "seg_val"], kind="stable")
+        seg = g["seg"].to_numpy()
+        sv = g["seg_val"].to_numpy()
+        ids_all = g["doc_id"].to_numpy(dtype=np.int64)
+        sigs_all = g["simhash"].to_numpy(dtype=np.int64)
+        nb = np.ones(len(g), dtype=bool)
+        nb[1:] = (seg[1:] != seg[:-1]) | (sv[1:] != sv[:-1])
+        bounds = np.append(np.flatnonzero(nb), len(g))
+        frames = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s >= 2:
+                lo, hi, ham = D.simhash_bucket_pairs(
+                    ids_all[s:e], sigs_all[s:e], max_hamming)
+                if len(lo):
+                    frames.append(pd.DataFrame(
+                        {"id_a": lo, "id_b": hi, "hamming": ham}))
+        if not frames:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64"),
                                  "hamming": pd.Series([], dtype="int64")})
-        sigs = g["simhash"].to_numpy(dtype=np.int64)
-        lo, hi, ham = D.simhash_bucket_pairs(ids, sigs, max_hamming)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "hamming": ham})
+        return pd.concat(frames, ignore_index=True)
 
     pairs = (
-        seg_rows.groupby(["seg", "seg_val"])
-        .map_groups(bucket_verify, batch_format="pandas")
+        seg_rows.groupby("part")
+        .map_groups(bucket_verify_part, batch_format="pandas")
         .to_pandas()
     )
     # Ray's empty-Dataset to_pandas() loses column schema (CLAUDE.md
@@ -844,16 +899,24 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     sessionization, expressed as groupby(user).map_groups over
     ts-sorted groups — the Ray-idiomatic stream-window pattern).
 
-    Partitioning assumption: one user's events fit in a worker. For
-    hot users where that breaks, use ``events_sessionize_salted`` —
-    the two-phase time-bucketed variant with identical output.
+    Partitioning assumption: one hash partition of users fits in a
+    worker (partition-grouped, see _n_parts). For hot single users where
+    even that breaks, use ``events_sessionize_salted`` — the two-phase
+    time-bucketed variant with identical output.
     Output: one row per session."""
+    P = _n_parts()
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        gaps = g["ts"].diff().dt.total_seconds().fillna(1e18)
-        session_no = (gaps > gap_minutes * 60).cumsum()
-        out = g.groupby(session_no).agg(
+    def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
+        # all users of one hash partition, fully vectorized: session
+        # boundaries = user change OR gap > threshold
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        gaps = g["ts"].diff().dt.total_seconds().to_numpy()
+        new_sess = new_user | (gaps > gap_minutes * 60)
+        sid = np.cumsum(new_sess)
+        out = g.groupby(sid).agg(
             user_id=("user_id", "first"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),
@@ -865,7 +928,12 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
         return out.reset_index(drop=True)
 
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "part", pa.array(t.column("user_id").to_numpy() % P)),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("part").map_groups(sessions_part, batch_format="pandas")
 
 
 def events_sessionize_salted(sf_dir: str, gap_minutes: int = 30,
@@ -883,11 +951,19 @@ def events_sessionize_salted(sf_dir: str, gap_minutes: int = 30,
     Partitioning assumption: one user's SESSIONS (not events) fit in a
     worker; the bucket granularity is the skew knob."""
 
-    def partial_sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        gaps = g["ts"].diff().dt.total_seconds().fillna(1e18)
-        session_no = (gaps > gap_minutes * 60).cumsum()
-        out = g.groupby(session_no).agg(
+    P = _n_parts()
+
+    def partial_sessions_part(g: pd.DataFrame) -> pd.DataFrame:
+        # all (user, bucket) groups of one hash partition, vectorized:
+        # partial-session boundary = user/bucket change OR gap
+        g = g.sort_values(["user_id", "bucket", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        bk = g["bucket"].to_numpy()
+        newg = np.ones(len(g), dtype=bool)
+        newg[1:] = (uid[1:] != uid[:-1]) | (bk[1:] != bk[:-1])
+        gaps = g["ts"].diff().dt.total_seconds().to_numpy()
+        sid = np.cumsum(newg | (gaps > gap_minutes * 60))
+        out = g.groupby(sid).agg(
             user_id=("user_id", "first"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),
@@ -896,10 +972,16 @@ def events_sessionize_salted(sf_dir: str, gap_minutes: int = 30,
         )
         return out.reset_index(drop=True)
 
-    def merge_sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["session_start", "session_end"], kind="stable")
+    def merge_sessions_part(g: pd.DataFrame) -> pd.DataFrame:
+        # all users of one hash partition: merge boundary = user change
+        # OR boundary gap > threshold over the ordered partial sessions
+        g = g.sort_values(["user_id", "session_start", "session_end"],
+                          kind="stable")
+        uid = g["user_id"].to_numpy()
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
         gaps = (g["session_start"] - g["session_end"].shift()).dt.total_seconds()
-        new_session = (gaps.fillna(1e18) > gap_minutes * 60).cumsum()
+        new_session = np.cumsum(new_user | (gaps.to_numpy() > gap_minutes * 60))
         out = g.groupby(new_session).agg(
             user_id=("user_id", "first"),
             session_start=("session_start", "min"),
@@ -912,18 +994,26 @@ def events_sessionize_salted(sf_dir: str, gap_minutes: int = 30,
         return out.reset_index(drop=True)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column(
+        t = t.append_column(
             "bucket", pc.floor_temporal(t["ts"], unit=bucket).cast(pa.int64())
         )
+        part = (t.column("user_id").to_numpy() * 8191
+                + t.column("bucket").to_numpy()) % P
+        return t.append_column("part", pa.array(part))
 
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
     partials = (
         ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby(["user_id", "bucket"])
-        .map_groups(partial_sessions, batch_format="pandas")
+        .groupby("part")
+        .map_groups(partial_sessions_part, batch_format="pandas")
+        .map_batches(
+            lambda t: t.append_column(
+                "part2", pa.array(t.column("user_id").to_numpy() % P)),
+            batch_format="pyarrow",
+        )
     )
-    return partials.groupby("user_id").map_groups(
-        merge_sessions, batch_format="pandas")
+    return partials.groupby("part2").map_groups(
+        merge_sessions_part, batch_format="pandas")
 
 
 def events_hourly(sf_dir: str):
