@@ -49,6 +49,9 @@ _GROUPS = {
     "status": {0: 8, 1: 8, 2: 9, 3: 7, 4: 7},
     "bytes": {0: 9, 1: 9, 2: 10, 3: 8, 4: 8},
     "client_ip": {0: 1, 1: 1, 2: 2, 3: 1, 4: 1},
+    # fi=0 (CLF) captures no referer/UA -> coalesced to '' (_extract_opt)
+    "referer": {1: 10, 2: 11, 3: 9, 4: 9},
+    "ua": {1: 11, 2: 12, 3: 10, 4: 10},
 }
 
 
@@ -71,8 +74,14 @@ def _extract_case(field: str) -> str:
             fi, _single_group(_P[fi], _GROUPS[field][fi])
         )
         for fi in range(5)
+        if fi in _GROUPS[field]
     )
     return f"CASE fi {arms} END"
+
+
+def _extract_opt(field: str) -> str:
+    """Like _extract_case but '' for formats that lack the field."""
+    return f"coalesce({_extract_case(field)}, '')"
 
 
 def _matches_case() -> str:
@@ -325,6 +334,413 @@ def _sql_url_ctes() -> str:
 
 
 _SQLI_RE = "'.*(insert|update|exec|execute)"
+
+
+# ---- UA classification + referer hostname, in pure SQL ---------------------
+#
+# Independent third implementations of useragent.go's NewSBOUserAgent
+# (functions/ua.py) and httpservers.go's referer normalization
+# (loglines.normalize_referer + gourl.go_referer_hostname). The token
+# scan's state machine collapses to last-non-NULL-wins per field over
+# the extracted token list (human/intent/found-flags are
+# order-independent: they only ever switch one way), so no fold is
+# needed. Parity pinned in tests/test_sql_url_parity.py over
+# adversarial UAs/referers + the corpus pools.
+
+_UA_TT = r"ltrim(t, ' \t')"
+_UA_ISP = f"starts_with({_UA_TT}, '(')"
+_UA_P = f"substr({_UA_TT}, 2, len({_UA_TT})-2)"
+
+_UA_STRUCT = r"""
+list_transform(
+  regexp_extract_all(after, '\s*\(([^)]+)\)|\s*([^/]+/[^ ]+)'),
+  t -> struct_pack(
+      os := CASE
+        WHEN __ISP__ THEN CASE
+          WHEN starts_with(__P__, 'Windows') THEN 'Windows'
+          WHEN starts_with(__P__, 'Mac') THEN 'MacOS'
+          WHEN starts_with(__P__, 'iPhone') OR starts_with(__P__, 'iPad') THEN 'IOS'
+          WHEN contains(__P__, 'Android') THEN 'Android'
+          WHEN contains(__P__, 'Linux') THEN 'Linux'
+          ELSE NULL END
+        ELSE CASE
+          WHEN starts_with(__Q__, 'CriOS') THEN 'IOS'
+          WHEN starts_with(__Q__, 'Edg') THEN 'Windows'
+          ELSE NULL END
+        END,
+      dev := CASE
+        WHEN __ISP__ THEN CASE
+          WHEN starts_with(__P__, 'Windows') OR starts_with(__P__, 'Mac') THEN 'Desktop'
+          WHEN starts_with(__P__, 'iPhone') OR starts_with(__P__, 'iPad') THEN 'Mobile'
+          WHEN contains(__P__, 'Android') THEN 'Mobile'
+          WHEN contains(__P__, 'Linux') THEN 'Desktop'
+          WHEN starts_with(__P__, 'compatible') AND contains(lower(__P__), 'bot')
+            THEN CASE WHEN contains(lower(__P__), 'blex') THEN 'SEOBot' ELSE 'Script' END
+          WHEN contains(__P__, 'Claude') THEN 'Script'
+          ELSE NULL END
+        ELSE CASE
+          WHEN starts_with(__Q__, 'Chrome') OR starts_with(__Q__, 'Safari')
+            OR starts_with(__Q__, 'CriOS') OR starts_with(__Q__, 'Edg')
+            OR starts_with(__Q__, 'Firefox') THEN NULL
+          WHEN contains(__Q__, 'compatible') AND contains(lower(__Q__), 'bot')
+            THEN CASE WHEN contains(lower(__Q__), 'blex') THEN 'SEOBot' ELSE 'Script' END
+          WHEN contains(__Q__, 'openai') THEN 'Script'
+          WHEN contains(__Q__, 'Claude') THEN 'Script'
+          ELSE NULL END
+        END,
+      fam := CASE
+        WHEN __ISP__ THEN CASE
+          WHEN starts_with(__P__, 'Windows') OR starts_with(__P__, 'Mac')
+            OR starts_with(__P__, 'iPhone') OR starts_with(__P__, 'iPad')
+            OR contains(__P__, 'Android') OR contains(__P__, 'Linux') THEN NULL
+          WHEN starts_with(__P__, 'compatible') AND contains(lower(__P__), 'bot') THEN 'OtherBot'
+          WHEN contains(__P__, 'Claude') THEN 'AIBot'
+          ELSE NULL END
+        ELSE CASE
+          WHEN starts_with(__Q__, 'Chrome') THEN 'Chrome'
+          WHEN starts_with(__Q__, 'Safari') THEN 'Safari'
+          WHEN starts_with(__Q__, 'CriOS') THEN 'Chrome'
+          WHEN starts_with(__Q__, 'Edg') THEN 'Edge'
+          WHEN starts_with(__Q__, 'Firefox') THEN 'Firefox'
+          WHEN contains(__Q__, 'compatible') AND contains(lower(__Q__), 'bot') THEN 'OtherBot'
+          WHEN contains(__Q__, 'openai') THEN 'AIBot'
+          WHEN contains(__Q__, 'Claude') THEN 'AIBot'
+          ELSE NULL END
+        END,
+      hum := (__ISP__ AND (
+                (contains(__P__, 'Android') AND contains(__P__, 'Googlebot'))
+                OR (starts_with(__P__, 'compatible') AND contains(lower(__P__), 'bot'))
+                OR contains(__P__, 'Claude')))
+             OR (NOT __ISP__ AND (
+                (contains(__Q__, 'compatible') AND contains(lower(__Q__), 'bot'))
+                OR contains(__Q__, 'openai') OR contains(__Q__, 'Claude'))),
+      intp := (__ISP__ AND starts_with(__P__, 'compatible') AND contains(lower(__P__), 'bot')
+               AND contains(lower(__P__), 'blex'))
+           OR (NOT __ISP__ AND contains(__Q__, 'compatible') AND contains(lower(__Q__), 'bot')
+               AND contains(lower(__Q__), 'blex')),
+      f_chrome := NOT __ISP__ AND starts_with(__Q__, 'Chrome'),
+      f_safari := NOT __ISP__ AND starts_with(__Q__, 'Safari'),
+      f_crios := NOT __ISP__ AND starts_with(__Q__, 'CriOS'),
+      f_edge := NOT __ISP__ AND starts_with(__Q__, 'Edg'),
+      f_ff := NOT __ISP__ AND starts_with(__Q__, 'Firefox')
+  )
+)
+"""
+
+
+def _ua_tok_struct() -> str:
+    return (_UA_STRUCT.replace("__ISP__", _UA_ISP).replace("__P__", _UA_P)
+            .replace("__Q__", _UA_TT))
+
+
+def _ua_last(field: str) -> str:
+    return (f"list_reverse(list_filter(list_transform(toks, s -> s.{field}),"
+            f" x -> x IS NOT NULL))[1]")
+
+
+def _ua_any(field: str) -> str:
+    return f"coalesce(list_bool_or(list_transform(toks, s -> s.{field})), false)"
+
+
+def _sql_ua_ctes() -> str:
+    """CTE chain expecting ``urlparsed`` with a ``ua`` column; yields
+    ``uadone`` with ua_os/ua_family/ua_device/ua_human/ua_intent
+    (PRE-robots-override; apply the override where path1 is at hand)."""
+    return f"""
+, ua0 AS (
+  SELECT *, lower(ua) AS lua, strpos(ua, ' ') AS sp,
+    CASE WHEN strpos(ua, ' ') > 0 THEN substr(ua, 1, strpos(ua, ' ')-1) ELSE ua END AS before,
+    CASE WHEN strpos(ua, ' ') > 0 THEN substr(ua, strpos(ua, ' ')+1) ELSE '' END AS after
+  FROM urlparsed
+), ua1 AS (
+  SELECT *,
+    CASE
+      WHEN regexp_matches(lua, 'googlebot|bingbot|baiduspider|yandexbot|duckduckbot') THEN 'search'
+      WHEN regexp_matches(lua, 'facebookexternalhit|twitterbot|linkedinbot|pinterestbot|slackbot|bytespider') THEN 'social'
+      WHEN regexp_matches(lua, 'ahrefs|semrush|dotbot|mj12bot|seobilitybot|siteauditbot|yandex.') THEN 'seo'
+      WHEN regexp_matches(lua, 'gptbot|chatgpt|google-extended|claudebot|meta-externalagent|amazonbot|perplexitybot|youbot') THEN 'ai'
+      WHEN regexp_matches(lua, 'censysinspect|expanse|aliyunsecbot|nmap|masscan|zgrab|shodanbot|urlscan|tchelebi') THEN 'scanner'
+      WHEN regexp_matches(lua, 'curl|scrapy|wget|python|go-http-client|java|ruby|okhttp|postman|axios|guzzlehttp|headlesschrome|phantomjs|cloudflare-traffic-manager') THEN 'script'
+      ELSE NULL END AS tier
+  FROM ua0
+), ua2 AS (
+  SELECT *, {_ua_tok_struct()} AS toks FROM ua1
+), ua3 AS (
+  SELECT *,
+    {_ua_last('os')} AS t_os, {_ua_last('dev')} AS t_dev, {_ua_last('fam')} AS t_fam,
+    {_ua_any('hum')} AS t_hum, {_ua_any('intp')} AS t_intp,
+    {_ua_any('f_chrome')} AS f_chrome, {_ua_any('f_safari')} AS f_safari,
+    {_ua_any('f_crios')} AS f_crios, {_ua_any('f_edge')} AS f_edge,
+    {_ua_any('f_ff')} AS f_ff
+  FROM ua2
+), ua4 AS (
+  SELECT *,
+    CASE WHEN f_crios THEN 'Chrome'
+         WHEN f_edge THEN 'Edge'
+         WHEN f_safari AND f_chrome THEN 'Chrome'
+         WHEN f_safari AND NOT f_chrome AND NOT f_edge AND NOT f_ff THEN 'Safari'
+         ELSE coalesce(t_fam, 'Other') END AS scan_fam0,
+    CASE WHEN f_crios THEN 'IOS' WHEN f_edge THEN 'Windows'
+         ELSE coalesce(t_os, 'Other') END AS scan_os0,
+    coalesce(t_dev, 'Unknown') AS scan_dev0
+  FROM ua3
+), uadone AS (
+  SELECT *,
+    CASE WHEN tier IS NOT NULL THEN 'Other'
+         WHEN sp = 0 THEN 'Other'
+         WHEN scan_fam0 IN ('SearchBot', 'OtherBot') THEN 'Other'
+         ELSE scan_os0 END AS ua_os,
+    CASE WHEN tier = 'search' THEN 'SearchBot'
+         WHEN tier = 'social' THEN 'SocialBot'
+         WHEN tier = 'seo' THEN 'SEOBot'
+         WHEN tier = 'ai' THEN 'AIBot'
+         WHEN tier = 'scanner' THEN 'Scanner'
+         WHEN tier = 'script' THEN 'Script'
+         WHEN sp = 0 THEN CASE
+           WHEN contains(lower(before), 'google') THEN 'SearchBot'
+           WHEN starts_with(lower(before), 'facebook') THEN 'OtherBot'
+           WHEN starts_with(lower(before), 'meta-') THEN 'AIBot'
+           WHEN contains(lower(before), 'curl') OR starts_with(lower(before), 'go-')
+             OR contains(lower(before), 'java') OR contains(lower(before), 'apache')
+             OR contains(lower(before), 'php') OR contains(lower(before), 'python')
+             OR contains(lower(before), 'requests') THEN 'Script'
+           ELSE 'Other' END
+         ELSE scan_fam0 END AS ua_family,
+    CASE WHEN tier IS NOT NULL THEN 'Script'
+         WHEN sp = 0 THEN CASE
+           WHEN starts_with(lower(before), 'facebook')
+             OR starts_with(lower(before), 'meta-') THEN 'Script'
+           ELSE 'Unknown' END
+         WHEN scan_fam0 IN ('SearchBot', 'OtherBot') THEN 'Script'
+         ELSE scan_dev0 END AS ua_device,
+    CASE WHEN tier IS NOT NULL THEN 'NonHuman'
+         WHEN sp = 0 THEN 'NonHuman'
+         WHEN scan_fam0 IN ('SearchBot', 'OtherBot') THEN 'NonHuman'
+         WHEN t_hum THEN 'NonHuman'
+         ELSE 'Unknown' END AS ua_human,
+    CASE WHEN tier IN ('search', 'social', 'seo', 'ai') THEN 'Processing'
+         WHEN tier = 'scanner' THEN 'Scanning'
+         WHEN tier = 'script' THEN 'Scraping'
+         WHEN sp > 0 AND t_intp THEN 'Processing'
+         ELSE 'Unknown' END AS ua_intent
+  FROM ua4
+)"""
+
+
+def _sql_ref_ctes() -> str:
+    """CTE chain expecting ``uadone`` with a ``ref`` column (raw referer
+    header); yields ``refdone`` with ``ref_host`` (hostname, www.
+    stripped, '' on parse error/empty — go_referer_hostname)."""
+    return f"""
+, r0 AS (
+  SELECT *,
+    split_part(ref, '#', 1) AS r_rawurl,
+    CASE WHEN strpos(ref, '#') > 0 THEN substr(ref, strpos(ref, '#')+1) ELSE '' END AS r_frag,
+    (strpos(ref, '#') > 0) AS r_has_frag
+  FROM uadone
+), r1 AS (
+  SELECT *,
+    (r_has_frag AND {_sql_bad_escapes('r_frag')}) AS r_frag_bad,
+    regexp_matches(r_rawurl, '[\\x00-\\x1f\\x7f]') AS r_has_ctl,
+    CASE WHEN regexp_matches(r_rawurl, '^[A-Za-z][A-Za-z0-9+.\\-]*:')
+         THEN lower(regexp_extract(r_rawurl, '^([A-Za-z][A-Za-z0-9+.\\-]*):', 1)) ELSE '' END AS r_scheme,
+    CASE WHEN regexp_matches(r_rawurl, '^[A-Za-z][A-Za-z0-9+.\\-]*:')
+         THEN regexp_extract(r_rawurl, '^[A-Za-z][A-Za-z0-9+.\\-]*:(.*)$', 1) ELSE r_rawurl END AS r_rest
+  FROM r0
+), r2 AS (
+  SELECT *,
+    CASE WHEN ends_with(r_rest, '?') AND strpos(substr(r_rest, 1, len(r_rest)-1), '?') = 0
+         THEN substr(r_rest, 1, len(r_rest)-1) ELSE split_part(r_rest, '?', 1) END AS r_rest2
+  FROM r1
+), r3 AS (
+  SELECT *,
+    ((r_scheme <> '' OR NOT starts_with(r_rest2, '///')) AND starts_with(r_rest2, '//')) AS r_has_auth
+  FROM r2
+), r4 AS (
+  SELECT *, CASE WHEN r_has_auth THEN substr(r_rest2, 3) ELSE '' END AS r_authfull
+  FROM r3
+), r5 AS (
+  SELECT *,
+    CASE WHEN r_has_auth AND strpos(r_authfull, '/') > 0
+         THEN substr(r_authfull, 1, strpos(r_authfull, '/')-1)
+         WHEN r_has_auth THEN r_authfull ELSE '' END AS r_auth,
+    CASE WHEN r_has_auth AND strpos(r_authfull, '/') > 0
+         THEN substr(r_authfull, strpos(r_authfull, '/'))
+         WHEN r_has_auth THEN ''
+         ELSE r_rest2 END AS r_prepath
+  FROM r4
+), r6 AS (
+  SELECT *,
+    CASE WHEN strpos(r_auth, '@') > 0 THEN regexp_extract(r_auth, '@([^@]*)$', 1)
+         ELSE r_auth END AS r_hostp
+  FROM r5
+), r7 AS (
+  SELECT *,
+    (r_frag_bad OR r_has_ctl OR r_rawurl LIKE ':%'
+      OR (r_rawurl <> '*' AND r_scheme = '' AND NOT starts_with(r_rest2, '/')
+          AND strpos(split_part(r_rest2, '/', 1), ':') > 0)
+      OR (r_has_auth AND (regexp_matches(r_hostp, '[\\x00-\\x1f\\x7f]')
+                          OR {_sql_bad_escapes('r_hostp')}))
+      OR (r_rawurl <> '*' AND NOT (r_scheme <> '' AND NOT starts_with(r_rest2, '/'))
+          AND {_sql_bad_escapes('r_prepath')})
+    ) AS r_fail,
+    CASE WHEN r_rawurl = '*' OR NOT r_has_auth THEN '' ELSE r_hostp END AS r_host0
+  FROM r6
+), r8 AS (
+  SELECT *,
+    CASE WHEN strpos(r_host0, ':') > 0
+              AND (len(r_host0) - strpos(reverse(r_host0), ':') + 1)
+                  > coalesce(nullif(len(r_host0) - strpos(reverse(r_host0), ']') + 1,
+                                    len(r_host0)+1), 0)
+         THEN substr(r_host0, 1, len(r_host0) - strpos(reverse(r_host0), ':'))
+         ELSE r_host0 END AS r_host1
+  FROM r7
+), r9 AS (
+  SELECT *,
+    CASE WHEN starts_with(r_host1, '[') AND ends_with(r_host1, ']')
+         THEN substr(r_host1, 2, len(r_host1)-2) ELSE r_host1 END AS r_hostn
+  FROM r8
+), refdone AS (
+  SELECT *,
+    CASE WHEN ref = '' OR r_fail THEN ''
+         WHEN starts_with(r_hostn, 'www.') THEN substr(r_hostn, 5)
+         ELSE r_hostn END AS ref_host
+  FROM r9
+)"""
+
+
+_BOTLIKE_SQL = "('AIBot', 'SEOBot', 'Script', 'SearchBot', 'SocialBot')"
+
+
+def _sql_enriched_cte(cache: str) -> str:
+    """The full independent-SQL enrichment: parse -> URL -> UA -> referer
+    -> robots override + utm referer, ending in CTE ``enr`` with the
+    engine's enriched columns (source, client_ip, status, method, path,
+    ua_family/os/device/human/intent POST-robots-override, referer,
+    malicious, bytes)."""
+    return _pattern_cte(cache) + f"""
+, parsedu AS (
+  SELECT source, fi,
+    {_extract_case("client_ip")} AS client_ip,
+    {_extract_case("status")} AS status,
+    {_extract_case("method")} AS method,
+    CAST({_extract_case("bytes")} AS BIGINT) AS bytes_sent,
+    {_extract_case("uri")} AS uri,
+    {_extract_case("ts")} AS ts_str,
+    {_extract_opt("ua")} AS ua,
+    {_extract_opt("referer")} AS ref
+  FROM pat WHERE {_matches_case()}
+)""" + _sql_url_ctes() + _sql_ua_ctes() + _sql_ref_ctes() + f"""
+, enr AS MATERIALIZED (
+  SELECT source, client_ip, status, method, bytes_sent, path, malicious,
+    path1, path2, path3,
+    (SELECT CAST(year(lt) AS BIGINT)*100000000 + month(lt)*1000000
+            + day(lt)*10000 + hour(lt)*100 + (minute(lt) - minute(lt)%10)
+     FROM (SELECT try_strptime(split_part(ts_str, ' ', 1),
+                               '%d/%b/%Y:%H:%M:%S') AS lt)) AS time_window,
+    ua_os, ua_intent,
+    CASE WHEN path1 = '/robots.txt' THEN
+      CASE WHEN ua_family IN {_BOTLIKE_SQL} THEN ua_family ELSE 'OtherBot' END
+    ELSE ua_family END AS ua_family_f,
+    CASE WHEN path1 = '/robots.txt' THEN 'Script' ELSE ua_device END AS ua_device_f,
+    CASE WHEN path1 = '/robots.txt' THEN 'NonHuman' ELSE ua_human END AS ua_human_f,
+    CASE WHEN fi = 0 THEN ''  -- CLF captures no referer; the engine
+                              -- skips the utm path entirely for it
+         WHEN regexp_extract(uri, '(\\?|&)utm_source=([^&]+)(&|$)', 2) <> ''
+         THEN regexp_extract(uri, '(\\?|&)utm_source=([^&]+)(&|$)', 2)
+         ELSE ref_host END AS referer_f
+  FROM refdone
+)"""
+
+
+def sql_keyed_counters(cache: str) -> str:
+    """Independent SQL: all nine keyed counter dimensions
+    (counter.go:147-226) from the raw line view — regex parse + the
+    pure-SQL Go-URL / UA-tree / referer implementations."""
+    dims = [
+        ("clients", "client_ip"), ("status_codes", "status"),
+        ("methods", "method"), ("ua_families", "ua_family_f"),
+        ("os_families", "ua_os"), ("device_types", "ua_device_f"),
+        ("referers", "referer_f"), ("paths", "path"),
+        ("intents", "ua_intent"),
+    ]
+    unions = "\nUNION ALL\n".join(
+        f"SELECT source, '{dim}' AS dimension, {col} AS key_value, "
+        f"CAST(COUNT(*) AS BIGINT) AS cnt FROM enr GROUP BY source, {col}"
+        for dim, col in dims
+    )
+    return _sql_enriched_cte(cache) + "\n" + unions
+
+
+def sql_global_counters(cache: str) -> str:
+    """Independent SQL: the one-row global counter set
+    (counter.go:58-84, 137-229 + main.go:700-707 parse errors)."""
+    return _sql_enriched_cte(cache) + f"""
+, errs AS (
+  SELECT CAST(SUM(CASE WHEN {_matches_case()} THEN 0 ELSE 1 END) AS BIGINT) AS parse_errors
+  FROM pat
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS requests,
+  CAST(SUM(bytes_sent) AS BIGINT) AS bytes_sent,
+  CAST(SUM(CASE WHEN ua_human_f = 'Human' THEN 1 ELSE 0 END) AS BIGINT) AS humans,
+  CAST(SUM(CASE WHEN ua_human_f = 'NonHuman' THEN 1 ELSE 0 END) AS BIGINT) AS non_humans,
+  CAST(SUM(CASE WHEN malicious <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS malicious,
+  (SELECT parse_errors FROM errs) AS parse_errors
+FROM enr
+"""
+
+
+def _sql_trunc100(col: str) -> str:
+    """Engine metric-key truncation in SQL (db/mysqldb.go:152 /
+    stages/route.reduce_to_max_len): cut at 100 BYTES, dropping a split
+    multibyte char — equivalently the longest char prefix with byte
+    length <= 100 (probed via a list-valued generate_series; only runs
+    on the rare >100-byte keys)."""
+    probe = (f"list_max(list_filter(generate_series(1, length({col})), "
+             f"k -> octet_length(encode(substr({col}, 1, CAST(k AS INTEGER)))) <= 100))"
+             )
+    return (f"CASE WHEN octet_length(encode({col})) <= 100 THEN {col} ELSE "
+            f"substr({col}, 1, CAST({probe} AS INTEGER)) END")
+
+
+def sql_metrics(cache: str) -> str:
+    """Independent SQL: the FULL metric fan-out (all 11 emitted metric
+    types, metricgenerator.go:86-126) incl. the Go-URL path pieces, the
+    utm/hostname referer, the UA tree, the robots override and the
+    100-byte key truncation — the add-merge sink totals on
+    chronological input."""
+    emits = [
+        ("1", "''", None, "COUNT(*)"),
+        ("2", "''", None, "SUM(bytes_sent)"),
+        ("3", "status", None, "COUNT(*)"),
+        ("5", "method", None, "COUNT(*)"),
+        ("6", _sql_trunc100("referer_f"), "referer_f <> ''", "COUNT(*)"),
+        ("7", _sql_trunc100("path1"), "status LIKE '2%'", "COUNT(*)"),
+        ("7", _sql_trunc100("path2"), "status LIKE '2%' AND path2 <> ''", "COUNT(*)"),
+        ("7", _sql_trunc100("path3"), "status LIKE '2%' AND path3 <> ''", "COUNT(*)"),
+        ("11", "ua_family_f", None, "COUNT(*)"),
+        ("12", "ua_os", None, "COUNT(*)"),
+        ("13", "ua_device_f", None, "COUNT(*)"),
+        ("14", "ua_human_f", None, "COUNT(*)"),
+        ("15", "ua_intent", None, "COUNT(*)"),
+    ]
+    unions = "\nUNION ALL\n".join(
+        f"SELECT source, {mt} AS metric_type, {key} AS key_value, time_window,"
+        f" CAST({val} AS BIGINT) AS metric_value FROM enr"
+        + (f" WHERE {cond}" if cond else "")
+        + f" GROUP BY source, {key}, time_window"
+        for mt, key, cond, val in emits
+    )
+    return _sql_enriched_cte(cache) + f"""
+, fanout AS (
+{unions}
+)
+SELECT source, CAST(metric_type AS INTEGER) AS metric_type, key_value,
+       time_window, CAST(SUM(metric_value) AS BIGINT) AS metric_value
+FROM fanout
+GROUP BY source, metric_type, key_value, time_window
+"""
 
 
 def sql_top_paths(cache: str) -> str:
@@ -786,11 +1202,18 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         # classifier re-implemented in pure SQL, see _sql_url_ctes)
         "log_top_paths": sql_top_paths(cache),
         "log_repeat_offenders": sql_repeat_offenders(cache),
-        # materialized pure-Python-oracle dumps (engine vs oracle)
-        "log_metrics": f"SELECT * FROM read_parquet('{cache}/oracle_metrics.parquet')",
-        "log_metrics_compat": f"SELECT * FROM read_parquet('{cache}/oracle_metrics.parquet')",
-        "log_keyed_counters": f"SELECT * FROM read_parquet('{cache}/oracle_keyed_counters.parquet')",
-        "log_global_counters": f"SELECT * FROM read_parquet('{cache}/oracle_global_counters.parquet')",
+        # moved to independent SQL in r3: the full enrichment chain
+        # (Go-URL + UA tree + referer + robots override + 100-byte
+        # truncation) is re-implemented in pure SQL (_sql_enriched_cte);
+        # compat shares sql_metrics because chronological input makes
+        # the faithful-streaming totals equal the exact sums
+        "log_metrics": sql_metrics(cache),
+        "log_metrics_compat": sql_metrics(cache),
+        "log_keyed_counters": sql_keyed_counters(cache),
+        "log_global_counters": sql_global_counters(cache),
+        # materialized pure-Python-oracle dumps (engine vs oracle):
+        # only the routed sink remains (timestamp-with-zone semantics +
+        # keep-last truncation; r4 candidate)
         "log_routed": f"SELECT * FROM read_parquet('{cache}/oracle_routed.parquet')",
         "log_routed_masked": f"SELECT * FROM read_parquet('{cache}/oracle_routed_masked.parquet')",
     }
