@@ -27,6 +27,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # ---- exact -----------------------------------------------------------------
 
@@ -88,25 +89,91 @@ def minhash_signature(text: str, n_perm: int = 64, seed: int = 7,
     return vals.min(axis=1)
 
 
+_MIX = (np.uint64(0x9E3779B185EBCA87), np.uint64(0xC2B2AE3D27D4EB4F),
+        np.uint64(0x165667B19E3779F9))
+
+
+def _odd_multipliers(n_perm: int, seed: int = 7) -> np.ndarray:
+    """Odd 64-bit multipliers: x -> a*x (mod 2^64) is a bijection, so
+    min over the mapped values is a valid minhash permutation family."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 1 << 62, size=n_perm, dtype=np.int64).astype(np.uint64)
+    return (a << np.uint64(1)) | np.uint64(1)
+
+
 def minhash_bands(batch: pa.Table, n_perm: int = 64, bands: int = 16,
                   text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    """doc -> (band, band_hash, doc_id) rows for the LSH bucket groupby."""
-    texts = batch.column(text_col).to_pylist()
-    ids = batch.column(id_col).to_pylist()
+    """doc -> (band, band_hash, doc_id) rows for the LSH bucket groupby.
+
+    Fully vectorized (r3; the per-doc Python signature loop was the
+    dominant cost of doc_dedup_minhash at 4M docs): Arrow whitespace
+    split -> per-UNIQUE-word crc32 (dictionary hash) -> order-dependent
+    3-shingle mix over the flat word-hash array -> multiply-permute
+    minhash via np.minimum.reduceat over ragged per-doc segments. The
+    hash family differs from the per-doc implementation's (a*x+b mod p),
+    which only shifts LSH candidate RECALL; the verified exact-Jaccard
+    output is pinned by the brute-force SQL oracle and planted-dup
+    tests. Docs with < 3 words get a single degenerate shingle."""
+    n = batch.num_rows
+    empty = pa.table({
+        "band": pa.array([], type=pa.int32()),
+        "band_hash": pa.array([], type=pa.int64()),
+        "doc_id": pa.array([], type=pa.int64()),
+    })
+    if n == 0:
+        return empty
+    col = batch.column(text_col)
+    words = pc.utf8_split_whitespace(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    offsets = words.offsets.to_numpy().astype(np.int64)
+    flat = words.values
+    wcounts = np.diff(offsets)
+    # per-unique word crc32, expanded (the engine's per-unique idiom)
+    enc = pc.dictionary_encode(flat)
+    uniq = enc.dictionary.to_pylist()
+    uh = np.fromiter((zlib.crc32(u.encode()) for u in uniq),
+                     dtype=np.uint64, count=len(uniq))
+    wh = (uh[enc.indices.to_numpy(zero_copy_only=False)]
+          if len(uniq) else np.zeros(0, dtype=np.uint64))
+    c1, c2, c3 = _MIX
+    if len(wh) >= 3:
+        sh_all = (wh[:-2] * c1) ^ (wh[1:-1] * c2) ^ (wh[2:] * c3)
+    else:
+        sh_all = np.zeros(0, dtype=np.uint64)
+    sh_all = np.concatenate([sh_all, np.zeros(2, dtype=np.uint64)])  # pad
+
+    counts = np.where(wcounts >= 3, wcounts - 2, 1).astype(np.int64)
+    starts_out = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(counts.sum())
+    out_pos = np.arange(total, dtype=np.int64)
+    src = out_pos - np.repeat(starts_out, counts) + np.repeat(offsets[:-1], counts)
+    S = sh_all[src]
+    # degenerate docs (<3 words): one shingle from whatever words exist
+    small = wcounts < 3
+    if small.any():
+        s0 = offsets[:-1][small]
+        wc = wcounts[small]
+        whp = np.concatenate([wh, np.zeros(2, dtype=np.uint64)])
+        h = np.where(wc >= 1, whp[s0] * c1, np.uint64(0x0DD0))
+        h = np.where(wc >= 2, h ^ (whp[np.minimum(s0 + 1, len(whp) - 1)] * c2), h)
+        S[starts_out[small]] = h
+
+    A = _odd_multipliers(n_perm)
+    sig = np.empty((n, n_perm), dtype=np.uint64)
+    for p in range(n_perm):
+        sig[:, p] = np.minimum.reduceat(A[p] * S, starts_out)
+
     rows_per_band = n_perm // bands
-    band_ids, band_hashes, doc_ids = [], [], []
-    for doc_id, text in zip(ids, texts):
-        sig = minhash_signature(text, n_perm)
-        for bi in range(bands):
-            seg = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-            h = zlib.crc32(seg.tobytes())
-            band_ids.append(bi)
-            band_hashes.append(h)
-            doc_ids.append(doc_id)
+    d1, d2 = np.uint64(0x2545F4914F6CDD1D), np.uint64(0x9E6C63D0876A9A57)
+    band_hash = np.zeros((n, bands), dtype=np.uint64)
+    for r in range(rows_per_band):
+        band_hash ^= (sig[:, r::rows_per_band][:, :bands] + np.uint64(r)) * (
+            d1 if r % 2 == 0 else d2)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({
-        "band": pa.array(band_ids, type=pa.int32()),
-        "band_hash": pa.array(band_hashes, type=pa.int64()),
-        "doc_id": pa.array(doc_ids, type=pa.int64()),
+        "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+        "band_hash": pa.array(band_hash.reshape(-1).astype(np.int64)),
+        "doc_id": pa.array(np.repeat(ids, bands)),
     })
 
 

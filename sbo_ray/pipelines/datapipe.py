@@ -125,10 +125,14 @@ def doc_dedup_minhash(sf_dir: str, threshold: float = 0.8):
     if cand.empty or "id_a" not in cand.columns:
         return empty
     pair_list = sorted(set(map(tuple, cand.values.tolist())))
-    # distributed verify: two slot rows per pair, joined to the corpus
+    # distributed verify: two slot rows per pair, joined to the corpus;
+    # per-pair Jaccard runs partition-grouped (see _n_parts)
+    npairs = len(pair_list)
     slots = rd.from_arrow(pa.table({
         "pair_id": pa.array(
-            [i for i in range(len(pair_list)) for _ in (0, 1)], type=pa.int64()),
+            [i for i in range(npairs) for _ in (0, 1)], type=pa.int64()),
+        "part": pa.array(
+            [i % P for i in range(npairs) for _ in (0, 1)], type=pa.int64()),
         "id_a": pa.array([p[0] for p in pair_list for _ in (0, 1)], type=pa.int64()),
         "id_b": pa.array([p[1] for p in pair_list for _ in (0, 1)], type=pa.int64()),
         "side": pa.array([s for _ in pair_list for s in (0, 1)], type=pa.int64()),
@@ -137,22 +141,30 @@ def doc_dedup_minhash(sf_dir: str, threshold: float = 0.8):
     joined = slots.join(ds, join_type="inner",
                         num_partitions=max(4, _cpus() // 2), on=("doc_id",))
 
-    def verify_pair(g: pd.DataFrame) -> pd.DataFrame:
-        out = {"id_a": pd.Series([], dtype="int64"),
-               "id_b": pd.Series([], dtype="int64"),
-               "jaccard": pd.Series([], dtype="float64")}
-        if len(g) == 2:
-            ta, tb = g.sort_values("side")["text"].tolist()
-            j = D.jaccard(ta, tb)
-            if j >= threshold:
-                out = {"id_a": [int(g["id_a"].iloc[0])],
-                       "id_b": [int(g["id_b"].iloc[0])],
-                       "jaccard": [round(j, 3)]}
-        return pd.DataFrame(out)
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pair_id", "side"], kind="stable")
+        pid = g["pair_id"].to_numpy()
+        texts = g["text"].tolist()
+        ia = g["id_a"].to_numpy()
+        ib = g["id_b"].to_numpy()
+        nb = np.ones(len(g), dtype=bool)
+        nb[1:] = pid[1:] != pid[:-1]
+        bounds = np.append(np.flatnonzero(nb), len(g))
+        out_a, out_b, out_j = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s == 2:
+                j = D.jaccard(texts[s], texts[s + 1])
+                if j >= threshold:
+                    out_a.append(int(ia[s]))
+                    out_b.append(int(ib[s]))
+                    out_j.append(round(j, 3))
+        return pd.DataFrame({"id_a": pd.array(out_a, dtype="int64"),
+                             "id_b": pd.array(out_b, dtype="int64"),
+                             "jaccard": pd.array(out_j, dtype="float64")})
 
     verified = (
-        joined.groupby("pair_id")
-        .map_groups(verify_pair, batch_format="pandas")
+        joined.groupby("part")
+        .map_groups(verify_part, batch_format="pandas")
         .to_pandas()
     )
     if verified.empty or "id_a" not in verified.columns:
