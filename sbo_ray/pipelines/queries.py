@@ -49,6 +49,7 @@ _GROUPS = {
     "status": {0: 8, 1: 8, 2: 9, 3: 7, 4: 7},
     "bytes": {0: 9, 1: 9, 2: 10, 3: 8, 4: 8},
     "client_ip": {0: 1, 1: 1, 2: 2, 3: 1, 4: 1},
+    "remote_user": {0: 3, 1: 3, 2: 4, 3: 2, 4: 2},
     # fi=0 (CLF) captures no referer/UA -> coalesced to '' (_extract_opt)
     "referer": {1: 10, 2: 11, 3: 9, 4: 9},
     "ua": {1: 11, 2: 12, 3: 10, 4: 10},
@@ -620,10 +621,11 @@ def _sql_enriched_cte(cache: str) -> str:
     malicious, bytes)."""
     return _pattern_cte(cache) + f"""
 , parsedu AS (
-  SELECT source, fi,
+  SELECT source, fi, doc_id,
     {_extract_case("client_ip")} AS client_ip,
     {_extract_case("status")} AS status,
     {_extract_case("method")} AS method,
+    {_extract_case("remote_user")} AS remote_user,
     CAST({_extract_case("bytes")} AS BIGINT) AS bytes_sent,
     {_extract_case("uri")} AS uri,
     {_extract_case("ts")} AS ts_str,
@@ -632,12 +634,20 @@ def _sql_enriched_cte(cache: str) -> str:
   FROM pat WHERE {_matches_case()}
 )""" + _sql_url_ctes() + _sql_ua_ctes() + _sql_ref_ctes() + f"""
 , enr AS MATERIALIZED (
-  SELECT source, client_ip, status, method, bytes_sent, path, malicious,
-    path1, path2, path3,
+  SELECT source, doc_id, client_ip, status, method, remote_user,
+    bytes_sent, path, malicious, path1, path2, path3, ua,
     (SELECT CAST(year(lt) AS BIGINT)*100000000 + month(lt)*1000000
             + day(lt)*10000 + hour(lt)*100 + (minute(lt) - minute(lt)%10)
      FROM (SELECT try_strptime(split_part(ts_str, ' ', 1),
                                '%d/%b/%Y:%H:%M:%S') AS lt)) AS time_window,
+    (SELECT lt - CAST(
+        (CASE WHEN substr(z, 1, 1) = '-' THEN -1 ELSE 1 END)
+        * (coalesce(TRY_CAST(substr(z, 2, 2) AS INTEGER), 0) * 3600
+           + coalesce(TRY_CAST(substr(z, 4, 2) AS INTEGER), 0) * 60)
+        AS BIGINT) * INTERVAL 1 SECOND
+     FROM (SELECT try_strptime(split_part(ts_str, ' ', 1),
+                               '%d/%b/%Y:%H:%M:%S') AS lt,
+                  split_part(ts_str, ' ', 2) AS z)) AS ts_utc,
     ua_os, ua_intent,
     CASE WHEN path1 = '/robots.txt' THEN
       CASE WHEN ua_family IN {_BOTLIKE_SQL} THEN ua_family ELSE 'OtherBot' END
@@ -691,17 +701,31 @@ FROM enr
 """
 
 
-def _sql_trunc100(col: str) -> str:
+def _sql_trunc(col: str, limit: int = 100) -> str:
     """Engine metric-key truncation in SQL (db/mysqldb.go:152 /
-    stages/route.reduce_to_max_len): cut at 100 BYTES, dropping a split
-    multibyte char — equivalently the longest char prefix with byte
-    length <= 100 (probed via a list-valued generate_series; only runs
-    on the rare >100-byte keys)."""
+    stages/route.reduce_to_max_len): cut at ``limit`` BYTES, dropping a
+    split multibyte char — equivalently the longest char prefix with
+    byte length <= limit (probed via a list-valued generate_series; only
+    runs on the rare over-limit keys)."""
     probe = (f"list_max(list_filter(generate_series(1, length({col})), "
-             f"k -> octet_length(encode(substr({col}, 1, CAST(k AS INTEGER)))) <= 100))"
+             f"k -> octet_length(encode(substr({col}, 1, CAST(k AS INTEGER)))) <= {limit}))"
              )
-    return (f"CASE WHEN octet_length(encode({col})) <= 100 THEN {col} ELSE "
+    return (f"CASE WHEN octet_length(encode({col})) <= {limit} THEN {col} ELSE "
             f"substr({col}, 1, CAST({probe} AS INTEGER)) END")
+
+
+def _sql_trunc100(col: str) -> str:
+    return _sql_trunc(col, 100)
+
+
+def _sql_trunc_keep_last(col: str, limit: int = 100) -> str:
+    """reduce_to_max_len_keeping_last in SQL: longest char SUFFIX with
+    byte length <= limit (the MaskIPs UA truncation, db/mysqldb.go:208)."""
+    probe = (f"list_max(list_filter(generate_series(1, length({col})), "
+             f"k -> octet_length(encode(substr({col}, length({col}) - CAST(k AS INTEGER) + 1)))"
+             f" <= {limit}))")
+    return (f"CASE WHEN octet_length(encode({col})) <= {limit} THEN {col} ELSE "
+            f"substr({col}, length({col}) - CAST({probe} AS INTEGER) + 1) END")
 
 
 def sql_metrics(cache: str) -> str:
@@ -740,6 +764,44 @@ SELECT source, CAST(metric_type AS INTEGER) AS metric_type, key_value,
        time_window, CAST(SUM(metric_value) AS BIGINT) AS metric_value
 FROM fanout
 GROUP BY source, metric_type, key_value, time_window
+"""
+
+
+def sql_routed(cache: str, masked: bool = False) -> str:
+    """Independent SQL: the routed raw-log sink projection (SaveRawLog,
+    db/mysqldb.go:161-222) minus the token payload — relevance gate
+    (main.go:768-779), byte truncations, UTC request_ts from the local
+    clock + numeric zone, and the MaskIPs variant (NULL client_ip,
+    keep-LAST-100-bytes UA truncation)."""
+    ip_expr = "CAST(NULL AS VARCHAR)" if masked else "client_ip"
+    ua_expr = (_sql_trunc_keep_last("ua", 100) if masked
+               else _sql_trunc("ua", 100))
+    return _sql_enriched_cte(cache) + f"""
+, rel AS (
+  SELECT * FROM enr
+  WHERE malicious = 0
+    AND (status LIKE '2%' OR status LIKE '5%')
+    AND ua_device_f <> 'Script'
+    AND ua_family_f NOT IN ('Scanner', 'SEOBot', 'Script')
+)
+SELECT source, doc_id,
+  ts_utc AS request_ts,
+  {ip_expr} AS client_ip,
+  {_sql_trunc('remote_user', 100)} AS remote_user,
+  {_sql_trunc('method', 20)} AS http_method,
+  {_sql_trunc("CASE WHEN path3 <> '' THEN path3 WHEN path2 <> '' THEN path2 ELSE path1 END", 100)} AS path3,
+  {_sql_trunc('path', 100)} AS request_uri,
+  status AS http_status,
+  bytes_sent,
+  {_sql_trunc('referer_f', 100)} AS referer,
+  CAST(malicious AS TINYINT) AS is_malicious,
+  {ua_expr} AS ua_string,
+  ua_os,
+  ua_family_f AS ua_family,
+  ua_device_f AS ua_device_type,
+  ua_human_f AS ua_is_human,
+  ua_intent
+FROM rel
 """
 
 
@@ -1211,9 +1273,9 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_metrics_compat": sql_metrics(cache),
         "log_keyed_counters": sql_keyed_counters(cache),
         "log_global_counters": sql_global_counters(cache),
-        # materialized pure-Python-oracle dumps (engine vs oracle):
-        # only the routed sink remains (timestamp-with-zone semantics +
-        # keep-last truncation; r4 candidate)
-        "log_routed": f"SELECT * FROM read_parquet('{cache}/oracle_routed.parquet')",
-        "log_routed_masked": f"SELECT * FROM read_parquet('{cache}/oracle_routed_masked.parquet')",
+        # r3: the routed sink pair too — every log-query oracle is now
+        # independent SQL (the materialized Python-oracle dumps remain
+        # only as pytest cross-checks in tests/test_oracle.py)
+        "log_routed": sql_routed(cache),
+        "log_routed_masked": sql_routed(cache, masked=True),
     }
