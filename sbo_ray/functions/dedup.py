@@ -239,17 +239,56 @@ def simhash64(text: str) -> int:
 
 def simhash_batch(batch: pa.Table, text_col: str = "text",
                   id_col: str = "doc_id") -> pa.Table:
-    texts = batch.column(text_col).to_pylist()
-    sigs = [simhash64(t) for t in texts]
+    """Vectorized simhash64 over a batch (r3; the per-doc loop dominated
+    doc_dedup_simhash at 4M docs): Arrow whitespace split, per-doc word
+    DEDUP via np.unique over (doc, word-code) pairs, md5 once per UNIQUE
+    word, then 64 per-bit bincount votes. Bit-identical to simhash64
+    (asserted in tests/test_dataops.py)."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "simhash": pa.array([], type=pa.int64()),
+            **{f"seg{i}": pa.array([], type=pa.int32()) for i in range(4)},
+        })
+    col = batch.column(text_col)
+    words = pc.utf8_split_whitespace(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    offsets = words.offsets.to_numpy().astype(np.int64)
+    wcounts = np.diff(offsets)
+    enc = pc.dictionary_encode(words.values)
+    uniq = enc.dictionary.to_pylist()
+    uh = np.fromiter(
+        (int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big")
+         for u in uniq), dtype=np.uint64, count=len(uniq))
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), wcounts)
+    # Arrow's split yields [''] for empty/whitespace-only strings where
+    # Python's str.split() yields [] — drop empty words
+    nonempty = pc.utf8_length(words.values).to_numpy(zero_copy_only=False) > 0
+    codes, doc_of = codes[nonempty], doc_of[nonempty]
+    # per-doc word sets (simhash votes once per DISTINCT word)
+    pair_key = doc_of * max(len(uniq), 1) + codes
+    uniq_pairs = np.unique(pair_key)
+    p_doc = uniq_pairs // max(len(uniq), 1)
+    p_hash = uh[uniq_pairs % max(len(uniq), 1)] if len(uniq) else np.zeros(
+        0, dtype=np.uint64)
+    sig = np.zeros(n, dtype=np.uint64)
+    for b in range(64):
+        votes = (((p_hash >> np.uint64(b)) & np.uint64(1)).astype(np.float64)
+                 * 2.0 - 1.0)
+        acc = np.bincount(p_doc, weights=votes, minlength=n)
+        sig |= (acc > 0).astype(np.uint64) << np.uint64(b)
+    sig[wcounts == 0] = 0  # empty docs: simhash64('') == 0
     # pigeonhole: 4 x 16-bit segments; pairs within Hamming<=3 share at
     # least one exact segment
-    segs = {f"seg{i}": [int((s >> (16 * i)) & 0xFFFF) for s in sigs] for i in range(4)}
     cols = {
         id_col: batch.column(id_col),
-        "simhash": pa.array(np.array(sigs, dtype=np.uint64).astype(np.int64)),
+        "simhash": pa.array(sig.astype(np.int64)),
     }
-    for name, vals in segs.items():
-        cols[name] = pa.array(vals, type=pa.int32())
+    for i in range(4):
+        cols[f"seg{i}"] = pa.array(
+            ((sig >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(np.int32))
     return pa.table(cols)
 
 

@@ -18,6 +18,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
 ALPHA_RE = re.compile(r"[a-z]+")
@@ -38,48 +39,73 @@ LANG_STOPWORDS: dict[str, frozenset[str]] = {
 LANGS = sorted(LANG_STOPWORDS)  # de, en, es, fr — tie-break order
 
 
+def _text_col(batch: pa.Table) -> pa.Array:
+    col = batch.column("text")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.fill_null(col, "")
+
+
+def _alpha_tokens(col: pa.Array):
+    """(doc_of, codes, uniques, n_alpha_per_doc) for the lowercase
+    [a-z]+ token runs of each doc — vectorized: regex split + dictionary
+    encode; per-unique work only (the engine's per-unique idiom)."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(col), "[^a-z]+")
+    offsets = toks.offsets.to_numpy().astype(np.int64)
+    wcounts = np.diff(offsets)
+    enc = pc.dictionary_encode(toks.values)
+    uniq = enc.dictionary.to_pylist()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of = np.repeat(np.arange(len(col), dtype=np.int64), wcounts)
+    # the split yields '' entries at boundaries (Python findall doesn't)
+    nonempty = pc.utf8_length(toks.values).to_numpy(zero_copy_only=False) > 0
+    codes, doc_of = codes[nonempty], doc_of[nonempty]
+    n_alpha = np.bincount(doc_of, minlength=len(col)).astype(np.int64)
+    return doc_of, codes, uniq, n_alpha
+
+
+def _count_re(col: pa.Array, pattern: str) -> pa.Array:
+    return pc.cast(pc.count_substring_regex(col, pattern), pa.int64())
+
+
 def token_stats(batch: pa.Table) -> pa.Table:
     """Per-doc token/quality stats: token count, punct count, alpha token
-    count, English-stopword count, stopword ratio."""
-    texts = [t or "" for t in batch.column("text").to_pylist()]  # null -> ""
-    n = len(texts)
-    n_tokens = np.empty(n, dtype=np.int64)
-    n_punct = np.empty(n, dtype=np.int64)
-    n_alpha = np.empty(n, dtype=np.int64)
-    n_stop_en = np.empty(n, dtype=np.int64)
-    n_bpe = np.empty(n, dtype=np.int64)
+    count, English-stopword count, stopword ratio. Vectorized (r3): RE2
+    match counting + dictionary-coded stopword membership; semantics
+    identical to the re.findall implementation (same RE2-compatible
+    patterns; pinned by the SQL oracle)."""
+    col = _text_col(batch)
+    doc_of, codes, uniq, n_alpha = _alpha_tokens(col)
     en = LANG_STOPWORDS["en"]
-    for i, t in enumerate(texts):
-        n_tokens[i] = len(TOKEN_RE.findall(t))
-        n_punct[i] = len(PUNCT_RE.findall(t))
-        alpha = ALPHA_RE.findall(t.lower())
-        n_alpha[i] = len(alpha)
-        n_stop_en[i] = sum(1 for w in alpha if w in en)
-        n_bpe[i] = len(BPE_RE.findall(t))
+    is_stop = np.fromiter((u in en for u in uniq), dtype=bool, count=len(uniq))
+    n_stop_en = np.bincount(doc_of[is_stop[codes]],
+                            minlength=len(col)).astype(np.int64)
     return pa.table({
         "doc_id": batch.column("doc_id"),
-        "n_tokens": pa.array(n_tokens),
-        "n_punct": pa.array(n_punct),
+        "n_tokens": _count_re(col, TOKEN_RE.pattern),
+        "n_punct": _count_re(col, PUNCT_RE.pattern),
         "n_alpha_tokens": pa.array(n_alpha),
         "n_stop_en": pa.array(n_stop_en),
-        "n_bpe_tokens": pa.array(n_bpe),
+        "n_bpe_tokens": _count_re(col, BPE_RE_PATTERN),
     })
 
 
 def lang_id(batch: pa.Table) -> pa.Table:
-    """Stopword-count argmax language ID with deterministic tie-break."""
-    texts = [t or "" for t in batch.column("text").to_pylist()]  # null -> ""
-    counts = np.zeros((len(texts), len(LANGS)), dtype=np.int64)
-    for i, t in enumerate(texts):
-        alpha = ALPHA_RE.findall(t.lower())
-        for j, lang in enumerate(LANGS):
-            sw = LANG_STOPWORDS[lang]
-            counts[i, j] = sum(1 for w in alpha if w in sw)
+    """Stopword-count argmax language ID with deterministic tie-break
+    (first max in sorted LANGS order). Vectorized like token_stats."""
+    col = _text_col(batch)
+    doc_of, codes, uniq, _ = _alpha_tokens(col)
+    counts = np.zeros((len(col), len(LANGS)), dtype=np.int64)
+    for j, lang in enumerate(LANGS):
+        sw = LANG_STOPWORDS[lang]
+        member = np.fromiter((u in sw for u in uniq), dtype=bool,
+                             count=len(uniq))
+        counts[:, j] = np.bincount(doc_of[member[codes]], minlength=len(col))
     pred_idx = counts.argmax(axis=1)  # first max wins == lexicographic tie-break
-    preds = [LANGS[j] for j in pred_idx]
     return pa.table({
         "doc_id": batch.column("doc_id"),
-        "pred_lang": pa.array(preds, type=pa.string()),
+        "pred_lang": pc.take(pa.array(LANGS, type=pa.string()),
+                             pa.array(pred_idx)),
     })
 
 

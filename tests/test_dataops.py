@@ -134,6 +134,25 @@ def test_simhash_finds_exact_dup(ray_session, planted):
     assert (3, 10) in pairs   # identical text -> hamming 0
 
 
+def test_simhash_batch_matches_scalar():
+    """The vectorized simhash_batch must be bit-identical to the scalar
+    simhash64 (the SQL oracle replicates the md5 word hashing exactly),
+    including empty/whitespace-only docs where Arrow's split yields ['']
+    but Python's yields []."""
+    from sbo_ray.functions.dedup import simhash64, simhash_batch
+
+    texts = ["", "a", "a a a", "the quick brown fox", "x " * 500,
+             "  padded   spaces  ", "unicode é ü tokens é", " ", "\t\n",
+             "single", "dup dup dup unique"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    out = simhash_batch(t)
+    for txt, s in zip(texts, out.column("simhash").to_pylist()):
+        want = simhash64(txt)
+        w_signed = want if want < (1 << 63) else want - (1 << 64)
+        assert s == w_signed, repr(txt[:20])
+
+
 def test_fingerprint_deterministic_and_dup_sensitive(ray_session, planted):
     from sbo_ray.pipelines.datapipe import doc_fingerprint
 
