@@ -531,7 +531,7 @@ def emb_ann_lsh(sf_dir: str, k: int = 10, n_bits: int = 6,
 
 
 def emb_ann_ivf(sf_dir: str, k: int = 10, nlist: int = 32, nprobe: int = 24,
-                sample_stride: int = 7):
+                sample_stride: int | None = None):
     """IVF ANN (the coarse-quantizer scale path): train a tiny spherical
     k-means on a strided SAMPLE (deterministic, driver-side, a few
     hundred vectors regardless of corpus size), broadcast the centroids,
@@ -554,7 +554,14 @@ def emb_ann_ivf(sf_dir: str, k: int = 10, nlist: int = 32, nprobe: int = 24,
     q = q / (np.linalg.norm(q) or 1.0)
 
     # deterministic strided sample for the coarse quantizer (distributed
-    # filter; only the sample rows reach the driver)
+    # filter; only the sample rows reach the driver). The stride scales
+    # with the corpus so the DRIVER k-means input stays ~2k vectors
+    # regardless of corpus size (r3: a fixed stride shipped n/7 vectors
+    # to the driver at 4M, making IVF slower than brute force).
+    if sample_stride is None:
+        target = max(512, nlist * 64)
+        sample_stride = max(7, ds.count() // target)
+
     def strided(b: pa.Table) -> pa.Table:
         ids = b.column("vec_id").to_numpy(zero_copy_only=False)
         return b.filter(pa.array(ids % sample_stride == 0))
