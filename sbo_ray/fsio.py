@@ -103,3 +103,40 @@ def _is_local(fs) -> bool:
     from fsspec.implementations.local import LocalFileSystem
 
     return isinstance(fs, LocalFileSystem)
+
+
+def is_local_path(path: str) -> bool:
+    fs, _ = resolve(path)
+    return _is_local(fs)
+
+
+def exists(path: str) -> bool:
+    fs, root = resolve(path)
+    return fs.exists(root)
+
+
+def open_file(path: str, mode: str = "rb"):
+    fs, root = resolve(path)
+    return fs.open(root, mode)
+
+
+def rmtree(path: str) -> None:
+    """Recursive delete, ignore-missing (the crashed-run-dir clear)."""
+    fs, root = resolve(path)
+    try:
+        fs.rm(root, recursive=True)
+    except FileNotFoundError:
+        pass
+
+
+def listdir(path: str) -> list[str]:
+    """Entries (URI-joined back onto ``path``) of a directory; [] if
+    missing."""
+    fs, root = resolve(path)
+    if not fs.exists(root):
+        return []
+    out = []
+    for entry in sorted(fs.ls(root, detail=False)):
+        name = str(entry).rstrip("/").rsplit("/", 1)[-1]
+        out.append(join(path, name))
+    return out

@@ -52,15 +52,19 @@ class CheckpointManifest:
     """Append-only JSONL commit log + Prometheus-style counter export."""
 
     def __init__(self, out_dir: str) -> None:
+        from .. import fsio
+
+        self._fsio = fsio
         self.out_dir = out_dir
-        os.makedirs(out_dir, exist_ok=True)
-        self.path = os.path.join(out_dir, "manifest.jsonl")
+        fsio.makedirs(out_dir)
+        self.path = fsio.join(out_dir, "manifest.jsonl")
+        self._local = fsio.is_local_path(out_dir)
 
     def committed_shards(self) -> dict[str, CommitRecord]:
         out: dict[str, CommitRecord] = {}
-        if not os.path.exists(self.path):
+        if not self._fsio.exists(self.path):
             return out
-        with open(self.path, "rb") as f:
+        with self._fsio.open_file(self.path, "rb") as f:
             raw = f.read()
         lines = raw.splitlines(keepends=True)
         consumed = 0
@@ -101,18 +105,34 @@ class CheckpointManifest:
         Before appending, the WRITER (which owns the file; one resume per
         out_dir is the contract) truncates a torn tail left by a previous
         crash so its append cannot bury torn bytes mid-file — the repair
-        lives on the write path so readers stay side-effect-free."""
-        if os.path.exists(self.path):
-            self.committed_shards()  # computes _valid_bytes
-            valid = getattr(self, "_valid_bytes", None)
-            if valid is not None and valid < os.path.getsize(self.path):
-                with open(self.path, "r+b") as f:
-                    f.truncate(valid)
+        lives on the write path so readers stay side-effect-free.
+
+        Non-local filesystems have no append/truncate: the writer
+        re-PUTs the whole manifest (valid bytes + new records) in one
+        atomic object write — correct under the same one-writer
+        contract, O(manifest) per commit (the manifest is record-sized,
+        not data-sized)."""
         payload = "".join(json.dumps(asdict(r)) + "\n" for r in records)
-        with open(self.path, "a") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
+        if self._local:
+            _, lpath = self._fsio.resolve(self.path)
+            if os.path.exists(lpath):
+                self.committed_shards()  # computes _valid_bytes
+                valid = getattr(self, "_valid_bytes", None)
+                if valid is not None and valid < os.path.getsize(lpath):
+                    with open(lpath, "r+b") as f:
+                        f.truncate(valid)
+            with open(lpath, "a") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            return
+        valid_raw = b""
+        if self._fsio.exists(self.path):
+            self.committed_shards()  # computes _valid_bytes
+            with self._fsio.open_file(self.path, "rb") as f:
+                valid_raw = f.read()[: getattr(self, "_valid_bytes", 0)]
+        with self._fsio.open_file(self.path, "wb") as f:
+            f.write(valid_raw + payload.encode())
 
     def counters_total(self) -> dict[str, int]:
         total: dict[str, int] = {}
@@ -205,24 +225,25 @@ class CheckpointedPipeline:
         work remains afterwards."""
         from ..pipelines import logpipe
 
+        from .. import fsio
+
         pending = self.pending_shards()
         if not pending:
             return False
         group = pending[: self.group_size]
         run_id = _run_id(group, self.stage_hash)
-        run_dir = os.path.join(self.out_dir, "runs", run_id)
+        run_dir = fsio.join(self.out_dir, "runs", run_id)
         # a crashed attempt at this run left uncommitted fragments: clear
-        shutil.rmtree(run_dir, ignore_errors=True)
-        os.makedirs(run_dir, exist_ok=True)
+        fsio.rmtree(run_dir)
+        fsio.makedirs(run_dir)
 
         result = logpipe.full_pipeline(group, self.job, run_dir,
                                        **self.pipeline_kwargs)
         # persist this run's aggregate partials (merged across the group)
-        pq.write_table(result["metrics"],
-                       os.path.join(run_dir, "metrics_partial.parquet"))
-        pq.write_table(result["keyed_counters"],
-                       os.path.join(run_dir, "counters_partial.parquet"))
-        with open(os.path.join(run_dir, "global_partial.json"), "w") as f:
+        fsio.write_table(run_dir, "metrics_partial.parquet", result["metrics"])
+        fsio.write_table(run_dir, "counters_partial.parquet",
+                         result["keyed_counters"])
+        with fsio.open_file(fsio.join(run_dir, "global_partial.json"), "w") as f:
             json.dump(result["global_counters"], f)
 
         shard_rows = {p: pq.ParquetFile(p).metadata.num_rows for p in group}
@@ -257,18 +278,21 @@ class CheckpointedPipeline:
         """Merge the partials of every committed run into final tables.
         Derived only from committed runs: a shard contributes exactly
         once, so reruns never drift the counts."""
+        from .. import fsio
+
         run_ids = sorted(self.manifest.committed_run_ids())
         metrics_parts, counter_parts = [], []
         glob: dict[str, int] = {}
         for rid in run_ids:
-            run_dir = os.path.join(self.out_dir, "runs", rid)
-            metrics_parts.append(
-                pq.read_table(os.path.join(run_dir, "metrics_partial.parquet"))
-            )
-            counter_parts.append(
-                pq.read_table(os.path.join(run_dir, "counters_partial.parquet"))
-            )
-            with open(os.path.join(run_dir, "global_partial.json")) as f:
+            run_dir = fsio.join(self.out_dir, "runs", rid)
+            with fsio.open_file(
+                    fsio.join(run_dir, "metrics_partial.parquet")) as f:
+                metrics_parts.append(pq.read_table(f))
+            with fsio.open_file(
+                    fsio.join(run_dir, "counters_partial.parquet")) as f:
+                counter_parts.append(pq.read_table(f))
+            with fsio.open_file(
+                    fsio.join(run_dir, "global_partial.json"), "r") as f:
                 for k, v in json.load(f).items():
                     glob[k] = glob.get(k, 0) + int(v)
         if metrics_parts:
@@ -286,10 +310,11 @@ class CheckpointedPipeline:
                 "global_counters": glob}
 
     def routed_files(self) -> list[str]:
-        import glob as g
+        from .. import fsio
 
         out = []
         for rid in sorted(self.manifest.committed_run_ids()):
-            out.extend(sorted(g.glob(
-                os.path.join(self.out_dir, "runs", rid, "routed", "*.parquet"))))
+            routed = fsio.join(self.out_dir, "runs", rid, "routed")
+            out.extend(p for p in fsio.listdir(routed)
+                       if p.endswith(".parquet"))
         return out

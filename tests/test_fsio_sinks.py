@@ -108,3 +108,52 @@ def test_memory_fs_write_table():
 
 def test_clear_fragments_missing_dir_is_noop():
     assert fsio.clear_fragments("memory://sbo-test/never-made") == 0
+
+
+def test_checkpointed_pipeline_on_uri(ray_session, tmp_path_factory):
+    """The whole resumable flagship (manifest + run partials + routed
+    fragments) over a file:// URI out_dir, including resume."""
+    from sbo_ray.state.lineage import CheckpointedPipeline
+
+    doc_ids, lines, sources = synth.synth_lines(900, seed=13)
+    table = synth.build_table(doc_ids, lines, sources)
+    in_dir = tmp_path_factory.mktemp("ckpt_uri_in")
+    out_dir = tmp_path_factory.mktemp("ckpt_uri_out")
+    paths = synth.write_sharded(table, str(in_dir), n_shards=4)
+    job = JobConfig.from_format_map(synth.source_config(12))
+    uri = f"file://{out_dir}"
+    cp = CheckpointedPipeline(paths, job, uri, group_size=2)
+    assert cp.run_once()          # first group committed
+    assert len(cp.pending_shards()) == 2
+    # a NEW pipeline over the same URI resumes from the manifest
+    cp2 = CheckpointedPipeline(paths, job, uri, group_size=2)
+    assert len(cp2.pending_shards()) == 2
+    cp2.run_all()
+    assert cp2.pending_shards() == []
+    final = cp2.finalize()
+    total = int(pd.Series(
+        final["metrics"].to_pandas().query("metric_type == 1")["metric_value"]
+    ).sum())
+    assert total == final["global_counters"]["requests"] > 0
+    assert len(cp2.routed_files()) > 0
+
+
+def test_manifest_on_memory_fs_torn_tail():
+    """Non-local manifests (no append/truncate) re-PUT valid bytes +
+    new records; a torn tail is skipped on read and repaired away by the
+    next commit."""
+    from sbo_ray.state.lineage import CheckpointManifest, CommitRecord
+
+    d = "memory://sbo-test/manifest-dir"
+    m = CheckpointManifest(d)
+    m.commit([CommitRecord(shard="s1", run_id="r1", rows_in=5,
+                           row_range=[0, 4], stage_hash="h")])
+    fs, root = fsio.resolve(m.path)
+    with fs.open(root, "rb") as f:
+        good = f.read()
+    with fs.open(root, "wb") as f:
+        f.write(good + b'{"shard": "s2", "run_')   # torn append
+    assert set(m.committed_shards()) == {"s1"}
+    m.commit([CommitRecord(shard="s3", run_id="r3", rows_in=1,
+                           row_range=[0, 0], stage_hash="h")])
+    assert set(m.committed_shards()) == {"s1", "s3"}
