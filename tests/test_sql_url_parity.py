@@ -150,6 +150,54 @@ def test_sql_trunc100_matches_engine():
         assert row["t"] == want, (v[:20], row["t"][-5:], want[-5:])
 
 
+def test_sql_chains_seeded_fuzz():
+    """Deterministic random fuzz (seed 42) of all three SQL chains vs
+    the Python ports: 2000 URIs, 1500 UAs, 1500 referers over a
+    structure-heavy alphabet. 20k cases passed at authoring time; this
+    keeps a representative seeded slice as a regression gate."""
+    import random
+
+    from sbo_ray.functions.gourl import go_referer_hostname
+    from sbo_ray.functions.loglines import split_path
+    from sbo_ray.functions.ua import classify_user_agent
+    from sbo_ray.pipelines.queries import _sql_ref_ctes, _sql_ua_ctes
+
+    rng = random.Random(42)
+    CH = "abcXYZ09/%?#&=.:;@[]()+- _~'\"<>\\\x01é€"
+
+    def rand_s(n):
+        return "".join(rng.choice(CH) for _ in range(rng.randint(0, n)))
+
+    uris = [rand_s(40) for _ in range(1000)] + [
+        "/" + rand_s(30) for _ in range(1000)]
+    _compare(uris)
+
+    UA_CH = "abcABC ()/;.-_09é"
+    uas = ["".join(rng.choice(UA_CH) for _ in range(rng.randint(0, 60)))
+           for _ in range(1500)]
+    con = duckdb.connect()
+    con.register("uas", pd.DataFrame({"ua": uas}))
+    sql = ("WITH urlparsed AS (SELECT ua FROM uas)" + _sql_ua_ctes()
+           + " SELECT ua, ua_os, ua_family, ua_device, ua_human, ua_intent"
+             " FROM uadone")
+    for _, row in con.sql(sql).df().iterrows():
+        w = classify_user_agent(row["ua"])
+        assert (row["ua_os"], row["ua_family"], row["ua_device"],
+                row["ua_human"], row["ua_intent"]) == (
+            w.os, w.family, w.device_type, w.human, w.intent), repr(row["ua"])
+
+    refs = [rand_s(40) for _ in range(1500)]
+    con.register("refs", pd.DataFrame({"ref": refs}))
+    sql = ("WITH uadone AS (SELECT ref FROM refs)" + _sql_ref_ctes()
+           + " SELECT ref, ref_host FROM refdone")
+    for _, row in con.sql(sql).df().iterrows():
+        r = row["ref"]
+        h = go_referer_hostname(r) if r else None
+        want = "" if (r == "" or h is None) else (
+            h[4:] if h.startswith("www.") else h)
+        assert row["ref_host"] == want, repr(r)
+
+
 def test_sql_split_path_full_corpus():
     from sbo_ray import synth
     from sbo_ray.functions.loglines import parse_line
