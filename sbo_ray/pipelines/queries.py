@@ -1110,31 +1110,63 @@ def q_log_repeat_offenders(sf_dir: str):
     client's last 50 parsed entries in file order counts malicious
     requests; a client whose window ever holds >=3 is flagged.
 
-    Ray shape: groupby(client).map_groups with a vectorized pandas
-    rolling sum (one client's history fits a worker — the sessionize
-    contract); the oracle is a literal row-at-a-time ring buffer."""
+    Ray shape: partition-grouped (datapipe._n_parts — client count is
+    unbounded at scale, so per-client map_groups would pay ~60us per
+    tiny group): group by client-hash %% P, then one vectorized
+    windowed cumsum scan per partition; the oracle is an independent
+    SQL window query (and the literal ring-buffer dump in pytest)."""
+    import zlib
 
-    def offenders(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="stable")
-        bad = (g["malicious"] != 0).astype("int64")
-        max_in_window = int(bad.rolling(50, min_periods=1).sum().max())
-        return pd.DataFrame({
-            "source": [g["source"].iloc[0]],
-            "client_ip": [g["client_ip"].iloc[0]],
-            "n_requests": pd.array([len(g)], dtype="int64"),
-            "max_malicious_in_window": pd.array([max_in_window], dtype="int64"),
-            "flagged": pd.array([1 if max_in_window >= 3 else 0], dtype="int64"),
-        })
-
+    import numpy as np
     import pandas as pd
 
-    enr = _enriched(sf_dir).map_batches(
-        lambda t: t.filter(t.column("parse_ok")).select(
-            ["source", "client_ip", "doc_id", "malicious"]),
-        batch_format="pyarrow",
-    )
-    return enr.groupby(["source", "client_ip"]).map_groups(
-        offenders, batch_format="pandas")
+    from .datapipe import _n_parts
+
+    P = _n_parts()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("parse_ok")).select(
+            ["source", "client_ip", "doc_id", "malicious"])
+        key = pc.binary_join_element_wise(
+            t.column("source").cast(pa.string()),
+            t.column("client_ip").cast(pa.string()), "\x00")
+        enc = pc.dictionary_encode(
+            key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key)
+        uniq = enc.dictionary.to_pylist()
+        uh = np.fromiter((zlib.crc32(u.encode()) for u in uniq),
+                         dtype=np.int64, count=len(uniq))
+        part = (uh[enc.indices.to_numpy(zero_copy_only=False)] % P
+                if len(uniq) else np.zeros(0, dtype=np.int64))
+        return t.append_column("part", pa.array(part))
+
+    def offenders_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "client_ip", "doc_id"], kind="stable")
+        src = g["source"].to_numpy()
+        cli = g["client_ip"].to_numpy()
+        n = len(g)
+        nb = np.ones(n, dtype=bool)
+        nb[1:] = (src[1:] != src[:-1]) | (cli[1:] != cli[:-1])
+        seg = np.cumsum(nb) - 1
+        starts = np.flatnonzero(nb)
+        bad = (g["malicious"].to_numpy() != 0).astype(np.int64)
+        cs = np.cumsum(bad)
+        idx = np.arange(n)
+        j = np.maximum(idx - 49, starts[seg])  # window = last 50 rows in segment
+        prev = np.where(j >= 1, cs[np.maximum(j - 1, 0)], 0)
+        rolling = cs - prev
+        nseg = int(seg[-1]) + 1 if n else 0
+        max_in = np.zeros(nseg, dtype=np.int64)
+        np.maximum.at(max_in, seg, rolling)
+        return pd.DataFrame({
+            "source": src[starts],
+            "client_ip": cli[starts],
+            "n_requests": np.bincount(seg).astype(np.int64),
+            "max_malicious_in_window": max_in,
+            "flagged": (max_in >= 3).astype(np.int64),
+        })
+
+    enr = _enriched(sf_dir).map_batches(add_part, batch_format="pyarrow")
+    return enr.groupby("part").map_groups(offenders_part, batch_format="pandas")
 
 
 def q_log_counter_deltas(sf_dir: str):
