@@ -26,16 +26,25 @@ import sys
 
 
 def _init_ray() -> None:
+    """Guarded session init. ``SBO_RAY_ADDRESS`` selects the cluster:
+    unset/"local" starts a local session (the sandbox default); "auto"
+    attaches to a running cluster — i.e. under ``ray job submit`` on a
+    multi-node cluster, run with SBO_RAY_ADDRESS=auto (num_cpus is then
+    left to the cluster; RAY_GRAFT_CPUS only applies locally)."""
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "0")) or None,
-            include_dashboard=False,
+        address = os.environ.get("SBO_RAY_ADDRESS", "local")
+        kwargs = dict(
+            address=address,
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+        if address == "local":
+            kwargs["num_cpus"] = (
+                int(os.environ.get("RAY_GRAFT_CPUS", "0")) or None)
+            kwargs["include_dashboard"] = False
+        ray.init(**kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
