@@ -284,32 +284,105 @@ def doc_dedup_ngram(sf_dir: str, threshold: float = 0.4, n: int = 5,
     B = n_chunks or max(4, int(np.sqrt(2 * _cpus())))
 
     def pair_block(g: pa.Table) -> pa.Table:
+        # inverted-index co-occurrence counting (r3; the per-pair Python
+        # set intersections were ~12us x O((n/B)^2) pairs): per-block
+        # gram codes -> sorted (gram, doc) postings per side -> aligned
+        # common-gram runs expanded to COO (rows, cols) increments on a
+        # dense counts matrix, in bounded-memory slices. Exact — same
+        # intersection counts as the set version.
         pair_id = g.column("pair_id")[0].as_py()
         c_a, c_b = pair_id // B, pair_id % B
         chunk = g.column("chunk").to_numpy(zero_copy_only=False)
         ids = g.column("doc_id").to_numpy(zero_copy_only=False)
         texts = g.column("text").to_pylist()
-        grams = [D.char_ngrams(t, n) for t in texts]
+        code: dict = {}
+        doc_codes = []
+        for t in texts:
+            gs = D.char_ngrams(t, n)
+            doc_codes.append(np.fromiter(
+                (code.setdefault(s, len(code)) for s in gs),
+                dtype=np.int64, count=len(gs)))
+        sizes = np.array([len(a) for a in doc_codes], dtype=np.int64)
         a_idx = np.flatnonzero(chunk == c_a)
         b_idx = a_idx if c_a == c_b else np.flatnonzero(chunk == c_b)
-        out_a, out_b, out_j = [], [], []
-        for x_pos, i in enumerate(a_idx):
-            js = a_idx[x_pos + 1:] if c_a == c_b else b_idx
-            si = grams[i]
-            for j in js:
-                sj = grams[j]
-                inter = len(si & sj)
-                union = len(si) + len(sj) - inter
-                jac = inter / union if union else 1.0
-                if jac >= threshold:
-                    a, b = int(ids[i]), int(ids[j])
-                    out_a.append(min(a, b))
-                    out_b.append(max(a, b))
-                    out_j.append(round(jac, 3))
+
+        def postings(idxs):
+            if len(idxs) == 0:
+                return np.zeros(0, np.int64), np.zeros(0, np.int64)
+            grams_f = np.concatenate([doc_codes[i] for i in idxs])
+            docs_f = np.repeat(np.arange(len(idxs), dtype=np.int64),
+                               sizes[idxs])
+            order = np.argsort(grams_f, kind="stable")
+            return grams_f[order], docs_f[order]
+
+        def ranges(starts, ends):
+            lens = ends - starts
+            total = int(lens.sum())
+            out_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            return (np.arange(total, dtype=np.int64)
+                    - np.repeat(out_starts, lens) + np.repeat(starts, lens))
+
+        ga, da = postings(a_idx)
+        gb, db = postings(b_idx)
+        n_a, n_b = len(a_idx), len(b_idx)
+        counts = np.zeros((n_a, n_b), dtype=np.int64)
+        if len(ga) and len(gb):
+            common = np.intersect1d(ga, gb)
+            sa = np.searchsorted(ga, common)
+            ea = np.searchsorted(ga, common, side="right")
+            sb = np.searchsorted(gb, common)
+            eb = np.searchsorted(gb, common, side="right")
+            na, nb = ea - sa, eb - sb
+            tot = na * nb
+            # HOT grams (appear in many docs on both sides) contribute a
+            # rank-1 all-ones update over their doc sets: batch them as
+            # one indicator matmul (BLAS) instead of COO expansion
+            hot_thresh = max(16384, (n_a * n_b) >> 6)
+            hot = tot > hot_thresh
+            hot_idx = np.flatnonzero(hot)
+            hot_mask = hot
+            for side_sel in range(0, len(hot_idx), 512):
+                hs = hot_idx[side_sel:side_sel + 512]
+                H = len(hs)
+                Ah = np.zeros((n_a, H), dtype=np.float32)
+                Bh = np.zeros((n_b, H), dtype=np.float32)
+                Ah[da[ranges(sa[hs], ea[hs])],
+                   np.repeat(np.arange(H), (ea - sa)[hs])] = 1.0
+                Bh[db[ranges(sb[hs], eb[hs])],
+                   np.repeat(np.arange(H), (eb - sb)[hs])] = 1.0
+                counts += (Ah @ Bh.T).astype(np.int64)
+            # COLD grams: COO expansion accumulated with bincount
+            cold = np.flatnonzero(~hot_mask)
+            cum = np.cumsum(tot[cold])
+            budget = 16_000_000
+            start = 0
+            while start < len(cold):
+                base = int(cum[start - 1]) if start else 0
+                end = int(np.searchsorted(cum, base + budget, side="right")) + 1
+                end = min(max(end, start + 1), len(cold))
+                ks = cold[start:end]
+                na_k, nb_k, tot_k = na[ks], nb[ks], tot[ks]
+                rows = np.repeat(da[ranges(sa[ks], ea[ks])],
+                                 np.repeat(nb_k, na_k))
+                t_off = np.concatenate([[0], np.cumsum(tot_k)[:-1]])
+                within = (np.arange(int(tot_k.sum()), dtype=np.int64)
+                          - np.repeat(t_off, tot_k))
+                cols = db[np.repeat(sb[ks], tot_k) + within % np.repeat(nb_k, tot_k)]
+                counts += np.bincount(rows * n_b + cols,
+                                      minlength=n_a * n_b).reshape(n_a, n_b)
+                start = end
+        sz_a, sz_b = sizes[a_idx], sizes[b_idx]
+        union = sz_a[:, None] + sz_b[None, :] - counts
+        jac = np.where(union > 0, counts / np.maximum(union, 1), 1.0)
+        mask = jac >= threshold
+        if c_a == c_b:
+            mask &= np.triu(np.ones_like(mask, dtype=bool), 1)
+        ii, jj = np.nonzero(mask)
+        aa, bb = ids[a_idx[ii]], ids[b_idx[jj]]
         return pa.table({
-            "id_a": pa.array(out_a, type=pa.int64()),
-            "id_b": pa.array(out_b, type=pa.int64()),
-            "jaccard": pa.array(out_j, type=pa.float64()),
+            "id_a": pa.array(np.minimum(aa, bb).astype(np.int64)),
+            "id_b": pa.array(np.maximum(aa, bb).astype(np.int64)),
+            "jaccard": pa.array(np.round(jac[mask], 3), type=pa.float64()),
         })
 
     out = (
