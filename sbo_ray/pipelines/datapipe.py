@@ -404,10 +404,13 @@ def doc_dedup_clusters_lp(sf_dir: str, threshold: float = 0.8,
     (doc_dedup_clusters documents that contract). Each round:
     labels (node -> current min label) join edges -> propagated labels
     -> groupby(node).min; converges in O(cluster diameter) rounds.
-    Only ONE number (the count of changed labels) reaches the driver per
-    round; the label table lives in the object store between rounds.
-    Output == union-find exactly (same min-id cluster labels), so the
-    same recursive-CTE SQL oracle gates it."""
+    Only ONE number (the label-sum) reaches the driver per round —
+    min-propagation labels only ever DECREASE, so the sum is strictly
+    monotone and "sum unchanged" == "no label changed", saving the
+    per-round convergence JOIN (r3). The label table lives in the
+    object store between rounds. Output == union-find exactly (same
+    min-id cluster labels), so the same recursive-CTE SQL oracle gates
+    it."""
     from ray.data.aggregate import Min
 
     pairs_t = doc_dedup_minhash(sf_dir, threshold)
@@ -426,6 +429,7 @@ def doc_dedup_clusters_lp(sf_dir: str, threshold: float = 0.8,
         "label": pa.array(nodes, type=pa.int64()),
     })).materialize()
     n_parts = max(2, _cpus() // 2)
+    label_sum = int(labels.sum("label"))
     for _ in range(max_rounds):
         # propagate: every node offers its label to each neighbor...
         prop = edges.join(labels, join_type="inner", num_partitions=n_parts,
@@ -434,16 +438,11 @@ def doc_dedup_clusters_lp(sf_dir: str, threshold: float = 0.8,
         # ...and keeps its own
         new_labels = labels.union(prop).groupby("u").aggregate(
             Min("label", alias_name="label")).materialize()
-        changed = (
-            new_labels.join(labels.rename_columns(["u", "old"]),
-                            join_type="inner", num_partitions=n_parts,
-                            on=("u",))
-            .filter(expr="label != old")
-            .count()
-        )
+        new_sum = int(new_labels.sum("label"))
         labels = new_labels
-        if changed == 0:
+        if new_sum == label_sum:  # labels only decrease: sum fixed == converged
             break
+        label_sum = new_sum
     else:
         # silent wrong labels would break the ==union-find contract on
         # exactly the large components this scale path exists for
