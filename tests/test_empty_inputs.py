@@ -72,3 +72,17 @@ def test_simhash_empty_documents(ray_session, empty_doc_dir):
     assert out.num_rows == 0
     assert out.schema.names == ["id_a", "id_b", "hamming"]
     assert out.schema.field("id_a").type == pa.int64()
+
+
+def test_dedup_family_empty_documents(ray_session, empty_doc_dir):
+    from sbo_ray.pipelines import datapipe as DP
+
+    for fn, cols in (
+        (DP.doc_dedup_minhash, ["id_a", "id_b", "jaccard"]),
+        (DP.doc_dedup_ngram, ["id_a", "id_b", "jaccard"]),
+        (DP.doc_dedup_clusters, ["doc_id", "cluster_id"]),
+        (DP.doc_dedup_clusters_lp, ["doc_id", "cluster_id"]),
+    ):
+        out = fn(empty_doc_dir)
+        assert out.num_rows == 0, fn.__name__
+        assert out.schema.names == cols, fn.__name__
