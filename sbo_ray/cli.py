@@ -181,6 +181,18 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_osmetrics(args) -> int:
+    """The reference's periodic host OS-metrics collection (its host
+    cron into sbo_os_metrics, db/mysqldb.go:240-269) as a CLI profile —
+    no Ray session needed (single-host sampling)."""
+    from .functions.osmetrics import collect_and_write
+
+    n = collect_and_write(args.out, samples=args.samples,
+                          interval_sec=args.interval, host_id=args.host_id)
+    print(json.dumps({"out": args.out, "rows": n}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="sbo_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -201,6 +213,13 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--from-end", action="store_true",
                         help="follow: StartFrom -1 (only new lines)")
         sp.set_defaults(fn=fn)
+    so = sub.add_parser("osmetrics", help="live host OS-metrics sink "
+                        "(S5+K6: sample uptime/free -> Parquet)")
+    so.add_argument("--out", required=True)
+    so.add_argument("--samples", type=int, default=1)
+    so.add_argument("--interval", type=float, default=30.0)
+    so.add_argument("--host-id", type=int, default=1)
+    so.set_defaults(fn=cmd_osmetrics)
     args = p.parse_args(argv)
     import ray
 

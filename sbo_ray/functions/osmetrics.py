@@ -126,6 +126,55 @@ def collect_memory() -> MemoryInfo:
     return parse_free_output(out.stdout.strip())
 
 
+OS_METRICS_SCHEMA_FIELDS = [
+    ("host_id", "int64"), ("metrics_ts", "string"),
+    ("up_duration_minutes", "int64"), ("users", "int64"),
+    # loads stay STRINGS like the Go struct fields they mirror
+    ("load_average1", "string"), ("load_average5", "string"),
+    ("load_average15", "string"), ("swap_use", "int64"),
+    ("cache_use", "int64"), ("memory_use", "int64"),
+    ("memory_free", "int64"), ("memory_available", "int64"),
+]
+
+
+def collect_and_write(out_dir: str, samples: int = 1,
+                      interval_sec: float = 0.0, host_id: int = 1,
+                      now_fn=None) -> int:
+    """The LIVE OS-metrics sink (S5+K6 end-to-end): sample
+    ``uptime``/``free`` ``samples`` times at ``interval_sec`` and append
+    one Parquet fragment per invocation under ``out_dir`` (fsspec URI
+    capable, like every sink). The reference runs this on a host cron
+    into the sbo_os_metrics MySQL table (main.go + db/mysqldb.go:
+    240-269); here the cadence is the caller's (cron / CLI loop) and the
+    sink is partitioned Parquet. Returns the number of rows written."""
+    import time
+    from datetime import datetime
+
+    import pyarrow as pa
+
+    from .. import fsio
+
+    now_fn = now_fn or datetime.now
+    rows = []
+    for i in range(samples):
+        if i:
+            time.sleep(interval_sec)
+        up = collect_uptime()
+        try:
+            mem = collect_memory()
+        except Exception:  # platform without `free`: nil -> zeros
+            mem = None
+        rows.append(os_metrics_row(
+            up, mem, host_id, now_fn().strftime("%Y-%m-%d %H:%M:%S")))
+    schema = pa.schema([(n, getattr(pa, t)()) for n, t in
+                        OS_METRICS_SCHEMA_FIELDS])
+    table = pa.Table.from_pylist(rows, schema=schema)
+    fsio.makedirs(out_dir)
+    name = f"osmetrics-{rows[0]['metrics_ts'].replace(' ', 'T').replace(':', '-')}-{host_id}.parquet"
+    fsio.write_table(out_dir, name, table)
+    return len(rows)
+
+
 def os_metrics_row(uptime: UptimeInfo, memory: MemoryInfo | None,
                    host_id: int, metrics_ts: str) -> dict:
     """The sbo_os_metrics sink row (SaveOSMetrics, db/mysqldb.go:240-269);

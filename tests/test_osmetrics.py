@@ -89,3 +89,30 @@ def test_collectors_run_on_linux():
     if shutil.which("free"):
         mem = O.collect_memory()
         assert mem.mem_use > 0
+
+
+def test_live_sink_writes_parquet(tmp_path):
+    """S5+K6 end-to-end: the live sink samples the host and writes the
+    sbo_os_metrics-shaped Parquet fragment (URI-capable like all sinks)."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from sbo_ray.functions.osmetrics import (OS_METRICS_SCHEMA_FIELDS,
+                                             collect_and_write)
+
+    if not shutil.which("uptime"):
+        pytest.skip("no uptime binary")
+    n = collect_and_write(f"file://{tmp_path}", samples=2, interval_sec=0.05,
+                          host_id=7)
+    assert n == 2
+    files = glob.glob(str(tmp_path / "osmetrics-*.parquet"))
+    assert len(files) == 1
+    t = pq.read_table(files[0])
+    assert t.num_rows == 2
+    assert t.schema.names == [f for f, _ in OS_METRICS_SCHEMA_FIELDS]
+    row = t.to_pylist()[0]
+    assert row["host_id"] == 7
+    assert row["swap_use"] == 0  # the Sscanf swap bug, faithfully zero
