@@ -51,6 +51,48 @@ def test_monotone_positive_replay_equals_sums_property():
         assert _replay(tws, vals, True) == want, (tws, vals)
 
 
+def test_run_replay_equals_raw_replay_on_arbitrary_sequences():
+    """The run-statistics replay engine (_replay_runs) must equal the
+    raw per-add replay (replay_group) on ARBITRARY sequences — zeros,
+    reorders, duplicate windows — because the run encoding only
+    compresses adds taken by the pure-accumulate branch. 400 random
+    sequences x both sink policies."""
+    import numpy as np
+
+    from sbo_ray.stages.compat import _replay_runs
+
+    rng = random.Random(7)
+    for trial in range(400):
+        n = rng.randint(1, 30)
+        tws = [rng.randint(1, 6) for _ in range(n)]
+        vals = [rng.choice([0, 0, 1, 3, 10]) for _ in range(n)]
+        # compress into consecutive same-tw runs, like compat_partial
+        runs = []
+        i = 0
+        while i < n:
+            j = i
+            while j < n and tws[j] == tws[i]:
+                j += 1
+            seg = vals[i:j]
+            lead = 0
+            while lead < len(seg) and seg[lead] < 1:
+                lead += 1
+            runs.append({
+                "source": "s", "metric_type": 2, "key_value": "",
+                "time_window": tws[i], "value": sum(seg),
+                "n_adds": len(seg), "lead_zeros": lead,
+                "first_nz": seg[lead] if lead < len(seg) else 0,
+            })
+            i = j
+        for mode in (False, True):
+            want = _replay(tws, vals, mode)
+            got_df = _replay_runs(pd.DataFrame(runs), window_size=3,
+                                  replace_existing=mode)
+            got = dict(zip(got_df["time_window"].astype(int),
+                           got_df["metric_value"].astype(int)))
+            assert got == want, (tws, vals, mode, got, want)
+
+
 def test_zero_value_monotone_sequence_can_diverge_from_sums():
     """Why eligibility requires values >= 1 even for monotone input: 3
     leading zero adds re-run the insertion path (Values[tw] < 1,
