@@ -62,6 +62,52 @@ def doc_dedup_exact(sf_dir: str):
     return agg.select_columns(["doc_id", "n_dupes"])
 
 
+def doc_sample_hash(sf_dir: str, rate: float = 0.1, salt: str = "s1"):
+    """Deterministic content-hash sampling — the reproducible
+    downsampling primitive a 100 TB curation job needs (same doc is
+    kept or dropped regardless of partitioning, cluster size or rerun):
+    keep doc iff md5(text || salt) as a 63-bit integer < rate * 2^63.
+    Pure map filter — no shuffle, no state; the salt decorrelates
+    successive sampling stages. Exact SQL mirror (same md5 arithmetic
+    in DuckDB)."""
+    thresh = int(rate * (1 << 63))
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = D.add_text_hash(
+            t.append_column("__salted", pc.binary_join_element_wise(
+                t.column("text").cast(pa.string()), salt, "")),
+            column="__salted",
+        ).column("text_hash").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(h < thresh)).select(["doc_id", "text"])
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def doc_sample_stratified(sf_dir: str, rates: dict[str, float] | None = None,
+                          default_rate: float = 0.05, salt: str = "s2"):
+    """Per-stratum deterministic sampling (e.g. language rebalancing in
+    a training mix): each ``lang`` stratum gets its own keep rate, the
+    keep decision stays content-hash deterministic. The rate map rides
+    the closure (tiny); no shuffle."""
+    rates = rates if rates is not None else {"en": 0.5, "de": 0.2}
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = D.add_text_hash(
+            t.append_column("__salted", pc.binary_join_element_wise(
+                t.column("text").cast(pa.string()), salt, "")),
+            column="__salted",
+        ).column("text_hash").to_numpy(zero_copy_only=False)
+        langs = t.column("lang").to_pylist()
+        th = np.fromiter(
+            (int(rates.get(lg, default_rate) * (1 << 63)) for lg in langs),
+            dtype=np.int64, count=len(langs))
+        return t.filter(pa.array(h < th)).select(["doc_id", "lang"])
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def doc_dedup_minhash(sf_dir: str, threshold: float = 0.8):
     """MinHash+LSH near-dup pairs: shingle->minhash->band rows ->
     bucket groupby -> candidate pairs -> exact-Jaccard verify.

@@ -22,6 +22,23 @@ def _sql_list(words) -> str:
     return ", ".join(f"'{w}'" for w in sorted(words))
 
 
+# deterministic content-hash sampling: same md5-first-8-bytes >> 1
+# arithmetic as functions/dedup.add_text_hash
+_H63 = "(('0x' || substr(md5(text || '{salt}'), 1, 16))::UBIGINT >> 1)"
+
+SQL_DOC_SAMPLE_HASH = f"""
+SELECT doc_id, text FROM documents
+WHERE {_H63.format(salt='s1')} < {int(0.1 * (1 << 63))}
+"""
+
+SQL_DOC_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_H63.format(salt='s2')} < CASE lang
+  WHEN 'en' THEN {int(0.5 * (1 << 63))}
+  WHEN 'de' THEN {int(0.2 * (1 << 63))}
+  ELSE {int(0.05 * (1 << 63))} END
+"""
+
 SQL_DOC_DEDUP_EXACT = """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_dupes
@@ -375,6 +392,8 @@ FROM events GROUP BY 1, 2
 def data_queries() -> dict:
     return {
         "doc_dedup_exact": P.doc_dedup_exact,
+        "doc_sample_hash": P.doc_sample_hash,
+        "doc_sample_stratified": P.doc_sample_stratified,
         "doc_dedup_minhash": P.doc_dedup_minhash,
         "doc_dedup_ngram": P.doc_dedup_ngram,
         "doc_curation_pipeline": P.doc_curation_pipeline,
@@ -408,6 +427,8 @@ def data_oracle_sql() -> dict:
     # trade-off).
     return {
         "doc_dedup_exact": SQL_DOC_DEDUP_EXACT,
+        "doc_sample_hash": SQL_DOC_SAMPLE_HASH,
+        "doc_sample_stratified": SQL_DOC_SAMPLE_STRATIFIED,
         "doc_dedup_minhash": SQL_DOC_DEDUP_MINHASH,
         "doc_dedup_ngram": SQL_DOC_DEDUP_NGRAM,
         "doc_curation_pipeline": SQL_DOC_CURATION,
