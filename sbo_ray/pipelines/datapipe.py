@@ -108,6 +108,39 @@ def doc_sample_stratified(sf_dir: str, rates: dict[str, float] | None = None,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+_DECONTAM_DEFAULT = ("table value part hash", "spark order data column",
+                     "vector table fast batch")
+
+
+def doc_decontaminate(sf_dir: str, blocklist: tuple[str, ...] | None = None):
+    """Test-set DECONTAMINATION — the canonical pre-training hygiene
+    step: flag every document whose text contains any blocklist phrase
+    (e.g. benchmark prompts). The blocklist is broadcast once
+    (``ray.put``) and each block runs vectorized substring matches
+    (Arrow match_substring per phrase) — no shuffle, no state; at 100 TB
+    this is a pure map scan. Output: (doc_id, contaminated, n_hits)."""
+    phrases = tuple(blocklist) if blocklist is not None else _DECONTAM_DEFAULT
+    bref = ray.put(phrases)
+
+    def scan(t: pa.Table) -> pa.Table:
+        ps = ray.get(bref)
+        col = t.column("text")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = t.num_rows
+        hits = np.zeros(n, dtype=np.int64)
+        for p in ps:
+            hits += pc.match_substring(col, p).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "contaminated": pa.array((hits > 0).astype(np.int64)),
+            "n_hits": pa.array(hits),
+        })
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        scan, batch_format="pyarrow")
+
+
 def doc_dedup_minhash(sf_dir: str, threshold: float = 0.8):
     """MinHash+LSH near-dup pairs: shingle->minhash->band rows ->
     bucket groupby -> candidate pairs -> exact-Jaccard verify.

@@ -39,6 +39,19 @@ WHERE {_H63.format(salt='s2')} < CASE lang
   ELSE {int(0.05 * (1 << 63))} END
 """
 
+SQL_DOC_DECONTAMINATE = """
+SELECT doc_id,
+  CAST(CASE WHEN contains(text, 'table value part hash')
+         OR contains(text, 'spark order data column')
+         OR contains(text, 'vector table fast batch') THEN 1 ELSE 0 END AS BIGINT)
+    AS contaminated,
+  CAST(CAST(contains(text, 'table value part hash') AS INTEGER)
+     + CAST(contains(text, 'spark order data column') AS INTEGER)
+     + CAST(contains(text, 'vector table fast batch') AS INTEGER) AS BIGINT)
+    AS n_hits
+FROM documents
+"""
+
 SQL_DOC_DEDUP_EXACT = """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_dupes
@@ -393,6 +406,7 @@ def data_queries() -> dict:
     return {
         "doc_dedup_exact": P.doc_dedup_exact,
         "doc_sample_hash": P.doc_sample_hash,
+        "doc_decontaminate": P.doc_decontaminate,
         "doc_sample_stratified": P.doc_sample_stratified,
         "doc_dedup_minhash": P.doc_dedup_minhash,
         "doc_dedup_ngram": P.doc_dedup_ngram,
@@ -428,6 +442,7 @@ def data_oracle_sql() -> dict:
     return {
         "doc_dedup_exact": SQL_DOC_DEDUP_EXACT,
         "doc_sample_hash": SQL_DOC_SAMPLE_HASH,
+        "doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "doc_sample_stratified": SQL_DOC_SAMPLE_STRATIFIED,
         "doc_dedup_minhash": SQL_DOC_DEDUP_MINHASH,
         "doc_dedup_ngram": SQL_DOC_DEDUP_NGRAM,

@@ -11,7 +11,7 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 SQL_NAMES = [
-    "doc_dedup_exact", "doc_sample_hash", "doc_sample_stratified", "emb_dedup_cosine", "emb_similarity_topk",
+    "doc_dedup_exact", "doc_sample_hash", "doc_sample_stratified", "doc_decontaminate", "emb_dedup_cosine", "emb_similarity_topk",
     "doc_token_stats", "doc_lang_id", "multimodal_payload_stats",
     "customer_nation_agg", "orders_mktsegment_revenue",
     "lineitem_pricing_summary", "orders_by_month",
