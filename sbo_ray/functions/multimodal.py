@@ -239,3 +239,138 @@ class DecoderStub:
             "payload_bytes": batch.column("payload_bytes"),
             "features": feat_col,
         })
+
+
+# ---- WAV (RIFF / PCM16) audio support: real, pure-numpy --------------------
+WAV_MEDIA_TYPE = "audio/wav"
+
+
+def make_wav(sample_rate: int, samples: np.ndarray, n_channels: int = 1) -> bytes:
+    """Render int16 PCM samples as a binary RIFF/WAVE payload (the real
+    on-disk format — 44-byte canonical header + little-endian samples).
+    For ``n_channels > 1`` the samples must already be interleaved."""
+    import struct
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    block_align = n_channels * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate, block_align, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
+
+
+def synth_wav(doc_id: int, n_samples: int = 256, sample_rate: int = 8000) -> bytes:
+    """Deterministic synthetic mono clip per doc: sample k is
+    ``((doc_id*37 + k*29 + 11) % 65536) - 32768`` — a closed form the
+    DuckDB oracle reproduces exactly (integer amplitude sums, no float
+    rounding). 256 samples @ 8 kHz -> 556-byte payload."""
+    k = np.arange(n_samples, dtype=np.int64)
+    s = ((doc_id * 37 + k * 29 + 11) % 65536) - 32768
+    return make_wav(sample_rate, s.astype(np.int16))
+
+
+def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a RIFF/WAVE payload: walks the chunk list (word-aligned, so
+    unknown chunks like LIST/INFO are skipped correctly), requires a PCM
+    (format code 1) 16-bit ``fmt `` chunk, and returns
+    ``(sample_rate, n_channels, int16 array of interleaved samples)``.
+    Raises ValueError on malformed input and NotImplementedError for
+    non-PCM16 encodings (no codec libs in this container)."""
+    import struct
+
+    if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    pcm = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            audio_format, n_channels, sample_rate, _br, _ba, bits = \
+                struct.unpack_from("<HHIIHH", body, 0)
+            if audio_format != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM16 WAV decodes natively (format={audio_format}, "
+                    f"bits={bits})"
+                )
+            if n_channels < 1:
+                raise ValueError("WAV with zero channels")
+            fmt = (sample_rate, n_channels)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    sample_rate, n_channels = fmt
+    samples = np.frombuffer(pcm[: len(pcm) // 2 * 2], dtype="<i2")
+    if n_channels > 1 and len(samples) % n_channels:
+        samples = samples[: len(samples) // n_channels * n_channels]
+    return sample_rate, n_channels, samples
+
+
+AUDIO_FEATURE_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("media_type", pa.string()),
+    ("payload_bytes", pa.int64()),
+    ("sample_rate", pa.int64()),
+    ("n_channels", pa.int64()),
+    ("n_samples", pa.int64()),
+    ("sum_amp", pa.int64()),
+    ("sum_abs_amp", pa.int64()),
+    ("max_abs_amp", pa.int64()),
+])
+
+
+class AudioDecoder:
+    """Actor-pool decode/feature stage for audio payload columns — the
+    audio twin of ``DecoderStub``. REALLY decodes ``audio/wav`` (RIFF
+    PCM16, pure-numpy parser above) and emits integer amplitude features
+    (exact-SQL-gateable); compressed formats (mp3/ogg/flac) raise
+    NotImplementedError — their codecs aren't in this container."""
+
+    def __init__(self) -> None:
+        pass  # real build: self.codec = load_audio_codecs() (once per actor)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        media = batch.column("media_type").to_pylist()
+        sr_v, ch_v, n_v, sum_v, abs_v, max_v = [], [], [], [], [], []
+        for mt, p in zip(media, payloads):
+            if mt != WAV_MEDIA_TYPE:
+                raise NotImplementedError(
+                    f"no codec for {mt!r} in this environment "
+                    f"(only {WAV_MEDIA_TYPE} decodes natively)"
+                )
+            sample_rate, n_channels, samples = decode_wav(p)
+            amp = samples.astype(np.int64)
+            sr_v.append(sample_rate)
+            ch_v.append(n_channels)
+            n_v.append(len(samples) // n_channels)
+            sum_v.append(int(amp.sum()))
+            abs_v.append(int(np.abs(amp).sum()))
+            max_v.append(int(np.abs(amp).max(initial=0)))
+
+        def _col(name):
+            c = batch.column(name)
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        return pa.Table.from_arrays(
+            [
+                _col("doc_id"), _col("media_type"), _col("payload_bytes"),
+                pa.array(sr_v, type=pa.int64()),
+                pa.array(ch_v, type=pa.int64()),
+                pa.array(n_v, type=pa.int64()),
+                pa.array(sum_v, type=pa.int64()),
+                pa.array(abs_v, type=pa.int64()),
+                pa.array(max_v, type=pa.int64()),
+            ],
+            schema=AUDIO_FEATURE_SCHEMA,
+        )

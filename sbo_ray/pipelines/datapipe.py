@@ -935,6 +935,43 @@ def multimodal_features(sf_dir: str):
     )
 
 
+def multimodal_audio_features(sf_dir: str):
+    """REAL audio decode through the actor-pool stage: deterministic
+    synthetic RIFF/PCM16 WAV payloads (one clip per doc), decoded by the
+    pure-numpy chunk-walking parser inside ``AudioDecoder`` — header and
+    fmt/data chunk parse, int16 sample extraction, integer amplitude
+    features (sum / abs-sum / max-abs). Gated by an exact SQL oracle
+    (the sample generator is a closed form). Same actor-pool shape as
+    the image path: codec state loads once per actor, small batch_size
+    because payload batches are large."""
+    from ..functions.multimodal import (
+        PAYLOAD_SCHEMA, WAV_MEDIA_TYPE, AudioDecoder, synth_wav,
+    )
+
+    def to_clips(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = [synth_wav(int(i)) for i in ids]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array(payloads, type=pa.binary()),
+                pa.array([WAV_MEDIA_TYPE] * len(ids), type=pa.string()),
+                pa.array([len(p) for p in payloads], type=pa.int64()),
+            ],
+            schema=PAYLOAD_SCHEMA,
+        )
+
+    payload = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        to_clips, batch_format="pyarrow"
+    )
+    return payload.map_batches(
+        AudioDecoder,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(2, max(2, _cpus())),
+    )
+
+
 # ---- relational demos (broadcast join, grouped aggregates) -----------------
 
 

@@ -326,6 +326,25 @@ FROM documents d CROSS JOIN (SELECT unnest(range(288)) AS k)
 GROUP BY d.doc_id
 """
 
+# Exact mirror of the real WAV decode path: the synthetic clip's sample
+# k is ((doc_id*37 + k*29 + 11) % 65536) - 32768 (multimodal.synth_wav),
+# 256 mono samples @ 8 kHz => 512 PCM bytes + 44-byte canonical RIFF
+# header. If the engine's chunk walk, fmt parse, or int16 extraction
+# were wrong, the amplitude sums would not match.
+SQL_MULTIMODAL_AUDIO = """
+SELECT d.doc_id,
+       'audio/wav' AS media_type,
+       CAST(556 AS BIGINT) AS payload_bytes,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(256 AS BIGINT) AS n_samples,
+       CAST(SUM(((d.doc_id*37 + k*29 + 11) % 65536) - 32768) AS BIGINT) AS sum_amp,
+       CAST(SUM(ABS(((d.doc_id*37 + k*29 + 11) % 65536) - 32768)) AS BIGINT) AS sum_abs_amp,
+       CAST(MAX(ABS(((d.doc_id*37 + k*29 + 11) % 65536) - 32768)) AS BIGINT) AS max_abs_amp
+FROM documents d CROSS JOIN (SELECT unnest(range(256)) AS k)
+GROUP BY d.doc_id
+"""
+
 # Frame-sampling mirror: payload = text bytes, 64-byte frames, every
 # 4th kept (frame indices 0,4,8,...); last frame may be short.
 SQL_MULTIMODAL_FRAMES = """
@@ -424,6 +443,7 @@ def data_queries() -> dict:
         "multimodal_payload_stats": P.multimodal_payload_stats,
         "multimodal_frame_sample": P.multimodal_frame_sample,
         "multimodal_features": P.multimodal_features,
+        "multimodal_audio_features": P.multimodal_audio_features,
         "customer_nation_agg": P.customer_nation_agg,
         "orders_mktsegment_revenue": P.orders_mktsegment_revenue,
         "lineitem_pricing_summary": P.lineitem_pricing_summary,
@@ -454,6 +474,7 @@ def data_oracle_sql() -> dict:
         "emb_ann_lsh": SQL_EMB_SIMILARITY_TOPK,
         "emb_ann_ivf": SQL_EMB_SIMILARITY_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "multimodal_audio_features": SQL_MULTIMODAL_AUDIO,
         "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,
         "emb_dedup_cosine": SQL_EMB_DEDUP_COSINE,
         "emb_similarity_topk": SQL_EMB_SIMILARITY_TOPK,

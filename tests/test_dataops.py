@@ -20,6 +20,7 @@ SQL_NAMES = [
     "doc_dedup_clusters", "doc_dedup_clusters_lp", "doc_fingerprint",
     "emb_ann_lsh", "emb_ann_ivf", "multimodal_features",
     "doc_curation_pipeline", "multimodal_frame_sample",
+    "multimodal_audio_features",
 ]
 
 
@@ -310,3 +311,58 @@ def test_ngram_jaccard_dedup_planted(ray_session, planted):
     assert (3, 10) in pairs   # exact dup -> jaccard 1.0
     for a, b in pairs:        # every reported pair really is >= threshold
         assert ngram_jaccard(texts[a], texts[b]) >= 0.5
+
+
+def test_wav_decode_roundtrip_and_malformed():
+    import struct
+
+    import numpy as np
+
+    from sbo_ray.functions.multimodal import (
+        AudioDecoder, decode_wav, make_wav, synth_wav,
+    )
+
+    s = (np.arange(10) * 1000 - 5000).astype(np.int16)
+    sr, ch, got = decode_wav(make_wav(44100, s))
+    assert (sr, ch) == (44100, 1) and (got == s).all()
+    # stereo interleaved round-trips with the channel count preserved
+    sr, ch, got = decode_wav(make_wav(16000, s, n_channels=2))
+    assert (sr, ch) == (16000, 2) and (got == s).all()
+    # chunk walker skips unknown chunks (incl. odd-size word padding)
+    body = make_wav(8000, s)
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size -> pad
+    padded = body[:12] + junk + body[12:]
+    assert (decode_wav(padded)[2] == s).all()
+    assert synth_wav(9) == synth_wav(9)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + body[4:])
+    with pytest.raises(ValueError):
+        decode_wav(body[:-4])  # truncated data chunk
+    with pytest.raises(ValueError):
+        decode_wav(body[:12])  # no fmt/data chunks
+    # non-PCM format code -> NotImplementedError (no codec libs here)
+    mulaw = bytearray(body)
+    struct.pack_into("<H", mulaw, 20, 7)
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(mulaw))
+    with pytest.raises(NotImplementedError):
+        AudioDecoder()(pa.table({
+            "doc_id": [1], "payload": [b"x"], "media_type": ["audio/mpeg"],
+            "payload_bytes": [1],
+        }))
+
+
+def test_multimodal_audio_features_real_decode(ray_session):
+    from sbo_ray.pipelines.datapipe import multimodal_audio_features
+
+    got = multimodal_audio_features(SF).to_pandas().set_index("doc_id")
+    assert len(got) == 500
+    # golden: doc 0's sample k is ((k*29 + 11) % 65536) - 32768, computed
+    # independently here
+    k = np.arange(256, dtype=np.int64)
+    vals = ((0 * 37 + k * 29 + 11) % 65536) - 32768
+    assert got.loc[0, "sum_amp"] == vals.sum()
+    assert got.loc[0, "sum_abs_amp"] == np.abs(vals).sum()
+    assert got.loc[0, "max_abs_amp"] == np.abs(vals).max()
+    assert (got["sample_rate"] == 8000).all()
+    assert (got["n_samples"] == 256).all()
