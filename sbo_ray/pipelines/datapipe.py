@@ -476,26 +476,34 @@ def doc_dedup_ngram(sf_dir: str, threshold: float = 0.4, n: int = 5,
     return pa.concat_tables(parts)
 
 
-def doc_dedup_clusters_lp(sf_dir: str, threshold: float = 0.8,
-                          max_rounds: int = 50):
-    """Near-dup clusters via DISTRIBUTED min-label propagation — the
-    scale path for candidate sets too large for driver union-find
-    (doc_dedup_clusters documents that contract). Each round:
-    labels (node -> current min label) join edges -> propagated labels
-    -> groupby(node).min; converges in O(cluster diameter) rounds.
+def _min_label_prop(pairs_t: pa.Table, max_rounds: int = 50,
+                    jump_after: int = 2) -> tuple[pa.Table, int]:
+    """Distributed min-label propagation with ADAPTIVE pointer doubling
+    over an undirected pair list; returns (sorted (u, label) table,
+    rounds run).
+
+    Each round joins the edge list against the label table and takes
+    groupby(node).min. From round ``jump_after + 1`` on, the join input
+    also unions per-round SHORTCUT edges ``label(u) -> u`` (so a node
+    learns ``label(label(u))`` in the SAME join — pointer doubling),
+    which drops the remaining round count from O(cluster diameter) to
+    O(log diameter) — a 64-node path graph converges in ~8 rounds, not
+    63 — while each round still costs exactly one join + one groupby
+    (the shortcut table is a cheap map over the label table, <= |V|
+    rows). The doubling is gated because real near-dup graphs almost
+    always converge within 2 rounds (dense LSH clusters have tiny
+    diameters; measured 2 rounds at 4M docs) and the shortcut union
+    costs ~10% per round — pay it only when the graph is actually deep.
+    Shortcut edges stay inside a component, so the fixpoint (every node
+    = component min) is unchanged and monotone convergence still holds.
+
     Only ONE number (the label-sum) reaches the driver per round —
     min-propagation labels only ever DECREASE, so the sum is strictly
     monotone and "sum unchanged" == "no label changed", saving the
     per-round convergence JOIN (r3). The label table lives in the
-    object store between rounds. Output == union-find exactly (same
-    min-id cluster labels), so the same recursive-CTE SQL oracle gates
-    it."""
+    object store between rounds."""
     from ray.data.aggregate import Min
 
-    pairs_t = doc_dedup_minhash(sf_dir, threshold)
-    if pairs_t.num_rows == 0:  # empty graph: no docs cluster
-        return pa.schema([("doc_id", pa.int64()),
-                          ("cluster_id", pa.int64())]).empty_table()
     ua = pairs_t.column("id_a").to_numpy(zero_copy_only=False)
     ub = pairs_t.column("id_b").to_numpy(zero_copy_only=False)
     edges = rd.from_arrow(pa.table({
@@ -509,10 +517,26 @@ def doc_dedup_clusters_lp(sf_dir: str, threshold: float = 0.8,
     })).materialize()
     n_parts = max(2, _cpus() // 2)
     label_sum = int(labels.sum("label"))
-    for _ in range(max_rounds):
-        # propagate: every node offers its label to each neighbor...
-        prop = edges.join(labels, join_type="inner", num_partitions=n_parts,
-                          on=("u",)).select_columns(["v", "label"]) \
+
+    def shortcut_edges(t: pa.Table) -> pa.Table:
+        # label(u) -> u; self-pointers add nothing (u keeps its own
+        # label via the union with `labels` below), drop them
+        t = t.filter(pc.not_equal(t.column("label"), t.column("u")))
+        return pa.table({"u": t.column("label"), "v": t.column("u")})
+
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        if rounds > jump_after:
+            ptr = labels.map_batches(shortcut_edges, batch_format="pyarrow")
+            round_edges = edges.union(ptr)
+        else:
+            round_edges = edges
+        # propagate: every node offers its label to each neighbor and
+        # (past round jump_after, via the shortcut edges) to everything
+        # pointing at it...
+        prop = round_edges.join(
+            labels, join_type="inner", num_partitions=n_parts,
+            on=("u",)).select_columns(["v", "label"]) \
             .rename_columns(["u", "label"])
         # ...and keeps its own
         new_labels = labels.union(prop).groupby("u").aggregate(
@@ -526,16 +550,35 @@ def doc_dedup_clusters_lp(sf_dir: str, threshold: float = 0.8,
         # silent wrong labels would break the ==union-find contract on
         # exactly the large components this scale path exists for
         raise RuntimeError(
-            f"label propagation did not converge in {max_rounds} rounds "
-            f"({changed} labels still changing); a cluster's diameter "
-            f"exceeds max_rounds — raise max_rounds"
+            f"label propagation did not converge in {max_rounds} rounds; "
+            f"a cluster's diameter exceeds 2^max_rounds — raise max_rounds"
         )
     out = pa.concat_tables(labels.iter_batches(batch_format="pyarrow",
                                                batch_size=None))
     order = pc.sort_indices(out.column("u"))
     return pa.table({
-        "doc_id": out.column("u").take(order),
-        "cluster_id": out.column("label").take(order),
+        "u": out.column("u").take(order),
+        "label": out.column("label").take(order),
+    }), rounds
+
+
+def doc_dedup_clusters_lp(sf_dir: str, threshold: float = 0.8,
+                          max_rounds: int = 50):
+    """Near-dup clusters via DISTRIBUTED min-label propagation — the
+    scale path for candidate sets too large for driver union-find
+    (doc_dedup_clusters documents that contract). The propagation loop
+    (pointer-doubled, O(log diameter) rounds; see ``_min_label_prop``)
+    runs entirely in the object store. Output == union-find exactly
+    (same min-id cluster labels), so the same recursive-CTE SQL oracle
+    gates it."""
+    pairs_t = doc_dedup_minhash(sf_dir, threshold)
+    if pairs_t.num_rows == 0:  # empty graph: no docs cluster
+        return pa.schema([("doc_id", pa.int64()),
+                          ("cluster_id", pa.int64())]).empty_table()
+    out, _rounds = _min_label_prop(pairs_t, max_rounds)
+    return pa.table({
+        "doc_id": out.column("u"),
+        "cluster_id": out.column("label"),
     })
 
 

@@ -366,3 +366,22 @@ def test_multimodal_audio_features_real_decode(ray_session):
     assert got.loc[0, "max_abs_amp"] == np.abs(vals).max()
     assert (got["sample_rate"] == 8000).all()
     assert (got["n_samples"] == 256).all()
+
+
+def test_min_label_prop_pointer_doubling(ray_session):
+    """A 64-node path graph has diameter 63: plain neighbor propagation
+    needs ~63 rounds, pointer doubling must converge in O(log n). Also
+    checks the labels equal the component min everywhere on a graph with
+    two components."""
+    from sbo_ray.pipelines.datapipe import _min_label_prop
+
+    # path 0-1-...-63 plus a disjoint triangle 100-101-102
+    a = list(range(63)) + [100, 101]
+    b = list(range(1, 64)) + [101, 102]
+    pairs = pa.table({"id_a": pa.array(a, type=pa.int64()),
+                      "id_b": pa.array(b, type=pa.int64())})
+    out, rounds = _min_label_prop(pairs, max_rounds=15)
+    got = dict(zip(out.column("u").to_pylist(), out.column("label").to_pylist()))
+    assert all(got[i] == 0 for i in range(64))
+    assert all(got[i] == 100 for i in (100, 101, 102))
+    assert rounds <= 10, f"pointer doubling should need ~log2(63) rounds, took {rounds}"
