@@ -419,6 +419,43 @@ def _replay_runs(runs: pd.DataFrame, window_size: int,
     return pd.concat(out_rows, ignore_index=True)
 
 
+_REPLAY_DISTRIBUTE_MIN_RUNS = 50_000
+
+
+def _replay_runs_parallel(rr_df: pd.DataFrame, window_size: int,
+                          replace_existing: bool) -> pd.DataFrame:
+    """Replay ineligible groups from run statistics, fanned out across
+    Ray tasks past ``_REPLAY_DISTRIBUTE_MIN_RUNS`` rows. The replay is
+    per-group independent, so groups are hash-partitioned whole (gid %
+    P); boolean-mask selection preserves the caller's within-group
+    arrival sort, so each task sees exactly the rows _replay_runs
+    expects. Small replay sets stay driver-side — task round-trips
+    would dominate. This removes the driver serialization on OOO-heavy
+    corpora with huge key spaces (the round-3 soft spot)."""
+    import ray
+
+    keys = (rr_df["source"].astype(str) + "\x00"
+            + rr_df["metric_type"].astype(str) + "\x00"
+            + rr_df["key_value"].astype(str))
+    gid = pd.factorize(keys, sort=False)[0]
+    n_groups = int(gid.max()) + 1 if len(gid) else 0
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    if (len(rr_df) < _REPLAY_DISTRIBUTE_MIN_RUNS or n_groups < 2
+            or ncpu < 2):
+        return _replay_runs(rr_df, window_size, replace_existing)
+    n_parts = min(ncpu * 2, n_groups)
+    part = gid % n_parts
+    replay_remote = ray.remote(_replay_runs)
+    futs = [
+        replay_remote.remote(rr_df[part == p], window_size, replace_existing)
+        for p in range(n_parts)
+    ]
+    outs = [df for df in ray.get(futs) if len(df)]
+    if not outs:
+        return pd.DataFrame(columns=[f.name for f in COMPAT_SCHEMA])
+    return pd.concat(outs, ignore_index=True)
+
+
 def _group_key_expr(t: pa.Table):
     import pyarrow.compute as pc
 
@@ -509,7 +546,7 @@ def metrics_dataset_compat(enriched, window_size: int = 3,
             pc.is_in(_group_key_expr(runs), value_set=keyset(run_replay_g)))
         rr_df = rr.to_pandas().sort_values(
             _GKEYS + ["min_arr", "run_seq"], kind="stable")
-        replay_df = _replay_runs(rr_df, window_size, replace_existing)
+        replay_df = _replay_runs_parallel(rr_df, window_size, replace_existing)
         if len(replay_df):
             pieces.append(pa.Table.from_pandas(
                 replay_df, preserve_index=False).cast(COMPAT_SCHEMA))

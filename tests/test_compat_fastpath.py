@@ -198,3 +198,48 @@ def test_engine_fast_equals_slow_replace_mode(ray_session, tmp_path):
         }
 
     assert m(True) == m(False)
+
+
+def test_replay_runs_parallel_equals_driver(ray_session, monkeypatch):
+    """The distributed replay (hash-partitioned groups across Ray tasks)
+    must produce exactly the driver-side replay's rows: 60 groups of
+    arbitrary OOO/zero-valued run sequences, threshold forced to 0 so
+    the Ray path actually runs."""
+    from sbo_ray.stages import compat
+
+    rng = random.Random(23)
+    rows = []
+    for g in range(60):
+        n = rng.randint(1, 20)
+        tws = [rng.randint(1, 6) for _ in range(n)]
+        vals = [rng.choice([0, 0, 1, 3, 10]) for _ in range(n)]
+        i = 0
+        seq = 0
+        while i < n:
+            j = i
+            while j < n and tws[j] == tws[i]:
+                j += 1
+            seg = vals[i:j]
+            lead = 0
+            while lead < len(seg) and seg[lead] < 1:
+                lead += 1
+            rows.append({
+                "source": f"s{g % 7}", "metric_type": g % 3,
+                "key_value": f"k{g}", "time_window": tws[i],
+                "value": sum(seg), "n_adds": len(seg), "lead_zeros": lead,
+                "first_nz": seg[lead] if lead < len(seg) else 0,
+                "min_arr": "a0000", "run_seq": seq,
+            })
+            i = j
+            seq += 1
+    rr_df = pd.DataFrame(rows).sort_values(
+        ["source", "metric_type", "key_value", "min_arr", "run_seq"],
+        kind="stable")
+    for mode in (False, True):
+        want = compat._replay_runs(rr_df, 3, mode)
+        monkeypatch.setattr(compat, "_REPLAY_DISTRIBUTE_MIN_RUNS", 0)
+        got = compat._replay_runs_parallel(rr_df, 3, mode)
+        key = ["source", "metric_type", "key_value", "time_window"]
+        want = want.sort_values(key).reset_index(drop=True)
+        got = got.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
