@@ -143,3 +143,109 @@ def fingerprint(batch: pa.Table, n_min: int = 8) -> pa.Table:
         "doc_id": batch.column("doc_id"),
         "fingerprint": pa.array(fps, type=pa.list_(pa.int64())),
     })
+
+
+# ---- PII redaction ---------------------------------------------------------
+# Patterns restricted to RE2-compatible constructs so pyarrow (RE2) and
+# DuckDB (also RE2) agree byte-for-byte — the redaction oracle is exact.
+PII_EMAIL_RE = r"[A-Za-z0-9._]+@[A-Za-z0-9][A-Za-z0-9.-]*\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def pii_redact(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Mask emails then IPv4s in a text column (vectorized RE2 kernels).
+    Email masking runs FIRST so digits inside an email's domain are
+    never double-counted as an IP — the SQL oracle mirrors the order.
+    Emits the redacted text plus per-doc match counts."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n_email = pc.count_substring_regex(col, PII_EMAIL_RE).cast(pa.int64())
+    red = pc.replace_substring_regex(col, PII_EMAIL_RE, "<EMAIL>")
+    n_ip = pc.count_substring_regex(red, PII_IPV4_RE).cast(pa.int64())
+    red = pc.replace_substring_regex(red, PII_IPV4_RE, "<IP>")
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "text_redacted": red,
+        "n_emails": n_email,
+        "n_ips": n_ip,
+    })
+
+
+# ---- repetition / quality stats (Gopher-style) -----------------------------
+
+
+def repetition_stats(batch: pa.Table) -> pa.Table:
+    """Per-doc repetition counts over space-split tokens: total tokens,
+    distinct tokens, the most-frequent token's count, and the
+    most-frequent adjacent-bigram's count (0 when < 2 tokens). These
+    are the integer numerators/denominators of the Gopher repetition
+    filters (dup-token fraction = 1 - distinct/total, top-2-gram
+    fraction = top_bigram/ (total-1)); integers keep the SQL oracle
+    hash-exact. Fully vectorized: one global factorize + lexsorts, no
+    per-doc Python."""
+    col = batch.column("text")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern(col, " ")
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    counts = np.diff(offs).astype(np.int64)
+    n_docs = len(col)
+    vals = toks.values.to_pandas().to_numpy()  # object array of token strings
+    import pandas as pd
+
+    codes, uniq = pd.factorize(vals, sort=False)
+    doc_of = np.repeat(np.arange(n_docs), counts)
+
+    # distinct + top-token: run lengths of (doc, code) after a lexsort
+    order = np.lexsort((codes, doc_of))
+    d_s, c_s = doc_of[order], codes[order]
+    new = np.ones(len(d_s), dtype=bool)
+    new[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+    run_doc = d_s[new]
+    run_len = np.diff(np.append(np.flatnonzero(new), len(d_s)))
+    n_distinct = np.bincount(run_doc, minlength=n_docs).astype(np.int64)
+    top_tok = np.zeros(n_docs, dtype=np.int64)
+    np.maximum.at(top_tok, run_doc, run_len)
+
+    # top-bigram: same trick over adjacent (code_i, code_i+1) pairs
+    top_big = np.zeros(n_docs, dtype=np.int64)
+    if len(codes) > 1:
+        pair_mask = doc_of[1:] == doc_of[:-1]
+        pd_doc = doc_of[:-1][pair_mask]
+        a = codes[:-1][pair_mask]
+        b = codes[1:][pair_mask]
+        if len(pd_doc):
+            order2 = np.lexsort((b, a, pd_doc))
+            d2, a2, b2 = pd_doc[order2], a[order2], b[order2]
+            new2 = np.ones(len(d2), dtype=bool)
+            new2[1:] = ((d2[1:] != d2[:-1]) | (a2[1:] != a2[:-1])
+                        | (b2[1:] != b2[:-1]))
+            run2_doc = d2[new2]
+            run2_len = np.diff(np.append(np.flatnonzero(new2), len(d2)))
+            np.maximum.at(top_big, run2_doc, run2_len)
+
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(counts, type=pa.int64()),
+        "n_distinct_tokens": pa.array(n_distinct, type=pa.int64()),
+        "top_token_count": pa.array(top_tok, type=pa.int64()),
+        "top_bigram_count": pa.array(top_big, type=pa.int64()),
+    })
+
+
+def vocab_partial(batch: pa.Table) -> pa.Table:
+    """Block-local token histogram (space-split): the partial-aggregate
+    half of the global vocabulary count. Emits (token, n) per unique
+    token in the block — volume drops from tokens to block-uniques
+    before anything shuffles or reaches the driver."""
+    col = batch.column("text")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern(col, " ")
+    flat = toks.values
+    t = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
+    return pa.table({
+        "token": t.column("token"),
+        "n": t.column("token_count").cast(pa.int64()),
+    })

@@ -796,6 +796,71 @@ def doc_token_stats(sf_dir: str):
     )
 
 
+def doc_pii_redact(sf_dir: str):
+    """PII redaction over the documents table: mask emails then IPv4s
+    with vectorized RE2 kernels (functions/text.pii_redact). The corpus
+    has no organic PII, so deterministic synthetic PII is appended per
+    doc (closed form over doc_id — same trick as the multimodal
+    synth_ppm/synth_wav payloads) and the SQL oracle builds the same
+    augmented text, making the redaction + counts exactly checkable."""
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        id_s = ids.cast(pa.string())
+        m7 = pa.array((ids_np % 7).astype(str), type=pa.string())
+        m256 = pa.array((ids_np % 256).astype(str), type=pa.string())
+        m100 = pa.array((ids_np % 100).astype(str), type=pa.string())
+        aug = pc.binary_join_element_wise(
+            txt, " contact user", id_s, "@mail", m7,
+            ".example.com from 10.", m256, ".0.", m100, "")
+        return pa.table({"doc_id": ids, "text": aug})
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(augment, batch_format="pyarrow")
+        .map_batches(T.pii_redact, batch_format="pyarrow")
+    )
+
+
+def doc_repetition_stats(sf_dir: str):
+    """Gopher-style repetition counts per doc (dup-token / top-token /
+    top-bigram numerators): one vectorized map_batches pass
+    (functions/text.repetition_stats), no shuffle — per-doc stats need
+    only the doc's own tokens."""
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        T.repetition_stats, batch_format="pyarrow"
+    )
+
+
+def doc_vocab_topk(sf_dir: str, k: int = 100):
+    """Global vocabulary top-k: block-local token histograms
+    (functions/text.vocab_partial — volume drops from tokens to
+    block-uniques before anything leaves the worker), then a driver
+    merge + exact top-k with deterministic ties (count desc, token
+    asc). Driver memory is the union of block-unique tokens — fine for
+    natural-language vocabularies (Heaps' law); a truly unbounded token
+    space would swap the driver merge for ds.groupby("token").count()
+    like metrics' final="groupby" escape hatch."""
+    parts = _read(sf_dir, "documents", columns=["text"]).map_batches(
+        T.vocab_partial, batch_format="pyarrow"
+    )
+    merged = pa.concat_tables(
+        parts.iter_batches(batch_format="pyarrow", batch_size=None))
+    agg = merged.group_by("token").aggregate([("n", "sum")])
+    order = pc.sort_indices(agg, sort_keys=[("n_sum", "descending"),
+                                            ("token", "ascending")])
+    top = agg.take(order[:k])
+    return pa.table({
+        "token": top.column("token"),
+        "n": top.column("n_sum"),
+    })
+
+
 def doc_lang_id(sf_dir: str):
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         T.lang_id, batch_format="pyarrow"

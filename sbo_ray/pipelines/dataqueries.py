@@ -360,6 +360,66 @@ SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
 FROM f
 """
 
+# PII redaction mirror: the same synthetic-PII augmentation (closed form
+# over doc_id) and the same RE2 patterns as functions/text.py — pyarrow
+# and DuckDB both use RE2, so the redacted strings are byte-identical.
+# Email masking runs FIRST in both (IP counting sees the emails gone).
+_PII_EMAIL_RE = r"[A-Za-z0-9._]+@[A-Za-z0-9][A-Za-z0-9.-]*\.[A-Za-z]{2,}"
+_PII_IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+SQL_DOC_PII_REDACT = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+              || CAST(doc_id % 7 AS VARCHAR) || '.example.com from 10.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+              || CAST(doc_id % 100 AS VARCHAR) AS t
+  FROM documents
+), e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '{_PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+         regexp_replace(t, '{_PII_EMAIL_RE}', '<EMAIL>', 'g') AS t2
+  FROM aug
+)
+SELECT doc_id,
+       regexp_replace(t2, '{_PII_IPV4_RE}', '<IP>', 'g') AS text_redacted,
+       n_emails,
+       CAST(len(regexp_extract_all(t2, '{_PII_IPV4_RE}')) AS BIGINT) AS n_ips
+FROM e
+"""
+
+# Repetition-counts mirror: space-split tokens with positions (parallel
+# unnest zips equal-length lists in DuckDB), per-(doc, token) counts for
+# the token stats, a positional self-join for adjacent bigrams.
+SQL_DOC_REPETITION = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+  FROM documents
+), per_tok AS (
+  SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t
+), base AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+         CAST(MAX(c) AS BIGINT) AS top_token_count
+  FROM per_tok GROUP BY doc_id
+), big AS (
+  SELECT a.doc_id, a.t AS t1, b.t AS t2, COUNT(*) AS c
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY a.doc_id, a.t, b.t
+)
+SELECT base.doc_id, n_tokens, n_distinct_tokens, top_token_count,
+       CAST(COALESCE(MAX(big.c), 0) AS BIGINT) AS top_bigram_count
+FROM base LEFT JOIN big ON base.doc_id = big.doc_id
+GROUP BY base.doc_id, n_tokens, n_distinct_tokens, top_token_count
+"""
+
+SQL_DOC_VOCAB_TOPK = """
+SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+GROUP BY t ORDER BY n DESC, t LIMIT 100
+"""
+
 SQL_CUSTOMER_NATION_AGG = """
 SELECT n.n_name,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -440,6 +500,9 @@ def data_queries() -> dict:
         "doc_token_stats": P.doc_token_stats,
         "doc_lang_id": P.doc_lang_id,
         "doc_fingerprint": P.doc_fingerprint,
+        "doc_pii_redact": P.doc_pii_redact,
+        "doc_repetition_stats": P.doc_repetition_stats,
+        "doc_vocab_topk": P.doc_vocab_topk,
         "multimodal_payload_stats": P.multimodal_payload_stats,
         "multimodal_frame_sample": P.multimodal_frame_sample,
         "multimodal_features": P.multimodal_features,
@@ -471,6 +534,9 @@ def data_oracle_sql() -> dict:
         "doc_dedup_clusters_lp": SQL_DOC_DEDUP_CLUSTERS,
         "doc_dedup_simhash": SQL_DOC_DEDUP_SIMHASH,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "doc_pii_redact": SQL_DOC_PII_REDACT,
+        "doc_repetition_stats": SQL_DOC_REPETITION,
+        "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
         "emb_ann_lsh": SQL_EMB_SIMILARITY_TOPK,
         "emb_ann_ivf": SQL_EMB_SIMILARITY_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,

@@ -20,7 +20,8 @@ SQL_NAMES = [
     "doc_dedup_clusters", "doc_dedup_clusters_lp", "doc_fingerprint",
     "emb_ann_lsh", "emb_ann_ivf", "multimodal_features",
     "doc_curation_pipeline", "multimodal_frame_sample",
-    "multimodal_audio_features",
+    "multimodal_audio_features", "doc_pii_redact",
+    "doc_repetition_stats", "doc_vocab_topk",
 ]
 
 
@@ -385,3 +386,28 @@ def test_min_label_prop_pointer_doubling(ray_session):
     assert all(got[i] == 0 for i in range(64))
     assert all(got[i] == 100 for i in (100, 101, 102))
     assert rounds <= 10, f"pointer doubling should need ~log2(63) rounds, took {rounds}"
+
+
+def test_pii_and_repetition_function_edges():
+    from sbo_ray.functions.text import pii_redact, repetition_stats, vocab_partial
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": [
+            "a@b.co and c.d@e-f.org plus 1.2.3.4 or 255.255.255.255",
+            "",                       # splits to one empty token
+            "w w w",                  # all-duplicate tokens
+        ],
+    })
+    p = pii_redact(t)
+    assert p.column("n_emails").to_pylist() == [2, 0, 0]
+    assert p.column("n_ips").to_pylist() == [2, 0, 0]
+    assert p.column("text_redacted").to_pylist()[0] == \
+        "<EMAIL> and <EMAIL> plus <IP> or <IP>"
+    r = repetition_stats(t)
+    assert r.column("n_tokens").to_pylist()[1] == 1      # [''] has one token
+    assert r.column("top_bigram_count").to_pylist() == [1, 0, 2]
+    assert r.column("n_distinct_tokens").to_pylist()[2] == 1
+    v = vocab_partial(t)
+    d = dict(zip(v.column("token").to_pylist(), v.column("n").to_pylist()))
+    assert d["w"] == 3 and d[""] == 1
