@@ -249,3 +249,50 @@ def vocab_partial(batch: pa.Table) -> pa.Table:
         "token": t.column("token"),
         "n": t.column("token_count").cast(pa.int64()),
     })
+
+
+def chunk_docs(batch: pa.Table, chunk_tokens: int = 32) -> pa.Table:
+    """Split each doc into fixed-size token windows (sequence-length
+    prep for training): one output row per chunk of ``chunk_tokens``
+    space-split tokens (last chunk short). Fully vectorized: chunk
+    boundaries are computed as a re-slicing of the SAME flattened token
+    values array (zero-copy ListArray over new offsets), and the chunk
+    text is rebuilt with one ``binary_join`` kernel — joining the
+    space-split tokens with ' ' reproduces the original substring
+    byte-for-byte, including runs of consecutive spaces (empty
+    tokens)."""
+    col = batch.column("text")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern(col, " ")
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_toks = np.diff(offs)
+    n_chunks = (n_toks + chunk_tokens - 1) // chunk_tokens
+    n_chunks = np.maximum(n_chunks, 0)
+    doc_of = np.repeat(np.arange(len(col)), n_chunks)
+    chunk_no = np.concatenate([np.arange(c) for c in n_chunks]) \
+        if len(n_chunks) else np.zeros(0, dtype=np.int64)
+    starts = offs[:-1][doc_of] + chunk_no * chunk_tokens
+    ends = np.minimum(starts + chunk_tokens, offs[1:][doc_of])
+    # interleave starts/ends? ListArray.from_arrays needs monotone
+    # offsets; starts are monotone and each end == next start or a doc
+    # boundary, so [starts..., last_end] is the valid offset vector
+    if len(starts):
+        new_offs = np.append(starts, ends[-1]).astype(np.int32)
+        # chunks are contiguous within a doc and docs are contiguous in
+        # the flat array, so ends[i] == starts[i+1] except at the last
+        # chunk of each doc where the next doc starts there too
+        chunk_list = pa.ListArray.from_arrays(pa.array(new_offs),
+                                              toks.values)
+        texts = pc.binary_join(chunk_list, " ")
+    else:
+        texts = pa.array([], type=pa.string())
+    ids = batch.column("doc_id")
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table({
+        "doc_id": ids.take(pa.array(doc_of)),
+        "chunk_no": pa.array(chunk_no, type=pa.int64()),
+        "chunk_text": texts,
+        "n_chunk_tokens": pa.array((ends - starts), type=pa.int64()),
+    })

@@ -1331,6 +1331,98 @@ def events_sessionize_salted(sf_dir: str, gap_minutes: int = 30,
         merge_sessions_part, batch_format="pandas")
 
 
+def doc_chunk(sf_dir: str, chunk_tokens: int = 32):
+    """Fixed-window document chunking (sequence-length prep): each doc
+    fans out to one row per ``chunk_tokens``-token window via the
+    zero-copy re-slice + binary_join kernel in functions/text.chunk_docs
+    — a pure map_batches fan-out, no shuffle. The SQL oracle rebuilds
+    the same chunks with positional unnest + ordered string_agg."""
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda b: T.chunk_docs(b, chunk_tokens), batch_format="pyarrow"
+    )
+
+
+def emb_label_centroids(sf_dir: str):
+    """Per-label embedding centroid (the vector-mean aggregate behind
+    IVF training / cluster profiling), exploded to (label, dim,
+    centroid) rows so the SQL oracle can gate it exactly. Block-local
+    float64 sum+count partials per label (one np.add.at per block — the
+    payload never shuffles), tiny driver merge over labels x dims."""
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        n = len(emb)
+        if n == 0:
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "dim": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        offs = emb.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        d = int(widths[0])
+        if not (widths == d).all():
+            raise ValueError("ragged embedding dims in block")
+        m = emb.values.to_numpy(zero_copy_only=False).reshape(n, d).astype(np.float64)
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), d), dtype=np.float64)
+        np.add.at(sums, codes, m)
+        cnts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq.astype(np.int64), d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq))),
+            "s": pa.array(sums.reshape(-1)),
+            "cnt": pa.array(np.repeat(cnts, d)),
+        })
+
+    parts = pa.concat_tables(
+        _read(sf_dir, "embeddings", columns=["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    g = parts.group_by(["label", "dim"]).aggregate([("s", "sum"), ("cnt", "sum")])
+    centroid = pc.round(pc.divide(g.column("s_sum"),
+                                  g.column("cnt_sum").cast(pa.float64())), 4)
+    return pa.table({
+        "label": g.column("label"),
+        "dim": g.column("dim"),
+        "centroid": centroid,
+    })
+
+
+def events_props_extract(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the JSON ``props`` column with one vectorized RE2 kernel
+    (extract_regex), then a bounded-cardinality grouped sum per
+    event_type (block partials + tiny driver merge). The SQL oracle
+    goes through DuckDB's real JSON parser — agreement shows the regex
+    fast path extracts exactly what a JSON parser would."""
+    def partial(batch: pa.Table) -> pa.Table:
+        props = batch.column("props")
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        ex = pc.extract_regex(props, r'"k": (?P<k>[0-9]+)')
+        k = pc.struct_field(ex, "k").cast(pa.int64())
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "k": k,
+        }).group_by("event_type").aggregate([("k", "sum"), ("k", "count")])
+
+    parts = pa.concat_tables(
+        _read(sf_dir, "events", columns=["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    g = parts.group_by("event_type").aggregate(
+        [("k_sum", "sum"), ("k_count", "sum")])
+    return pa.table({
+        "event_type": g.column("event_type"),
+        "n_events": g.column("k_count_sum").cast(pa.int64()),
+        "sum_k": g.column("k_sum_sum").cast(pa.int64()),
+    })
+
+
 def events_hourly(sf_dir: str):
     """Tumbling 1-hour window aggregate over the events stream table."""
 

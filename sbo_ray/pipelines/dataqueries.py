@@ -420,6 +420,41 @@ FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
 GROUP BY t ORDER BY n DESC, t LIMIT 100
 """
 
+# Chunking mirror: same space-split tokens with positions; chunk i holds
+# tokens [i*32, (i+1)*32); ordered string_agg rebuilds the chunk text
+# (joining with ' ' reproduces the original substring, empties included).
+SQL_DOC_CHUNK = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+         unnest(range(0, len(string_split(text, ' ')))) AS i
+  FROM documents
+)
+SELECT doc_id, CAST(i // 32 AS BIGINT) AS chunk_no,
+       string_agg(t, ' ' ORDER BY i) AS chunk_text,
+       CAST(COUNT(*) AS BIGINT) AS n_chunk_tokens
+FROM tok GROUP BY doc_id, i // 32
+"""
+
+# Centroid mirror through DuckDB's positional unnest; both sides sum the
+# float32 values in float64 and round to 4 — order-of-summation noise is
+# ~1e-12 relative, far inside the rounding.
+SQL_EMB_LABEL_CENTROIDS = """
+SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+       ROUND(SUM(CAST(x AS DOUBLE)) / COUNT(*), 4) AS centroid
+FROM (SELECT label, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings)
+GROUP BY label, i
+"""
+
+# JSON-extraction mirror through DuckDB's real JSON parser (the engine
+# uses an RE2 fast path; agreement proves it extracts the same field).
+SQL_EVENTS_PROPS = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
 SQL_CUSTOMER_NATION_AGG = """
 SELECT n.n_name,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -503,6 +538,9 @@ def data_queries() -> dict:
         "doc_pii_redact": P.doc_pii_redact,
         "doc_repetition_stats": P.doc_repetition_stats,
         "doc_vocab_topk": P.doc_vocab_topk,
+        "doc_chunk": P.doc_chunk,
+        "emb_label_centroids": P.emb_label_centroids,
+        "events_props_extract": P.events_props_extract,
         "multimodal_payload_stats": P.multimodal_payload_stats,
         "multimodal_frame_sample": P.multimodal_frame_sample,
         "multimodal_features": P.multimodal_features,
@@ -537,6 +575,9 @@ def data_oracle_sql() -> dict:
         "doc_pii_redact": SQL_DOC_PII_REDACT,
         "doc_repetition_stats": SQL_DOC_REPETITION,
         "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
+        "doc_chunk": SQL_DOC_CHUNK,
+        "emb_label_centroids": SQL_EMB_LABEL_CENTROIDS,
+        "events_props_extract": SQL_EVENTS_PROPS,
         "emb_ann_lsh": SQL_EMB_SIMILARITY_TOPK,
         "emb_ann_ivf": SQL_EMB_SIMILARITY_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,

@@ -21,7 +21,8 @@ SQL_NAMES = [
     "emb_ann_lsh", "emb_ann_ivf", "multimodal_features",
     "doc_curation_pipeline", "multimodal_frame_sample",
     "multimodal_audio_features", "doc_pii_redact",
-    "doc_repetition_stats", "doc_vocab_topk",
+    "doc_repetition_stats", "doc_vocab_topk", "doc_chunk",
+    "emb_label_centroids", "events_props_extract",
 ]
 
 
@@ -411,3 +412,19 @@ def test_pii_and_repetition_function_edges():
     v = vocab_partial(t)
     d = dict(zip(v.column("token").to_pylist(), v.column("n").to_pylist()))
     assert d["w"] == 3 and d[""] == 1
+
+
+def test_chunk_docs_reconstructs_text():
+    """Joining each doc's chunks with ' ' must reproduce the original
+    text byte-for-byte (the chunker is a zero-copy reslice), including
+    consecutive-space runs and texts shorter than one chunk."""
+    from sbo_ray.functions.text import chunk_docs
+
+    texts = ["a b c d e f g", "x  y", "", "one", "t " * 40]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": texts})
+    out = chunk_docs(t, chunk_tokens=3).to_pandas()
+    for i, txt in enumerate(texts):
+        sub = out[out["doc_id"] == i].sort_values("chunk_no")
+        assert " ".join(sub["chunk_text"]) == txt, repr(txt)
+        assert (sub["n_chunk_tokens"] <= 3).all()
