@@ -1423,6 +1423,72 @@ def events_props_extract(sf_dir: str):
     })
 
 
+def events_asof_join(sf_dir: str, left_type: str = "purchase",
+                     right_type: str = "view"):
+    """As-of join — a stream-enrichment operator Ray Data lacks
+    natively: each ``left_type`` event joins the same user's most
+    recent ``right_type`` event at-or-before its timestamp. Expressed
+    Ray-Data-first as a partition-grouped transform: row-filter to the
+    two types in the first map pass, hash-partition by user (part =
+    user % P) so each partition holds complete user histories, then
+    one vectorized merge per partition (sort + forward-filled
+    last-right-index, no per-row Python). Tie rule matches SQL
+    ``v.ts <= p.ts``: right rows sort BEFORE left rows at equal
+    (user, ts), and among equal-(user, ts) right rows the max event_id
+    wins (the forward fill keeps the last; the oracle CTE dedupes the
+    same way). Output: one row per left event with the matched right
+    event_id (-1 = none) and the gap in microseconds.
+    Partitioning assumption: one hash partition of users fits a worker
+    (same contract as events_sessionize)."""
+    P = _n_parts()
+
+    def keep_and_part(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        mask = pc.is_in(et, value_set=pa.array([left_type, right_type]))
+        t = t.filter(mask)
+        return t.append_column(
+            "part", pa.array(t.column("user_id").to_numpy(zero_copy_only=False) % P))
+
+    def asof_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_is_left=(g["event_type"] == left_type).astype(np.int8))
+        g = g.sort_values(["user_id", "ts", "_is_left", "event_id"],
+                          kind="stable")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        is_left = g["_is_left"].to_numpy().astype(bool)
+        idx = np.arange(len(g))
+        fill = np.maximum.accumulate(np.where(~is_left, idx, -1))
+        lpos = idx[is_left]
+        lf = fill[lpos]
+        # a filled index from a previous user points at a smaller uid —
+        # sorted by user, so uid equality is the validity test
+        valid = (lf >= 0) & (uid[np.maximum(lf, 0)] == uid[lpos])
+        matched = np.where(valid, eid[np.maximum(lf, 0)], -1)
+        gap = np.where(
+            valid,
+            (ts[lpos] - ts[np.maximum(lf, 0)]) // np.timedelta64(1, "us"),
+            -1,
+        )
+        return pd.DataFrame({
+            "event_id": eid[lpos],
+            "user_id": uid[lpos],
+            "ts": ts[lpos],
+            "matched_event_id": matched.astype(np.int64),
+            "gap_us": gap.astype(np.int64),
+        })
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    return (
+        ds.map_batches(keep_and_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(asof_part, batch_format="pandas")
+    )
+
+
 def events_hourly(sf_dir: str):
     """Tumbling 1-hour window aggregate over the events stream table."""
 

@@ -455,6 +455,22 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
 FROM events GROUP BY event_type
 """
 
+# As-of join mirror via DuckDB's NATIVE ASOF JOIN; the CTE dedupes the
+# right side per (user, ts) keeping max event_id — the same tie rule
+# the engine's sort order encodes.
+SQL_EVENTS_ASOF = """
+WITH v AS (
+  SELECT user_id, ts, MAX(event_id) AS event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       CAST(COALESCE(v.event_id, -1) AS BIGINT) AS matched_event_id,
+       CAST(COALESCE(epoch_us(p.ts) - epoch_us(v.ts), -1) AS BIGINT) AS gap_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
 SQL_CUSTOMER_NATION_AGG = """
 SELECT n.n_name,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -541,6 +557,7 @@ def data_queries() -> dict:
         "doc_chunk": P.doc_chunk,
         "emb_label_centroids": P.emb_label_centroids,
         "events_props_extract": P.events_props_extract,
+        "events_asof_join": P.events_asof_join,
         "multimodal_payload_stats": P.multimodal_payload_stats,
         "multimodal_frame_sample": P.multimodal_frame_sample,
         "multimodal_features": P.multimodal_features,
@@ -578,6 +595,7 @@ def data_oracle_sql() -> dict:
         "doc_chunk": SQL_DOC_CHUNK,
         "emb_label_centroids": SQL_EMB_LABEL_CENTROIDS,
         "events_props_extract": SQL_EVENTS_PROPS,
+        "events_asof_join": SQL_EVENTS_ASOF,
         "emb_ann_lsh": SQL_EMB_SIMILARITY_TOPK,
         "emb_ann_ivf": SQL_EMB_SIMILARITY_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,

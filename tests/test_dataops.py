@@ -22,7 +22,7 @@ SQL_NAMES = [
     "doc_curation_pipeline", "multimodal_frame_sample",
     "multimodal_audio_features", "doc_pii_redact",
     "doc_repetition_stats", "doc_vocab_topk", "doc_chunk",
-    "emb_label_centroids", "events_props_extract",
+    "emb_label_centroids", "events_props_extract", "events_asof_join",
 ]
 
 
@@ -428,3 +428,39 @@ def test_chunk_docs_reconstructs_text():
         sub = out[out["doc_id"] == i].sort_values("chunk_no")
         assert " ".join(sub["chunk_text"]) == txt, repr(txt)
         assert (sub["n_chunk_tokens"] <= 3).all()
+
+
+def test_asof_join_tie_rules(ray_session, tmp_path):
+    """Planted as-of corner cases: a view at the SAME timestamp as a
+    purchase must match (SQL's v.ts <= p.ts), two views at the same
+    (user, ts) resolve to the max event_id, a purchase before any view
+    gets -1, and users never cross-match."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import events_asof_join
+
+    ts = pd.to_datetime([
+        "2024-01-01 10:00:00",  # u1 purchase before any view -> -1
+        "2024-01-01 11:00:00",  # u1 view (eid 11)
+        "2024-01-01 11:00:00",  # u1 view same ts (eid 12) -> max wins
+        "2024-01-01 11:00:00",  # u1 purchase AT the view ts -> matches 12
+        "2024-01-01 12:00:00",  # u1 purchase -> matches 12
+        "2024-01-01 09:00:00",  # u2 view
+        "2024-01-01 13:00:00",  # u2 purchase -> matches u2's view only
+    ])
+    t = pa.table({
+        "event_id": pa.array([10, 11, 12, 13, 14, 20, 21], type=pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 2], type=pa.int64()),
+        "event_type": ["purchase", "view", "view", "purchase", "purchase",
+                       "view", "purchase"],
+        "value": pa.array([0.0] * 7),
+        "props": ['{"k": 1}'] * 7,
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = events_asof_join(str(tmp_path)).to_pandas().set_index("event_id")
+    assert got.loc[10, "matched_event_id"] == -1 and got.loc[10, "gap_us"] == -1
+    assert got.loc[13, "matched_event_id"] == 12 and got.loc[13, "gap_us"] == 0
+    assert got.loc[14, "matched_event_id"] == 12
+    assert got.loc[14, "gap_us"] == 3600 * 1_000_000
+    assert got.loc[21, "matched_event_id"] == 20
