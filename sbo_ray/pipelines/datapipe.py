@@ -1489,6 +1489,90 @@ def events_asof_join(sf_dir: str, left_type: str = "purchase",
     )
 
 
+def events_window_join(sf_dir: str, left_type: str = "purchase",
+                       right_type: str = "view", window_minutes: int = 60):
+    """Range join — the second stream-enrichment operator Ray Data
+    lacks natively (the brief names as-of join, range join, windowed
+    aggregate): each ``left_type`` event is joined to ALL of the same
+    user's ``right_type`` events in the half-open window
+    ``[l.ts - window, l.ts)`` and aggregated (count + value sum).
+    Ray-Data-first shape: filter to the two types in a map pass,
+    hash-partition by user, then ONE vectorized sweep per partition —
+    right rows and the two window endpoints of every left row are
+    lexsorted together (user, ts, rank) and per-user exclusive prefix
+    counts/sums turn each window into two prefix lookups; no per-row
+    Python and no pairwise blow-up even when a window holds thousands
+    of right rows. Endpoint tie rank (lo=0, view=1, hi=2) encodes the
+    half-open interval exactly.
+    Partitioning assumption: one hash partition of users fits a worker
+    (same contract as events_sessionize)."""
+    P = _n_parts()
+    win_us = np.int64(window_minutes) * 60 * 1_000_000
+
+    def keep_and_part(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        mask = pc.is_in(et, value_set=pa.array([left_type, right_type]))
+        t = t.filter(mask)
+        return t.append_column(
+            "part", pa.array(t.column("user_id").to_numpy(zero_copy_only=False) % P))
+
+    def window_part(g: pd.DataFrame) -> pd.DataFrame:
+        is_left = (g["event_type"] == left_type).to_numpy()
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        val = g["value"].to_numpy()
+        lu, lt, le = uid[is_left], ts[is_left], eid[is_left]
+        ru, rt, rv = uid[~is_left], ts[~is_left], val[~is_left]
+        nl, nr = len(lu), len(ru)
+        # combined point set: right rows (rank 2) + per-left lo (rank 0)
+        # and hi (rank 1) endpoints, lexsorted by (user, ts, rank).
+        # Both endpoints sort BEFORE right rows at equal ts, so the
+        # exclusive prefixes realize the half-open [lo, hi) exactly:
+        # a right row at ts == lo is counted, at ts == hi it is not.
+        cu = np.concatenate([lu, ru, lu])
+        ct = np.concatenate([lt - win_us, rt, lt])
+        rank = np.concatenate([
+            np.zeros(nl, np.int8), np.full(nr, 2, np.int8),
+            np.ones(nl, np.int8)])
+        order = np.lexsort((rank, ct, cu))
+        su, sr = cu[order], rank[order]
+        is_right = sr == 2
+        sv = np.zeros(len(order))
+        sv[is_right] = np.concatenate([np.zeros(nl), rv, np.zeros(nl)])[order][is_right]
+        # exclusive prefix count/sum of right rows; per-user segment
+        # starts make prefixes user-local
+        cumn = np.concatenate([[0], np.cumsum(is_right)])[:-1]
+        cums = np.concatenate([[0.0], np.cumsum(sv)])[:-1]
+        pos_in_sorted = np.empty(len(order), np.int64)
+        pos_in_sorted[order] = np.arange(len(order))
+        lo_pos = pos_in_sorted[:nl]
+        hi_pos = pos_in_sorted[nl + nr:]
+        n_in = cumn[hi_pos] - cumn[lo_pos]
+        s_in = cums[hi_pos] - cums[lo_pos]
+        # endpoints straddling a user boundary can't happen: both
+        # endpoints carry the left row's own user and sort inside its
+        # segment (any position between them shares that user)
+        assert np.array_equal(su[lo_pos], lu) and np.array_equal(su[hi_pos], lu)
+        return pd.DataFrame({
+            "event_id": le,
+            "user_id": lu,
+            "ts": g["ts"].to_numpy()[is_left],
+            "n_right": n_in.astype(np.int64),
+            "sum_right_value": np.where(n_in > 0, s_in, 0.0).round(2),
+        })
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type", "value"])
+    return (
+        ds.map_batches(keep_and_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(window_part, batch_format="pandas")
+    )
+
+
 def events_hourly(sf_dir: str):
     """Tumbling 1-hour window aggregate over the events stream table."""
 

@@ -471,6 +471,23 @@ SELECT p.event_id, p.user_id, p.ts,
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
 """
 
+# Range-join mirror: plain non-equi LEFT JOIN + group. COUNT(v.event_id)
+# is 0 for empty windows; SUM is NULL -> COALESCE 0. Half-open
+# [p.ts - 1h, p.ts) matches the engine's endpoint tie ranks.
+SQL_EVENTS_WINDOW_JOIN = """
+SELECT p.event_id, p.user_id, p.ts,
+       CAST(COUNT(v.event_id) AS BIGINT) AS n_right,
+       ROUND(COALESCE(SUM(v.value), 0), 2) AS sum_right_value
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 60 MINUTE
+ AND v.ts < p.ts
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
 SQL_CUSTOMER_NATION_AGG = """
 SELECT n.n_name,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -558,6 +575,7 @@ def data_queries() -> dict:
         "emb_label_centroids": P.emb_label_centroids,
         "events_props_extract": P.events_props_extract,
         "events_asof_join": P.events_asof_join,
+        "events_window_join": P.events_window_join,
         "multimodal_payload_stats": P.multimodal_payload_stats,
         "multimodal_frame_sample": P.multimodal_frame_sample,
         "multimodal_features": P.multimodal_features,
@@ -596,6 +614,7 @@ def data_oracle_sql() -> dict:
         "emb_label_centroids": SQL_EMB_LABEL_CENTROIDS,
         "events_props_extract": SQL_EVENTS_PROPS,
         "events_asof_join": SQL_EVENTS_ASOF,
+        "events_window_join": SQL_EVENTS_WINDOW_JOIN,
         "emb_ann_lsh": SQL_EMB_SIMILARITY_TOPK,
         "emb_ann_ivf": SQL_EMB_SIMILARITY_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,

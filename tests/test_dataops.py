@@ -23,6 +23,7 @@ SQL_NAMES = [
     "multimodal_audio_features", "doc_pii_redact",
     "doc_repetition_stats", "doc_vocab_topk", "doc_chunk",
     "emb_label_centroids", "events_props_extract", "events_asof_join",
+    "events_window_join",
 ]
 
 
@@ -428,6 +429,37 @@ def test_chunk_docs_reconstructs_text():
         sub = out[out["doc_id"] == i].sort_values("chunk_no")
         assert " ".join(sub["chunk_text"]) == txt, repr(txt)
         assert (sub["n_chunk_tokens"] <= 3).all()
+
+
+def test_window_join_boundaries(ray_session, tmp_path):
+    """Half-open [p.ts - 1h, p.ts) boundary cases: a view exactly 1h
+    before IS counted, a view exactly AT the purchase ts is NOT, empty
+    windows give (0, 0.0), and users never cross-match."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import events_window_join
+
+    ts = pd.to_datetime([
+        "2024-01-01 09:00:00",  # u1 view exactly 1h before -> counted
+        "2024-01-01 09:30:00",  # u1 view inside -> counted
+        "2024-01-01 10:00:00",  # u1 view AT purchase ts -> excluded
+        "2024-01-01 10:00:00",  # u1 purchase: n=2, sum=1.0+2.0
+        "2024-01-01 08:00:00",  # u2 view far away
+        "2024-01-01 12:00:00",  # u2 purchase: empty window
+    ])
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2], type=pa.int64()),
+        "event_type": ["view", "view", "view", "purchase", "view",
+                       "purchase"],
+        "value": pa.array([1.0, 2.0, 4.0, 0.0, 8.0, 0.0]),
+        "props": ['{"k": 1}'] * 6,
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = events_window_join(str(tmp_path)).to_pandas().set_index("event_id")
+    assert got.loc[4, "n_right"] == 2 and got.loc[4, "sum_right_value"] == 3.0
+    assert got.loc[6, "n_right"] == 0 and got.loc[6, "sum_right_value"] == 0.0
 
 
 def test_asof_join_tie_rules(ray_session, tmp_path):
