@@ -1208,6 +1208,54 @@ def orders_by_month(sf_dir: str):
     })
 
 
+def events_sliding_window(sf_dir: str, size_minutes: int = 60,
+                          slide_minutes: int = 15):
+    """Sliding (hopping) window aggregate — the overlapping-window
+    operator the brief names alongside as-of/range join. Every event
+    belongs to ``k = size/slide`` windows (size must be a multiple of
+    slide); the expansion happens INSIDE the block-local partial (row
+    indices repeated k times via Arrow take + one group_by per block),
+    so only (window_start, event_type) partial rows — never expanded
+    events — leave a worker. Same partial+merge shape as
+    events_hourly: bounded-cardinality merge on the driver."""
+    if size_minutes % slide_minutes:
+        raise ValueError("size must be a multiple of slide")
+    k = size_minutes // slide_minutes
+    slide_us = np.int64(slide_minutes) * 60 * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        bucket = ts.astype("datetime64[us]").astype(np.int64) // slide_us
+        idx = np.repeat(np.arange(n), k)
+        wstart = (bucket[:, None] - np.arange(k)[None, :]).ravel() * slide_us
+        g = pa.table({
+            "window_start": pa.array(wstart.astype("datetime64[us]")),
+            "event_type": t.column("event_type").take(pa.array(idx)),
+            "value": t.column("value").take(pa.array(idx)),
+        }).group_by(["window_start", "event_type"]).aggregate(
+            [("value", "sum"), ("value", "count")])
+        return g.rename_columns(
+            ["window_start", "event_type", "sum_value", "n_events"])
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    parts = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    g = parts.group_by(["window_start", "event_type"]).aggregate(
+        [("sum_value", "sum"), ("n_events", "sum")]
+    )
+    g = g.rename_columns(["window_start", "event_type", "sum_value", "n_events"])
+    return pa.table({
+        "window_start": g.column("window_start"),
+        "event_type": g.column("event_type"),
+        "n_events": g.column("n_events").cast(pa.int64()),
+        "sum_value": pc.round(g.column("sum_value"), 2),
+    })
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows over the events stream: per user, events closer
     than ``gap_minutes`` belong to one session (the classic stream

@@ -488,6 +488,19 @@ LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
 GROUP BY p.event_id, p.user_id, p.ts
 """
 
+# Sliding-window mirror: cross join each event with offsets 0..k-1;
+# window_start = (slide-bucket - offset) * slide, rebuilt as a
+# timestamp via make_timestamp(us).
+SQL_EVENTS_SLIDING = """
+SELECT make_timestamp((epoch_us(ts) // 900000000 - i.i) * 900000000)
+         AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events, (SELECT UNNEST(range(4)) AS i) i
+GROUP BY 1, 2
+"""
+
 SQL_CUSTOMER_NATION_AGG = """
 SELECT n.n_name,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -576,6 +589,7 @@ def data_queries() -> dict:
         "events_props_extract": P.events_props_extract,
         "events_asof_join": P.events_asof_join,
         "events_window_join": P.events_window_join,
+        "events_sliding_window": P.events_sliding_window,
         "multimodal_payload_stats": P.multimodal_payload_stats,
         "multimodal_frame_sample": P.multimodal_frame_sample,
         "multimodal_features": P.multimodal_features,
@@ -615,6 +629,7 @@ def data_oracle_sql() -> dict:
         "events_props_extract": SQL_EVENTS_PROPS,
         "events_asof_join": SQL_EVENTS_ASOF,
         "events_window_join": SQL_EVENTS_WINDOW_JOIN,
+        "events_sliding_window": SQL_EVENTS_SLIDING,
         "emb_ann_lsh": SQL_EMB_SIMILARITY_TOPK,
         "emb_ann_ivf": SQL_EMB_SIMILARITY_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
