@@ -1256,6 +1256,58 @@ def events_sliding_window(sf_dir: str, size_minutes: int = 60,
     })
 
 
+def events_transitions(sf_dir: str):
+    """Per-user next-event transition counts (sequence bigrams) — the
+    Markov-chain / funnel building block. Hash-partition by user so
+    each partition holds complete user histories, sort once per
+    partition by (user, ts, event_id), vectorized shift-compare for
+    adjacency (a pair exists only when the shifted row is the SAME
+    user), then a block-local (from_type, to_type) partial count; the
+    driver merges the tiny |types|^2 partial rows. Text of events
+    never leaves its partition unaggregated."""
+    P = _n_parts()
+
+    def bigrams_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        same[:-1] = uid[:-1] == uid[1:]
+        out = pd.DataFrame({
+            "from_type": et[:-1][same[:-1]],
+            "to_type": et[1:][same[:-1]],
+        })
+        return (out.groupby(["from_type", "to_type"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    parts_ds = (
+        ds.map_batches(
+            lambda t: t.append_column(
+                "part", pa.array(
+                    t.column("user_id").to_numpy(zero_copy_only=False) % P)),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(bigrams_part, batch_format="pandas")
+    )
+    parts = pa.concat_tables(
+        parts_ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if parts.num_rows == 0:
+        return pa.table({
+            "from_type": pa.array([], pa.string()),
+            "to_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        })
+    g = parts.group_by(["from_type", "to_type"]).aggregate([("n", "sum")])
+    return pa.table({
+        "from_type": g.column("from_type"),
+        "to_type": g.column("to_type"),
+        "n": g.column("n_sum").cast(pa.int64()),
+    })
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows over the events stream: per user, events closer
     than ``gap_minutes`` belong to one session (the classic stream

@@ -501,6 +501,21 @@ FROM events, (SELECT UNNEST(range(4)) AS i) i
 GROUP BY 1, 2
 """
 
+# Transition-bigram mirror via LEAD() over per-user (ts, event_id)
+# order — the same adjacency the engine's sort+shift encodes.
+SQL_EVENTS_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
 SQL_CUSTOMER_NATION_AGG = """
 SELECT n.n_name,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -590,6 +605,7 @@ def data_queries() -> dict:
         "events_asof_join": P.events_asof_join,
         "events_window_join": P.events_window_join,
         "events_sliding_window": P.events_sliding_window,
+        "events_transitions": P.events_transitions,
         "multimodal_payload_stats": P.multimodal_payload_stats,
         "multimodal_frame_sample": P.multimodal_frame_sample,
         "multimodal_features": P.multimodal_features,
@@ -630,6 +646,7 @@ def data_oracle_sql() -> dict:
         "events_asof_join": SQL_EVENTS_ASOF,
         "events_window_join": SQL_EVENTS_WINDOW_JOIN,
         "events_sliding_window": SQL_EVENTS_SLIDING,
+        "events_transitions": SQL_EVENTS_TRANSITIONS,
         "emb_ann_lsh": SQL_EMB_SIMILARITY_TOPK,
         "emb_ann_ivf": SQL_EMB_SIMILARITY_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
