@@ -1308,6 +1308,32 @@ def events_transitions(sf_dir: str):
     })
 
 
+def events_quantiles(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)):
+    """Exact per-group continuous quantiles (p50/p90/p99 of value per
+    event_type) — linear interpolation at rank q*(n-1), the
+    quantile_cont definition numpy's 'linear' percentile shares.
+    Groups are the shuffle key: with bounded group cardinality each
+    group's values land on one worker and one vectorized np.percentile
+    call per group suffices. Partitioning assumption: one group's
+    values fit a worker — for heavy groups or unbounded cardinality
+    the approximate path is the CMS/HLL sketch family
+    (stages/sketch.py); exact quantiles fundamentally need the group's
+    order statistics co-located."""
+
+    def quants(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        p = np.percentile(v, [q * 100 for q in qs], method="linear")
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "p50": [round(float(p[0]), 6)],
+            "p90": [round(float(p[1]), 6)],
+            "p99": [round(float(p[2]), 6)],
+        })
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return ds.groupby("event_type").map_groups(quants, batch_format="pandas")
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows over the events stream: per user, events closer
     than ``gap_minutes`` belong to one session (the classic stream

@@ -516,6 +516,16 @@ FROM seq WHERE next_type IS NOT NULL
 GROUP BY 1, 2
 """
 
+# quantile_cont == linear interpolation at rank q*(n-1), numpy
+# 'linear'; ROUND 6 absorbs last-ulp interpolation-order differences.
+SQL_EVENTS_QUANTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1
+"""
+
 SQL_CUSTOMER_NATION_AGG = """
 SELECT n.n_name,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -606,6 +616,7 @@ def data_queries() -> dict:
         "events_window_join": P.events_window_join,
         "events_sliding_window": P.events_sliding_window,
         "events_transitions": P.events_transitions,
+        "events_quantiles": P.events_quantiles,
         "multimodal_payload_stats": P.multimodal_payload_stats,
         "multimodal_frame_sample": P.multimodal_frame_sample,
         "multimodal_features": P.multimodal_features,
@@ -647,6 +658,7 @@ def data_oracle_sql() -> dict:
         "events_window_join": SQL_EVENTS_WINDOW_JOIN,
         "events_sliding_window": SQL_EVENTS_SLIDING,
         "events_transitions": SQL_EVENTS_TRANSITIONS,
+        "events_quantiles": SQL_EVENTS_QUANTILES,
         "emb_ann_lsh": SQL_EMB_SIMILARITY_TOPK,
         "emb_ann_ivf": SQL_EMB_SIMILARITY_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
