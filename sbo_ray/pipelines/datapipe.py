@@ -837,6 +837,52 @@ def doc_repetition_stats(sf_dir: str):
     )
 
 
+def doc_group_topk(sf_dir: str, k: int = 3):
+    """Group-wise top-k: the k largest documents per language by
+    (n_chars DESC, doc_id ASC). Engine shape: each block keeps at most
+    k rows PER GROUP it contains (vectorized lexsort + within-group
+    rank via segment offsets — no per-group Python), so the driver
+    merge sees <= k * |groups| * |blocks| candidate rows regardless of
+    corpus size; no shuffle, text column never read. This is the
+    standard monoid top-k: block-local top-k is closed under merge."""
+
+    def local_topk(df: pa.Table) -> pa.Table:
+        lang = np.asarray(df.column("lang").to_pylist(), dtype=object)
+        nch = df.column("n_chars").to_numpy(zero_copy_only=False)
+        did = df.column("doc_id").to_numpy(zero_copy_only=False)
+        # integer codes (np.unique inverse) keep lexsort off object keys
+        _, codes = np.unique(lang, return_inverse=True)
+        order = np.lexsort((did, -nch, codes))
+        sl = codes[order]
+        new_grp = np.ones(len(sl), dtype=bool)
+        new_grp[1:] = sl[1:] != sl[:-1]
+        starts = np.maximum.accumulate(
+            np.where(new_grp, np.arange(len(sl)), 0))
+        rank = np.arange(len(sl)) - starts
+        keep = order[rank < k]
+        return df.select(["doc_id", "lang", "n_chars"]).take(pa.array(keep))
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    batches = list(
+        ds.map_batches(local_topk, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    empty = pa.schema([
+        ("doc_id", pa.int64()), ("lang", pa.string()),
+        ("n_chars", pa.int64()), ("rnk", pa.int64()),
+    ]).empty_table()
+    if not batches:
+        return empty
+    df = pa.concat_tables(batches).to_pandas()
+    if df.empty:
+        return empty
+    df = df.sort_values(["lang", "n_chars", "doc_id"],
+                        ascending=[True, False, True], kind="stable")
+    df["rnk"] = df.groupby("lang").cumcount() + 1
+    df = df[df["rnk"] <= k].reset_index(drop=True)
+    df["rnk"] = df["rnk"].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def doc_vocab_topk(sf_dir: str, k: int = 100):
     """Global vocabulary top-k: block-local token histograms
     (functions/text.vocab_partial — volume drops from tokens to

@@ -516,6 +516,18 @@ FROM seq WHERE next_type IS NOT NULL
 GROUP BY 1, 2
 """
 
+# Group-wise top-k mirror: ROW_NUMBER over the same (n_chars DESC,
+# doc_id ASC) order the engine's lexsort + cumcount encodes. ROW_NUMBER
+# is unique, so ties never widen the result past k.
+SQL_DOC_GROUP_TOPK = """
+SELECT doc_id, lang, n_chars, rnk FROM (
+  SELECT doc_id, lang, n_chars,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+  FROM documents
+) WHERE rnk <= 3
+"""
+
 # quantile_cont == linear interpolation at rank q*(n-1), numpy
 # 'linear'; ROUND 6 absorbs last-ulp interpolation-order differences.
 SQL_EVENTS_QUANTILES = """
@@ -617,6 +629,7 @@ def data_queries() -> dict:
         "events_sliding_window": P.events_sliding_window,
         "events_transitions": P.events_transitions,
         "events_quantiles": P.events_quantiles,
+        "doc_group_topk": P.doc_group_topk,
         "multimodal_payload_stats": P.multimodal_payload_stats,
         "multimodal_frame_sample": P.multimodal_frame_sample,
         "multimodal_features": P.multimodal_features,
@@ -659,6 +672,7 @@ def data_oracle_sql() -> dict:
         "events_sliding_window": SQL_EVENTS_SLIDING,
         "events_transitions": SQL_EVENTS_TRANSITIONS,
         "events_quantiles": SQL_EVENTS_QUANTILES,
+        "doc_group_topk": SQL_DOC_GROUP_TOPK,
         "emb_ann_lsh": SQL_EMB_SIMILARITY_TOPK,
         "emb_ann_ivf": SQL_EMB_SIMILARITY_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,

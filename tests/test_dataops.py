@@ -24,7 +24,7 @@ SQL_NAMES = [
     "doc_repetition_stats", "doc_vocab_topk", "doc_chunk",
     "emb_label_centroids", "events_props_extract", "events_asof_join",
     "events_window_join", "events_sliding_window", "events_transitions",
-    "events_quantiles",
+    "events_quantiles", "doc_group_topk",
 ]
 
 

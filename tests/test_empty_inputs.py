@@ -24,7 +24,8 @@ def empty_token_dir(tmp_path_factory):
 def empty_doc_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("empty_docs")
     pq.write_table(
-        pa.schema([("doc_id", pa.int64()), ("text", pa.string())]).empty_table(),
+        pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                   ("lang", pa.string()), ("n_chars", pa.int64())]).empty_table(),
         str(d / "documents.parquet"),
     )
     return str(d)
@@ -82,6 +83,7 @@ def test_dedup_family_empty_documents(ray_session, empty_doc_dir):
         (DP.doc_dedup_ngram, ["id_a", "id_b", "jaccard"]),
         (DP.doc_dedup_clusters, ["doc_id", "cluster_id"]),
         (DP.doc_dedup_clusters_lp, ["doc_id", "cluster_id"]),
+        (DP.doc_group_topk, ["doc_id", "lang", "n_chars", "rnk"]),
     ):
         out = fn(empty_doc_dir)
         assert out.num_rows == 0, fn.__name__
