@@ -1773,3 +1773,178 @@ def events_hourly(sf_dir: str):
         "n_events": g.column("n_events").cast(pa.int64()),
         "sum_value": pc.round(g.column("sum_value"), 2),
     })
+
+def events_funnel(sf_dir: str,
+                  stages: tuple = ("view", "click", "purchase")):
+    """Ordered funnel attainment per user: the first ``stages[0]`` event,
+    the first ``stages[1]`` at-or-after it, the first ``stages[2]``
+    at-or-after that (ts comparisons; the >= endpoint rule is pinned by
+    the SQL mirror's join predicate). Output: one row per distinct user
+    with max_stage 0..3 and the three stage timestamps as epoch-us
+    (-1 = not reached).
+
+    Engine shape: hash-partition by user (partition-grouped,
+    ``_n_parts``) so every user's history is co-located, then one fully
+    vectorized pass per partition — per-user first-event times via
+    lexsort + segment-first, the at-or-after gate via a searchsorted
+    lookup of the previous stage's time. No per-user Python, no
+    whole-stream sort; the only shuffle is the user-hash partition.
+    Funnel analysis over event streams is the reference's metric-window
+    family generalized to ordered multi-step conversion
+    (metrics/SBOMetrics.go:64-90 holds per-key time windows; this holds
+    per-user stage fronts)."""
+    P = _n_parts()
+    SENT = np.iinfo(np.int64).max
+
+    def funnel_part(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        users = np.unique(u)
+
+        def first_at_or_after(mask, gate):
+            uu, tt = u[mask], t[mask]
+            if gate is not None:
+                idx = np.searchsorted(users, uu)
+                ok = tt >= gate[idx]  # gate==SENT (unreached) keeps none
+                uu, tt = uu[ok], tt[ok]
+            out = np.full(len(users), SENT, dtype=np.int64)
+            if len(uu):
+                order = np.lexsort((tt, uu))
+                uu, tt = uu[order], tt[order]
+                first = np.ones(len(uu), dtype=bool)
+                first[1:] = uu[1:] != uu[:-1]
+                out[np.searchsorted(users, uu[first])] = tt[first]
+            return out
+
+        t1 = first_at_or_after(et == stages[0], None)
+        t2 = first_at_or_after(et == stages[1], t1)
+        t3 = first_at_or_after(et == stages[2], t2)
+        reached = ((t1 < SENT).astype(np.int64) + (t2 < SENT)
+                   + (t3 < SENT))
+        return pd.DataFrame({
+            "user_id": users,
+            "max_stage": reached.astype(np.int64),
+            "t_stage1_us": np.where(t1 < SENT, t1, -1),
+            "t_stage2_us": np.where(t2 < SENT, t2, -1),
+            "t_stage3_us": np.where(t3 < SENT, t3, -1),
+        })
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    out_ds = (
+        ds.map_batches(
+            lambda t: t.append_column(
+                "part", pa.array(
+                    t.column("user_id").to_numpy(zero_copy_only=False) % P)),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(funnel_part, batch_format="pandas")
+    )
+    batches = list(out_ds.iter_batches(batch_format="pyarrow",
+                                       batch_size=None))
+    schema = pa.schema([
+        ("user_id", pa.int64()), ("max_stage", pa.int64()),
+        ("t_stage1_us", pa.int64()), ("t_stage2_us", pa.int64()),
+        ("t_stage3_us", pa.int64()),
+    ])
+    if not batches:
+        return schema.empty_table()
+    return pa.concat_tables(
+        [b.select(schema.names).cast(schema) for b in batches])
+
+
+def doc_tfidf(sf_dir: str, k: int = 3):
+    """Top-k TF-IDF terms per document (space-split tokens,
+    idf = ln(N/df), score = tf*idf) — the classic relevance/keyword
+    extraction primitive for a training-data corpus.
+
+    Engine shape: two streaming passes. Pass 1 computes block-local
+    (token, df) partials (per-doc DISTINCT inside the block, so volume
+    drops to block-unique tokens before anything leaves the worker) and
+    the driver merges the vocabulary-bounded histogram (Heaps' law —
+    same contract as doc_vocab_topk). The df map is broadcast ONCE with
+    ray.put. Pass 2 is embarrassingly parallel: each doc lives wholly
+    in one row/block, so per-doc tf, score and exact top-k are computed
+    block-locally (vectorized unique/lexsort/segment-rank; no shuffle at
+    all). Ranking uses ROUND(score, 6) then token ASC on BOTH engine
+    and oracle sides: mathematically-tied scores (e.g. 2*ln(10) vs
+    ln(100)) land on the same rounded value regardless of last-ulp libm
+    differences, so the tie-break is deterministic across engines."""
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(col, " ")
+        doc_idx = np.repeat(
+            np.arange(len(batch)),
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False))
+        pairs = pa.table({
+            "d": pa.array(doc_idx, pa.int64()), "token": toks.values,
+        }).group_by(["d", "token"]).aggregate([])  # per-doc DISTINCT
+        g = pairs.group_by("token").aggregate([("d", "count")])
+        g = g.rename_columns(["token", "df_n"])
+        return g.append_column(
+            "n_docs", pa.array([len(batch)] + [0] * (g.num_rows - 1)
+                               if g.num_rows else [], pa.int64()))
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    parts = list(docs.map_batches(
+        df_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    empty = pa.schema([
+        ("doc_id", pa.int64()), ("token", pa.string()),
+        ("score", pa.float64()), ("rnk", pa.int64()),
+    ]).empty_table()
+    if not parts:
+        return empty
+    merged = pa.concat_tables(parts)
+    n_docs = int(pc.sum(merged.column("n_docs")).as_py() or 0)
+    if n_docs == 0:
+        return empty
+    dfa = merged.group_by("token").aggregate([("df_n", "sum")])
+    df_map = dict(zip(dfa.column("token").to_pylist(),
+                      dfa.column("df_n_sum").to_pylist()))
+    df_ref = ray.put(df_map)
+
+    def topk_scores(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(col, " ")
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(
+            np.arange(len(batch)),
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False))
+        tf = pa.table({
+            "d": pa.array(doc_idx, pa.int64()), "token": toks.values,
+        }).group_by(["d", "token"]).aggregate([("token", "count")])
+        d = tf.column("d").to_numpy(zero_copy_only=False)
+        token = np.asarray(tf.column("token").to_pylist(), dtype=object)
+        c = tf.column("token_count").to_numpy(zero_copy_only=False)
+        df_v = np.fromiter((dfm[t] for t in token), dtype=np.float64,
+                           count=len(token))
+        score = np.round(c * np.log(n_docs / df_v), 6)
+        # codes from np.unique are alphabetical, preserving token ASC
+        _, tcode = np.unique(token, return_inverse=True)
+        order = np.lexsort((tcode, -score, d))
+        sd = d[order]
+        new_grp = np.ones(len(sd), dtype=bool)
+        new_grp[1:] = sd[1:] != sd[:-1]
+        starts = np.maximum.accumulate(
+            np.where(new_grp, np.arange(len(sd)), 0))
+        rank = np.arange(len(sd)) - starts
+        keep = order[rank < k]
+        return pa.table({
+            "doc_id": pa.array(doc_ids[d[keep]], pa.int64()),
+            "token": pa.array(token[keep], pa.string()),
+            "score": pa.array(score[keep], pa.float64()),
+            "rnk": pa.array(rank[rank < k] + 1, pa.int64()),
+        })
+
+    out = list(docs.map_batches(
+        topk_scores, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables(out) if out else empty

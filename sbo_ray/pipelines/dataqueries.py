@@ -516,6 +516,57 @@ FROM seq WHERE next_type IS NOT NULL
 GROUP BY 1, 2
 """
 
+# Funnel mirror: chained min-after joins — stage N's first time is the
+# MIN ts of stage-N events at-or-after stage N-1's first time (the same
+# >= endpoint rule as the engine's searchsorted gate). CASE max_stage is
+# valid because each CTE row exists only if the previous stage exists.
+SQL_EVENTS_FUNNEL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t1
+       WHERE e.event_type = 'click' GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t2
+       WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS max_stage,
+       CAST(COALESCE(epoch_us(s1.t1), -1) AS BIGINT) AS t_stage1_us,
+       CAST(COALESCE(epoch_us(s2.t2), -1) AS BIGINT) AS t_stage2_us,
+       CAST(COALESCE(epoch_us(s3.t3), -1) AS BIGINT) AS t_stage3_us
+FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+       LEFT JOIN s2 ON u.user_id = s2.user_id
+       LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+# TF-IDF mirror: same space-split tokens, same ln(N/df) in double
+# arithmetic; ranking on ROUND(score, 6) then token ASC matches the
+# engine's rounded-score rank (mathematical ties like 2*ln(10) vs
+# ln(100) collapse to the same rounded value on both sides).
+SQL_DOC_TFIDF = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS d FROM tok GROUP BY 1
+), n AS (SELECT COUNT(*) AS nd FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.token,
+         ROUND(tf.c * ln(CAST(n.nd AS DOUBLE) / df.d), 6) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, score, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rnk
+  FROM s
+) WHERE rnk <= 3
+"""
+
 # Group-wise top-k mirror: ROW_NUMBER over the same (n_chars DESC,
 # doc_id ASC) order the engine's lexsort + cumcount encodes. ROW_NUMBER
 # is unique, so ties never widen the result past k.
@@ -630,6 +681,8 @@ def data_queries() -> dict:
         "events_transitions": P.events_transitions,
         "events_quantiles": P.events_quantiles,
         "doc_group_topk": P.doc_group_topk,
+        "events_funnel": P.events_funnel,
+        "doc_tfidf": P.doc_tfidf,
         "multimodal_payload_stats": P.multimodal_payload_stats,
         "multimodal_frame_sample": P.multimodal_frame_sample,
         "multimodal_features": P.multimodal_features,
@@ -673,6 +726,8 @@ def data_oracle_sql() -> dict:
         "events_transitions": SQL_EVENTS_TRANSITIONS,
         "events_quantiles": SQL_EVENTS_QUANTILES,
         "doc_group_topk": SQL_DOC_GROUP_TOPK,
+        "events_funnel": SQL_EVENTS_FUNNEL,
+        "doc_tfidf": SQL_DOC_TFIDF,
         "emb_ann_lsh": SQL_EMB_SIMILARITY_TOPK,
         "emb_ann_ivf": SQL_EMB_SIMILARITY_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,

@@ -24,7 +24,7 @@ SQL_NAMES = [
     "doc_repetition_stats", "doc_vocab_topk", "doc_chunk",
     "emb_label_centroids", "events_props_extract", "events_asof_join",
     "events_window_join", "events_sliding_window", "events_transitions",
-    "events_quantiles", "doc_group_topk",
+    "events_quantiles", "doc_group_topk", "events_funnel", "doc_tfidf",
 ]
 
 
@@ -497,3 +497,76 @@ def test_asof_join_tie_rules(ray_session, tmp_path):
     assert got.loc[14, "matched_event_id"] == 12
     assert got.loc[14, "gap_us"] == 3600 * 1_000_000
     assert got.loc[21, "matched_event_id"] == 20
+
+
+def test_funnel_endpoint_and_order_rules(ray_session, tmp_path):
+    """Planted funnel corner cases: a click AT the first-view timestamp
+    counts (>= endpoint), a click BEFORE the first view does not, stage
+    3 gates on stage 2's time (not stage 1's), and a user with no view
+    stays at stage 0 even with clicks and purchases."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import events_funnel
+
+    ts = pd.to_datetime([
+        # u1: click at the exact view ts -> stage 2; purchase after -> 3
+        "2024-01-01 10:00:00", "2024-01-01 10:00:00", "2024-01-01 11:00:00",
+        # u2: click strictly before the view -> stuck at stage 1, and the
+        # purchase (after the view but with no gated click) doesn't count
+        "2024-01-01 09:00:00", "2024-01-01 10:00:00", "2024-01-01 11:00:00",
+        # u3: no view at all -> stage 0
+        "2024-01-01 08:00:00", "2024-01-01 09:00:00",
+    ])
+    t = pa.table({
+        "event_id": pa.array(list(range(1, 9)), type=pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array([1, 1, 1, 2, 2, 2, 3, 3], type=pa.int64()),
+        "event_type": ["view", "click", "purchase",
+                       "click", "view", "purchase",
+                       "click", "purchase"],
+        "value": pa.array([0.0] * 8),
+        "props": ['{"k": 1}'] * 8,
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = events_funnel(str(tmp_path)).to_pandas().set_index("user_id")
+    assert got.loc[1, "max_stage"] == 3
+    assert got.loc[1, "t_stage1_us"] == got.loc[1, "t_stage2_us"]
+    assert got.loc[2, "max_stage"] == 1
+    assert got.loc[2, "t_stage2_us"] == -1 and got.loc[2, "t_stage3_us"] == -1
+    assert got.loc[3, "max_stage"] == 0 and got.loc[3, "t_stage1_us"] == -1
+
+
+def test_tfidf_mathematical_tie_breaks_on_token(ray_session, tmp_path):
+    """Planted score tie across DIFFERENT (tf, df) pairs: with N=100
+    docs, a tf=2 token with df=10 scores 2*ln(10) and a tf=1 token with
+    df=1 scores ln(100) — mathematically equal. Both engines round to
+    the same 1e-6 value, so the tie must break on token ASC on both
+    sides (the exact hazard the rounded-rank rule exists for)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import doc_tfidf
+    from sbo_ray.pipelines.dataqueries import SQL_DOC_TFIDF
+
+    # doc 0: 'bbb' twice (df 10 with the 9 fillers) + unique 'aaa' (df 1)
+    texts = ["bbb bbb aaa"] + ["bbb"] * 9 + ["zz"] * 90
+    t = pa.table({
+        "doc_id": pa.array(range(100), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 100),
+        "source": pa.array(["s"] * 100),
+        "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = doc_tfidf(str(tmp_path)).to_pandas()
+    d0 = got[got.doc_id == 0].sort_values("rnk")
+    # tie at 4.60517: 'aaa' (ln 100) beats 'bbb' (2 ln 10) on token ASC
+    assert list(d0.token) == ["aaa", "bbb"]
+    assert abs(d0.score.iloc[0] - d0.score.iloc[1]) < 1e-9
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(SQL_DOC_TFIDF).df()
+    w0 = want[want.doc_id == 0].sort_values("rnk")
+    assert list(d0.token) == list(w0.token)
+    assert list(d0.rnk) == list(w0.rnk)

@@ -84,7 +84,26 @@ def test_dedup_family_empty_documents(ray_session, empty_doc_dir):
         (DP.doc_dedup_clusters, ["doc_id", "cluster_id"]),
         (DP.doc_dedup_clusters_lp, ["doc_id", "cluster_id"]),
         (DP.doc_group_topk, ["doc_id", "lang", "n_chars", "rnk"]),
+        (DP.doc_tfidf, ["doc_id", "token", "score", "rnk"]),
     ):
         out = fn(empty_doc_dir)
         assert out.num_rows == 0, fn.__name__
         assert out.schema.names == cols, fn.__name__
+
+
+def test_funnel_empty_events(ray_session, tmp_path):
+    from sbo_ray.pipelines.datapipe import events_funnel
+
+    pq.write_table(
+        pa.schema([("event_id", pa.int64()),
+                   ("ts", pa.timestamp("us")),
+                   ("user_id", pa.int64()),
+                   ("event_type", pa.string()),
+                   ("value", pa.float64()),
+                   ("props", pa.string())]).empty_table(),
+        str(tmp_path / "events.parquet"),
+    )
+    out = events_funnel(str(tmp_path))
+    assert out.num_rows == 0
+    assert out.schema.names == ["user_id", "max_stage", "t_stage1_us",
+                                "t_stage2_us", "t_stage3_us"]
