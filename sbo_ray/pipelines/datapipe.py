@@ -1948,3 +1948,117 @@ def doc_tfidf(sf_dir: str, k: int = 3):
         topk_scores, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow", batch_size=None))
     return pa.concat_tables(out) if out else empty
+
+
+def emb_knn_join(sf_dir: str, k: int = 5, n_chunks: int | None = None):
+    """Exact k-NN SELF-join: for EVERY vector, its k nearest neighbors
+    by cosine (the retrieval-evaluation / hard-negative-mining
+    primitive — emb_similarity_topk generalized from one query to all
+    rows). Same replicated chunk-pair triangle layout as
+    ``emb_dedup_cosine``: B chunks, one cross-matmul per chunk-pair
+    group, but each group emits a PARTIAL top-k per vector instead of
+    threshold pairs, so shuffle volume drops from O(n^2) pair rows to
+    n x B x k partial rows. The final per-vector merge is
+    partition-grouped (hash of vec_id), so no stage ever holds more
+    than a partition of partials; the driver sees the n x k output
+    only.
+
+    Ranking is (ROUND(cos, 3) DESC, neighbor_id ASC) at BOTH the
+    partial and final stage — the partial ordering must equal the
+    final ordering or boundary ties could drop a would-be winner. The
+    SQL oracle casts embeddings to DOUBLE[] before
+    list_cosine_similarity: at 2500 output values, float32
+    accumulation error (~1e-6) flips 3rd-decimal roundings with
+    near-certainty, while float64-vs-float64 disagreement
+    probability is ~1e-13."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    B = n_chunks or max(4, int(np.sqrt(2 * _cpus())))
+    P = _n_parts()
+
+    def _rank_topk(flat_cos, rows, cols, row_ids):
+        """top-k rows per `rows` group under (cos desc, col asc)."""
+        order = np.lexsort((cols, -flat_cos, rows))
+        rr = rows[order]
+        new_grp = np.ones(len(rr), dtype=bool)
+        new_grp[1:] = rr[1:] != rr[:-1]
+        starts = np.maximum.accumulate(
+            np.where(new_grp, np.arange(len(rr)), 0))
+        rank = np.arange(len(rr)) - starts
+        keep = order[rank < k]
+        return (row_ids[rows[keep]], cols[keep], flat_cos[keep],
+                rank[rank < k])
+
+    def pair_block(g: pa.Table) -> pa.Table:
+        pair_id = g.column("pair_id")[0].as_py()
+        c_a, c_b = pair_id // B, pair_id % B
+        chunk = g.column("chunk").to_numpy(zero_copy_only=False)
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        m = D.normalize_rows(S.embedding_matrix(g))
+        a_mask = chunk == c_a
+        outs = []
+        if c_a == c_b:
+            ma, ia = m[a_mask], ids[a_mask]
+            cos = np.round(ma @ ma.T, 3)
+            np.fill_diagonal(cos, -np.inf)  # exclude self
+            sides = [(cos, ia, ia)]
+        else:
+            ma, ia = m[a_mask], ids[a_mask]
+            mb, ib = m[~a_mask], ids[~a_mask]
+            cos = np.round(ma @ mb.T, 3)
+            sides = [(cos, ia, ib), (cos.T, ib, ia)]
+        for cm, rid, cid in sides:
+            if cm.size == 0:
+                continue
+            na, nb = cm.shape
+            rows = np.repeat(np.arange(na), nb)
+            cols = np.tile(cid, na)
+            vid, nid, cc, _ = _rank_topk(cm.ravel(), rows, cols, rid)
+            ok = np.isfinite(cc)  # -inf diagonal when a chunk has <k+1
+            outs.append(pa.table({
+                "vec_id": pa.array(vid[ok], pa.int64()),
+                "neighbor_id": pa.array(nid[ok], pa.int64()),
+                "cos": pa.array(cc[ok], pa.float64()),
+            }))
+        if not outs:
+            return pa.schema([("vec_id", pa.int64()),
+                              ("neighbor_id", pa.int64()),
+                              ("cos", pa.float64())]).empty_table()
+        return pa.concat_tables(outs)
+
+    def final_part(g: pd.DataFrame) -> pd.DataFrame:
+        vid = g["vec_id"].to_numpy()
+        nid = g["neighbor_id"].to_numpy()
+        cc = g["cos"].to_numpy()
+        # group rows by vec_id via unique codes (code -> vec_id map)
+        uniq, vcode = np.unique(vid, return_inverse=True)
+        v, n, c, r = _rank_topk(cc, vcode, nid, uniq)
+        return pd.DataFrame({
+            "vec_id": v,
+            "neighbor_id": n,
+            "cos": c,
+            "rnk": (r + 1).astype(np.int64),
+        })
+
+    partials = (
+        ds.map_batches(_chunk_pair_replicate("vec_id", B),
+                       batch_format="pyarrow")
+        .groupby("pair_id")
+        .map_groups(pair_block, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column(
+                "part", pa.array(
+                    t.column("vec_id").to_numpy(zero_copy_only=False) % P)),
+            batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(final_part, batch_format="pandas")
+    )
+    out = list(partials.iter_batches(batch_format="pyarrow",
+                                     batch_size=None))
+    schema = pa.schema([
+        ("vec_id", pa.int64()), ("neighbor_id", pa.int64()),
+        ("cos", pa.float64()), ("rnk", pa.int64()),
+    ])
+    if not out:
+        return schema.empty_table()
+    return pa.concat_tables([b.select(schema.names).cast(schema)
+                             for b in out])

@@ -567,6 +567,27 @@ SELECT doc_id, token, score, rnk FROM (
 ) WHERE rnk <= 3
 """
 
+# k-NN self-join mirror: brute-force cross join. Embeddings are CAST to
+# DOUBLE[] BEFORE list_cosine_similarity: the engine computes in
+# float64, and at 2500 output values float32 accumulation error (~1e-6)
+# would flip 3rd-decimal roundings with near-certainty, while
+# float64-vs-float64 disagreement is ~1e-13 per value. Rank order
+# (cos DESC, neighbor ASC) matches the engine's lexsort.
+SQL_EMB_KNN_JOIN = """
+WITH c AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 3)
+           AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id, cos, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM c
+) WHERE rnk <= 5
+"""
+
 # Group-wise top-k mirror: ROW_NUMBER over the same (n_chars DESC,
 # doc_id ASC) order the engine's lexsort + cumcount encodes. ROW_NUMBER
 # is unique, so ties never widen the result past k.
@@ -683,6 +704,7 @@ def data_queries() -> dict:
         "doc_group_topk": P.doc_group_topk,
         "events_funnel": P.events_funnel,
         "doc_tfidf": P.doc_tfidf,
+        "emb_knn_join": P.emb_knn_join,
         "multimodal_payload_stats": P.multimodal_payload_stats,
         "multimodal_frame_sample": P.multimodal_frame_sample,
         "multimodal_features": P.multimodal_features,
@@ -728,6 +750,7 @@ def data_oracle_sql() -> dict:
         "doc_group_topk": SQL_DOC_GROUP_TOPK,
         "events_funnel": SQL_EVENTS_FUNNEL,
         "doc_tfidf": SQL_DOC_TFIDF,
+        "emb_knn_join": SQL_EMB_KNN_JOIN,
         "emb_ann_lsh": SQL_EMB_SIMILARITY_TOPK,
         "emb_ann_ivf": SQL_EMB_SIMILARITY_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,

@@ -25,6 +25,7 @@ SQL_NAMES = [
     "emb_label_centroids", "events_props_extract", "events_asof_join",
     "events_window_join", "events_sliding_window", "events_transitions",
     "events_quantiles", "doc_group_topk", "events_funnel", "doc_tfidf",
+    "emb_knn_join",
 ]
 
 

@@ -107,3 +107,17 @@ def test_funnel_empty_events(ray_session, tmp_path):
     assert out.num_rows == 0
     assert out.schema.names == ["user_id", "max_stage", "t_stage1_us",
                                 "t_stage2_us", "t_stage3_us"]
+
+
+def test_knn_join_empty_embeddings(ray_session, tmp_path):
+    from sbo_ray.pipelines.datapipe import emb_knn_join
+
+    pq.write_table(
+        pa.schema([("vec_id", pa.int64()),
+                   ("embedding", pa.list_(pa.float32())),
+                   ("label", pa.int32())]).empty_table(),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = emb_knn_join(str(tmp_path))
+    assert out.num_rows == 0
+    assert out.schema.names == ["vec_id", "neighbor_id", "cos", "rnk"]
