@@ -2062,3 +2062,124 @@ def emb_knn_join(sf_dir: str, k: int = 5, n_chunks: int | None = None):
         return schema.empty_table()
     return pa.concat_tables([b.select(schema.names).cast(schema)
                              for b in out])
+
+
+def supplier_nation_revenue(sf_dir: str):
+    """Three-table star-schema aggregate (lineitem x supplier x nation
+    -> revenue per nation) in ONE fact-table scan: both dimension
+    tables are tiny (the classic star shape), so they are pre-joined
+    DRIVER-side into a single suppkey -> nation-name map and broadcast
+    once with ray.put; each lineitem block resolves the composed map
+    and emits a per-nation partial (count + discounted revenue), and
+    the driver merges |nations| rows. No shuffle at all — the 100-TB
+    shape for dimension-join aggregation (two chained Dataset.joins
+    would pay two all-to-all exchanges for the same answer)."""
+    supplier = pa.concat_tables(
+        _read(sf_dir, "supplier",
+              columns=["s_suppkey", "s_nationkey"]).iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    nation = pa.concat_tables(
+        _read(sf_dir, "nation",
+              columns=["n_nationkey", "n_name"]).iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    n_name = dict(zip(nation.column("n_nationkey").to_pylist(),
+                      nation.column("n_name").to_pylist()))
+    lookup = {
+        int(sk): n_name.get(int(nk), "")
+        for sk, nk in zip(supplier.column("s_suppkey").to_pylist(),
+                          supplier.column("s_nationkey").to_pylist())
+    }
+    lookup_ref = ray.put(lookup)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        keys = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        names = pa.array([lk.get(int(k), "") for k in keys],
+                         type=pa.string())
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        g = pa.table({
+            "n_name": names, "revenue": rev,
+        }).group_by("n_name").aggregate([("revenue", "sum"),
+                                         ("revenue", "count")])
+        return g.rename_columns(["n_name", "revenue", "n_items"])
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    parts = list(ds.map_batches(partial, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return pa.schema([("n_name", pa.string()),
+                          ("n_items", pa.int64()),
+                          ("revenue", pa.float64())]).empty_table()
+    g = pa.concat_tables(parts).group_by("n_name").aggregate(
+        [("revenue", "sum"), ("n_items", "sum")])
+    g = g.rename_columns(["n_name", "revenue", "n_items"])
+    return pa.table({
+        "n_name": g.column("n_name"),
+        "n_items": g.column("n_items").cast(pa.int64()),
+        "revenue": pc.round(g.column("revenue"), 2),
+    })
+
+
+def events_retention(sf_dir: str):
+    """Cohort retention matrix over the events stream: cohort = a
+    user's first active DAY; one output row per (cohort_day,
+    offset_days) with the number of cohort users active that day — the
+    standard DAU-retention triangle. Partition-grouped by user (every
+    user's history co-located), fully vectorized per partition: one
+    lexsort gives distinct (user, day) pairs AND each user's first day
+    by segment-first forward-fill; per-partition (cohort, offset)
+    partial counts add across partitions because users never span
+    partitions. Driver merges the tiny |days|^2/2-bounded matrix."""
+    P = _n_parts()
+
+    def retention_part(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        day = g["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        order = np.lexsort((day, u))
+        u, day = u[order], day[order]
+        new_pair = np.ones(len(u), dtype=bool)
+        new_pair[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1])
+        du, dday = u[new_pair], day[new_pair]
+        seg_first = np.ones(len(du), dtype=bool)
+        seg_first[1:] = du[1:] != du[:-1]
+        cohort = dday[np.maximum.accumulate(
+            np.where(seg_first, np.arange(len(du)), 0))]
+        out = pd.DataFrame({
+            "cohort_day_i": cohort,
+            "offset_days": dday - cohort,
+        })
+        return (out.groupby(["cohort_day_i", "offset_days"],
+                            as_index=False)
+                .size().rename(columns={"size": "n_users"}))
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    parts_ds = (
+        ds.map_batches(
+            lambda t: t.append_column(
+                "part", pa.array(
+                    t.column("user_id").to_numpy(zero_copy_only=False) % P)),
+            batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(retention_part, batch_format="pandas")
+    )
+    parts = list(parts_ds.iter_batches(batch_format="pyarrow",
+                                       batch_size=None))
+    schema = pa.schema([
+        ("cohort_day", pa.timestamp("us")), ("offset_days", pa.int64()),
+        ("n_users", pa.int64()),
+    ])
+    if not parts:
+        return schema.empty_table()
+    g = pa.concat_tables(parts).group_by(
+        ["cohort_day_i", "offset_days"]).aggregate([("n_users", "sum")])
+    cohort_us = g.column("cohort_day_i").to_numpy(
+        zero_copy_only=False).astype("datetime64[D]").astype(
+        "datetime64[us]")
+    return pa.table({
+        "cohort_day": pa.array(cohort_us, type=pa.timestamp("us")),
+        "offset_days": g.column("offset_days").cast(pa.int64()),
+        "n_users": g.column("n_users_sum").cast(pa.int64()),
+    })

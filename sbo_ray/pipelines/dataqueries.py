@@ -610,6 +610,35 @@ SELECT event_type,
 FROM events GROUP BY 1
 """
 
+# Star-schema 3-table mirror; both sides sum float64, ROUND 2 absorbs
+# the summation-order difference (same convention as lineitem_pricing).
+SQL_SUPPLIER_NATION_REVENUE = """
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+# Retention mirror: distinct (user, day) pairs, each user's min day as
+# the cohort; COUNT(*) over the distinct pairs == distinct users per
+# (cohort, offset) because a user has exactly one cohort.
+SQL_EVENTS_RETENTION = """
+WITH d AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), c AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1
+)
+SELECT c.cohort_day,
+       CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT)
+         AS offset_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
 SQL_CUSTOMER_NATION_AGG = """
 SELECT n.n_name,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -710,6 +739,8 @@ def data_queries() -> dict:
         "multimodal_features": P.multimodal_features,
         "multimodal_audio_features": P.multimodal_audio_features,
         "customer_nation_agg": P.customer_nation_agg,
+        "supplier_nation_revenue": P.supplier_nation_revenue,
+        "events_retention": P.events_retention,
         "orders_mktsegment_revenue": P.orders_mktsegment_revenue,
         "lineitem_pricing_summary": P.lineitem_pricing_summary,
         "orders_by_month": P.orders_by_month,
@@ -762,6 +793,8 @@ def data_oracle_sql() -> dict:
         "doc_lang_id": SQL_DOC_LANG_ID,
         "multimodal_payload_stats": SQL_MULTIMODAL_PAYLOAD_STATS,
         "customer_nation_agg": SQL_CUSTOMER_NATION_AGG,
+        "supplier_nation_revenue": SQL_SUPPLIER_NATION_REVENUE,
+        "events_retention": SQL_EVENTS_RETENTION,
         "orders_mktsegment_revenue": SQL_ORDERS_MKTSEGMENT_REVENUE,
         "lineitem_pricing_summary": SQL_LINEITEM_PRICING,
         "orders_by_month": SQL_ORDERS_BY_MONTH,

@@ -25,14 +25,14 @@ SQL_NAMES = [
     "emb_label_centroids", "events_props_extract", "events_asof_join",
     "events_window_join", "events_sliding_window", "events_transitions",
     "events_quantiles", "doc_group_topk", "events_funnel", "doc_tfidf",
-    "emb_knn_join",
+    "emb_knn_join", "supplier_nation_revenue", "events_retention",
 ]
 
 
 def _con():
     con = duckdb.connect()
     for t in ("documents", "embeddings", "customer", "nation", "orders",
-              "lineitem", "events"):
+              "lineitem", "events", "supplier", "part", "region"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
