@@ -2183,3 +2183,114 @@ def events_retention(sf_dir: str):
         "offset_days": g.column("offset_days").cast(pa.int64()),
         "n_users": g.column("n_users_sum").cast(pa.int64()),
     })
+
+
+def part_brand_revenue(sf_dir: str):
+    """Fact x mid-size dimension (lineitem x part) via the native
+    hash-partitioned ``Dataset.join``, then brand rollup. At TPC-H
+    proportions ``part`` is ~1/30 of lineitem — too big to broadcast
+    comfortably at the 100-TB tier, so this is deliberately the
+    SHUFFLE-join primitive (contrast supplier_nation_revenue, where
+    both dims are tiny and a composed broadcast map wins). The
+    post-join aggregate is a block-local partial per brand, so only
+    |brands| rows per block follow the join."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    joined = li.join(part, join_type="inner",
+                     num_partitions=max(4, _cpus()),
+                     on=("l_partkey",), right_on=("p_partkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        g = pa.table({
+            "p_brand": t.column("p_brand"),
+            "sum_qty": t.column("l_quantity"),
+            "revenue": rev,
+        }).group_by("p_brand").aggregate(
+            [("sum_qty", "sum"), ("revenue", "sum"), ("revenue", "count")])
+        return g.rename_columns(["p_brand", "sum_qty", "revenue",
+                                 "n_items"])
+
+    parts = list(joined.map_batches(partial, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return pa.schema([("p_brand", pa.string()),
+                          ("n_items", pa.int64()),
+                          ("sum_qty", pa.float64()),
+                          ("revenue", pa.float64())]).empty_table()
+    g = pa.concat_tables(parts).group_by("p_brand").aggregate(
+        [("sum_qty", "sum"), ("revenue", "sum"), ("n_items", "sum")])
+    g = g.rename_columns(["p_brand", "sum_qty", "revenue", "n_items"])
+    return pa.table({
+        "p_brand": g.column("p_brand"),
+        "n_items": g.column("n_items").cast(pa.int64()),
+        "sum_qty": pc.round(g.column("sum_qty"), 2),
+        "revenue": pc.round(g.column("revenue"), 2),
+    })
+
+
+def region_revenue_by_year(sf_dir: str):
+    """Revenue per (region, order year): the shuffle join (orders x
+    customer, both fact-sized) CHAINED with the composed broadcast dim
+    map (nationkey -> region name through nation x region, both tiny) —
+    one exchange total for a four-table query. The dim composition
+    happens driver-side on 25+5 rows; the year is extracted
+    vectorized; per-block partials keep post-join traffic at
+    |regions x years| rows per block."""
+    nation = pa.concat_tables(
+        _read(sf_dir, "nation",
+              columns=["n_nationkey", "n_regionkey"]).iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    region = pa.concat_tables(
+        _read(sf_dir, "region",
+              columns=["r_regionkey", "r_name"]).iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    r_name = dict(zip(region.column("r_regionkey").to_pylist(),
+                      region.column("r_name").to_pylist()))
+    lookup = {
+        int(nk): r_name.get(int(rk), "")
+        for nk, rk in zip(nation.column("n_nationkey").to_pylist(),
+                          nation.column("n_regionkey").to_pylist())
+    }
+    lookup_ref = ray.put(lookup)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice", "o_orderdate"])
+    customer = _read(sf_dir, "customer",
+                     columns=["c_custkey", "c_nationkey"])
+    joined = orders.join(customer, join_type="inner",
+                         num_partitions=max(4, _cpus()),
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        names = pa.array([lk.get(int(k), "") for k in nk],
+                         type=pa.string())
+        year = pc.year(t.column("o_orderdate")).cast(pa.int64())
+        g = pa.table({
+            "r_name": names, "year": year,
+            "revenue": t.column("o_totalprice"),
+        }).group_by(["r_name", "year"]).aggregate(
+            [("revenue", "sum"), ("revenue", "count")])
+        return g.rename_columns(["r_name", "year", "revenue", "n_orders"])
+
+    parts = list(joined.map_batches(partial, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return pa.schema([("r_name", pa.string()), ("year", pa.int64()),
+                          ("n_orders", pa.int64()),
+                          ("revenue", pa.float64())]).empty_table()
+    g = pa.concat_tables(parts).group_by(["r_name", "year"]).aggregate(
+        [("revenue", "sum"), ("n_orders", "sum")])
+    g = g.rename_columns(["r_name", "year", "revenue", "n_orders"])
+    return pa.table({
+        "r_name": g.column("r_name"),
+        "year": g.column("year").cast(pa.int64()),
+        "n_orders": g.column("n_orders").cast(pa.int64()),
+        "revenue": pc.round(g.column("revenue"), 2),
+    })

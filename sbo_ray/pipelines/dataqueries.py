@@ -639,6 +639,27 @@ FROM d JOIN c USING (user_id)
 GROUP BY 1, 2
 """
 
+SQL_PART_BRAND_REVENUE = """
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l.l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+"""
+
+SQL_REGION_REVENUE_BY_YEAR = """
+SELECT r.r_name,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+"""
+
 SQL_CUSTOMER_NATION_AGG = """
 SELECT n.n_name,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -740,6 +761,8 @@ def data_queries() -> dict:
         "multimodal_audio_features": P.multimodal_audio_features,
         "customer_nation_agg": P.customer_nation_agg,
         "supplier_nation_revenue": P.supplier_nation_revenue,
+        "part_brand_revenue": P.part_brand_revenue,
+        "region_revenue_by_year": P.region_revenue_by_year,
         "events_retention": P.events_retention,
         "orders_mktsegment_revenue": P.orders_mktsegment_revenue,
         "lineitem_pricing_summary": P.lineitem_pricing_summary,
@@ -794,6 +817,8 @@ def data_oracle_sql() -> dict:
         "multimodal_payload_stats": SQL_MULTIMODAL_PAYLOAD_STATS,
         "customer_nation_agg": SQL_CUSTOMER_NATION_AGG,
         "supplier_nation_revenue": SQL_SUPPLIER_NATION_REVENUE,
+        "part_brand_revenue": SQL_PART_BRAND_REVENUE,
+        "region_revenue_by_year": SQL_REGION_REVENUE_BY_YEAR,
         "events_retention": SQL_EVENTS_RETENTION,
         "orders_mktsegment_revenue": SQL_ORDERS_MKTSEGMENT_REVENUE,
         "lineitem_pricing_summary": SQL_LINEITEM_PRICING,
