@@ -572,3 +572,31 @@ def test_tfidf_mathematical_tie_breaks_on_token(ray_session, tmp_path):
     w0 = want[want.doc_id == 0].sort_values("rnk")
     assert list(d0.token) == list(w0.token)
     assert list(d0.rnk) == list(w0.rnk)
+
+
+def test_knn_join_planted_neighbors(ray_session, tmp_path):
+    """Planted geometry: vectors 7 and 23 are identical, so each must be
+    the other's rank-1 neighbor at cos 1.0; every vector gets exactly k
+    neighbors; rnk is 1..k with (cos desc, neighbor asc) ordering."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import emb_knn_join
+
+    rng = np.random.RandomState(11)
+    m = rng.randn(40, 16).astype(np.float32)
+    m[23] = m[7]
+    t = pa.table({
+        "vec_id": pa.array(range(40), type=pa.int64()),
+        "embedding": pa.array([list(r) for r in m],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * 40, type=pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = emb_knn_join(str(tmp_path), k=5).to_pandas()
+    assert len(got) == 40 * 5
+    assert got.groupby("vec_id")["rnk"].apply(
+        lambda r: sorted(r) == [1, 2, 3, 4, 5]).all()
+    top7 = got[(got.vec_id == 7) & (got.rnk == 1)].iloc[0]
+    top23 = got[(got.vec_id == 23) & (got.rnk == 1)].iloc[0]
+    assert top7.neighbor_id == 23 and top7.cos == 1.0
+    assert top23.neighbor_id == 7 and top23.cos == 1.0
