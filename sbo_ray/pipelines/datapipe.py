@@ -1972,7 +1972,18 @@ def emb_knn_join(sf_dir: str, k: int = 5, n_chunks: int | None = None):
     near-certainty, while float64-vs-float64 disagreement
     probability is ~1e-13."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    B = n_chunks or max(4, int(np.sqrt(2 * _cpus())))
+    if n_chunks:
+        B = n_chunks
+    else:
+        # size chunks to ~1k vectors: the emb_dedup_cosine default
+        # (B ~ sqrt(2*cpus), i.e. n/8 per chunk) makes each group
+        # allocate O((n/B)^2) cos/key matrices — measured 235 s at 50k
+        # vectors from 36 concurrent ~1 GB-temporary groups thrashing
+        # memory vs ~10 s with ~1k-row chunks. Capped at 128: past
+        # that, B^2/2 group count + n*B replication rows dominate
+        # (exact all-pairs is O(n^2); cap the candidates, see bench).
+        n = ds.count()
+        B = int(min(128, max(4, np.sqrt(2 * _cpus()), -(-n // 1000))))
     P = _n_parts()
 
     def _rank_topk(flat_cos, rows, cols, row_ids):
@@ -1988,6 +1999,29 @@ def emb_knn_join(sf_dir: str, k: int = 5, n_chunks: int | None = None):
         return (row_ids[rows[keep]], cols[keep], flat_cos[keep],
                 rank[rank < k])
 
+    def _side_topk(cm, rid, cid):
+        """Per-ROW top-k of the cos matrix under (cos desc, col-id asc)
+        in O(na*nb) via argpartition on ONE composite int64 key
+        (1000*cos then -id; cos is already rounded to 3 so the int
+        encoding is lossless) — the flattened-lexsort formulation costs
+        O(na*nb*log) plus 3x the allocations and measured ~25x slower
+        at 6k x 6k chunk pairs. Ordering is identical, so partial
+        top-k selection stays consistent with the final merge."""
+        na, nb = cm.shape
+        key = (np.rint(cm * 1000.0).astype(np.int64) * (1 << 33)
+               - cid[None, :])
+        kk = min(k, nb)
+        if kk < nb:
+            part = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+        else:
+            part = np.broadcast_to(np.arange(nb), (na, nb)).copy()
+        pk = np.take_along_axis(key, part, axis=1)
+        order = np.argsort(-pk, axis=1, kind="stable")
+        sel = np.take_along_axis(part, order, axis=1)
+        cosv = np.take_along_axis(cm, sel, axis=1).ravel()
+        ok = cosv >= -1.5  # drop the -2.0 self sentinel
+        return (np.repeat(rid, kk)[ok], cid[sel.ravel()][ok], cosv[ok])
+
     def pair_block(g: pa.Table) -> pa.Table:
         pair_id = g.column("pair_id")[0].as_py()
         c_a, c_b = pair_id // B, pair_id % B
@@ -1999,25 +2033,21 @@ def emb_knn_join(sf_dir: str, k: int = 5, n_chunks: int | None = None):
         if c_a == c_b:
             ma, ia = m[a_mask], ids[a_mask]
             cos = np.round(ma @ ma.T, 3)
-            np.fill_diagonal(cos, -np.inf)  # exclude self
+            np.fill_diagonal(cos, -2.0)  # finite self sentinel
             sides = [(cos, ia, ia)]
         else:
             ma, ia = m[a_mask], ids[a_mask]
             mb, ib = m[~a_mask], ids[~a_mask]
             cos = np.round(ma @ mb.T, 3)
-            sides = [(cos, ia, ib), (cos.T, ib, ia)]
+            sides = [(cos, ia, ib), (np.ascontiguousarray(cos.T), ib, ia)]
         for cm, rid, cid in sides:
             if cm.size == 0:
                 continue
-            na, nb = cm.shape
-            rows = np.repeat(np.arange(na), nb)
-            cols = np.tile(cid, na)
-            vid, nid, cc, _ = _rank_topk(cm.ravel(), rows, cols, rid)
-            ok = np.isfinite(cc)  # -inf diagonal when a chunk has <k+1
+            vid, nid, cc = _side_topk(cm, rid, cid)
             outs.append(pa.table({
-                "vec_id": pa.array(vid[ok], pa.int64()),
-                "neighbor_id": pa.array(nid[ok], pa.int64()),
-                "cos": pa.array(cc[ok], pa.float64()),
+                "vec_id": pa.array(vid, pa.int64()),
+                "neighbor_id": pa.array(nid, pa.int64()),
+                "cos": pa.array(cc, pa.float64()),
             }))
         if not outs:
             return pa.schema([("vec_id", pa.int64()),
