@@ -2324,3 +2324,67 @@ def region_revenue_by_year(sf_dir: str):
         "n_orders": g.column("n_orders").cast(pa.int64()),
         "revenue": pc.round(g.column("revenue"), 2),
     })
+
+
+def doc_unigram_logprob(sf_dir: str):
+    """Corpus-unigram-LM quality score per document: the mean negative
+    log-probability of the doc's tokens under the corpus unigram
+    distribution — the classic perplexity-proxy quality filter for
+    training-data curation (high value = rare/garbled text). Same
+    two-pass shape as ``doc_tfidf``: pass 1 reuses the vocab_partial
+    block histograms (vocabulary-bounded driver merge, Heaps' law
+    contract) and broadcasts the count map ONCE; pass 2 is
+    shuffle-free — per-doc token counts and the weighted mean are
+    block-local (docs never span blocks), with the per-doc sum done by
+    one bincount over per-unique-token terms, not a token loop."""
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    parts = list(docs.map_batches(
+        T.vocab_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    empty = pa.schema([
+        ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+        ("avg_neg_logprob", pa.float64()),
+    ]).empty_table()
+    if not parts:
+        return empty
+    agg = pa.concat_tables(parts).group_by("token").aggregate(
+        [("n", "sum")])
+    total = int(pc.sum(agg.column("n_sum")).as_py() or 0)
+    if total == 0:
+        return empty
+    cnt_map = dict(zip(agg.column("token").to_pylist(),
+                       agg.column("n_sum").to_pylist()))
+    cnt_ref = ray.put(cnt_map)
+
+    def score(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cnt_ref)
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(col, " ")
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(
+            np.arange(len(batch)),
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False))
+        tf = pa.table({
+            "d": pa.array(doc_idx, pa.int64()), "token": toks.values,
+        }).group_by(["d", "token"]).aggregate([("token", "count")])
+        d = tf.column("d").to_numpy(zero_copy_only=False)
+        token = tf.column("token").to_pylist()
+        c = tf.column("token_count").to_numpy(zero_copy_only=False)
+        gc = np.fromiter((cm[t] for t in token), dtype=np.float64,
+                         count=len(token))
+        neg_lp = -np.log(gc / total)
+        n_tok = np.bincount(d, weights=c, minlength=len(batch))
+        lp_sum = np.bincount(d, weights=c * neg_lp, minlength=len(batch))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_tokens": pa.array(n_tok.astype(np.int64)),
+            "avg_neg_logprob": pa.array(
+                np.round(lp_sum / np.maximum(n_tok, 1), 6)),
+        })
+
+    out = list(docs.map_batches(score, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables(out) if out else empty

@@ -588,6 +588,22 @@ SELECT vec_id, neighbor_id, cos, rnk FROM (
 ) WHERE rnk <= 5
 """
 
+# Unigram-LM logprob mirror: same space-split tokens; ln of the same
+# double quotient on both sides (counts are exact ints < 2^53), mean
+# over ~40 terms, ROUND 6 absorbs summation-order last-ulp noise.
+SQL_DOC_UNIGRAM_LOGPROB = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), g AS (
+  SELECT t, COUNT(*) AS c FROM tok GROUP BY 1
+), n AS (SELECT SUM(c) AS total FROM g)
+SELECT tok.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(-ln(g.c / n.total)) / COUNT(*), 6) AS avg_neg_logprob
+FROM tok JOIN g ON tok.t = g.t CROSS JOIN n
+GROUP BY 1
+"""
+
 # Group-wise top-k mirror: ROW_NUMBER over the same (n_chars DESC,
 # doc_id ASC) order the engine's lexsort + cumcount encodes. ROW_NUMBER
 # is unique, so ties never widen the result past k.
@@ -755,6 +771,7 @@ def data_queries() -> dict:
         "events_funnel": P.events_funnel,
         "doc_tfidf": P.doc_tfidf,
         "emb_knn_join": P.emb_knn_join,
+        "doc_unigram_logprob": P.doc_unigram_logprob,
         "multimodal_payload_stats": P.multimodal_payload_stats,
         "multimodal_frame_sample": P.multimodal_frame_sample,
         "multimodal_features": P.multimodal_features,
@@ -805,6 +822,7 @@ def data_oracle_sql() -> dict:
         "events_funnel": SQL_EVENTS_FUNNEL,
         "doc_tfidf": SQL_DOC_TFIDF,
         "emb_knn_join": SQL_EMB_KNN_JOIN,
+        "doc_unigram_logprob": SQL_DOC_UNIGRAM_LOGPROB,
         "emb_ann_lsh": SQL_EMB_SIMILARITY_TOPK,
         "emb_ann_ivf": SQL_EMB_SIMILARITY_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,

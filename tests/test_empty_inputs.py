@@ -85,6 +85,8 @@ def test_dedup_family_empty_documents(ray_session, empty_doc_dir):
         (DP.doc_dedup_clusters_lp, ["doc_id", "cluster_id"]),
         (DP.doc_group_topk, ["doc_id", "lang", "n_chars", "rnk"]),
         (DP.doc_tfidf, ["doc_id", "token", "score", "rnk"]),
+        (DP.doc_unigram_logprob, ["doc_id", "n_tokens",
+                                  "avg_neg_logprob"]),
     ):
         out = fn(empty_doc_dir)
         assert out.num_rows == 0, fn.__name__
