@@ -601,3 +601,35 @@ def test_knn_join_planted_neighbors(ray_session, tmp_path):
     top23 = got[(got.vec_id == 23) & (got.rnk == 1)].iloc[0]
     assert top7.neighbor_id == 23 and top7.cos == 1.0
     assert top23.neighbor_id == 7 and top23.cos == 1.0
+
+
+def test_retention_cohort_and_offsets(ray_session, tmp_path):
+    """Planted cohort geometry: u1 first active day 1 and again days 2
+    and 4 (offsets 0,1,3); u2 first active day 2 only (offset 0); two
+    events on the same (user, day) count once. Cohort day-1 has one
+    user at each of its offsets, day-2 cohort has one user at offset
+    0."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import events_retention
+
+    ts = pd.to_datetime([
+        "2024-01-01 09:00:00", "2024-01-01 17:30:00",  # u1 day1 twice
+        "2024-01-02 08:00:00", "2024-01-04 23:59:59",  # u1 days 2, 4
+        "2024-01-02 12:00:00",                          # u2 day2
+    ])
+    t = pa.table({
+        "event_id": pa.array(range(5), type=pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+        "event_type": ["view"] * 5,
+        "value": pa.array([0.0] * 5),
+        "props": ['{"k": 1}'] * 5,
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = events_retention(str(tmp_path)).to_pandas()
+    got["cohort_day"] = got["cohort_day"].astype(str)
+    rows = {(r.cohort_day[:10], r.offset_days): r.n_users
+            for r in got.itertuples()}
+    assert rows == {("2024-01-01", 0): 1, ("2024-01-01", 1): 1,
+                    ("2024-01-01", 3): 1, ("2024-01-02", 0): 1}
