@@ -476,73 +476,145 @@ def doc_dedup_ngram(sf_dir: str, threshold: float = 0.4, n: int = 5,
     return pa.concat_tables(parts)
 
 
+def _lp_partition(x: np.ndarray, P: int) -> np.ndarray:
+    """int64 keys -> partition ids via a Fibonacci mixing hash (plain
+    ``x % P`` would correlate with any stride structure in the ids)."""
+    h = x.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return ((h >> np.uint64(33)) % np.uint64(P)).astype(np.int64)
+
+
+def _lp_split(keys: np.ndarray, P: int, *arrays: np.ndarray):
+    """Split parallel arrays into P shards by ``_lp_partition(keys)``;
+    one stable argsort, then contiguous slices (no per-shard scans)."""
+    p = _lp_partition(keys, P)
+    order = np.argsort(p, kind="stable")
+    bounds = np.concatenate([[0], np.cumsum(np.bincount(p, minlength=P))])
+    return [tuple(a[order[bounds[q]:bounds[q + 1]]] for a in arrays)
+            for q in range(P)]
+
+
+def _lp_propagate(P, edges, labels, *shortcut_shards):
+    """Round phase 1 (one task per edge partition): look up label[u] for
+    every (u, v) edge co-located here — ``u`` values are guaranteed
+    present in this partition's (sorted) node array because edges were
+    partitioned by the same hash — and return the (v, label) offers
+    sharded by destination partition of ``v`` (``num_returns=P``, so a
+    downstream combine task pulls only its own shard)."""
+    nodes, lab = labels
+    u, v = edges
+    if shortcut_shards:
+        u = np.concatenate([u] + [s[0] for s in shortcut_shards])
+        v = np.concatenate([v] + [s[1] for s in shortcut_shards])
+    offers = lab[np.searchsorted(nodes, u)]
+    return tuple(_lp_split(v, P, v, offers))
+
+
+def _lp_combine(P, labels, make_shortcut, *offer_shards):
+    """Round phase 2 (one task per label partition): min-merge the
+    incoming (v, label) offers into this partition's labels — grouped
+    min via the sorted-``reduceat`` idiom, and each node keeps its own
+    current label as the identity. Returns the new labels, the partial
+    label-sum (driver convergence check), and — when the next round
+    pointer-doubles — the shortcut edges ``label(u) -> u`` generated
+    from the NEW labels, pre-sharded by the partition OWNING label(u)
+    (a shortcut edge's join key is its label value)."""
+    nodes, lab = labels
+    new = lab.copy()
+    if offer_shards:
+        vs = np.concatenate([s[0] for s in offer_shards])
+        ls = np.concatenate([s[1] for s in offer_shards])
+        if len(vs):
+            idx = np.searchsorted(nodes, vs)
+            order = np.argsort(idx, kind="stable")
+            si, sl = idx[order], ls[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], si[1:] != si[:-1]]))
+            tgt = si[starts]
+            new[tgt] = np.minimum(new[tgt], np.minimum.reduceat(sl, starts))
+    psum = int(new.sum())
+    if make_shortcut:
+        m = new != nodes  # self-pointers add nothing
+        return ((nodes, new), psum, *_lp_split(new[m], P, new[m], nodes[m]))
+    return (nodes, new), psum
+
+
 def _min_label_prop(pairs_t: pa.Table, max_rounds: int = 50,
                     jump_after: int = 2) -> tuple[pa.Table, int]:
     """Distributed min-label propagation with ADAPTIVE pointer doubling
     over an undirected pair list; returns (sorted (u, label) table,
     rounds run).
 
-    Each round joins the edge list against the label table and takes
-    groupby(node).min. From round ``jump_after + 1`` on, the join input
-    also unions per-round SHORTCUT edges ``label(u) -> u`` (so a node
-    learns ``label(label(u))`` in the SAME join — pointer doubling),
-    which drops the remaining round count from O(cluster diameter) to
-    O(log diameter) — a 64-node path graph converges in ~8 rounds, not
-    63 — while each round still costs exactly one join + one groupby
-    (the shortcut table is a cheap map over the label table, <= |V|
-    rows). The doubling is gated because real near-dup graphs almost
-    always converge within 2 rounds (dense LSH clusters have tiny
-    diameters; measured 2 rounds at 4M docs) and the shortcut union
-    costs ~10% per round — pay it only when the graph is actually deep.
+    Each round is a two-phase hash shuffle over raw Ray tasks (the one
+    place the Dataset API genuinely doesn't fit: an iterative fixpoint
+    re-executes the exchange every round, and Ray Data's native
+    join + groupby pay seconds of fixed all-to-all overhead PER ROUND —
+    measured ~25 s/round at 4M docs locally vs <1 s/round for this
+    layout, identical labels). Edges are hash-partitioned by ``u`` ONCE
+    into the object store and never move again; only the label table
+    (|nodes| rows, not |corpus|) ping-pongs:
+
+      phase 1  per edge partition: vectorized ``searchsorted`` label
+               lookup, offers (v, label[u]) sharded by owner of ``v``
+               (``num_returns=P`` — each combine pulls only its shard);
+      phase 2  per label partition: grouped-min merge (sorted
+               ``reduceat``), emitting one partial label-sum.
+
+    From round ``jump_after + 1`` on, phase 2 also emits SHORTCUT edges
+    ``label(u) -> u`` pre-sharded by the partition owning label(u), so
+    phase 1 of the next round resolves ``label(label(u))`` in the same
+    lookup — pointer doubling, dropping the remaining rounds from
+    O(cluster diameter) to O(log diameter): a 64-node path graph
+    converges in ~8 rounds, not 63. The doubling is gated because real
+    near-dup graphs almost always converge within 2 rounds (dense LSH
+    clusters have tiny diameters; measured 2 rounds at 4M docs).
     Shortcut edges stay inside a component, so the fixpoint (every node
     = component min) is unchanged and monotone convergence still holds.
 
-    Only ONE number (the label-sum) reaches the driver per round —
-    min-propagation labels only ever DECREASE, so the sum is strictly
-    monotone and "sum unchanged" == "no label changed", saving the
-    per-round convergence JOIN (r3). The label table lives in the
-    object store between rounds."""
-    from ray.data.aggregate import Min
-
+    Driver traffic per round: 2P task submissions, P^2 shard refs and P
+    partial-sum ints — never row data. Min-propagation labels only ever
+    DECREASE, so the label-sum is strictly monotone and "sum unchanged"
+    == "no label changed" (the convergence check costs no extra
+    exchange). Partitioning assumption (same as ``_n_parts``): one hash
+    partition of the CANDIDATE-PAIR graph fits in a worker; raise P for
+    bigger graphs."""
     ua = pairs_t.column("id_a").to_numpy(zero_copy_only=False)
     ub = pairs_t.column("id_b").to_numpy(zero_copy_only=False)
-    edges = rd.from_arrow(pa.table({
-        "u": pa.array(np.concatenate([ua, ub]), type=pa.int64()),
-        "v": pa.array(np.concatenate([ub, ua]), type=pa.int64()),
-    }))
-    nodes = np.unique(np.concatenate([ua, ub]))
-    labels = rd.from_arrow(pa.table({
-        "u": pa.array(nodes, type=pa.int64()),
-        "label": pa.array(nodes, type=pa.int64()),
-    })).materialize()
-    n_parts = max(2, _cpus() // 2)
-    label_sum = int(labels.sum("label"))
+    u = np.concatenate([ua, ub]).astype(np.int64, copy=False)
+    v = np.concatenate([ub, ua]).astype(np.int64, copy=False)
+    nodes = np.unique(u)
+    # scale P with the graph, not the corpus: tiny graphs shouldn't pay
+    # hundreds of no-op tasks per round
+    P = max(2, min(_n_parts(), 1 + len(u) // 32768))
+    edge_refs = [ray.put(s) for s in _lp_split(u, P, u, v)]
+    # np.unique gives sorted nodes; the stable split keeps each
+    # partition's node array sorted (searchsorted relies on this)
+    label_refs = [ray.put((s[0], s[0].copy()))
+                  for s in _lp_split(nodes, P, nodes)]
+    label_sum = int(nodes.sum())
+    propagate = ray.remote(_lp_propagate)
+    combine = ray.remote(_lp_combine)
 
-    def shortcut_edges(t: pa.Table) -> pa.Table:
-        # label(u) -> u; self-pointers add nothing (u keeps its own
-        # label via the union with `labels` below), drop them
-        t = t.filter(pc.not_equal(t.column("label"), t.column("u")))
-        return pa.table({"u": t.column("label"), "v": t.column("u")})
-
+    shortcut_refs = None  # [source q][dest p] from the previous combine
     rounds = 0
     for rounds in range(1, max_rounds + 1):
-        if rounds > jump_after:
-            ptr = labels.map_batches(shortcut_edges, batch_format="pyarrow")
-            round_edges = edges.union(ptr)
-        else:
-            round_edges = edges
-        # propagate: every node offers its label to each neighbor and
-        # (past round jump_after, via the shortcut edges) to everything
-        # pointing at it...
-        prop = round_edges.join(
-            labels, join_type="inner", num_partitions=n_parts,
-            on=("u",)).select_columns(["v", "label"]) \
-            .rename_columns(["u", "label"])
-        # ...and keeps its own
-        new_labels = labels.union(prop).groupby("u").aggregate(
-            Min("label", alias_name="label")).materialize()
-        new_sum = int(new_labels.sum("label"))
-        labels = new_labels
+        offer_refs = []
+        for p in range(P):
+            extra = ([shortcut_refs[q][p] for q in range(P)]
+                     if shortcut_refs is not None else [])
+            offer_refs.append(propagate.options(num_returns=P).remote(
+                P, edge_refs[p], label_refs[p], *extra))
+        make_sc = rounds + 1 > jump_after
+        new_labels, sum_refs, shortcut_refs = [], [], ([] if make_sc else None)
+        for q in range(P):
+            out = combine.options(num_returns=2 + (P if make_sc else 0)).remote(
+                P, label_refs[q], make_sc,
+                *[offer_refs[p][q] for p in range(P)])
+            new_labels.append(out[0])
+            sum_refs.append(out[1])
+            if make_sc:
+                shortcut_refs.append(out[2:])
+        label_refs = new_labels
+        new_sum = sum(ray.get(sum_refs))
         if new_sum == label_sum:  # labels only decrease: sum fixed == converged
             break
         label_sum = new_sum
@@ -553,12 +625,13 @@ def _min_label_prop(pairs_t: pa.Table, max_rounds: int = 50,
             f"label propagation did not converge in {max_rounds} rounds; "
             f"a cluster's diameter exceeds 2^max_rounds — raise max_rounds"
         )
-    out = pa.concat_tables(labels.iter_batches(batch_format="pyarrow",
-                                               batch_size=None))
-    order = pc.sort_indices(out.column("u"))
+    parts = ray.get(label_refs)
+    nodes_all = np.concatenate([p[0] for p in parts])
+    labs_all = np.concatenate([p[1] for p in parts])
+    order = np.argsort(nodes_all, kind="stable")
     return pa.table({
-        "u": out.column("u").take(order),
-        "label": out.column("label").take(order),
+        "u": pa.array(nodes_all[order], type=pa.int64()),
+        "label": pa.array(labs_all[order], type=pa.int64()),
     }), rounds
 
 
