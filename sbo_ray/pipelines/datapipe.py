@@ -539,7 +539,8 @@ def _lp_combine(P, labels, make_shortcut, *offer_shards):
 
 
 def _min_label_prop(pairs_t: pa.Table, max_rounds: int = 50,
-                    jump_after: int = 2) -> tuple[pa.Table, int]:
+                    jump_after: int = 2,
+                    n_parts: int | None = None) -> tuple[pa.Table, int]:
     """Distributed min-label propagation with ADAPTIVE pointer doubling
     over an undirected pair list; returns (sorted (u, label) table,
     rounds run).
@@ -583,8 +584,9 @@ def _min_label_prop(pairs_t: pa.Table, max_rounds: int = 50,
     v = np.concatenate([ub, ua]).astype(np.int64, copy=False)
     nodes = np.unique(u)
     # scale P with the graph, not the corpus: tiny graphs shouldn't pay
-    # hundreds of no-op tasks per round
-    P = max(2, min(_n_parts(), 1 + len(u) // 32768))
+    # hundreds of no-op tasks per round (n_parts overrides, for tests
+    # that pin the cross-partition shard routing at high P)
+    P = n_parts or max(2, min(_n_parts(), 1 + len(u) // 32768))
     edge_refs = [ray.put(s) for s in _lp_split(u, P, u, v)]
     # np.unique gives sorted nodes; the stable split keeps each
     # partition's node array sorted (searchsorted relies on this)
@@ -1951,13 +1953,17 @@ def doc_tfidf(sf_dir: str, k: int = 3):
             col = col.combine_chunks()
         toks = pc.split_pattern(col, " ")
         doc_idx = np.repeat(
-            np.arange(len(batch)),
+            np.arange(len(batch), dtype=np.int64),
             pc.list_value_length(toks).to_numpy(zero_copy_only=False))
-        pairs = pa.table({
-            "d": pa.array(doc_idx, pa.int64()), "token": toks.values,
-        }).group_by(["d", "token"]).aggregate([])  # per-doc DISTINCT
-        g = pairs.group_by("token").aggregate([("d", "count")])
-        g = g.rename_columns(["token", "df_n"])
+        # per-doc DISTINCT via int composite keys over batch-local
+        # dictionary codes — string group_by here was ~6x the cost
+        enc = toks.values.dictionary_encode()
+        nv = len(enc.dictionary)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(doc_idx * max(nv, 1) + codes)
+        df_n = np.bincount(uniq % max(nv, 1), minlength=nv)
+        g = pa.table({"token": enc.dictionary,
+                      "df_n": pa.array(df_n[:nv], pa.int64())})
         return g.append_column(
             "n_docs", pa.array([len(batch)] + [0] * (g.num_rows - 1)
                                if g.num_rows else [], pa.int64()))
@@ -1977,32 +1983,34 @@ def doc_tfidf(sf_dir: str, k: int = 3):
     if n_docs == 0:
         return empty
     dfa = merged.group_by("token").aggregate([("df_n", "sum")])
-    df_map = dict(zip(dfa.column("token").to_pylist(),
-                      dfa.column("df_n_sum").to_pylist()))
-    df_ref = ray.put(df_map)
+    # broadcast the vocabulary SORTED: index_in positions then double as
+    # the alphabetical tie-break codes (token ASC), globally consistent
+    order = pc.sort_indices(dfa.column("token"))
+    vocab = dfa.column("token").take(order).combine_chunks()
+    df_arr = dfa.column("df_n_sum").take(order).to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    df_ref = ray.put((vocab, df_arr))
 
     def topk_scores(batch: pa.Table) -> pa.Table:
-        dfm = ray.get(df_ref)
+        vocab_a, df_v = ray.get(df_ref)
         col = batch.column("text")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         toks = pc.split_pattern(col, " ")
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         doc_idx = np.repeat(
-            np.arange(len(batch)),
+            np.arange(len(batch), dtype=np.int64),
             pc.list_value_length(toks).to_numpy(zero_copy_only=False))
-        tf = pa.table({
-            "d": pa.array(doc_idx, pa.int64()), "token": toks.values,
-        }).group_by(["d", "token"]).aggregate([("token", "count")])
-        d = tf.column("d").to_numpy(zero_copy_only=False)
-        token = np.asarray(tf.column("token").to_pylist(), dtype=object)
-        c = tf.column("token_count").to_numpy(zero_copy_only=False)
-        df_v = np.fromiter((dfm[t] for t in token), dtype=np.float64,
-                           count=len(token))
-        score = np.round(c * np.log(n_docs / df_v), 6)
-        # codes from np.unique are alphabetical, preserving token ASC
-        _, tcode = np.unique(token, return_inverse=True)
-        order = np.lexsort((tcode, -score, d))
+        # tf per (doc, token) via int composite keys over global vocab
+        # positions — no Python strings anywhere in the hot path (the
+        # string-group_by + to_pylist + dict-lookup version was ~10x)
+        nv = len(vocab_a)
+        tcode = pc.index_in(toks.values, value_set=vocab_a).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uk, c = np.unique(doc_idx * nv + tcode, return_counts=True)
+        d, tc = uk // nv, uk % nv
+        score = np.round(c * np.log(n_docs / df_v[tc]), 6)
+        order = np.lexsort((tc, -score, d))
         sd = d[order]
         new_grp = np.ones(len(sd), dtype=bool)
         new_grp[1:] = sd[1:] != sd[:-1]
@@ -2012,7 +2020,7 @@ def doc_tfidf(sf_dir: str, k: int = 3):
         keep = order[rank < k]
         return pa.table({
             "doc_id": pa.array(doc_ids[d[keep]], pa.int64()),
-            "token": pa.array(token[keep], pa.string()),
+            "token": vocab_a.take(pa.array(tc[keep])),
             "score": pa.array(score[keep], pa.float64()),
             "rnk": pa.array(rank[rank < k] + 1, pa.int64()),
         })

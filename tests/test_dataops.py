@@ -394,6 +394,29 @@ def test_min_label_prop_pointer_doubling(ray_session):
     assert rounds <= 10, f"pointer doubling should need ~log2(63) rounds, took {rounds}"
 
 
+def test_min_label_prop_many_partitions(ray_session):
+    """Pin the raw-task shuffle's cross-partition routing at high P:
+    with n_parts=7 every round fans offers (and, past round 2, shortcut
+    shards) across 7x7 ref routes, and node/edge partitions are sparse.
+    Same fixpoint as P=2 on a deep path + disjoint star + isolated
+    pair, and still O(log diameter) rounds."""
+    from sbo_ray.pipelines.datapipe import _min_label_prop
+
+    # path 0..40, star centered at 500 with leaves 501..520, pair (900, 901)
+    a = list(range(40)) + [500] * 20 + [900]
+    b = list(range(1, 41)) + list(range(501, 521)) + [901]
+    pairs = pa.table({"id_a": pa.array(a, type=pa.int64()),
+                      "id_b": pa.array(b, type=pa.int64())})
+    out, rounds = _min_label_prop(pairs, max_rounds=15, n_parts=7)
+    got = dict(zip(out.column("u").to_pylist(), out.column("label").to_pylist()))
+    assert all(got[i] == 0 for i in range(41))
+    assert all(got[i] == 500 for i in range(500, 521))
+    assert got[900] == 900 and got[901] == 900
+    assert rounds <= 9, f"took {rounds}"
+    ref, _ = _min_label_prop(pairs, max_rounds=15, n_parts=2)
+    assert ref.equals(out)
+
+
 def test_pii_and_repetition_function_edges():
     from sbo_ray.functions.text import pii_redact, repetition_stats, vocab_partial
 
