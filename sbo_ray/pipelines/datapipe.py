@@ -47,19 +47,47 @@ def _n_parts() -> int:
 # ---- dedup -----------------------------------------------------------------
 
 
+def _hash_part_col(t: pa.Table, P: int) -> pa.Table:
+    return t.append_column("part", pa.array(
+        t.column("text_hash").to_numpy(zero_copy_only=False) % P))
+
+
+def _min_doc_per_hash(g: pd.DataFrame, with_counts: bool) -> pd.DataFrame:
+    """Per-partition vectorized dedup kernel: min doc_id (and optionally
+    the duplicate count) per distinct text_hash — one lexsort + segment
+    boundaries, no per-key work."""
+    h = g["text_hash"].to_numpy()
+    d = g["doc_id"].to_numpy()
+    order = np.lexsort((d, h))
+    hs, ds_ = h[order], d[order]
+    new = np.ones(len(hs), dtype=bool)
+    new[1:] = hs[1:] != hs[:-1]
+    if not with_counts:
+        return pd.DataFrame({"doc_id": ds_[new]})
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(hs)))
+    return pd.DataFrame({"doc_id": ds_[starts], "n_dupes": counts})
+
+
 def doc_dedup_exact(sf_dir: str):
     """Exact dedup: hash-partitioned min(doc_id)+count per distinct text.
-    Only the 16-byte hash + ids shuffle; payload stays put."""
-    from ray.data.aggregate import Count, Min
+    Only the 8-byte hash + ids shuffle; payload stays put.
+
+    Partition-grouped (see ``_n_parts``): with ~4M mostly-distinct keys,
+    Ray's native ``groupby(key).aggregate`` sort-aggregates the whole
+    exchange (49 s at 4M docs); shuffling the same rows to P hash
+    partitions and doing the per-key min+count vectorized inside each
+    (``_min_doc_per_hash``) is 6.4 s — identical rows."""
+    P = _n_parts()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return _hash_part_col(D.add_text_hash(t), P).select(
+            ["doc_id", "text_hash", "part"])
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    hashed = ds.map_batches(D.add_text_hash, batch_format="pyarrow").select_columns(
-        ["doc_id", "text_hash"]
-    )
-    agg = hashed.groupby("text_hash").aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dupes")
-    )
-    return agg.select_columns(["doc_id", "n_dupes"])
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: _min_doc_per_hash(g, with_counts=True))
 
 
 def doc_sample_hash(sf_dir: str, rate: float = 0.1, salt: str = "s1"):
@@ -1031,8 +1059,6 @@ def doc_curation_pipeline(sf_dir: str, lang: str = "en",
     minhash-verify pattern). Output: the kept doc_ids with their stats —
     exactly what a 100 TB curation job materializes (plus the filtered
     corpus itself via the same broadcast filter)."""
-    from ray.data.aggregate import Min
-
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def annotate(batch: pa.Table) -> pa.Table:
@@ -1051,8 +1077,16 @@ def doc_curation_pipeline(sf_dir: str, lang: str = "en",
     # annotated columns are tiny (no text): materialize once so the
     # representative-pick and the filter pass reuse the same scan
     ann = ds.map_batches(annotate, batch_format="pyarrow").materialize()
-    # the ONLY shuffle: min doc_id per distinct text (8-byte keys)
-    reps = ann.groupby("text_hash").aggregate(Min("doc_id", alias_name="doc_id"))
+    # the ONLY shuffle: min doc_id per distinct text (8-byte keys) —
+    # partition-grouped like doc_dedup_exact (native groupby.aggregate
+    # over ~4M mostly-distinct keys sort-aggregates at ~8x the cost)
+    P = _n_parts()
+    reps = ann.map_batches(
+        lambda t: _hash_part_col(t, P).select(
+            ["doc_id", "text_hash", "part"]),
+        batch_format="pyarrow",
+    ).groupby("part").map_groups(
+        lambda g: _min_doc_per_hash(g, with_counts=False))
     rep_ids = pa.concat_tables(
         reps.select_columns(["doc_id"]).iter_batches(batch_format="pyarrow",
                                                      batch_size=None)
