@@ -116,7 +116,6 @@ def minhash_bands(batch: pa.Table, n_perm: int = 64, bands: int = 16,
     tests. Docs with < 3 words get a single degenerate shingle."""
     n = batch.num_rows
     empty = pa.table({
-        "band": pa.array([], type=pa.int32()),
         "band_hash": pa.array([], type=pa.int64()),
         "doc_id": pa.array([], type=pa.int64()),
     })
@@ -169,9 +168,15 @@ def minhash_bands(batch: pa.Table, n_perm: int = 64, bands: int = 16,
     for r in range(rows_per_band):
         band_hash ^= (sig[:, r::rows_per_band][:, :bands] + np.uint64(r)) * (
             d1 if r % 2 == 0 else d2)
+    # fold the band INDEX into the 64-bit bucket hash instead of
+    # shipping it as its own column: docs agreeing on a band still
+    # collide (same values, same index -> same hash), and a cross-band
+    # 64-bit collision merely adds a candidate pair the exact-Jaccard
+    # verify filters — one less column through the 64M-row LSH shuffle
+    band_hash ^= (np.arange(1, bands + 1, dtype=np.uint64)[None, :]
+                  * np.uint64(0x9E3779B97F4A7C15))
     ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({
-        "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
         "band_hash": pa.array(band_hash.reshape(-1).astype(np.int64)),
         "doc_id": pa.array(np.repeat(ids, bands)),
     })

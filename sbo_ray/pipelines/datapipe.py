@@ -196,12 +196,11 @@ def doc_dedup_minhash(sf_dir: str, threshold: float = 0.8):
         # one call per HASH PARTITION (P total), vectorized grouping
         # inside — per-bucket map_groups paid ~60us x millions of tiny
         # buckets; see _n_parts
-        g = g.sort_values(["band", "band_hash", "doc_id"], kind="stable")
-        band = g["band"].to_numpy()
+        g = g.sort_values(["band_hash", "doc_id"], kind="stable")
         bh = g["band_hash"].to_numpy()
         ids = g["doc_id"].to_numpy()
         nb = np.ones(len(g), dtype=bool)
-        nb[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        nb[1:] = bh[1:] != bh[:-1]
         bounds = np.append(np.flatnonzero(nb), len(g))
         outs_a, outs_b = [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
@@ -231,22 +230,62 @@ def doc_dedup_minhash(sf_dir: str, threshold: float = 0.8):
     })
     if cand.empty or "id_a" not in cand.columns:
         return empty
-    pair_list = sorted(set(map(tuple, cand.values.tolist())))
-    # distributed verify: two slot rows per pair, joined to the corpus;
-    # per-pair Jaccard runs partition-grouped (see _n_parts)
-    npairs = len(pair_list)
-    slots = rd.from_arrow(pa.table({
-        "pair_id": pa.array(
-            [i for i in range(npairs) for _ in (0, 1)], type=pa.int64()),
-        "part": pa.array(
-            [i % P for i in range(npairs) for _ in (0, 1)], type=pa.int64()),
-        "id_a": pa.array([p[0] for p in pair_list for _ in (0, 1)], type=pa.int64()),
-        "id_b": pa.array([p[1] for p in pair_list for _ in (0, 1)], type=pa.int64()),
-        "side": pa.array([s for _ in pair_list for s in (0, 1)], type=pa.int64()),
-        "doc_id": pa.array([x for p in pair_list for x in p], type=pa.int64()),
-    }))
-    joined = slots.join(ds, join_type="inner",
-                        num_partitions=max(4, _cpus() // 2), on=("doc_id",))
+    # canonical pair order + dedupe, vectorized (the sorted(set(...))
+    # over tuples cost seconds of driver Python at 200k pairs)
+    cn = cand.to_numpy()
+    order = np.lexsort((cn[:, 1], cn[:, 0]))
+    cn = cn[order]
+    keep = np.ones(len(cn), dtype=bool)
+    keep[1:] = (cn[1:, 0] != cn[:-1, 0]) | (cn[1:, 1] != cn[:-1, 1])
+    pairs = cn[keep]
+    npairs = len(pairs)
+    # distributed verify WITHOUT a corpus-wide join: the (doc -> pair
+    # slots) map is bounded by the candidate-pair list (the same object
+    # already on the driver), so broadcast it sorted by doc_id and emit
+    # (pair_id, side, text) slot rows straight from the corpus scan via
+    # searchsorted — only candidate TEXTS enter the part shuffle. The
+    # native slots.join(corpus) alternative hash-partitioned all 4M
+    # texts for 400k slots (~2x the wall time of this whole verify).
+    slot_doc = pairs.reshape(-1)  # [a0, b0, a1, b1, ...]
+    so = np.argsort(slot_doc, kind="stable")
+    bc_ref = ray.put((slot_doc[so],
+                      np.repeat(np.arange(npairs, dtype=np.int64), 2)[so],
+                      np.tile(np.array([0, 1], dtype=np.int64), npairs)[so],
+                      pairs))
+
+    def emit_slots(t: pa.Table) -> pa.Table:
+        sd, sp, ss, prs = ray.get(bc_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(sd, ids, "left")
+        cnt = np.searchsorted(sd, ids, "right") - lo
+        m = cnt > 0
+        tot = cnt[m]
+        n_out = int(tot.sum())
+        if n_out == 0:
+            return pa.table({
+                "pair_id": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int64()),
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "side": pa.array([], pa.int64()),
+                "text": pa.array([], t.schema.field("text").type),
+            })
+        # flatten each matching row's [lo, lo+cnt) slot range
+        pos = (np.arange(n_out, dtype=np.int64)
+               - np.repeat(np.cumsum(tot) - tot, tot)
+               + np.repeat(lo[m], tot))
+        pid = sp[pos]
+        rows = np.repeat(np.flatnonzero(m), tot)
+        return pa.table({
+            "pair_id": pa.array(pid, pa.int64()),
+            "part": pa.array(pid % P, pa.int64()),
+            "id_a": pa.array(prs[pid, 0], pa.int64()),
+            "id_b": pa.array(prs[pid, 1], pa.int64()),
+            "side": pa.array(ss[pos], pa.int64()),
+            "text": t.column("text").take(pa.array(rows)),
+        })
+
+    joined = ds.map_batches(emit_slots, batch_format="pyarrow")
 
     def verify_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["pair_id", "side"], kind="stable")
