@@ -979,6 +979,105 @@ def doc_repetition_stats(sf_dir: str):
     )
 
 
+def doc_pack_sequences(sf_dir: str, seq_len: int = 512,
+                       chunk_docs: int = 4096):
+    """GPT-style sequence PACKING: concatenate every document's tokens
+    in doc_id order and split the stream into fixed ``seq_len``-token
+    training sequences; emit, per document, its global token offset and
+    the first/last sequence it lands in (documents may span a sequence
+    boundary — the standard LM-pretraining layout).
+
+    Engine shape — a distributed PREFIX SUM (scan), the one primitive
+    the rest of the repo didn't need yet:
+
+      pass 1  block-local partial token-sums per doc-id CHUNK
+              (``chunk = doc_id // chunk_docs``; the chunk table is
+              corpus_size/chunk_docs rows — bounded, driver-merged),
+              then an exclusive cumsum over the sorted chunk table
+              gives each chunk's global base offset, broadcast once;
+      pass 2  docs shuffle partition-grouped by chunk (ids + token
+              counts only — text never enters the exchange); inside a
+              partition one sort + exclusive cumsum per chunk segment,
+              plus the broadcast base, yields exact global offsets.
+
+    Offsets are exact and independent of block/partition boundaries.
+    Partitioning assumption (same as ``_n_parts``): one hash partition
+    of (doc_id, n_tokens) rows fits in a worker."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    P = _n_parts()
+
+    def _tok_counts(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        col = t.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n_tok = pc.list_value_length(pc.split_pattern(col, " ")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return ids, n_tok
+
+    def chunk_partials(t: pa.Table) -> pa.Table:
+        ids, n_tok = _tok_counts(t)
+        uk, inv = np.unique(ids // chunk_docs, return_inverse=True)
+        sums = np.bincount(inv, weights=n_tok).astype(np.int64)
+        return pa.table({"chunk": pa.array(uk, pa.int64()),
+                         "tok_sum": pa.array(sums, pa.int64())})
+
+    parts = list(ds.map_batches(
+        chunk_partials, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    empty = pa.schema([
+        ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+        ("tok_offset", pa.int64()), ("seq_first", pa.int64()),
+        ("seq_last", pa.int64()),
+    ]).empty_table()
+    if not parts:
+        return empty
+    merged = pa.concat_tables(parts).group_by("chunk").aggregate(
+        [("tok_sum", "sum")])
+    order = pc.sort_indices(merged.column("chunk"))
+    chunk_ids = merged.column("chunk").take(order).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    sums = merged.column("tok_sum_sum").take(order).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    bases = np.cumsum(sums) - sums  # exclusive: tokens before this chunk
+    base_ref = ray.put((chunk_ids, bases))
+
+    def id_count_rows(t: pa.Table) -> pa.Table:
+        ids, n_tok = _tok_counts(t)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "part": pa.array((ids // chunk_docs) % P),
+        })
+
+    def pack_part(g: pd.DataFrame) -> pd.DataFrame:
+        cids, cbases = ray.get(base_ref)
+        ids = g["doc_id"].to_numpy()
+        nt = g["n_tokens"].to_numpy()
+        o = np.argsort(ids, kind="stable")  # chunk is monotone in doc_id
+        ids_s, nt_s = ids[o], nt[o]
+        ck = ids_s // chunk_docs
+        csum = np.cumsum(nt_s) - nt_s
+        new = np.ones(len(ids_s), dtype=bool)
+        new[1:] = ck[1:] != ck[:-1]
+        first = np.maximum.accumulate(
+            np.where(new, np.arange(len(ids_s)), 0))
+        off = (csum - csum[first]
+               + cbases[np.searchsorted(cids, ck)])
+        return pd.DataFrame({
+            "doc_id": ids_s, "n_tokens": nt_s, "tok_offset": off,
+            "seq_first": off // seq_len,
+            "seq_last": (off + nt_s - 1) // seq_len,
+        })
+
+    out = list(ds.map_batches(id_count_rows, batch_format="pyarrow")
+               .groupby("part").map_groups(pack_part)
+               .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not out:
+        return empty
+    return pa.concat_tables(out).select(empty.schema.names).cast(empty.schema)
+
+
 def doc_group_topk(sf_dir: str, k: int = 3):
     """Group-wise top-k: the k largest documents per language by
     (n_chars DESC, doc_id ASC). Engine shape: each block keeps at most

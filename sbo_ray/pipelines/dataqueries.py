@@ -604,6 +604,27 @@ FROM tok JOIN g ON tok.t = g.t CROSS JOIN n
 GROUP BY 1
 """
 
+# Sequence-packing mirror: the engine's two-pass distributed prefix
+# sum == one window cumsum in doc_id order; whitespace token counts
+# match pc.split_pattern (both count empty segments).
+SQL_DOC_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_offset,
+       tok_offset // 512 AS seq_first,
+       (tok_offset + n_tokens - 1) // 512 AS seq_last
+FROM o
+"""
+
 # Group-wise top-k mirror: ROW_NUMBER over the same (n_chars DESC,
 # doc_id ASC) order the engine's lexsort + cumcount encodes. ROW_NUMBER
 # is unique, so ties never widen the result past k.
@@ -768,6 +789,7 @@ def data_queries() -> dict:
         "events_transitions": P.events_transitions,
         "events_quantiles": P.events_quantiles,
         "doc_group_topk": P.doc_group_topk,
+        "doc_pack_sequences": P.doc_pack_sequences,
         "events_funnel": P.events_funnel,
         "doc_tfidf": P.doc_tfidf,
         "emb_knn_join": P.emb_knn_join,
@@ -819,6 +841,7 @@ def data_oracle_sql() -> dict:
         "events_transitions": SQL_EVENTS_TRANSITIONS,
         "events_quantiles": SQL_EVENTS_QUANTILES,
         "doc_group_topk": SQL_DOC_GROUP_TOPK,
+        "doc_pack_sequences": SQL_DOC_PACK_SEQUENCES,
         "events_funnel": SQL_EVENTS_FUNNEL,
         "doc_tfidf": SQL_DOC_TFIDF,
         "emb_knn_join": SQL_EMB_KNN_JOIN,

@@ -417,6 +417,37 @@ def test_min_label_prop_many_partitions(ray_session):
     assert ref.equals(out)
 
 
+def test_pack_sequences_planted(ray_session, tmp_path):
+    """Pin the distributed prefix sum on hand-built token counts:
+    tok_offset must equal the exclusive cumsum in doc_id order, a doc
+    straddling a sequence boundary must span seq_first < seq_last, and
+    chunk_docs=4 forces multiple chunks so the broadcast chunk bases
+    and within-chunk cumsums both participate."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import doc_pack_sequences
+
+    counts = [3, 5, 4, 2, 7, 1, 6, 3, 2, 9]
+    texts = [" ".join(f"w{i}" for i in range(c)) for c in counts]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = doc_pack_sequences(
+        str(tmp_path), seq_len=8, chunk_docs=4).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    assert got["tok_offset"].tolist() == offs.tolist()
+    assert got["n_tokens"].tolist() == counts
+    assert got["seq_first"].tolist() == (offs // 8).tolist()
+    last = (offs + np.array(counts) - 1) // 8
+    assert got["seq_last"].tolist() == last.tolist()
+    # doc 2 (offset 8? no: offsets are 0,3,8,12,14,21,22,28,31,33):
+    # doc 4 spans tokens 14..20 -> sequences 1..2 (a straddler exists)
+    assert (got["seq_last"] > got["seq_first"]).any()
+
+
 def test_pii_and_repetition_function_edges():
     from sbo_ray.functions.text import pii_redact, repetition_stats, vocab_partial
 

@@ -87,6 +87,8 @@ def test_dedup_family_empty_documents(ray_session, empty_doc_dir):
         (DP.doc_tfidf, ["doc_id", "token", "score", "rnk"]),
         (DP.doc_unigram_logprob, ["doc_id", "n_tokens",
                                   "avg_neg_logprob"]),
+        (DP.doc_pack_sequences, ["doc_id", "n_tokens", "tok_offset",
+                                 "seq_first", "seq_last"]),
     ):
         out = fn(empty_doc_dir)
         assert out.num_rows == 0, fn.__name__
