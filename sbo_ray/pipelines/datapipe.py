@@ -169,6 +169,64 @@ def doc_decontaminate(sf_dir: str, blocklist: tuple[str, ...] | None = None):
         scan, batch_format="pyarrow")
 
 
+def doc_decontaminate_ngram(sf_dir: str,
+                            blocklist: tuple[str, ...] | None = None,
+                            n: int = 3):
+    """N-GRAM overlap decontamination — the realistic benchmark-leak
+    test (how WMDP/benchmark decontamination is actually run): a doc is
+    contaminated if it shares ANY word n-gram with a blocklist phrase,
+    catching partial/reworded inclusions the whole-phrase substring
+    scan (``doc_decontaminate``) misses.
+
+    Engine shape: the blocklist's n-gram STRING set (tiny — grams of a
+    handful of phrases) is broadcast once; each block builds its docs'
+    n-grams vectorized (one whitespace split, two shifted
+    ``binary_join_element_wise`` concats over the flat word array,
+    doc-boundary grams masked) and counts exact membership via
+    ``pc.is_in`` + per-doc ``bincount``. No shuffle, no hashing —
+    string-exact, so the SQL mirror (unnest n-grams, IN blocklist
+    grams) gates it value-for-value."""
+    phrases = tuple(blocklist) if blocklist is not None else _DECONTAM_DEFAULT
+    grams = set()
+    for p in phrases:
+        ws = p.split(" ")
+        grams.update(" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1))
+    gram_ref = ray.put(pa.array(sorted(grams), pa.string()))
+
+    def scan(t: pa.Table) -> pa.Table:
+        gset = ray.get(gram_ref)
+        col = t.column("text")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        # split_pattern " " == DuckDB string_split (keeps empty tokens)
+        words = pc.split_pattern(col, " ")
+        offsets = words.offsets.to_numpy().astype(np.int64)
+        flat = words.values
+        nw = len(flat)
+        hits = np.zeros(t.num_rows, dtype=np.int64)
+        if nw >= n:
+            parts = [flat.slice(k, nw - n + 1) for k in range(n)]
+            doc_grams = parts[0]
+            for p_ in parts[1:]:
+                doc_grams = pc.binary_join_element_wise(doc_grams, p_, " ")
+            hit = pc.is_in(doc_grams, value_set=gset).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            # drop grams that straddle a doc boundary: gram at flat
+            # position i belongs to the doc iff i + n <= doc's end
+            doc_idx = np.repeat(
+                np.arange(t.num_rows), np.diff(offsets))[:nw - n + 1]
+            valid = (np.arange(nw - n + 1) + n) <= offsets[1:][doc_idx]
+            hits = np.bincount(doc_idx, weights=hit * valid,
+                               minlength=t.num_rows).astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "contaminated": pa.array((hits > 0).astype(np.int64)),
+            "n_hits": pa.array(hits),
+        })
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        scan, batch_format="pyarrow")
+
+
 def doc_dedup_minhash(sf_dir: str, threshold: float = 0.8):
     """MinHash+LSH near-dup pairs: shingle->minhash->band rows ->
     bucket groupby -> candidate pairs -> exact-Jaccard verify.

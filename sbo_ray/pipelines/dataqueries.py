@@ -52,6 +52,40 @@ SELECT doc_id,
 FROM documents
 """
 
+# n-gram decontamination mirror: same 3-word-grams (string_split keeps
+# empty tokens, matching the engine's split_pattern), counted per gram
+# POSITION; blocklist grams inlined as literals (tiny by contract)
+def _decontam_grams(n: int = 3) -> list[str]:
+    from .datapipe import _DECONTAM_DEFAULT
+    out = set()
+    for p in _DECONTAM_DEFAULT:
+        ws = p.split(" ")
+        out.update(" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1))
+    return sorted(out)
+
+
+SQL_DOC_DECONTAMINATE_NGRAM = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) < 3 THEN []
+         ELSE list_transform(range(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+    END) AS gram
+  FROM w
+), h AS (
+  SELECT doc_id, COUNT(*) AS c FROM g
+  WHERE gram IN ({_sql_list(_decontam_grams())})
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN COALESCE(h.c, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated,
+       CAST(COALESCE(h.c, 0) AS BIGINT) AS n_hits
+FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+"""
+
 SQL_DOC_DEDUP_EXACT = """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_dupes
@@ -790,6 +824,7 @@ def data_queries() -> dict:
         "events_quantiles": P.events_quantiles,
         "doc_group_topk": P.doc_group_topk,
         "doc_pack_sequences": P.doc_pack_sequences,
+        "doc_decontaminate_ngram": P.doc_decontaminate_ngram,
         "events_funnel": P.events_funnel,
         "doc_tfidf": P.doc_tfidf,
         "emb_knn_join": P.emb_knn_join,
@@ -842,6 +877,7 @@ def data_oracle_sql() -> dict:
         "events_quantiles": SQL_EVENTS_QUANTILES,
         "doc_group_topk": SQL_DOC_GROUP_TOPK,
         "doc_pack_sequences": SQL_DOC_PACK_SEQUENCES,
+        "doc_decontaminate_ngram": SQL_DOC_DECONTAMINATE_NGRAM,
         "events_funnel": SQL_EVENTS_FUNNEL,
         "doc_tfidf": SQL_DOC_TFIDF,
         "emb_knn_join": SQL_EMB_KNN_JOIN,

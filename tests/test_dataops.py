@@ -417,6 +417,35 @@ def test_min_label_prop_many_partitions(ray_session):
     assert ref.equals(out)
 
 
+def test_decontaminate_ngram_planted(ray_session, tmp_path):
+    """Pin the n-gram overlap semantics: a PARTIAL phrase inclusion
+    (3 of 4 words) must flag where the substring scan would not; a
+    repeated gram counts per position; a doc ending with the first
+    words of a blocklist phrase must NOT match across the doc boundary
+    into the next doc's words; short docs (<3 words) never match."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import doc_decontaminate_ngram
+
+    texts = [
+        "intro table value part ending",          # gram 'table value part'
+        "table value part hash table value part", # 2 positions hit
+        "clean words only here",                  # no hit
+        "ends with table value",                  # boundary: next doc
+        "part hash something",                    # starts with rest
+        "xy",                                     # <3 words
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = doc_decontaminate_ngram(str(tmp_path)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert got["n_hits"].tolist() == [1, 3, 0, 0, 0, 0]
+    assert got["contaminated"].tolist() == [1, 1, 0, 0, 0, 0]
+
+
 def test_pack_sequences_planted(ray_session, tmp_path):
     """Pin the distributed prefix sum on hand-built token counts:
     tok_offset must equal the exclusive cumsum in doc_id order, a doc

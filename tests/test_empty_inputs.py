@@ -93,6 +93,8 @@ def test_dedup_family_empty_documents(ray_session, empty_doc_dir):
         out = fn(empty_doc_dir)
         assert out.num_rows == 0, fn.__name__
         assert out.schema.names == cols, fn.__name__
+    # streaming scan ops return a Dataset; empty input -> zero rows
+    assert DP.doc_decontaminate_ngram(empty_doc_dir).count() == 0
 
 
 def test_funnel_empty_events(ray_session, tmp_path):
