@@ -2664,29 +2664,32 @@ def doc_unigram_logprob(sf_dir: str):
     total = int(pc.sum(agg.column("n_sum")).as_py() or 0)
     if total == 0:
         return empty
-    cnt_map = dict(zip(agg.column("token").to_pylist(),
-                       agg.column("n_sum").to_pylist()))
-    cnt_ref = ray.put(cnt_map)
+    # broadcast the vocabulary SORTED with its count array — pass 2
+    # works entirely in index_in positions (the string-group_by +
+    # to_pylist + dict-lookup version was ~2x the whole query; same
+    # int-composite-key idiom as doc_tfidf)
+    order = pc.sort_indices(agg.column("token"))
+    vocab = agg.column("token").take(order).combine_chunks()
+    cnt_arr = agg.column("n_sum").take(order).to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    cnt_ref = ray.put((vocab, cnt_arr))
 
     def score(batch: pa.Table) -> pa.Table:
-        cm = ray.get(cnt_ref)
+        vocab_a, gc_arr = ray.get(cnt_ref)
         col = batch.column("text")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         toks = pc.split_pattern(col, " ")
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         doc_idx = np.repeat(
-            np.arange(len(batch)),
+            np.arange(len(batch), dtype=np.int64),
             pc.list_value_length(toks).to_numpy(zero_copy_only=False))
-        tf = pa.table({
-            "d": pa.array(doc_idx, pa.int64()), "token": toks.values,
-        }).group_by(["d", "token"]).aggregate([("token", "count")])
-        d = tf.column("d").to_numpy(zero_copy_only=False)
-        token = tf.column("token").to_pylist()
-        c = tf.column("token_count").to_numpy(zero_copy_only=False)
-        gc = np.fromiter((cm[t] for t in token), dtype=np.float64,
-                         count=len(token))
-        neg_lp = -np.log(gc / total)
+        nv = len(vocab_a)
+        tcode = pc.index_in(toks.values, value_set=vocab_a).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uk, c = np.unique(doc_idx * nv + tcode, return_counts=True)
+        d, tc = uk // nv, uk % nv
+        neg_lp = -np.log(gc_arr[tc] / total)
         n_tok = np.bincount(d, weights=c, minlength=len(batch))
         lp_sum = np.bincount(d, weights=c * neg_lp, minlength=len(batch))
         return pa.table({
