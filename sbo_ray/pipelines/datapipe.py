@@ -126,10 +126,14 @@ def doc_sample_stratified(sf_dir: str, rates: dict[str, float] | None = None,
                 t.column("text").cast(pa.string()), salt, "")),
             column="__salted",
         ).column("text_hash").to_numpy(zero_copy_only=False)
-        langs = t.column("lang").to_pylist()
-        th = np.fromiter(
-            (int(rates.get(lg, default_rate) * (1 << 63)) for lg in langs),
-            dtype=np.int64, count=len(langs))
+        # vectorized per-stratum thresholds: one equality mask per rate
+        # entry (rate maps are tiny by contract), not per-row Python
+        lang_col = t.column("lang")
+        th = np.full(t.num_rows, int(default_rate * (1 << 63)),
+                     dtype=np.int64)
+        for lg, r in rates.items():
+            m = pc.equal(lang_col, lg).to_numpy(zero_copy_only=False)
+            th[m] = int(r * (1 << 63))
         return t.filter(pa.array(h < th)).select(["doc_id", "lang"])
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
