@@ -417,6 +417,27 @@ def test_min_label_prop_many_partitions(ray_session):
     assert ref.equals(out)
 
 
+def test_exact_dedup_single_hot_key(ray_session, tmp_path):
+    """Worst case for the partition-grouped rep-pick: EVERY doc is the
+    same text, so one hash partition receives the whole corpus and the
+    per-partition kernel must still emit exactly one representative
+    with the full duplicate count (min doc_id wins)."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import doc_dedup_exact
+
+    n = 5000
+    t = pa.table({
+        "doc_id": pa.array(range(100, 100 + n), type=pa.int64()),
+        "text": pa.array(["same text for everyone"] * n, type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = doc_dedup_exact(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    assert got.loc[0, "doc_id"] == 100
+    assert got.loc[0, "n_dupes"] == n
+
+
 def test_decontaminate_ngram_planted(ray_session, tmp_path):
     """Pin the n-gram overlap semantics: a PARTIAL phrase inclusion
     (3 of 4 words) must flag where the substring scan would not; a
