@@ -90,6 +90,36 @@ def token_stats(batch: pa.Table) -> pa.Table:
     })
 
 
+def annotate_stats(batch: pa.Table) -> pa.Table:
+    """Fused curation-scan stats: exactly the columns
+    ``doc_curation_pipeline`` consumes (n_tokens, n_alpha_tokens,
+    n_stop_en, pred_lang), computed from ONE ``_alpha_tokens`` pass —
+    calling ``token_stats`` + ``lang_id`` separately ran that extract
+    twice and paid two regex scans (punct, BPE) the pipeline never
+    reads. Semantics identical to the standalone functions (same
+    arrays, same argmax tie-break)."""
+    col = _text_col(batch)
+    doc_of, codes, uniq, n_alpha = _alpha_tokens(col)
+    counts = np.zeros((len(col), len(LANGS)), dtype=np.int64)
+    n_stop_en = None
+    for j, lang in enumerate(LANGS):
+        sw = LANG_STOPWORDS[lang]
+        member = np.fromiter((u in sw for u in uniq), dtype=bool,
+                             count=len(uniq))
+        counts[:, j] = np.bincount(doc_of[member[codes]], minlength=len(col))
+        if lang == "en":
+            n_stop_en = counts[:, j]
+    pred_idx = counts.argmax(axis=1)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "pred_lang": pc.take(pa.array(LANGS, type=pa.string()),
+                             pa.array(pred_idx)),
+        "n_tokens": _count_re(col, TOKEN_RE.pattern),
+        "n_alpha_tokens": pa.array(n_alpha),
+        "n_stop_en": pa.array(n_stop_en.astype(np.int64)),
+    })
+
+
 def lang_id(batch: pa.Table) -> pa.Table:
     """Stopword-count argmax language ID with deterministic tie-break
     (first max in sorted LANGS order). Vectorized like token_stats."""
