@@ -221,39 +221,60 @@ def repetition_stats(batch: pa.Table) -> pa.Table:
     offs = toks.offsets.to_numpy(zero_copy_only=False)
     counts = np.diff(offs).astype(np.int64)
     n_docs = len(col)
-    vals = toks.values.to_pandas().to_numpy()  # object array of token strings
-    import pandas as pd
+    # dictionary codes straight from Arrow — the previous
+    # to_pandas() + pd.factorize materialized every token as a Python
+    # object (~4x this whole function)
+    enc = pc.dictionary_encode(toks.values)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    nu = max(len(enc.dictionary), 1)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
 
-    codes, uniq = pd.factorize(vals, sort=False)
-    doc_of = np.repeat(np.arange(n_docs), counts)
+    def _seg_max(tgt: np.ndarray, run_doc: np.ndarray,
+                 run_len: np.ndarray) -> None:
+        # run_doc is sorted: per-doc max run length via one reduceat
+        # (ufunc .at was ~10x slower here)
+        seg = np.flatnonzero(
+            np.concatenate([[True], run_doc[1:] != run_doc[:-1]]))
+        tgt[run_doc[seg]] = np.maximum.reduceat(run_len, seg)
 
-    # distinct + top-token: run lengths of (doc, code) after a lexsort
-    order = np.lexsort((codes, doc_of))
-    d_s, c_s = doc_of[order], codes[order]
-    new = np.ones(len(d_s), dtype=bool)
-    new[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
-    run_doc = d_s[new]
-    run_len = np.diff(np.append(np.flatnonzero(new), len(d_s)))
-    n_distinct = np.bincount(run_doc, minlength=n_docs).astype(np.int64)
+    # distinct + top-token: run lengths of sorted (doc, code) keys
     top_tok = np.zeros(n_docs, dtype=np.int64)
-    np.maximum.at(top_tok, run_doc, run_len)
+    n_distinct = np.zeros(n_docs, dtype=np.int64)
+    if len(codes):
+        key = np.sort(doc_of * nu + codes)
+        new = np.ones(len(key), dtype=bool)
+        new[1:] = key[1:] != key[:-1]
+        run_doc = (key[new] // nu)
+        run_len = np.diff(np.append(np.flatnonzero(new), len(key)))
+        n_distinct = np.bincount(run_doc, minlength=n_docs).astype(np.int64)
+        _seg_max(top_tok, run_doc, run_len)
 
-    # top-bigram: same trick over adjacent (code_i, code_i+1) pairs
+    # top-bigram: same trick over adjacent (code_i, code_i+1) pairs as
+    # one composite int key per pair
     top_big = np.zeros(n_docs, dtype=np.int64)
     if len(codes) > 1:
         pair_mask = doc_of[1:] == doc_of[:-1]
         pd_doc = doc_of[:-1][pair_mask]
-        a = codes[:-1][pair_mask]
-        b = codes[1:][pair_mask]
         if len(pd_doc):
-            order2 = np.lexsort((b, a, pd_doc))
-            d2, a2, b2 = pd_doc[order2], a[order2], b[order2]
-            new2 = np.ones(len(d2), dtype=bool)
-            new2[1:] = ((d2[1:] != d2[:-1]) | (a2[1:] != a2[:-1])
-                        | (b2[1:] != b2[:-1]))
-            run2_doc = d2[new2]
-            run2_len = np.diff(np.append(np.flatnonzero(new2), len(d2)))
-            np.maximum.at(top_big, run2_doc, run2_len)
+            a = codes[:-1][pair_mask]
+            b = codes[1:][pair_mask]
+            if nu * nu < (1 << 62) // max(n_docs, 1):
+                bkey = np.sort((pd_doc * nu + a) * nu + b)
+                new2 = np.ones(len(bkey), dtype=bool)
+                new2[1:] = bkey[1:] != bkey[:-1]
+                run2_doc = bkey[new2] // (nu * nu)
+                run2_len = np.diff(
+                    np.append(np.flatnonzero(new2), len(bkey)))
+            else:  # int64-overflow fallback for giant per-batch vocabs
+                order2 = np.lexsort((b, a, pd_doc))
+                d2, a2, b2 = pd_doc[order2], a[order2], b[order2]
+                new2 = np.ones(len(d2), dtype=bool)
+                new2[1:] = ((d2[1:] != d2[:-1]) | (a2[1:] != a2[:-1])
+                            | (b2[1:] != b2[:-1]))
+                run2_doc = d2[new2]
+                run2_len = np.diff(
+                    np.append(np.flatnonzero(new2), len(d2)))
+            _seg_max(top_big, run2_doc, run2_len)
 
     return pa.table({
         "doc_id": batch.column("doc_id"),
