@@ -212,8 +212,8 @@ def repetition_stats(batch: pa.Table) -> pa.Table:
     are the integer numerators/denominators of the Gopher repetition
     filters (dup-token fraction = 1 - distinct/total, top-2-gram
     fraction = top_bigram/ (total-1)); integers keep the SQL oracle
-    hash-exact. Fully vectorized: one global factorize + lexsorts, no
-    per-doc Python."""
+    hash-exact. Fully vectorized: Arrow dictionary codes + sorted
+    composite-key runs with reduceat maxima, no per-doc Python."""
     col = batch.column("text")
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
