@@ -150,3 +150,66 @@ def test_referer_hostname_total_and_fragment_free(ref):
     host = go_referer_hostname(ref)
     if host is not None:
         assert "#" not in host
+
+
+@given(st.lists(st.lists(st.sampled_from("ab c"), max_size=12)
+                .map("".join), min_size=0, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_repetition_stats_matches_naive(texts):
+    """The vectorized repetition kernel (dictionary codes + sorted
+    composite-key runs + reduceat maxima) must equal a per-doc Python
+    Counter reference on arbitrary texts, including empties, repeated
+    spaces (empty tokens count — string_split semantics) and repeated
+    grams."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from sbo_ray.functions.text import repetition_stats
+
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    got = repetition_stats(batch).to_pandas()
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        bigrams = list(zip(toks, toks[1:]))
+        assert got.loc[i, "n_tokens"] == len(toks)
+        assert got.loc[i, "n_distinct_tokens"] == len(set(toks))
+        assert got.loc[i, "top_token_count"] == max(Counter(toks).values())
+        assert got.loc[i, "top_bigram_count"] == (
+            max(Counter(bigrams).values()) if bigrams else 0)
+
+
+@given(st.lists(st.integers(min_value=1, max_value=40),
+                min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=32),
+       st.integers(min_value=1, max_value=7))
+@settings(max_examples=30, deadline=None)
+def test_pack_sequences_matches_cumsum(token_counts, seq_len, chunk_docs):
+    """doc_pack_sequences' distributed prefix sum must equal the plain
+    exclusive cumsum for ANY chunk size and sequence length (chunk
+    boundaries and partition grouping are implementation details)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile
+
+    from sbo_ray.pipelines.datapipe import doc_pack_sequences
+
+    texts = [" ".join(["w"] * c) for c in token_counts]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }), f"{d}/documents.parquet")
+        got = doc_pack_sequences(
+            d, seq_len=seq_len, chunk_docs=chunk_docs).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+    counts = np.asarray(token_counts)
+    offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    assert got["tok_offset"].tolist() == offs.tolist()
+    assert got["seq_first"].tolist() == (offs // seq_len).tolist()
+    assert got["seq_last"].tolist() == (
+        (offs + counts - 1) // seq_len).tolist()
