@@ -1140,6 +1140,111 @@ def doc_pack_sequences(sf_dir: str, seq_len: int = 512,
     return pa.concat_tables(out).select(empty.schema.names).cast(empty.schema)
 
 
+def doc_pack_materialize(sf_dir: str, seq_len: int = 512,
+                         chunk_docs: int = 4096):
+    """MATERIALIZED sequence packing: the actual training-sequence
+    fragments — one row per (doc, sequence) span with the fragment's
+    token text — i.e. what a packed LM dataset physically contains.
+    ``doc_pack_sequences`` computes the layout; this emits it.
+
+    Same two-pass prefix sum for the offsets, but pass 2 shuffles the
+    TEXT partition-grouped by doc-id chunk: materialization re-lays the
+    corpus out in sequence order, so moving each payload byte once is
+    inherent to the operator (the one doc-side op where the text
+    legitimately enters an exchange). Inside a partition, fragments
+    tile each doc's tokens contiguously, so fragment strings come from
+    the same zero-copy offset-vector re-slice + one ``binary_join`` as
+    ``functions/text.chunk_docs`` — joining fragments back with ' '
+    reconstructs every doc byte-for-byte (pinned in tests).
+    Partitioning assumption: one doc-id chunk partition of TEXT fits
+    in a worker; lower ``chunk_docs`` for huge docs."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    P = _n_parts()
+
+    def chunk_partials(t: pa.Table) -> pa.Table:
+        col = t.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n_tok = pc.list_value_length(pc.split_pattern(col, " ")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, inv = np.unique(ids // chunk_docs, return_inverse=True)
+        sums = np.bincount(inv, weights=n_tok).astype(np.int64)
+        return pa.table({"chunk": pa.array(uk, pa.int64()),
+                         "tok_sum": pa.array(sums, pa.int64())})
+
+    parts = list(ds.map_batches(
+        chunk_partials, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    empty = pa.schema([
+        ("doc_id", pa.int64()), ("seq_id", pa.int64()),
+        ("n_frag_tokens", pa.int64()), ("frag_text", pa.string()),
+    ]).empty_table()
+    if not parts:
+        return empty
+    merged = pa.concat_tables(parts).group_by("chunk").aggregate(
+        [("tok_sum", "sum")])
+    order = pc.sort_indices(merged.column("chunk"))
+    chunk_ids = merged.column("chunk").take(order).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    sums = merged.column("tok_sum_sum").take(order).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    bases = np.cumsum(sums) - sums
+    base_ref = ray.put((chunk_ids, bases))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.select(["doc_id", "text"]).append_column(
+            "part", pa.array((ids // chunk_docs) % P))
+
+    def mat_part(g: pd.DataFrame) -> pd.DataFrame:
+        cids, cbases = ray.get(base_ref)
+        o = np.argsort(g["doc_id"].to_numpy(), kind="stable")
+        ids = g["doc_id"].to_numpy()[o]
+        toks = pc.split_pattern(pa.array(g["text"].to_numpy()[o]), " ")
+        toffs = toks.offsets.to_numpy().astype(np.int64)
+        nt = np.diff(toffs)
+        ck = ids // chunk_docs
+        csum = np.cumsum(nt) - nt
+        new = np.ones(len(ids), dtype=bool)
+        new[1:] = ck[1:] != ck[:-1]
+        first = np.maximum.accumulate(np.where(new, np.arange(len(ids)), 0))
+        off = csum - csum[first] + cbases[np.searchsorted(cids, ck)]
+        seq_first = off // seq_len
+        seq_last = (off + nt - 1) // seq_len
+        k = seq_last - seq_first + 1
+        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), k)
+        out_pos = np.arange(int(k.sum()), dtype=np.int64)
+        fno = out_pos - np.repeat(np.cumsum(k) - k, k)
+        seq_id = seq_first[doc_of] + fno
+        fs = np.maximum(seq_id * seq_len, off[doc_of])
+        fe = np.minimum((seq_id + 1) * seq_len, off[doc_of] + nt[doc_of])
+        # local flat-token positions; fragments tile each doc and docs
+        # are contiguous, so [starts..., last end] is a valid offset
+        # vector over the SAME flat token array (chunk_docs idiom)
+        starts_flat = toffs[:-1][doc_of] + (fs - off[doc_of])
+        ends_flat = starts_flat + (fe - fs)
+        if len(starts_flat):
+            new_offs = np.append(starts_flat, ends_flat[-1]).astype(np.int32)
+            frag_text = pc.binary_join(
+                pa.ListArray.from_arrays(pa.array(new_offs), toks.values),
+                " ")
+        else:
+            frag_text = pa.array([], type=pa.string())
+        return pd.DataFrame({
+            "doc_id": ids[doc_of], "seq_id": seq_id,
+            "n_frag_tokens": fe - fs,
+            "frag_text": frag_text.to_pandas(),
+        })
+
+    out = list(ds.map_batches(add_part, batch_format="pyarrow")
+               .groupby("part").map_groups(mat_part)
+               .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not out:
+        return empty
+    return pa.concat_tables(out).select(empty.schema.names).cast(empty.schema)
+
+
 def doc_group_topk(sf_dir: str, k: int = 3):
     """Group-wise top-k: the k largest documents per language by
     (n_chars DESC, doc_id ASC). Engine shape: each block keeps at most

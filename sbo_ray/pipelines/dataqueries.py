@@ -659,6 +659,40 @@ SELECT doc_id, n_tokens, tok_offset,
 FROM o
 """
 
+# Materialized-packing mirror: per (doc, sequence) span the fragment
+# is a 1-based inclusive list_slice of the doc's tokens; the sequence
+# ids come from generate_series in its scalar-list form (the DuckDB-1.0
+# lateral-correlation workaround noted for doc_chunk).
+SQL_DOC_PACK_MATERIALIZE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), o AS (
+  SELECT doc_id, ws,
+         CAST(len(ws) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(len(ws)) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+  FROM t
+), f AS (
+  SELECT doc_id, ws, n_tokens, tok_offset,
+         unnest(generate_series(tok_offset // 512,
+                                (tok_offset + n_tokens - 1) // 512))
+           AS seq_id
+  FROM o
+)
+SELECT doc_id,
+       CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(LEAST((seq_id + 1) * 512, tok_offset + n_tokens)
+            - GREATEST(seq_id * 512, tok_offset) AS BIGINT)
+         AS n_frag_tokens,
+       array_to_string(list_slice(
+         ws,
+         GREATEST(seq_id * 512, tok_offset) - tok_offset + 1,
+         LEAST((seq_id + 1) * 512, tok_offset + n_tokens) - tok_offset
+       ), ' ') AS frag_text
+FROM f
+"""
+
 # Group-wise top-k mirror: ROW_NUMBER over the same (n_chars DESC,
 # doc_id ASC) order the engine's lexsort + cumcount encodes. ROW_NUMBER
 # is unique, so ties never widen the result past k.
@@ -825,6 +859,7 @@ def data_queries() -> dict:
         "doc_group_topk": P.doc_group_topk,
         "doc_pack_sequences": P.doc_pack_sequences,
         "doc_decontaminate_ngram": P.doc_decontaminate_ngram,
+        "doc_pack_materialize": P.doc_pack_materialize,
         "events_funnel": P.events_funnel,
         "doc_tfidf": P.doc_tfidf,
         "emb_knn_join": P.emb_knn_join,
@@ -878,6 +913,7 @@ def data_oracle_sql() -> dict:
         "doc_group_topk": SQL_DOC_GROUP_TOPK,
         "doc_pack_sequences": SQL_DOC_PACK_SEQUENCES,
         "doc_decontaminate_ngram": SQL_DOC_DECONTAMINATE_NGRAM,
+        "doc_pack_materialize": SQL_DOC_PACK_MATERIALIZE,
         "events_funnel": SQL_EVENTS_FUNNEL,
         "doc_tfidf": SQL_DOC_TFIDF,
         "emb_knn_join": SQL_EMB_KNN_JOIN,

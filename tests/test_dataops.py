@@ -498,6 +498,35 @@ def test_pack_sequences_planted(ray_session, tmp_path):
     assert (got["seq_last"] > got["seq_first"]).any()
 
 
+def test_pack_materialize_reconstructs(ray_session, tmp_path):
+    """The packed fragments must tile the corpus exactly: per doc,
+    joining its fragments (seq order) with ' ' reproduces the original
+    text byte-for-byte (including double spaces -> empty tokens), and
+    per sequence the fragment sizes sum to seq_len except the last.
+    chunk_docs=3 + seq_len=8 force both chunk bases and straddling."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import doc_pack_materialize
+
+    texts = ["a bb  ccc", "dd e", "f g h i j k", "", "xx yy zz qq rr",
+             "m n o p q r s t u v w", "z"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = doc_pack_materialize(
+        str(tmp_path), seq_len=8, chunk_docs=3).to_pandas().sort_values(
+        ["doc_id", "seq_id"]).reset_index(drop=True)
+    for i, text in enumerate(texts):
+        frags = got[got["doc_id"] == i]
+        assert " ".join(frags["frag_text"]) == text
+        assert frags["n_frag_tokens"].sum() == len(text.split(" "))
+    # every sequence except the last is exactly full
+    per_seq = got.groupby("seq_id")["n_frag_tokens"].sum()
+    assert (per_seq.iloc[:-1] == 8).all()
+
+
 def test_pii_and_repetition_function_edges():
     from sbo_ray.functions.text import pii_redact, repetition_stats, vocab_partial
 

@@ -89,6 +89,8 @@ def test_dedup_family_empty_documents(ray_session, empty_doc_dir):
                                   "avg_neg_logprob"]),
         (DP.doc_pack_sequences, ["doc_id", "n_tokens", "tok_offset",
                                  "seq_first", "seq_last"]),
+        (DP.doc_pack_materialize, ["doc_id", "seq_id", "n_frag_tokens",
+                                   "frag_text"]),
     ):
         out = fn(empty_doc_dir)
         assert out.num_rows == 0, fn.__name__
