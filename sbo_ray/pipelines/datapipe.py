@@ -1358,13 +1358,24 @@ def doc_curation_pipeline(sf_dir: str, lang: str = "en",
          ratio above threshold)
 
     Shape: one map_batches computes hash+lang+quality columns per block
-    (all vectorized, single text scan), ONE groupby on the 8-byte text
-    hash picks representatives (the only shuffle; payload text never
-    moves — kept doc_ids are re-read by a broadcast-filter, the
-    minhash-verify pattern). Output: the kept doc_ids with their stats —
-    exactly what a 100 TB curation job materializes (plus the filtered
-    corpus itself via the same broadcast filter)."""
+    (all vectorized, single text scan) and applies the lang/quality gate
+    BLOCK-LOCALLY; ONE groupby on the 8-byte text hash picks the
+    min-doc_id representative per surviving distinct text and emits the
+    kept rows straight from the partition stage. Filter-before-rep-pick
+    is exact here because every gate column is a pure function of the
+    text, hence identical across duplicates: the gate keeps or drops
+    whole duplicate groups, so min(doc_id) per surviving group equals
+    filtering the representatives (the r3 shape). Nothing corpus-sized
+    ever touches the driver — no representative-id gather/broadcast
+    (the r3 scale-killer), payload text never moves, and the shuffle
+    carries only (doc_id, hash, 2 small ints) for gate-passing rows."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    P = _n_parts()
+    # integer-exact stopword-ratio gate (n_stop/max(1,n_alpha) >= r as
+    # n_stop*SCALE >= r*SCALE*max(1,n_alpha)) — no float rounding drift
+    # between engine and SQL oracle
+    SCALE = 10000
+    thr = int(round(min_stop_ratio * SCALE))
 
     def annotate(batch: pa.Table) -> pa.Table:
         hashed = D.add_text_hash(batch)
@@ -1372,60 +1383,46 @@ def doc_curation_pipeline(sf_dir: str, lang: str = "en",
         # lang_id separately ran the alpha-token extract twice and two
         # unread regex scans — ~2.4x the scan cost per batch
         stats = T.annotate_stats(batch)
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "text_hash": hashed.column("text_hash"),
-            "pred_lang": stats.column("pred_lang"),
-            "n_tokens": stats.column("n_tokens"),
-            "n_alpha_tokens": stats.column("n_alpha_tokens"),
-            "n_stop_en": stats.column("n_stop_en"),
-        })
-
-    # annotated columns are tiny (no text): materialize once so the
-    # representative-pick and the filter pass reuse the same scan
-    ann = ds.map_batches(annotate, batch_format="pyarrow").materialize()
-    # the ONLY shuffle: min doc_id per distinct text (8-byte keys) —
-    # partition-grouped like doc_dedup_exact (native groupby.aggregate
-    # over ~4M mostly-distinct keys sort-aggregates at ~8x the cost)
-    P = _n_parts()
-    reps = ann.map_batches(
-        lambda t: _hash_part_col(t, P).select(
-            ["doc_id", "text_hash", "part"]),
-        batch_format="pyarrow",
-    ).groupby("part").map_groups(
-        lambda g: _min_doc_per_hash(g, with_counts=False))
-    rep_ids = pa.concat_tables(
-        reps.select_columns(["doc_id"]).iter_batches(batch_format="pyarrow",
-                                                     batch_size=None)
-    ).column("doc_id")
-    rep_ref = ray.put(rep_ids.combine_chunks() if isinstance(
-        rep_ids, pa.ChunkedArray) else rep_ids)
-
-    # integer-exact stopword-ratio gate (n_stop/max(1,n_alpha) >= r as
-    # n_stop*SCALE >= r*SCALE*max(1,n_alpha)) — no float rounding drift
-    # between engine and SQL oracle
-    SCALE = 10000
-    thr = int(round(min_stop_ratio * SCALE))
-
-    def keep(batch: pa.Table) -> pa.Table:
-        alpha = pc.max_element_wise(batch.column("n_alpha_tokens"), 1)
+        alpha = pc.max_element_wise(stats.column("n_alpha_tokens"), 1)
         ratio_ok = pc.greater_equal(
-            pc.multiply(pc.cast(batch.column("n_stop_en"), pa.int64()),
+            pc.multiply(pc.cast(stats.column("n_stop_en"), pa.int64()),
                         pa.scalar(SCALE, pa.int64())),
             pc.multiply(pc.cast(alpha, pa.int64()), pa.scalar(thr, pa.int64())),
         )
         m = pc.and_(
-            pc.and_(pc.is_in(batch.column("doc_id"), value_set=ray.get(rep_ref)),
-                    pc.equal(batch.column("pred_lang"), lang)),
+            pc.equal(stats.column("pred_lang"), lang),
             pc.and_(
-                pc.and_(pc.greater_equal(batch.column("n_tokens"), min_tokens),
-                        pc.less_equal(batch.column("n_tokens"), max_tokens)),
+                pc.and_(pc.greater_equal(stats.column("n_tokens"), min_tokens),
+                        pc.less_equal(stats.column("n_tokens"), max_tokens)),
                 ratio_ok,
             ),
         )
-        return batch.filter(m).select(["doc_id", "n_tokens", "n_stop_en"])
+        kept = pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text_hash": hashed.column("text_hash"),
+            "n_tokens": stats.column("n_tokens"),
+            "n_stop_en": stats.column("n_stop_en"),
+        }).filter(m)
+        return _hash_part_col(kept, P)
 
-    return ann.map_batches(keep, batch_format="pyarrow")
+    def rep_pick(g: pd.DataFrame) -> pd.DataFrame:
+        # min doc_id per distinct text_hash, stats carried through (they
+        # are identical within a group) — one lexsort, no per-key work
+        h = g["text_hash"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((d, h))
+        hs = h[order]
+        new = np.ones(len(hs), dtype=bool)
+        new[1:] = hs[1:] != hs[:-1]
+        keep = order[new]
+        return pd.DataFrame({
+            "doc_id": d[keep],
+            "n_tokens": g["n_tokens"].to_numpy()[keep],
+            "n_stop_en": g["n_stop_en"].to_numpy()[keep],
+        })
+
+    return ds.map_batches(annotate, batch_format="pyarrow") \
+        .groupby("part").map_groups(rep_pick)
 
 
 # ---- multimodal plumbing ---------------------------------------------------

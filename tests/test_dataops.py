@@ -766,3 +766,40 @@ def test_retention_cohort_and_offsets(ray_session, tmp_path):
             for r in got.itertuples()}
     assert rows == {("2024-01-01", 0): 1, ("2024-01-01", 1): 1,
                     ("2024-01-01", 3): 1, ("2024-01-02", 0): 1}
+
+
+def test_curation_no_driver_gather(ray_session, tmp_path):
+    """The flagship curation op must never hold a corpus-sized object on
+    the driver (the r3 shape gathered + broadcast every representative
+    doc_id). Pin the rewrite structurally — no driver gather/broadcast
+    in the function body — and semantically on a no-dup corpus where
+    representatives == the whole gate-passing corpus (worst case for
+    any rep-id materialization)."""
+    import inspect
+
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import doc_curation_pipeline
+
+    src = inspect.getsource(doc_curation_pipeline)
+    for pattern in ("ray.put", "iter_batches", "to_pandas", "take_all",
+                    "materialize"):
+        assert pattern not in src, f"driver gather reintroduced: {pattern}"
+
+    # no-dup corpus: every text unique, all English-looking, lengths
+    # straddling the token gate
+    n = 4000
+    texts = [
+        "the quick brown fox jumps over the lazy dog number %d with "
+        "some more of the usual english filler words and that is it" % i
+        for i in range(n)
+    ]
+    texts[0] = "tiny"  # fails min_tokens
+    t = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = doc_curation_pipeline(str(tmp_path), min_tokens=10,
+                                max_tokens=10_000).to_pandas()
+    assert sorted(got["doc_id"]) == list(range(1, n))
