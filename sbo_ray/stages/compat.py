@@ -419,96 +419,46 @@ def _replay_runs(runs: pd.DataFrame, window_size: int,
     return pd.concat(out_rows, ignore_index=True)
 
 
-_REPLAY_DISTRIBUTE_MIN_RUNS = 50_000
+def _compat_shard(t, P: int):
+    """Phase 1 of the compat-partial exchange: split one partial block's
+    rows (runs + portion summaries together) by a stable hash of the
+    group key into P shards (``num_returns=P``), so each combine task
+    pulls only its groups' rows. Routing hash is crc32 over the UNIQUE
+    key strings (content-deterministic across tasks and processes —
+    pd.util.hash_array's categorize path is NOT: the same string can
+    hash differently in different arrays), expanded through dictionary
+    codes. No partial row ever lands on the driver."""
+    import zlib
+
+    if not isinstance(t, pa.Table):
+        t = pa.Table.from_pandas(t, preserve_index=False)
+    if t.num_rows == 0:
+        empty = COMPAT_PARTIAL_SCHEMA.empty_table()
+        return tuple([empty] * P)
+    keys = _group_key_expr(t)
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    enc = keys.dictionary_encode()
+    uh = np.array([zlib.crc32(u.encode("utf-8")) % P
+                   for u in enc.dictionary.to_pylist()], dtype=np.int64)
+    h = uh[enc.indices.to_numpy(zero_copy_only=False)]
+    return tuple(t.filter(pa.array(h == p)) for p in range(P))
 
 
-def _replay_runs_parallel(rr_df: pd.DataFrame, window_size: int,
-                          replace_existing: bool) -> pd.DataFrame:
-    """Replay ineligible groups from run statistics, fanned out across
-    Ray tasks past ``_REPLAY_DISTRIBUTE_MIN_RUNS`` rows. The replay is
-    per-group independent, so groups are hash-partitioned whole (gid %
-    P); boolean-mask selection preserves the caller's within-group
-    arrival sort, so each task sees exactly the rows _replay_runs
-    expects. Small replay sets stay driver-side — task round-trips
-    would dominate. This removes the driver serialization on OOO-heavy
-    corpora with huge key spaces (the round-3 soft spot)."""
-    import ray
-
-    keys = (rr_df["source"].astype(str) + "\x00"
-            + rr_df["metric_type"].astype(str) + "\x00"
-            + rr_df["key_value"].astype(str))
-    gid = pd.factorize(keys, sort=False)[0]
-    n_groups = int(gid.max()) + 1 if len(gid) else 0
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
-    if (len(rr_df) < _REPLAY_DISTRIBUTE_MIN_RUNS or n_groups < 2
-            or ncpu < 2):
-        return _replay_runs(rr_df, window_size, replace_existing)
-    n_parts = min(ncpu * 2, n_groups)
-    part = gid % n_parts
-    replay_remote = ray.remote(_replay_runs)
-    futs = [
-        replay_remote.remote(rr_df[part == p], window_size, replace_existing)
-        for p in range(n_parts)
-    ]
-    outs = [df for df in ray.get(futs) if len(df)]
-    if not outs:
-        return pd.DataFrame(columns=[f.name for f in COMPAT_SCHEMA])
-    return pd.concat(outs, ignore_index=True)
-
-
-def _group_key_expr(t: pa.Table):
+def _compat_combine(window_size: int, replace_existing: bool, *shards):
+    """Phase 2: one hash partition's partial rows — ALL portions of its
+    groups, by the phase-1 routing — classified and finalized locally:
+    per-window Arrow sums for eligible groups, run-statistics replay
+    (O(runs), ``_replay_runs``) for groups that reorder or carry
+    zero-valued adds. Returns (final COMPAT_SCHEMA rows, overlap group
+    keys); overlap groups (interleaved arrival ranges across blocks) are
+    the irreducible corner the caller re-replays from raw rows."""
     import pyarrow.compute as pc
 
-    return pc.binary_join_element_wise(
-        t.column("source").cast(pa.string()),
-        t.column("metric_type").cast(pa.string()),
-        t.column("key_value").cast(pa.string()),
-        "\x00",
-    )
-
-
-def metrics_dataset_compat(enriched, window_size: int = 3,
-                           replace_existing: bool = False, fast: bool = True):
-    """Faithful streaming-window metric totals as a Ray pipeline.
-
-    ``fast=True`` (default): monotonic fast path — one distributed pass
-    computes per-window sums plus per-group order summaries; groups whose
-    arrival stream is provably order-insensitive (see the correctness
-    argument above) are finalized from the sums, and ONLY groups that
-    actually reorder (or carry zero-valued adds) are replayed through the
-    faithful Python accumulator in a second, filtered pass. Chronological
-    input therefore costs ~the exact path; the replay cost scales with
-    the reordered fraction, not the input. The second pass re-executes
-    the (lazy) enriched pipeline for the filtered groups — acceptable
-    because it only triggers when OOO data is present.
-
-    ``fast=False``: the original full per-group replay (used by tests as
-    the semantics reference)."""
-    long_ds = enriched.map_batches(ordered_fanout, batch_format="pyarrow")
-    if not fast:
-        return long_ds.groupby(_GKEYS).map_groups(
-            lambda g: replay_group(g, window_size, replace_existing),
-            batch_format="pandas",
-        )
-    import ray
-    import ray.data as rd
-
-    partial_ds = long_ds.map_batches(compat_partial, batch_format="pyarrow")
-    refs = []
-    for bundle in partial_ds.iter_internal_ref_bundles():
-        for block_ref, _md in bundle.blocks:
-            refs.append(block_ref)
-    parts = []
-    for b in ray.get(refs):
-        if not isinstance(b, pa.Table):
-            b = pa.Table.from_pandas(b, preserve_index=False)
-        if b.num_rows:
-            parts.append(b)
-    if not parts:
-        return rd.from_arrow(COMPAT_SCHEMA.empty_table())
-    import pyarrow.compute as pc
-
-    allt = pa.concat_tables(parts)
+    tables = [s for s in shards if s is not None and s.num_rows]
+    if not tables:
+        return COMPAT_SCHEMA.empty_table(), []
+    allt = pa.concat_tables(tables)
     kinds = allt.column("kind")
     runs = allt.filter(pc.equal(kinds, 0))
     summary = allt.filter(pc.equal(kinds, 1)).select(
@@ -529,33 +479,103 @@ def metrics_dataset_compat(enriched, window_size: int = 3,
             pc.invert(pc.is_in(run_keys, value_set=keyset(bad_all))))
     else:
         good_runs = runs
-    sums = (
-        good_runs.select(_GKEYS + ["time_window", "value"])
-        .group_by(_GKEYS + ["time_window"])
-        .aggregate([("value", "sum")])
-        .rename_columns(_GKEYS + ["time_window", "metric_value"])
-        .cast(COMPAT_SCHEMA)
-    )
-    pieces.append(sums)
-
+    if good_runs.num_rows:
+        pieces.append(
+            good_runs.select(_GKEYS + ["time_window", "value"])
+            .group_by(_GKEYS + ["time_window"])
+            .aggregate([("value", "sum")])
+            .rename_columns(_GKEYS + ["time_window", "metric_value"])
+            .cast(COMPAT_SCHEMA)
+        )
     if len(run_replay_g):
         # true arrival order of a group's runs: (portion min_arr,
         # run_seq) — portions of these groups are non-overlapping (the
-        # overlapping case went to the raw fallback below)
-        rr = runs.filter(
-            pc.is_in(_group_key_expr(runs), value_set=keyset(run_replay_g)))
+        # overlapping case goes to the raw fallback)
+        rr = runs.filter(pc.is_in(run_keys, value_set=keyset(run_replay_g)))
         rr_df = rr.to_pandas().sort_values(
             _GKEYS + ["min_arr", "run_seq"], kind="stable")
-        replay_df = _replay_runs_parallel(rr_df, window_size, replace_existing)
+        replay_df = _replay_runs(rr_df, window_size, replace_existing)
         if len(replay_df):
             pieces.append(pa.Table.from_pandas(
                 replay_df, preserve_index=False).cast(COMPAT_SCHEMA))
+    out = pa.concat_tables(pieces) if pieces else COMPAT_SCHEMA.empty_table()
+    return out, (keyset(overlap_g).to_pylist() if len(overlap_g) else [])
 
-    if len(overlap_g):
+
+def _group_key_expr(t: pa.Table):
+    import pyarrow.compute as pc
+
+    return pc.binary_join_element_wise(
+        t.column("source").cast(pa.string()),
+        t.column("metric_type").cast(pa.string()),
+        t.column("key_value").cast(pa.string()),
+        "\x00",
+    )
+
+
+def metrics_dataset_compat(enriched, window_size: int = 3,
+                           replace_existing: bool = False, fast: bool = True):
+    """Faithful streaming-window metric totals as a Ray pipeline.
+
+    ``fast=True`` (default): monotonic fast path — one distributed pass
+    computes per-run sufficient statistics plus per-group order
+    summaries, which then take a two-phase hash exchange over raw Ray
+    tasks (the ``_min_label_prop`` layout): each partial block is split
+    by group-key hash into P shards, and P combine tasks — each seeing
+    every portion of its groups — classify locally, finalize eligible
+    groups from Arrow per-window sums (see the correctness argument
+    above), and replay ONLY groups that actually reorder (or carry
+    zero-valued adds) through the O(runs) run-statistics simulator. The
+    driver holds block/shard REFS, the P result refs, and the overlap
+    group keys — never partial rows (round-3's driver concat of all
+    run partials was the scale cliff on OOO-heavy high-cardinality
+    corpora). Chronological input therefore costs ~the exact path; the
+    replay cost scales with the reordered fraction, not the input. The
+    rare overlap corner re-executes the (lazy) enriched pipeline
+    filtered to those groups.
+
+    ``fast=False``: the original full per-group replay (used by tests as
+    the semantics reference)."""
+    long_ds = enriched.map_batches(ordered_fanout, batch_format="pyarrow")
+    if not fast:
+        return long_ds.groupby(_GKEYS).map_groups(
+            lambda g: replay_group(g, window_size, replace_existing),
+            batch_format="pandas",
+        )
+    import ray
+    import ray.data as rd
+
+    partial_ds = long_ds.map_batches(compat_partial, batch_format="pyarrow")
+    refs = []
+    for bundle in partial_ds.iter_internal_ref_bundles():
+        for block_ref, _md in bundle.blocks:
+            refs.append(block_ref)
+    if not refs:
+        return rd.from_arrow(COMPAT_SCHEMA.empty_table())
+    import pyarrow.compute as pc
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    P = max(2, min(2 * ncpu, 4 * len(refs)))
+    shard = ray.remote(_compat_shard)
+    shard_refs = [shard.options(num_returns=P).remote(r, P) for r in refs]
+    combine = ray.remote(_compat_combine)
+    outs = [
+        combine.options(num_returns=2).remote(
+            window_size, replace_existing, *[sr[p] for sr in shard_refs])
+        for p in range(P)
+    ]
+    table_refs = [o[0] for o in outs]
+    overlap_keys: set[str] = set()
+    for ks in ray.get([o[1] for o in outs]):
+        overlap_keys.update(ks)
+    out_ds = rd.from_arrow_refs(table_refs)
+
+    if overlap_keys:
         # irreducible corner (interleaved arrival ranges across blocks —
         # requires non-unique or cross-shard-reordered doc_ids): raw
-        # second-pass replay, filtered to those groups
-        ov_ref = ray.put(keyset(overlap_g))
+        # second-pass replay, filtered to those groups (driver holds
+        # only the O(overlap groups) key list)
+        ov_ref = ray.put(pa.array(sorted(overlap_keys), type=pa.string()))
 
         def only_bad(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
@@ -572,6 +592,6 @@ def metrics_dataset_compat(enriched, window_size: int = 3,
             .to_pandas()
         )
         if len(replayed):
-            pieces.append(pa.Table.from_pandas(
-                replayed, preserve_index=False).cast(COMPAT_SCHEMA))
-    return rd.from_arrow(pa.concat_tables(pieces))
+            out_ds = out_ds.union(rd.from_arrow(pa.Table.from_pandas(
+                replayed, preserve_index=False).cast(COMPAT_SCHEMA)))
+    return out_ds

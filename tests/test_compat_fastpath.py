@@ -200,46 +200,76 @@ def test_engine_fast_equals_slow_replace_mode(ray_session, tmp_path):
     assert m(True) == m(False)
 
 
-def test_replay_runs_parallel_equals_driver(ray_session, monkeypatch):
-    """The distributed replay (hash-partitioned groups across Ray tasks)
-    must produce exactly the driver-side replay's rows: 60 groups of
-    arbitrary OOO/zero-valued run sequences, threshold forced to 0 so
-    the Ray path actually runs."""
+def test_shard_combine_exchange_equals_replay(ray_session):
+    """The two-phase hash exchange (shard by group-key hash -> combine
+    classifies + sums + run-replays per partition) must reproduce the
+    faithful per-group replay exactly: 60 groups of arbitrary OOO and
+    zero-valued sequences, scattered across 4 partial blocks so every
+    group spans multiple shard tasks, P=3 so partitions hold many
+    groups. Both sink policies."""
+    import pyarrow as pa
+    import ray
+
     from sbo_ray.stages import compat
 
     rng = random.Random(23)
-    rows = []
+    seqs = {}
     for g in range(60):
         n = rng.randint(1, 20)
         tws = [rng.randint(1, 6) for _ in range(n)]
         vals = [rng.choice([0, 0, 1, 3, 10]) for _ in range(n)]
-        i = 0
-        seq = 0
-        while i < n:
-            j = i
-            while j < n and tws[j] == tws[i]:
-                j += 1
-            seg = vals[i:j]
-            lead = 0
-            while lead < len(seg) and seg[lead] < 1:
-                lead += 1
-            rows.append({
-                "source": f"s{g % 7}", "metric_type": g % 3,
-                "key_value": f"k{g}", "time_window": tws[i],
-                "value": sum(seg), "n_adds": len(seg), "lead_zeros": lead,
-                "first_nz": seg[lead] if lead < len(seg) else 0,
-                "min_arr": "a0000", "run_seq": seq,
-            })
-            i = j
-            seq += 1
-    rr_df = pd.DataFrame(rows).sort_values(
-        ["source", "metric_type", "key_value", "min_arr", "run_seq"],
-        kind="stable")
+        seqs[(f"s{g % 7}", g % 3, f"k{g}")] = (tws, vals)
+
+    # long-format ordered rows, arrival = global sequence, round-robin
+    # split into 4 "blocks" BY CONTIGUOUS ARRIVAL RANGES per group (the
+    # pipeline's real layout: blocks are shard slices, arrivals within
+    # a group never interleave across blocks)
+    rows = []
+    arrival = 0
+    for (src_, mt, kv), (tws, vals) in seqs.items():
+        for tw, v in zip(tws, vals):
+            rows.append((src_, mt, kv, tw, v, f"a{arrival:06d}"))
+            arrival += 1
+    blocks = []
+    per = (len(rows) + 3) // 4
+    for b in range(4):
+        chunk = rows[b * per:(b + 1) * per]
+        if not chunk:
+            continue
+        blocks.append(pa.Table.from_arrays(
+            [pa.array([r[i] for r in chunk], type=t)
+             for i, t in enumerate([pa.string(), pa.int32(), pa.string(),
+                                    pa.int64(), pa.int64(), pa.string()])],
+            schema=compat.ORDERED_SCHEMA))
+
     for mode in (False, True):
-        want = compat._replay_runs(rr_df, 3, mode)
-        monkeypatch.setattr(compat, "_REPLAY_DISTRIBUTE_MIN_RUNS", 0)
-        got = compat._replay_runs_parallel(rr_df, 3, mode)
-        key = ["source", "metric_type", "key_value", "time_window"]
-        want = want.sort_values(key).reset_index(drop=True)
-        got = got.sort_values(key).reset_index(drop=True)
-        pd.testing.assert_frame_equal(got, want)
+        want = {}
+        for (src_, mt, kv), (tws, vals) in seqs.items():
+            n = len(tws)
+            gdf = pd.DataFrame({
+                "source": [src_] * n, "metric_type": [mt] * n,
+                "key_value": [kv] * n, "time_window": tws, "value": vals,
+                "arrival": [f"a{i:04d}" for i in range(n)],
+            })
+            out = compat.replay_group(gdf, 3, mode)
+            for r in out.itertuples():
+                want[(src_, mt, kv, int(r.time_window))] = int(r.metric_value)
+
+        P = 3
+        partials = [compat.compat_partial(b) for b in blocks]
+        shard = ray.remote(compat._compat_shard)
+        shard_refs = [shard.options(num_returns=P).remote(ray.put(t), P)
+                      for t in partials]
+        combine = ray.remote(compat._compat_combine)
+        outs = [combine.options(num_returns=2).remote(
+            3, mode, *[sr[p] for sr in shard_refs]) for p in range(P)]
+        got = {}
+        overlap = set()
+        for tref, kref in outs:
+            t = ray.get(tref)
+            for r in t.to_pandas().itertuples():
+                got[(r.source, int(r.metric_type), r.key_value,
+                     int(r.time_window))] = int(r.metric_value)
+            overlap.update(ray.get(kref))
+        assert not overlap  # contiguous arrival blocks never overlap
+        assert got == want
