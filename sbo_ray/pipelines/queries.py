@@ -1000,14 +1000,53 @@ def q_log_status_class_counts(sf_dir: str):
 
 def q_log_distinct_clients(sf_dir: str):
     """Distinct client IPs per source (the distinct/unique operator),
-    derived from the keyed-counter aggregate (clients dimension)."""
-    kc = logpipe.keyed_counters_dataset(_enriched(sf_dir))
+    fully distributed: block-local (source, ip) pair dedup shrinks the
+    exchange to distinct-pairs-per-block, ONE hash exchange on
+    crc32(ip) % P co-locates every copy of an ip, each partition
+    vectorized-dedups its pairs and emits per-source counts, and the
+    driver merges only P x |sources| tiny count rows — never the pair
+    set (unbounded distinct IPs at scale; the r3 shape materialized the
+    whole per-(source, ip) aggregate as driver pandas). The HLL twin
+    (below) stays the single-scan sketch path."""
+    import zlib
+
+    import numpy as np
+    import ray
+
+    P = max(4, int(ray.cluster_resources().get("CPU", 4)))
+    pair_schema = pa.schema([("source", pa.string()),
+                             ("client_ip", pa.string()),
+                             ("part", pa.int64())])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("parse_ok"))
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        pairs = (t.select(["source", "client_ip"])
+                 .group_by(["source", "client_ip"]).aggregate([]))
+        ips = pairs.column("client_ip").combine_chunks()
+        enc = ips.dictionary_encode()
+        uh = np.array([zlib.crc32(u.encode("utf-8")) % P
+                       for u in enc.dictionary.to_pylist()], dtype=np.int64)
+        part = uh[enc.indices.to_numpy(zero_copy_only=False)]
+        return pa.table({"source": pairs.column("source"),
+                         "client_ip": ips,
+                         "part": pa.array(part)})
+
+    def count_part(g: "pd.DataFrame"):
+        import pandas as pd
+
+        dd = g.drop_duplicates(["source", "client_ip"])
+        out = dd.groupby("source", sort=False).size().reset_index(name="n")
+        return pd.DataFrame({"source": out["source"],
+                             "n": out["n"].astype("int64")})
+
+    parts = (_enriched(sf_dir)
+             .map_batches(pair_partial, batch_format="pyarrow")
+             .groupby("part").map_groups(count_part))
     df = logpipe.to_pandas_with_schema(
-        kc.filter(expr='dimension == "clients"'),
-        pa.schema([("source", pa.string()), ("dimension", pa.string()),
-                   ("key_value", pa.string()), ("cnt", pa.int64())]),
-    )
-    out = df.groupby("source").size().reset_index(name="n_clients")
+        parts, pa.schema([("source", pa.string()), ("n", pa.int64())]))
+    out = df.groupby("source", sort=True)["n"].sum().reset_index(name="n_clients")
     out["n_clients"] = out["n_clients"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
 
