@@ -27,6 +27,26 @@ def entry() -> Any:
     return q_log_metrics("/root/testdata/sf0.001")
 
 
+# The correctness driver records at most ~50 rows per round, in dict
+# order. Queries without a green driver row yet (new this round, or
+# absent from CORRECTNESS_r03/r02) go FIRST so every operator earns a
+# row across rounds; the 50 r3-green gates follow.
+_PRIORITY = [
+    # never driver-checked through r3 (judge-verified only)
+    "events_funnel", "doc_tfidf", "emb_knn_join", "doc_unigram_logprob",
+    "multimodal_audio_features", "supplier_nation_revenue",
+    "part_brand_revenue", "region_revenue_by_year", "events_retention",
+    # new in round 4
+    "multimodal_png_features",
+    # checked in r02 but rotated out of r03
+    "multimodal_payload_stats", "multimodal_frame_sample",
+    "multimodal_features", "customer_nation_agg",
+    "orders_mktsegment_revenue", "lineitem_pricing_summary",
+    "orders_by_month", "events_hourly", "events_sessionize",
+    "events_sessionize_salted",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from sbo_ray.pipelines.queries import log_queries
 
@@ -38,7 +58,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q.update(data_queries())
     except ImportError:
         pass
-    return q
+    ordered = {n: q[n] for n in _PRIORITY if n in q}
+    ordered.update({n: f for n, f in q.items() if n not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

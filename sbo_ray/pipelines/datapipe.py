@@ -1502,6 +1502,44 @@ def multimodal_features(sf_dir: str):
     )
 
 
+def multimodal_png_features(sf_dir: str):
+    """REAL PNG decode through the actor-pool stage: deterministic
+    synthetic RGB8 PNGs (one per doc, per-doc dimensions, per-scanline
+    filter types cycling 0-4), decoded by the stdlib-zlib + numpy
+    parser inside ``PngDecoder`` — CRC-checked chunk walk, IHDR
+    validation, inflate, all-five-filter un-filtering. Gated by an
+    exact SQL oracle (dimensions, filter-type sum and pixel bytes are
+    closed forms over doc_id; the compressed payload length is not, so
+    the feature schema carries no payload_bytes). Same actor-pool shape
+    as the PPM/WAV paths."""
+    from ..functions.multimodal import (
+        PAYLOAD_SCHEMA, PNG_MEDIA_TYPE, PngDecoder, synth_png,
+    )
+
+    def to_images(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = [synth_png(int(i)) for i in ids]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array(payloads, type=pa.binary()),
+                pa.array([PNG_MEDIA_TYPE] * len(ids), type=pa.string()),
+                pa.array([len(p) for p in payloads], type=pa.int64()),
+            ],
+            schema=PAYLOAD_SCHEMA,
+        )
+
+    payload = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        to_images, batch_format="pyarrow"
+    )
+    return payload.map_batches(
+        PngDecoder,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(2, max(2, _cpus())),
+    )
+
+
 def multimodal_audio_features(sf_dir: str):
     """REAL audio decode through the actor-pool stage: deterministic
     synthetic RIFF/PCM16 WAV payloads (one clip per doc), decoded by the

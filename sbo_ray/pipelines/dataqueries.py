@@ -360,6 +360,38 @@ FROM documents d CROSS JOIN (SELECT unnest(range(288)) AS k)
 GROUP BY d.doc_id
 """
 
+# Exact mirror of the real PNG decode path: per-doc dimensions
+# (8 + doc_id%5) x (6 + doc_id%3), RGB raster byte k is
+# (doc_id*41 + k*13 + 7) % 256 (multimodal.synth_png), scanline r uses
+# filter type r % 5. If the engine's chunk walk, CRC check, inflate or
+# any of the five un-filters were wrong, the channel sums or filter sum
+# would not match. The zlib payload length is not closed-form, so the
+# feature schema carries no payload_bytes.
+SQL_MULTIMODAL_PNG = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, unnest(range(3 * w * h)) AS k FROM dims
+), sums AS (
+  SELECT doc_id, w, h,
+    SUM(CASE WHEN k % 3 = 0 THEN (doc_id*41 + k*13 + 7) % 256 END) AS sum_r,
+    SUM(CASE WHEN k % 3 = 1 THEN (doc_id*41 + k*13 + 7) % 256 END) AS sum_g,
+    SUM(CASE WHEN k % 3 = 2 THEN (doc_id*41 + k*13 + 7) % 256 END) AS sum_b
+  FROM px GROUP BY doc_id, w, h
+), filt AS (
+  SELECT doc_id, SUM(r % 5) AS filter_sum
+  FROM (SELECT doc_id, unnest(range(h)) AS r FROM dims) GROUP BY doc_id
+)
+SELECT s.doc_id, 'image/png' AS media_type,
+       CAST(s.w AS BIGINT) AS width, CAST(s.h AS BIGINT) AS height,
+       CAST(8 AS BIGINT) AS bit_depth, CAST(2 AS BIGINT) AS color_type,
+       CAST(f.filter_sum AS BIGINT) AS filter_sum,
+       CAST(s.sum_r AS BIGINT) AS sum_r,
+       CAST(s.sum_g AS BIGINT) AS sum_g,
+       CAST(s.sum_b AS BIGINT) AS sum_b
+FROM sums s JOIN filt f USING (doc_id)
+"""
+
 # Exact mirror of the real WAV decode path: the synthetic clip's sample
 # k is ((doc_id*37 + k*29 + 11) % 65536) - 32768 (multimodal.synth_wav),
 # 256 mono samples @ 8 kHz => 512 PCM bytes + 44-byte canonical RIFF
@@ -867,6 +899,7 @@ def data_queries() -> dict:
         "multimodal_payload_stats": P.multimodal_payload_stats,
         "multimodal_frame_sample": P.multimodal_frame_sample,
         "multimodal_features": P.multimodal_features,
+        "multimodal_png_features": P.multimodal_png_features,
         "multimodal_audio_features": P.multimodal_audio_features,
         "customer_nation_agg": P.customer_nation_agg,
         "supplier_nation_revenue": P.supplier_nation_revenue,
@@ -921,6 +954,7 @@ def data_oracle_sql() -> dict:
         "emb_ann_lsh": SQL_EMB_SIMILARITY_TOPK,
         "emb_ann_ivf": SQL_EMB_SIMILARITY_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "multimodal_png_features": SQL_MULTIMODAL_PNG,
         "multimodal_audio_features": SQL_MULTIMODAL_AUDIO,
         "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,
         "emb_dedup_cosine": SQL_EMB_DEDUP_COSINE,

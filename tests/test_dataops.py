@@ -27,7 +27,7 @@ SQL_NAMES = [
     "events_quantiles", "doc_group_topk", "events_funnel", "doc_tfidf",
     "emb_knn_join", "supplier_nation_revenue", "events_retention",
     "part_brand_revenue", "region_revenue_by_year",
-    "doc_unigram_logprob",
+    "doc_unigram_logprob", "multimodal_png_features",
 ]
 
 

@@ -213,3 +213,74 @@ def test_pack_sequences_matches_cumsum(token_counts, seq_len, chunk_docs):
     assert got["seq_first"].tolist() == (offs // seq_len).tolist()
     assert got["seq_last"].tolist() == (
         (offs + counts - 1) // seq_len).tolist()
+
+
+@given(st.integers(min_value=1, max_value=20),
+       st.integers(min_value=1, max_value=20),
+       st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_any_size(w, h, seed):
+    """PNG encode/decode round-trips arbitrary RGB8 rasters at any
+    dimensions — every scanline filter type (r % 5 cycling) must invert
+    exactly, including 1-px-wide images where left/upper-left are the
+    zero pixel."""
+    import numpy as np
+
+    from sbo_ray.functions.multimodal import decode_png, make_png
+
+    rng = np.random.RandomState(seed % 2**31)
+    px = rng.randint(0, 256, size=3 * w * h).astype(np.uint8)
+    got_w, got_h, depth, ctype, fsum, raster = decode_png(make_png(w, h, px))
+    assert (got_w, got_h, depth, ctype) == (w, h, 8, 2)
+    assert fsum == sum(r % 5 for r in range(h))
+    assert (raster == px).all()
+
+
+def test_png_malformed_inputs_raise():
+    """Corrupt PNGs fail loudly, never silently: bad signature, CRC
+    mismatch, truncated chunk, unsupported color type, interlacing."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from sbo_ray.functions.multimodal import decode_png, make_png, synth_png
+
+    good = synth_png(7)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a" + good)
+    # flip one IDAT byte -> CRC mismatch
+    idat_at = good.index(b"IDAT")
+    bad = bytearray(good)
+    bad[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode_png(good[:40])
+    # RGBA color type (6): rebuild IHDR with correct CRC
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 6, 0, 0, 0)
+    rgba = (b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+    with pytest.raises(NotImplementedError, match="RGB8"):
+        decode_png(rgba + good[good.index(b"IDAT") - 4:])
+    # Adam7 interlace flag
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    adam = (b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+    with pytest.raises(NotImplementedError, match="interlac"):
+        decode_png(adam + good[good.index(b"IDAT") - 4:])
+    # wrong media type routed to the PNG decoder
+    from sbo_ray.functions.multimodal import PngDecoder
+    import pyarrow as pa
+
+    t = pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "payload": pa.array([b"x"], type=pa.binary()),
+        "media_type": pa.array(["image/jpeg"], type=pa.string()),
+        "payload_bytes": pa.array([1], type=pa.int64()),
+    })
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        PngDecoder()(t)
