@@ -326,9 +326,10 @@ def parse_line(line: str, fmt: str) -> ParsedLine:
     pathinfo = split_path(uri)
     bytes_sent = int(g["bytes_sent"])
     if bytes_sent > 0x7FFFFFFFFFFFFFFF:
-        # Go's strconv.Atoi errors on int64 overflow and the reference
-        # drops the error (httpservers.go:175-176) -> value stays 0
-        bytes_sent = 0
+        # Go's strconv.Atoi returns the RANGE-CLAMPED value (MaxInt64)
+        # alongside ErrRange, and the reference drops the error
+        # (httpservers.go:175-176) -> the clamped max is what's stored
+        bytes_sent = 0x7FFFFFFFFFFFFFFF
 
     if fmt in FORMATS_WITH_UA:
         referer = normalize_referer(g["referer"], uri)

@@ -23,6 +23,7 @@ Reference quirks reproduced deliberately:
 
 from __future__ import annotations
 
+import itertools
 import re
 from dataclasses import dataclass
 from datetime import datetime
@@ -137,6 +138,9 @@ OS_METRICS_SCHEMA_FIELDS = [
 ]
 
 
+_FRAGMENT_SEQ = itertools.count()
+
+
 def collect_and_write(out_dir: str, samples: int = 1,
                       interval_sec: float = 0.0, host_id: int = 1,
                       now_fn=None) -> int:
@@ -154,6 +158,8 @@ def collect_and_write(out_dir: str, samples: int = 1,
 
     from .. import fsio
 
+    if samples < 1:
+        raise ValueError(f"samples must be >= 1, got {samples}")
     now_fn = now_fn or datetime.now
     rows = []
     for i in range(samples):
@@ -170,7 +176,15 @@ def collect_and_write(out_dir: str, samples: int = 1,
                         OS_METRICS_SCHEMA_FIELDS])
     table = pa.Table.from_pylist(rows, schema=schema)
     fsio.makedirs(out_dir)
-    name = f"osmetrics-{rows[0]['metrics_ts'].replace(' ', 'T').replace(':', '-')}-{host_id}.parquet"
+    # pid + per-process counter uniquify the fragment: two invocations
+    # for the same host within the same second (even with identical
+    # samples) must not overwrite each other — the timestamp alone has
+    # 1-second granularity
+    import os
+
+    uniq = f"{os.getpid():x}-{next(_FRAGMENT_SEQ)}"
+    name = (f"osmetrics-{rows[0]['metrics_ts'].replace(' ', 'T').replace(':', '-')}"
+            f"-{host_id}-{uniq}.parquet")
     fsio.write_table(out_dir, name, table)
     return len(rows)
 

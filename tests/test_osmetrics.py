@@ -116,3 +116,24 @@ def test_live_sink_writes_parquet(tmp_path):
     row = t.to_pylist()[0]
     assert row["host_id"] == 7
     assert row["swap_use"] == 0  # the Sscanf swap bug, faithfully zero
+
+
+def test_collect_and_write_validates_and_uniquifies(tmp_path):
+    """samples=0 raises cleanly (ADVICE r3), and two same-second
+    invocations for the same host write TWO fragments, not one
+    silently-overwritten file."""
+    import glob
+    from datetime import datetime
+
+    import pytest
+
+    from sbo_ray.functions.osmetrics import collect_and_write
+
+    with pytest.raises(ValueError, match="samples"):
+        collect_and_write(str(tmp_path), samples=0)
+
+    fixed = lambda: datetime(2026, 1, 2, 3, 4, 5)  # noqa: E731
+    collect_and_write(str(tmp_path), samples=1, host_id=9, now_fn=fixed)
+    collect_and_write(str(tmp_path), samples=1, host_id=9, now_fn=fixed)
+    files = glob.glob(str(tmp_path / "osmetrics-*.parquet"))
+    assert len(files) == 2

@@ -266,24 +266,28 @@ def test_truncated_long_nonascii_path_through_engine():
     assert routed.num_rows == 1 and m.num_rows > 0
 
 
-def test_bytes_sent_overflow_is_zero_like_go_atoi():
+def test_bytes_sent_overflow_clamps_like_go_atoi():
+    """Go's strconv.Atoi returns the RANGE-CLAMPED MaxInt64 alongside
+    ErrRange; the reference ignores the error (httpservers.go:175-176),
+    so >int64 digit runs store MaxInt64 — not 0 (ADVICE r3)."""
     from sbo_ray.functions.loglines import parse_line
 
+    MAX = 9223372036854775807
     big = "9" * 25
     line = f'1.1.1.1 - - [10/Oct/2000:13:55:36 -0700] "GET /a HTTP/1.0" 200 {big}'
     # oracle scalar path
     row = parse_line(line, "apache_common")
-    assert row.ok and row.bytes_sent == 0
+    assert row.ok and row.bytes_sent == MAX
     # vectorized engine path
     pe = ParseEnrich(_job(s="apache_common"))
     out = pe(_table([line], ["s"]))
     assert out.column("parse_ok").to_pylist() == [True]
-    assert out.column("bytes_sent").to_pylist() == [0]
-    # 19-digit boundary: max int64 accepted, max+1 -> 0
+    assert out.column("bytes_sent").to_pylist() == [MAX]
+    # 19-digit boundary: max int64 accepted, max+1 -> clamp
     okmax = line.replace(big, "9223372036854775807")
     over = line.replace(big, "9223372036854775808")
     out2 = pe(_table([okmax, over], ["s", "s"]))
-    assert out2.column("bytes_sent").to_pylist() == [9223372036854775807, 0]
+    assert out2.column("bytes_sent").to_pylist() == [MAX, MAX]
 
 
 def test_bytes_sent_leading_zeros_parse_like_go_atoi():
@@ -295,12 +299,12 @@ def test_bytes_sent_leading_zeros_parse_like_go_atoi():
     padded = "0" * 19 + "123"        # 22 chars, value 123
     zeros = "0" * 25                  # all zeros, value 0
     padmax = "00" + "9223372036854775807"  # padded max int64
-    padover = "00" + "9223372036854775808"  # padded max+1 -> overflow -> 0
+    padover = "00" + "9223372036854775808"  # padded max+1 -> clamp to max
     lines = [
         f'1.1.1.1 - - [10/Oct/2000:13:55:36 -0700] "GET /a HTTP/1.0" 200 {v}'
         for v in (padded, zeros, padmax, padover)
     ]
-    want = [123, 0, 9223372036854775807, 0]
+    want = [123, 0, 9223372036854775807, 9223372036854775807]
     for line, w in zip(lines, want):
         row = parse_line(line, "apache_common")
         assert row.ok and row.bytes_sent == w, line
