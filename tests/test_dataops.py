@@ -803,3 +803,49 @@ def test_curation_no_driver_gather(ray_session, tmp_path):
     got = doc_curation_pipeline(str(tmp_path), min_tokens=10,
                                 max_tokens=10_000).to_pandas()
     assert sorted(got["doc_id"]) == list(range(1, n))
+
+
+def test_clusters_lp_no_driver_pair_bytes(ray_session, tmp_path, monkeypatch):
+    """The lp path must be driver-free end to end: 300 identical docs
+    produce C(300,2) = 44,850 candidate pairs (~700 KB as an int64
+    array) and the driver must never ray.put anything that large —
+    candidates assemble, the slot map builds and the edge shards split
+    all in REMOTE tasks (their returns go to the object store without a
+    driver copy). The UF twin keeps its documented driver pair list."""
+    import pyarrow.parquet as pq
+    import ray as ray_mod
+
+    from sbo_ray.pipelines.datapipe import doc_dedup_clusters_lp
+
+    n_dup = 300
+    text = " ".join(f"tok{i % 23}" for i in range(90))
+    texts = [text] * n_dup + [
+        f"unique doc {i} " + " ".join(f"w{i}{j}" for j in range(30))
+        for i in range(20)
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    put_sizes = []
+    real_put = ray_mod.put
+
+    def spy_put(obj, **kw):
+        size = 0
+        for a in (obj if isinstance(obj, tuple) else (obj,)):
+            if isinstance(a, np.ndarray):
+                size += a.nbytes
+        put_sizes.append(size)
+        return real_put(obj, **kw)
+
+    monkeypatch.setattr(ray_mod, "put", spy_put)
+    got = doc_dedup_clusters_lp(str(tmp_path), threshold=0.8).to_pandas()
+    monkeypatch.setattr(ray_mod, "put", real_put)
+
+    labels = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert len(labels) == n_dup
+    assert all(labels[i] == 0 for i in range(n_dup))
+    big = [s for s in put_sizes if s > 64 * 1024]
+    assert not big, f"driver ray.put carried pair-sized arrays: {big}"
