@@ -37,7 +37,7 @@ _PRIORITY = [
     "multimodal_audio_features", "supplier_nation_revenue",
     "part_brand_revenue", "region_revenue_by_year", "events_retention",
     # new in round 4
-    "multimodal_png_features",
+    "multimodal_png_features", "doc_dedup_substring",
     # checked in r02 but rotated out of r03
     "multimodal_payload_stats", "multimodal_frame_sample",
     "multimodal_features", "customer_nation_agg",

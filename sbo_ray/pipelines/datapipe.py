@@ -182,6 +182,115 @@ def doc_decontaminate(sf_dir: str, blocklist: tuple[str, ...] | None = None):
         scan, batch_format="pyarrow")
 
 
+def doc_dedup_substring(sf_dir: str, k: int = 10):
+    """Substring-level dedup: count, per document, the k-token windows
+    that also appear (verbatim) in at least one OTHER document — the
+    repeated-passage primitive from "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al., 2022), where dedup acts on
+    spans, not whole documents (boilerplate, licenses, quoted chunks).
+
+    Engine shape: one corpus scan builds 64-bit polynomial rolling
+    hashes over the whitespace token stream (per-UNIQUE-token crc32
+    through dictionary codes, k shifted uint64 multiply-adds — no gram
+    strings ever materialize), emits block-deduped (window_hash,
+    doc_id, n_positions) partials; ONE hash exchange groups each window
+    hash's rows in a single partition, which keeps hashes seen in >= 2
+    distinct docs and re-aggregates per doc; a second 8-byte exchange
+    on doc_id sums a doc's counts across hash partitions. Output:
+    (doc_id, n_dup_windows) for affected docs only. Shuffle volume is
+    (distinct windows per block) x 24 bytes — the corpus text never
+    moves. 64-bit window hashes may collide (~1e-4 at 1e8 windows,
+    birthday) exactly like the engine-wide 63-bit text_hash contract;
+    the string-exact SQL mirror gates the fixed testdata
+    value-for-value."""
+    P = _n_parts()
+    PART_SCHEMA = pa.schema([
+        ("whash", pa.uint64()), ("doc_id", pa.int64()),
+        ("c", pa.int64()), ("part", pa.int64()),
+    ])
+
+    def window_partial(t: pa.Table) -> pa.Table:
+        import zlib
+
+        col = t.column("text")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        # split_pattern " " == DuckDB string_split (keeps empty tokens)
+        words = pc.split_pattern(col, " ")
+        offsets = words.offsets.to_numpy().astype(np.int64)
+        flat = words.values
+        nw = len(flat)
+        if nw < k:
+            return PART_SCHEMA.empty_table()
+        enc = flat.dictionary_encode()
+        uh = np.array([zlib.crc32(u.encode("utf-8"))
+                       for u in enc.dictionary.to_pylist()], dtype=np.uint64)
+        th = uh[enc.indices.to_numpy(zero_copy_only=False)]
+        nwin = nw - k + 1
+        H = np.zeros(nwin, dtype=np.uint64)
+        B = np.uint64(1099511628211)  # odd base; uint64 wraparound ring
+        p = np.uint64(1)
+        with np.errstate(over="ignore"):  # mod-2^64 wraparound is the point
+            for j in range(k - 1, -1, -1):
+                H += th[j:j + nwin] * p
+                p = p * B
+        starts = np.arange(nwin, dtype=np.int64)
+        doc_of = np.searchsorted(offsets, starts, "right") - 1
+        valid = starts + k <= offsets[doc_of + 1]
+        if not valid.any():
+            return PART_SCHEMA.empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        wh = H[valid]
+        wdoc = ids[doc_of[valid]]
+        # block-local (hash, doc) position counts (docs never split
+        # across batches, so these partials are per-doc complete)
+        order = np.lexsort((wdoc, wh))
+        hs, ds_ = wh[order], wdoc[order]
+        new = np.ones(len(hs), dtype=bool)
+        new[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        sidx = np.flatnonzero(new)
+        cnt = np.diff(np.append(sidx, len(hs)))
+        hu, du = hs[sidx], ds_[sidx]
+        return pa.Table.from_arrays([
+            pa.array(hu, pa.uint64()), pa.array(du, pa.int64()),
+            pa.array(cnt.astype(np.int64), pa.int64()),
+            pa.array((hu % np.uint64(P)).astype(np.int64), pa.int64()),
+        ], schema=PART_SCHEMA)
+
+    def dup_part(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["whash"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        c = g["c"].to_numpy()
+        order = np.lexsort((d, h))
+        h, d, c = h[order], d[order], c[order]
+        new_h = np.ones(len(h), dtype=bool)
+        new_h[1:] = h[1:] != h[:-1]
+        hid = np.cumsum(new_h) - 1
+        # distinct docs per hash (rows are (hash, doc)-distinct already)
+        ndocs = np.bincount(hid)
+        dupm = ndocs[hid] >= 2
+        if not dupm.any():
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "dpart": pd.Series([], dtype="int64")})
+        dd, cc = d[dupm], c[dupm]
+        uniq, code = np.unique(dd, return_inverse=True)
+        n = np.bincount(code, weights=cc).astype(np.int64)
+        return pd.DataFrame({"doc_id": uniq, "n": n,
+                             "dpart": uniq % P})
+
+    def doc_sum(g: pd.DataFrame) -> pd.DataFrame:
+        uniq, code = np.unique(g["doc_id"].to_numpy(), return_inverse=True)
+        n = np.bincount(code, weights=g["n"].to_numpy()).astype(np.int64)
+        return pd.DataFrame({"doc_id": uniq, "n_dup_windows": n})
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(window_partial, batch_format="pyarrow")
+        .groupby("part").map_groups(dup_part, batch_format="pandas")
+        .groupby("dpart").map_groups(doc_sum, batch_format="pandas")
+    )
+
+
 def doc_decontaminate_ngram(sf_dir: str,
                             blocklist: tuple[str, ...] | None = None,
                             n: int = 3):

@@ -86,6 +86,30 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
 """
 
+# Substring-dedup mirror: same k-token whitespace windows (string_split
+# keeps empty tokens, list slicing is 1-based end-inclusive), a window
+# is duplicated iff its verbatim gram occurs in >= 2 distinct docs;
+# per-doc counts are per POSITION. The engine hashes windows (64-bit
+# rolling polynomial) instead of materializing gram strings; the mirror
+# compares the strings themselves, so any hashing error surfaces.
+_SUBSTR_K = 10
+SQL_DOC_DEDUP_SUBSTRING = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws) - {_SUBSTR_K} + 2),
+    i -> array_to_string(ws[i:i+{_SUBSTR_K - 1}], ' '))) AS gram
+  FROM w WHERE len(ws) >= {_SUBSTR_K}
+), d AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1
+  ) WHERE nd >= 2
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+FROM g WHERE gram IN (SELECT gram FROM d)
+GROUP BY doc_id
+"""
+
 SQL_DOC_DEDUP_EXACT = """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_dupes
@@ -861,6 +885,7 @@ FROM events GROUP BY 1, 2
 def data_queries() -> dict:
     return {
         "doc_dedup_exact": P.doc_dedup_exact,
+        "doc_dedup_substring": P.doc_dedup_substring,
         "doc_sample_hash": P.doc_sample_hash,
         "doc_decontaminate": P.doc_decontaminate,
         "doc_sample_stratified": P.doc_sample_stratified,
@@ -922,6 +947,7 @@ def data_oracle_sql() -> dict:
     # trade-off).
     return {
         "doc_dedup_exact": SQL_DOC_DEDUP_EXACT,
+        "doc_dedup_substring": SQL_DOC_DEDUP_SUBSTRING,
         "doc_sample_hash": SQL_DOC_SAMPLE_HASH,
         "doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "doc_sample_stratified": SQL_DOC_SAMPLE_STRATIFIED,

@@ -28,6 +28,7 @@ SQL_NAMES = [
     "emb_knn_join", "supplier_nation_revenue", "events_retention",
     "part_brand_revenue", "region_revenue_by_year",
     "doc_unigram_logprob", "multimodal_png_features",
+    "doc_dedup_substring",
 ]
 
 
@@ -849,3 +850,36 @@ def test_clusters_lp_no_driver_pair_bytes(ray_session, tmp_path, monkeypatch):
     assert all(labels[i] == 0 for i in range(n_dup))
     big = [s for s in put_sizes if s > 64 * 1024]
     assert not big, f"driver ray.put carried pair-sized arrays: {big}"
+
+
+def test_dedup_substring_planted(ray_session, tmp_path):
+    """Pin the substring-dedup window semantics: two docs sharing one
+    verbatim k-token passage count each of its k-window POSITIONS; a
+    window repeated twice inside one doc counts both positions (when
+    the gram is shared across docs); a doc-internal-only repeat does
+    NOT count (distinct-doc threshold); windows never cross doc
+    boundaries; docs shorter than k emit nothing."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import doc_dedup_substring
+
+    k = 4
+    passage = "alpha beta gamma delta epsilon"        # 5 words -> 2 windows of 4
+    texts = [
+        f"intro words here {passage} closing words",   # doc 0: shares passage
+        f"{passage} and then something entirely else", # doc 1: shares passage
+        "only unique words appear in this document",   # doc 2: clean
+        "rep rep rep rep rep rep rep",                 # doc 3: internal repeat only
+        "tiny doc",                                    # doc 4: < k tokens
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = doc_dedup_substring(str(tmp_path), k=k).to_pandas()
+    m = dict(zip(got["doc_id"], got["n_dup_windows"]))
+    # shared grams: the 2 windows inside the passage ("alpha beta gamma
+    # delta", "beta gamma delta epsilon") — each occurs at one position
+    # in each doc; surrounding windows differ between the docs
+    assert m == {0: 2, 1: 2}
