@@ -1032,6 +1032,35 @@ def doc_dedup_clusters_lp(sf_dir: str, threshold: float = 0.8,
     })
 
 
+def doc_dedup_near_keep(sf_dir: str, threshold: float = 0.8,
+                        max_rounds: int = 50):
+    """The deduplicated CORPUS emit — what a training-data pipeline
+    actually materializes after near-dup detection: every doc_id that
+    survives keeping exactly one representative (the min doc_id) per
+    near-dup cluster. Composes the driver-free minhash->label-prop
+    path: drop set = cluster members whose label != their own id
+    (bounded by the near-dup graph's node count, the same output-size
+    contract as doc_dedup_clusters_lp), broadcast sorted once, and the
+    kept ids stream out of a corpus scan via a searchsorted mask — the
+    corpus itself never shuffles. SQL gate: NOT IN the recursive-CTE
+    transitive-closure drop set."""
+    clusters = doc_dedup_clusters_lp(sf_dir, threshold, max_rounds)
+    d = clusters.column("doc_id").to_numpy(zero_copy_only=False)
+    c = clusters.column("cluster_id").to_numpy(zero_copy_only=False)
+    dropped = np.sort(d[d != c])
+    drop_ref = ray.put(dropped)
+
+    def keep(t: pa.Table) -> pa.Table:
+        dr = ray.get(drop_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(dr, ids)
+        hit = (pos < len(dr)) & (dr[np.minimum(pos, len(dr) - 1)] == ids)
+        return pa.table({"doc_id": pa.array(ids[~hit], pa.int64())})
+
+    return _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        keep, batch_format="pyarrow")
+
+
 def emb_dedup_cosine(sf_dir: str, threshold: float = 0.35,
                      n_chunks: int | None = None):
     """Embedding near-dup pairs via a replicated chunk-pair join (the
@@ -1235,6 +1264,119 @@ def emb_ann_ivf(sf_dir: str, k: int = 10, nlist: int = 32, nprobe: int = 24,
         )
     )
     return S.merge_topk(parts, k)
+
+
+def emb_semdedup(sf_dir: str, nlist: int | None = None,
+                 threshold: float = 0.95, chunk: int = 2048,
+                 sample_stride: int | None = None):
+    """SemDeDup (Abbas et al. 2023): semantic dedup by k-means
+    bucketing + within-cluster cosine near-dup pruning — the scale path
+    that turns O(n^2) embedding dedup into O(n^2 / nlist) by only
+    comparing vectors that land in the same coarse cluster (the method
+    accepts missing cross-cluster near-dups by design; exact all-pairs
+    is ``emb_dedup_cosine``). Identical vectors always co-cluster
+    (deterministic assignment), so exact duplicates are never missed.
+
+    Engine shape: deterministic strided sample -> driver Lloyd
+    (S.ivf_centroids, same as IVF) -> broadcast centroids -> one scan
+    assigns clusters -> partition-grouped by cluster id (vectors travel
+    once, ~(dim x 4 + 24) bytes/row) -> per-cluster chunked-triangle
+    cosine + union-find over above-threshold pairs -> drop every member
+    except the min-vec_id representative. Worker memory is bounded by
+    ``chunk^2`` cos tiles regardless of cluster size. Output: one row
+    per DROPPED vector (vec_id, rep_id, cluster). Iterative k-means is
+    not SQL-expressible -> rows-only driver gate; soundness/recall are
+    pytest-pinned against the exact all-pairs brute force."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = _parquet_num_rows(sf_dir, "embeddings")
+    nlist = nlist or max(8, min(1024, n // 1000))
+    if sample_stride is None:
+        target = max(256, nlist * 16)
+        sample_stride = max(1, n // target)
+
+    def strided(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % sample_stride == 0))
+
+    sample_t = pa.concat_tables(
+        ds.map_batches(strided, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    centroids = S.ivf_centroids(S.embedding_matrix(sample_t), nlist)
+    cent_ref = ray.put(centroids)
+    P = _n_parts()
+
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("cl", pa.array([], pa.int64())) \
+                    .append_column("part", pa.array([], pa.int64()))
+        m = D.normalize_rows(S.embedding_matrix(b))
+        cl = S.ivf_assign(m, ray.get(cent_ref)).astype(np.int64)
+        return b.append_column("cl", pa.array(cl)) \
+                .append_column("part", pa.array(cl % P))
+
+    OUT_SCHEMA = pa.schema([
+        ("vec_id", pa.int64()), ("rep_id", pa.int64()),
+        ("cluster", pa.int64()),
+    ])
+
+    def prune_part(g: pa.Table) -> pa.Table:
+        cl = g.column("cl").to_numpy(zero_copy_only=False)
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        m = D.normalize_rows(S.embedding_matrix(g))
+        order = np.lexsort((ids, cl))
+        cl, ids, m = cl[order], ids[order], m[order]
+        new = np.ones(len(cl), dtype=bool)
+        new[1:] = cl[1:] != cl[:-1]
+        bounds = np.append(np.flatnonzero(new), len(cl))
+        out_v, out_r, out_c = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sz = e - s
+            if sz < 2:
+                continue
+            cm, cids = m[s:e], ids[s:e]  # ids ascending within cluster
+            parent = np.arange(sz)
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for ci in range(0, sz, chunk):
+                a = cm[ci:ci + chunk]
+                for cj in range(ci, sz, chunk):
+                    cos = a @ cm[cj:cj + chunk].T
+                    if ci == cj:
+                        iu, ju = np.triu_indices(len(a), 1, cos.shape[1])
+                        hit = cos[iu, ju] >= threshold
+                        pi, pj = iu[hit] + ci, ju[hit] + cj
+                    else:
+                        pi, pj = np.nonzero(cos >= threshold)
+                        pi, pj = pi + ci, pj + cj
+                    for x, y in zip(pi, pj):
+                        rx, ry = find(x), find(y)
+                        if rx != ry:
+                            # root at the smaller index == smaller vec_id
+                            if rx < ry:
+                                parent[ry] = rx
+                            else:
+                                parent[rx] = ry
+            roots = np.array([find(x) for x in range(sz)])
+            dropped = np.flatnonzero(roots != np.arange(sz))
+            if len(dropped):
+                out_v.append(cids[dropped])
+                out_r.append(cids[roots[dropped]])
+                out_c.append(np.full(len(dropped), cl[s], dtype=np.int64))
+        if not out_v:
+            return OUT_SCHEMA.empty_table()
+        return pa.Table.from_arrays([
+            pa.array(np.concatenate(out_v), pa.int64()),
+            pa.array(np.concatenate(out_r), pa.int64()),
+            pa.array(np.concatenate(out_c), pa.int64()),
+        ], schema=OUT_SCHEMA)
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("part").map_groups(prune_part, batch_format="pyarrow"))
 
 
 # ---- text analysis ---------------------------------------------------------

@@ -239,6 +239,27 @@ SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
 # distinct words, bit set iff vote > 0; signatures compared all-pairs
 # with bit_count(xor()) — exact because the 4x16-bit pigeonhole the
 # engine uses guarantees every Hamming<=3 pair is found.
+# Deduplicated-corpus mirror: keep every doc except non-representative
+# members of the transitive-closure near-dup clusters (same CTE as the
+# clusters oracle; representative = component min id).
+SQL_DOC_DEDUP_NEAR_KEEP = (
+    _SQL_MINHASH_CORE.replace("WITH w AS", "WITH RECURSIVE w AS", 1)
+    + r"""
+, edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+), labels AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+"""
+)
+
 SQL_DOC_DEDUP_SIMHASH = r"""
 WITH words AS (
   SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '\S+'))) AS w
@@ -894,6 +915,8 @@ def data_queries() -> dict:
         "doc_curation_pipeline": P.doc_curation_pipeline,
         "doc_dedup_clusters": P.doc_dedup_clusters,
         "doc_dedup_clusters_lp": P.doc_dedup_clusters_lp,
+        "doc_dedup_near_keep": P.doc_dedup_near_keep,
+        "emb_semdedup": P.emb_semdedup,
         "doc_dedup_simhash": P.doc_dedup_simhash,
         "emb_dedup_cosine": P.emb_dedup_cosine,
         "emb_similarity_topk": P.emb_similarity_topk,
@@ -956,6 +979,7 @@ def data_oracle_sql() -> dict:
         "doc_curation_pipeline": SQL_DOC_CURATION,
         "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
         "doc_dedup_clusters_lp": SQL_DOC_DEDUP_CLUSTERS,
+        "doc_dedup_near_keep": SQL_DOC_DEDUP_NEAR_KEEP,
         "doc_dedup_simhash": SQL_DOC_DEDUP_SIMHASH,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "doc_pii_redact": SQL_DOC_PII_REDACT,

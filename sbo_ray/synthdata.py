@@ -19,7 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-V_DATA = "d2"
+V_DATA = "d3"
 ROOT = "/tmp/sbo_synth_data"
 SEED = 20250817
 
@@ -136,6 +136,12 @@ def ensure_embeddings(n: int, dim: int = 64, seed: int = SEED) -> str:
         hi = min(n, lo + chunk)
         m = hi - lo
         vecs = rng.randn(m, dim).astype(np.float32)
+        # planted exact duplicates (~0.5%): vec k with k % 199 == 0
+        # copies its predecessor, so embedding dedup (semdedup/cosine)
+        # has real work at bench scale; chunk starts skip the copy
+        ids_abs = np.arange(lo, hi, dtype=np.int64)
+        dup = np.flatnonzero((ids_abs % 199 == 0) & (np.arange(m) > 0))
+        vecs[dup] = vecs[dup - 1]
         flat = pa.array(vecs.reshape(-1))
         offsets = pa.array(np.arange(0, (m + 1) * dim, dim, dtype=np.int32))
         emb = pa.ListArray.from_arrays(offsets, flat)

@@ -28,7 +28,7 @@ SQL_NAMES = [
     "emb_knn_join", "supplier_nation_revenue", "events_retention",
     "part_brand_revenue", "region_revenue_by_year",
     "doc_unigram_logprob", "multimodal_png_features",
-    "doc_dedup_substring",
+    "doc_dedup_substring", "doc_dedup_near_keep",
 ]
 
 
@@ -883,3 +883,72 @@ def test_dedup_substring_planted(ray_session, tmp_path):
     # delta", "beta gamma delta epsilon") — each occurs at one position
     # in each doc; surrounding windows differ between the docs
     assert m == {0: 2, 1: 2}
+
+
+def test_semdedup_planted_and_sound(ray_session, tmp_path):
+    """SemDeDup semantics: identical vectors always co-cluster
+    (deterministic assignment), so each planted duplicate group loses
+    every member except its min vec_id, with rep_id == that min; clean
+    vectors are never dropped (soundness vs the exact brute force: a
+    dropped vector must have SOME corpus neighbor above threshold)."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import emb_semdedup
+
+    rng = np.random.RandomState(5)
+    n, d = 120, 16
+    m = rng.randn(n, d).astype(np.float32)
+    # two duplicate groups: {10, 40, 41} identical, {77, 99} identical
+    m[40] = m[10]
+    m[41] = m[10]
+    m[99] = m[77]
+    t = pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array([list(r) for r in m],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * n, type=pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = emb_semdedup(str(tmp_path), nlist=8, threshold=0.999,
+                       sample_stride=3).to_pandas()
+    reps = dict(zip(got["vec_id"], got["rep_id"]))
+    assert reps == {40: 10, 41: 10, 99: 77}
+
+    # soundness at a looser threshold: every dropped vector has a true
+    # above-threshold neighbor in the exact all-pairs brute force
+    thr = 0.8
+    got2 = emb_semdedup(str(tmp_path), nlist=8, threshold=thr,
+                        sample_stride=3).to_pandas()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = mn @ mn.T
+    np.fill_diagonal(cos, -2.0)
+    has_neighbor = (cos >= thr - 1e-6).any(axis=1)
+    assert got2["vec_id"].map(lambda v: bool(has_neighbor[v])).all()
+    # exact dups still dropped at the looser threshold
+    assert {40, 41, 99} <= set(got2["vec_id"])
+
+
+def test_dedup_near_keep_complement(ray_session, tmp_path):
+    """doc_dedup_near_keep == all doc_ids minus non-representative
+    cluster members, on a corpus with one 4-doc near-dup cluster."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import (
+        doc_dedup_clusters_lp, doc_dedup_near_keep,
+    )
+
+    base = " ".join(f"tok{i % 13}" for i in range(60))
+    texts = [base, base, base + " tail", base]  # docs 0-3 cluster
+    texts += [f"standalone document {i} " + " ".join(
+        f"w{i}{j}" for j in range(25)) for i in range(12)]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    kept = sorted(doc_dedup_near_keep(str(tmp_path)).to_pandas()["doc_id"])
+    cl = doc_dedup_clusters_lp(str(tmp_path)).to_pandas()
+    dropped = set(cl[cl.doc_id != cl.cluster_id]["doc_id"])
+    assert dropped  # the planted cluster must actually cluster
+    assert kept == sorted(set(range(len(texts))) - dropped)
+    assert 0 in kept  # representative survives
