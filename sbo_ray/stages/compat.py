@@ -442,7 +442,14 @@ def _compat_shard(t, P: int):
     uh = np.array([zlib.crc32(u.encode("utf-8")) % P
                    for u in enc.dictionary.to_pylist()], dtype=np.int64)
     h = uh[enc.indices.to_numpy(zero_copy_only=False)]
-    return tuple(t.filter(pa.array(h == p)) for p in range(P))
+    # one stable argsort + contiguous index slices (P filters would
+    # rescan the block P times); per-shard take keeps each return's
+    # buffers shard-sized for serialization
+    order = np.argsort(h, kind="stable")
+    bounds = np.concatenate([[0], np.cumsum(np.bincount(h, minlength=P))])
+    return tuple(
+        t.take(pa.array(order[bounds[q]:bounds[q + 1]]))
+        for q in range(P))
 
 
 def _compat_combine(window_size: int, replace_existing: bool, *shards):
