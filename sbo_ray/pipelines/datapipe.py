@@ -1243,7 +1243,7 @@ def emb_ann_ivf(sf_dir: str, k: int = 10, nlist: int = 32, nprobe: int = 24,
         ds.map_batches(strided, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow", batch_size=None
         )
-    )
+    ).sort_by("vec_id")  # block arrival order is nondeterministic
     centroids = S.ivf_centroids(S.embedding_matrix(sample_t), nlist)
     probe = np.argsort(-(centroids @ q))[:nprobe]
     bcast = ray.put((q, centroids, np.asarray(probe, dtype=np.int64)))
@@ -1264,6 +1264,117 @@ def emb_ann_ivf(sf_dir: str, k: int = 10, nlist: int = 32, nprobe: int = 24,
         )
     )
     return S.merge_topk(parts, k)
+
+
+def emb_kmeans(sf_dir: str, k: int = 16, iters: int = 5,
+               sample_stride: int | None = None):
+    """Distributed Lloyd k-means over the embedding corpus — the
+    cluster-then-curate primitive (SemDeDup bucketing, diversity
+    sampling, domain discovery). Classic broadcast-iterate shape:
+
+      init   deterministic strided sample -> driver seed pass
+             (S.ivf_centroids with 1 refinement iter, tiny input);
+      round  broadcast centroids (ray.put once per round) -> one
+             map_batches pass emits per-block PARTIAL (sum_vec, count)
+             per cluster -> driver reduces k x (dim+1) floats and
+             updates centroids.  Empty clusters keep their previous
+             centroid (the standard Lloyd convention).
+
+    Each round is one streaming corpus pass; driver state is k x dim
+    floats — nothing corpus-sized anywhere. Output: k rows (cluster,
+    n_members, centroid). Iterative fixpoints are not SQL-expressible
+    -> rows-only driver gate; pytest pins exact equality with a numpy
+    Lloyd reference on planted separated clusters."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = _parquet_num_rows(sf_dir, "embeddings")
+    if sample_stride is None:
+        sample_stride = max(1, n // max(256, k * 16))
+
+    def strided(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % sample_stride == 0))
+
+    sample_t = pa.concat_tables(
+        ds.map_batches(strided, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    # blocks arrive in scheduling order — sort by vec_id so the seeding
+    # (rng.choice over row INDICES) is deterministic run to run
+    sample_t = sample_t.sort_by("vec_id")
+    cent = S.ivf_centroids(S.embedding_matrix(sample_t), k, iters=1)
+
+    PART = pa.schema([("cluster", pa.int64()), ("cnt", pa.int64()),
+                      ("vsum", pa.list_(pa.float64()))])
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return PART.empty_table()
+            c = ray.get(cent_ref)
+            # spherical k-means like ivf_centroids: normalized rows, so
+            # the mean/renormalize update matches the seed pass exactly
+            m = D.normalize_rows(S.embedding_matrix(b)).astype(np.float64)
+            asg = np.argmax(m @ c.T, axis=1)
+            kk = c.shape[0]
+            cnt = np.bincount(asg, minlength=kk)
+            vs = np.zeros((kk, m.shape[1]))
+            np.add.at(vs, asg, m)
+            dim = m.shape[1]
+            flat = pa.array(vs.reshape(-1))
+            offs = pa.array(np.arange(0, (kk + 1) * dim, dim, dtype=np.int32))
+            return pa.Table.from_arrays([
+                pa.array(np.arange(kk, dtype=np.int64)),
+                pa.array(cnt.astype(np.int64)),
+                pa.ListArray.from_arrays(offs, flat),
+            ], schema=PART)
+
+        tot_cnt = np.zeros(k, dtype=np.int64)
+        tot_sum = np.zeros((k, cent.shape[1]))
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            cl = b.column("cluster").to_numpy(zero_copy_only=False)
+            tot_cnt[cl] += b.column("cnt").to_numpy(zero_copy_only=False)
+            vsc = b.column("vsum")
+            vsc = vsc.combine_chunks() if isinstance(vsc, pa.ChunkedArray) else vsc
+            tot_sum[cl] += vsc.values.to_numpy(zero_copy_only=False).reshape(
+                len(cl), -1)
+        nz = tot_cnt > 0
+        new_cent = cent.copy()
+        new_cent[nz] = tot_sum[nz] / tot_cnt[nz, None]
+        # cosine-space Lloyd like ivf_centroids: renormalize means
+        norms = np.linalg.norm(new_cent, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cent = new_cent / norms
+
+    # reported membership is w.r.t. the RETURNED centroids (one final
+    # count-only pass; the loop's counts lag the update by one round)
+    fin_ref = ray.put(cent)
+
+    def count_pass(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        m = D.normalize_rows(S.embedding_matrix(b)).astype(np.float64)
+        asg = np.argmax(m @ ray.get(fin_ref).T, axis=1)
+        cnt = np.bincount(asg, minlength=k)
+        return pa.table({"cluster": pa.array(np.arange(k, dtype=np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    tot_cnt = np.zeros(k, dtype=np.int64)
+    for b in ds.map_batches(count_pass, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        tot_cnt[b.column("cluster").to_numpy(zero_copy_only=False)] += \
+            b.column("cnt").to_numpy(zero_copy_only=False)
+
+    dim = cent.shape[1]
+    flat = pa.array(cent.reshape(-1))
+    offs = pa.array(np.arange(0, (k + 1) * dim, dim, dtype=np.int32))
+    return pa.table({
+        "cluster": pa.array(np.arange(k, dtype=np.int64)),
+        "n_members": pa.array(tot_cnt),
+        "centroid": pa.ListArray.from_arrays(offs, flat),
+    })
 
 
 def emb_semdedup(sf_dir: str, nlist: int | None = None,
@@ -1300,7 +1411,8 @@ def emb_semdedup(sf_dir: str, nlist: int | None = None,
 
     sample_t = pa.concat_tables(
         ds.map_batches(strided, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None))
+            batch_format="pyarrow", batch_size=None)
+    ).sort_by("vec_id")  # block arrival order is nondeterministic
     centroids = S.ivf_centroids(S.embedding_matrix(sample_t), nlist)
     cent_ref = ray.put(centroids)
     P = _n_parts()

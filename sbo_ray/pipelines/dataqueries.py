@@ -917,6 +917,7 @@ def data_queries() -> dict:
         "doc_dedup_clusters_lp": P.doc_dedup_clusters_lp,
         "doc_dedup_near_keep": P.doc_dedup_near_keep,
         "emb_semdedup": P.emb_semdedup,
+        "emb_kmeans": P.emb_kmeans,
         "doc_dedup_simhash": P.doc_dedup_simhash,
         "emb_dedup_cosine": P.emb_dedup_cosine,
         "emb_similarity_topk": P.emb_similarity_topk,

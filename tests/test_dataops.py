@@ -952,3 +952,51 @@ def test_dedup_near_keep_complement(ray_session, tmp_path):
     assert dropped  # the planted cluster must actually cluster
     assert kept == sorted(set(range(len(texts))) - dropped)
     assert 0 in kept  # representative survives
+
+
+def test_kmeans_matches_numpy_reference(ray_session, tmp_path):
+    """Distributed Lloyd == a numpy reference running the identical
+    algorithm (same strided seed pass, same spherical update) on
+    planted well-separated clusters; member counts recover the plant."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.functions.similarity import ivf_centroids
+    from sbo_ray.functions.dedup import normalize_rows
+    from sbo_ray.pipelines.datapipe import emb_kmeans
+
+    rng = np.random.RandomState(9)
+    base = rng.randn(3, 16).astype(np.float64) * 10
+    sizes = [50, 30, 20]
+    m = np.concatenate([
+        base[i] + rng.randn(s, 16) * 0.05 for i, s in enumerate(sizes)
+    ]).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(100), type=pa.int64()),
+        "embedding": pa.array([list(r) for r in m],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * 100, type=pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = emb_kmeans(str(tmp_path), k=3, iters=4, sample_stride=5).to_pandas()
+    assert int(got["n_members"].sum()) == 100
+
+    # numpy reference: identical seed pass + 4 spherical Lloyd rounds
+    sample = m[np.arange(100) % 5 == 0]
+    cent = ivf_centroids(sample, 3, iters=1)
+    mn = normalize_rows(m).astype(np.float64)
+    for _ in range(4):
+        asg = np.argmax(mn @ cent.T, axis=1)
+        new = cent.copy()
+        for c in range(3):
+            mem = mn[asg == c]
+            if len(mem):
+                new[c] = mem.mean(axis=0)
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cent = new / norms
+    want = {c: int((np.argmax(mn @ cent.T, axis=1) == c).sum())
+            for c in range(3)}
+    got_map = dict(zip(got["cluster"], got["n_members"]))
+    assert got_map == want
+    eng_cent = np.stack(got.sort_values("cluster")["centroid"].map(np.asarray))
+    assert np.allclose(eng_cent, cent, atol=1e-9)
