@@ -38,7 +38,7 @@ _PRIORITY = [
     "part_brand_revenue", "region_revenue_by_year", "events_retention",
     # new in round 4
     "multimodal_png_features", "doc_dedup_substring",
-    "doc_dedup_near_keep", "emb_kmeans",
+    "doc_dedup_near_keep", "emb_kmeans", "doc_tokenize_ids",
     # checked in r02 but rotated out of r03
     "multimodal_payload_stats", "multimodal_frame_sample",
     "multimodal_features", "customer_nation_agg",

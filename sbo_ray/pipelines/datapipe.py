@@ -1822,6 +1822,50 @@ def doc_vocab_topk(sf_dir: str, k: int = 100):
     })
 
 
+def doc_tokenize_ids(sf_dir: str, vocab_size: int = 1000):
+    """Vocabulary-id encoding — the pretraining tokenization step: map
+    every (space-split) token to its id in the corpus top-``vocab_size``
+    vocabulary (1-based, count-desc/token-asc ranked like
+    ``doc_vocab_topk``), OOV -> 0. Two passes: the vocab pass reuses the
+    block-local histogram + bounded driver merge (Heaps' law contract
+    documented on doc_vocab_topk), then the encode pass broadcasts the
+    SORTED vocab once (``ray.put``; vocab_size entries, corpus-
+    independent) and each block resolves ids per UNIQUE token via
+    dictionary codes + searchsorted — no per-row Python, no shuffle.
+    Output: (doc_id, ids list<int64>, n_oov)."""
+    vocab = doc_vocab_topk(sf_dir, k=vocab_size)
+    toks = np.array(vocab.column("token").to_pylist(), dtype=object)
+    ids = np.arange(1, len(toks) + 1, dtype=np.int64)
+    order = np.argsort(toks)
+    vref = ray.put((toks[order], ids[order]))
+
+    def encode(t: pa.Table) -> pa.Table:
+        col = t.column("text")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        words = pc.split_pattern(col, " ")
+        offsets = words.offsets.to_numpy().astype(np.int64)
+        enc = words.values.dictionary_encode()
+        uniq = np.array(enc.dictionary.to_pylist(), dtype=object)
+        st, si = ray.get(vref)
+        pos = np.minimum(np.searchsorted(st, uniq), len(st) - 1) \
+            if len(st) else np.zeros(len(uniq), dtype=np.int64)
+        ok = (st[pos] == uniq) if len(st) else np.zeros(len(uniq), dtype=bool)
+        uid = np.where(ok, si[pos] if len(st) else 0, 0)
+        flat_ids = uid[enc.indices.to_numpy(zero_copy_only=False)]
+        zc = np.concatenate([[0], np.cumsum(flat_ids == 0)])
+        n_oov = zc[offsets[1:]] - zc[offsets[:-1]]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "ids": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(flat_ids, pa.int64())),
+            "n_oov": pa.array(n_oov.astype(np.int64)),
+        })
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        encode, batch_format="pyarrow")
+
+
 def doc_lang_id(sf_dir: str):
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         T.lang_id, batch_format="pyarrow"

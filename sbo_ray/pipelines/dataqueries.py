@@ -129,6 +129,26 @@ SELECT doc_id,
 FROM documents
 """
 
+# Tokenize-to-ids mirror: the vocab is the same (count desc, token asc)
+# ranking as doc_vocab_topk, built as a MAP scalar; per-token lookup via
+# map extract, OOV -> 0; same string_split semantics (empties kept).
+SQL_DOC_TOKENIZE_IDS = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), tok AS (
+  SELECT unnest(ws) AS t FROM w
+), vocab AS (
+  SELECT t AS token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t ASC) AS id
+  FROM tok GROUP BY t ORDER BY id LIMIT 1000
+), m AS (
+  SELECT map(list(token ORDER BY id), list(id ORDER BY id)) AS mp FROM vocab
+)
+SELECT doc_id,
+  list_transform(ws, x -> CAST(COALESCE(mp[x][1], 0) AS BIGINT)) AS ids,
+  CAST(len(list_filter(ws, x -> mp[x][1] IS NULL)) AS BIGINT) AS n_oov
+FROM w, m
+"""
+
 SQL_DOC_LANG_ID = f"""
 WITH c AS (
   SELECT doc_id,
@@ -929,6 +949,7 @@ def data_queries() -> dict:
         "doc_pii_redact": P.doc_pii_redact,
         "doc_repetition_stats": P.doc_repetition_stats,
         "doc_vocab_topk": P.doc_vocab_topk,
+        "doc_tokenize_ids": P.doc_tokenize_ids,
         "doc_chunk": P.doc_chunk,
         "emb_label_centroids": P.emb_label_centroids,
         "events_props_extract": P.events_props_extract,
@@ -986,6 +1007,7 @@ def data_oracle_sql() -> dict:
         "doc_pii_redact": SQL_DOC_PII_REDACT,
         "doc_repetition_stats": SQL_DOC_REPETITION,
         "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
+        "doc_tokenize_ids": SQL_DOC_TOKENIZE_IDS,
         "doc_chunk": SQL_DOC_CHUNK,
         "emb_label_centroids": SQL_EMB_LABEL_CENTROIDS,
         "events_props_extract": SQL_EVENTS_PROPS,

@@ -28,7 +28,7 @@ SQL_NAMES = [
     "emb_knn_join", "supplier_nation_revenue", "events_retention",
     "part_brand_revenue", "region_revenue_by_year",
     "doc_unigram_logprob", "multimodal_png_features",
-    "doc_dedup_substring", "doc_dedup_near_keep",
+    "doc_dedup_substring", "doc_dedup_near_keep", "doc_tokenize_ids",
 ]
 
 
