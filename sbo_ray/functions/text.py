@@ -285,6 +285,85 @@ def repetition_stats(batch: pa.Table) -> pa.Table:
     })
 
 
+# Gopher rule 7's fixed English stopword list (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", App. A1.1) — distinct from the
+# lang-ID LANG_STOPWORDS; keep in lockstep with SQL_DOC_QUALITY_GOPHER.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_stats(batch: pa.Table) -> pa.Table:
+    """Per-doc Gopher quality-filter stats + keep flag (Rae et al. 2021
+    App. A1.1), one vectorized pass. Every emitted column is an INTEGER
+    numerator/denominator and every gate is evaluated in integer
+    arithmetic (e.g. mean word length in [3, 10] as
+    ``3*n_words <= sum_word_len <= 10*n_words``), so the DuckDB oracle
+    is hash-exact with no float rounding concerns. Words are the
+    space-split tokens (empties kept — same ``string_split(text, ' ')``
+    as the oracle); lines split on newline.
+
+    Gates (doc kept iff ALL hold):
+      50 <= n_words <= 100000; mean word length in [3, 10];
+      symbol-to-word ratio ('#' + non-overlapping '...') <= 0.1;
+      bullet-started lines <= 90%; ellipsis-ended lines <= 30%;
+      >= 80% of words contain an alphabetic char; >= 2 Gopher stopwords.
+    """
+    col = _text_col(batch)
+    n_docs = len(col)
+    words = pc.split_pattern(col, " ")
+    n_words = pc.list_value_length(words).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    # each space removed exactly once by the split, so the word-length
+    # sum is total chars minus (n_words - 1) separators — O(1) per doc
+    sum_word_len = (pc.utf8_length(col).cast(pa.int64())
+                    .to_numpy(zero_copy_only=False) - (n_words - 1))
+    flat = words.values
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                       np.diff(words.offsets.to_numpy(zero_copy_only=False)))
+    alpha = pc.match_substring_regex(flat, "[A-Za-z]") \
+        .to_numpy(zero_copy_only=False)
+    n_alpha_words = np.bincount(doc_of[alpha], minlength=n_docs) \
+        .astype(np.int64)
+    stop = pc.is_in(pc.utf8_lower(flat),
+                    value_set=pa.array(GOPHER_STOPWORDS)) \
+        .to_numpy(zero_copy_only=False)
+    n_stop = np.bincount(doc_of[stop], minlength=n_docs).astype(np.int64)
+    n_sym = (pc.count_substring(col, "#").cast(pa.int64())
+             .to_numpy(zero_copy_only=False)
+             + pc.count_substring(col, "...").cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+    lines = pc.split_pattern(col, "\n")
+    n_lines = pc.list_value_length(lines).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    lflat = lines.values
+    line_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                        np.diff(lines.offsets.to_numpy(zero_copy_only=False)))
+    bullet = pc.or_(pc.starts_with(lflat, "-"),
+                    pc.starts_with(lflat, "•")) \
+        .to_numpy(zero_copy_only=False)
+    ell = pc.or_(pc.ends_with(lflat, "..."),
+                 pc.ends_with(lflat, "…")) \
+        .to_numpy(zero_copy_only=False)
+    n_bullet = np.bincount(line_of[bullet], minlength=n_docs).astype(np.int64)
+    n_ell = np.bincount(line_of[ell], minlength=n_docs).astype(np.int64)
+    keep = ((n_words >= 50) & (n_words <= 100000)
+            & (3 * n_words <= sum_word_len) & (sum_word_len <= 10 * n_words)
+            & (10 * n_sym <= n_words)
+            & (10 * n_bullet <= 9 * n_lines) & (10 * n_ell <= 3 * n_lines)
+            & (5 * n_alpha_words >= 4 * n_words) & (n_stop >= 2))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_words": pa.array(n_words, type=pa.int64()),
+        "sum_word_len": pa.array(sum_word_len, type=pa.int64()),
+        "n_alpha_words": pa.array(n_alpha_words),
+        "n_stop_gopher": pa.array(n_stop),
+        "n_sym": pa.array(n_sym, type=pa.int64()),
+        "n_lines": pa.array(n_lines, type=pa.int64()),
+        "n_bullet_lines": pa.array(n_bullet),
+        "n_ellipsis_lines": pa.array(n_ell),
+        "keep": pa.array(keep.astype(np.int64)),
+    })
+
+
 def vocab_partial(batch: pa.Table) -> pa.Table:
     """Block-local token histogram (space-split): the partial-aggregate
     half of the global vocabulary count. Emits (token, n) per unique

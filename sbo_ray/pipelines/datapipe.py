@@ -121,6 +121,53 @@ def doc_sample_hash(sf_dir: str, rate: float = 0.1, salt: str = "s1"):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def doc_sample_reservoir(sf_dir: str, k: int = 100):
+    """Exact-k uniform sample (deterministic reservoir): every ROW gets
+    the 63-bit key md5(doc_id ':' text) and the global bottom-k by
+    (key, doc_id) is the sample — equivalent to a k-reservoir under a
+    fixed random order, but reproducible across reruns, partitionings
+    and cluster sizes (the property doc_sample_hash provides for
+    rate-based sampling, here for exact-count sampling). Distributed
+    shape: each block keeps its local bottom-k (the partial ordering IS
+    the final ordering, so block top-k is closed under merge — the
+    doc_group_topk monoid), and the driver merges <= k x blocks rows;
+    no shuffle, corpus never materializes. Keying on doc_id:text (not
+    text alone) makes duplicate texts independent rows in the draw.
+    Exact SQL mirror: ORDER BY the same md5 arithmetic LIMIT k."""
+    import hashlib
+
+    def local_bottomk(t: pa.Table) -> pa.Table:
+        ids_c = t.column("doc_id")
+        if isinstance(ids_c, pa.ChunkedArray):
+            ids_c = ids_c.combine_chunks()
+        ids = ids_c.to_numpy(zero_copy_only=False)
+        # one md5 per row (keys are per-row unique by construction, so
+        # the per-unique dictionary idiom degenerates — the md5 itself
+        # is the work, same as add_text_hash on an all-distinct corpus)
+        payload = pc.binary_join_element_wise(
+            ids_c.cast(pa.string()), t.column("text").cast(pa.string()), ":")
+        keys = np.fromiter(
+            (int.from_bytes(hashlib.md5(v.as_py().encode()).digest()[:8],
+                            "big") >> 1 for v in payload),
+            dtype=np.int64, count=len(payload))
+        sel = np.lexsort((ids, keys))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[sel], type=pa.int64()),
+            "sample_key": pa.array(keys[sel], type=pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    schema = pa.schema([("doc_id", pa.int64()), ("sample_key", pa.int64())])
+    batches = list(ds.map_batches(local_bottomk, batch_format="pyarrow")
+                   .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not batches:
+        return schema.empty_table()
+    merged = pa.concat_tables(batches)
+    order = pc.sort_indices(merged, sort_keys=[("sample_key", "ascending"),
+                                               ("doc_id", "ascending")])
+    return merged.take(order[:k]).cast(schema)
+
+
 def doc_sample_stratified(sf_dir: str, rates: dict[str, float] | None = None,
                           default_rate: float = 0.05, salt: str = "s2"):
     """Per-stratum deterministic sampling (e.g. language rebalancing in
@@ -1538,6 +1585,18 @@ def doc_repetition_stats(sf_dir: str):
     only the doc's own tokens."""
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         T.repetition_stats, batch_format="pyarrow"
+    )
+
+
+def doc_quality_gopher(sf_dir: str):
+    """Gopher quality-filter rules (Rae et al. 2021 App. A1.1) per doc:
+    integer rule numerators/denominators + the keep flag, one vectorized
+    map_batches scan (functions/text.gopher_stats), no shuffle. At
+    100 TB this is embarrassingly parallel — the gate columns are
+    text-pure, so (like doc_curation_pipeline's gate) the flag can feed
+    a block-local filter before any downstream dedup shuffle."""
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        T.gopher_stats, batch_format="pyarrow"
     )
 
 

@@ -31,6 +31,17 @@ SELECT doc_id, text FROM documents
 WHERE {_H63.format(salt='s1')} < {int(0.1 * (1 << 63))}
 """
 
+# exact-k reservoir mirror: same per-ROW md5(doc_id ':' text) 63-bit
+# key, same (key, doc_id) total order — the LIMIT is the reservoir
+SQL_DOC_SAMPLE_RESERVOIR = """
+SELECT doc_id,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 16))
+       ::UBIGINT >> 1 AS BIGINT) AS sample_key
+FROM documents
+ORDER BY sample_key, doc_id
+LIMIT 100
+"""
+
 SQL_DOC_SAMPLE_STRATIFIED = f"""
 SELECT doc_id, lang FROM documents
 WHERE {_H63.format(salt='s2')} < CASE lang
@@ -127,6 +138,56 @@ SELECT doc_id,
        '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
        AS BIGINT) AS n_bpe_tokens
 FROM documents
+"""
+
+# Gopher quality-rules mirror (Rae et al. 2021 App. A1.1): the SAME
+# space-split words / newline-split lines, every stat an integer and
+# every gate integer arithmetic (mean word length in [3,10] as
+# 3n <= sum <= 10n etc.), so the compare is hash-exact with no float
+# rounding. Keep thresholds in lockstep with functions/text.gopher_stats.
+SQL_DOC_QUALITY_GOPHER = """
+WITH w AS (
+  SELECT doc_id, text,
+         string_split(text, ' ') AS ws,
+         string_split(text, chr(10)) AS ls
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    len(ws) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+         AS BIGINT) AS sum_word_len,
+    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+      AS n_alpha_words,
+    len(list_filter(ws, x -> lower(x) IN
+        ('and', 'be', 'have', 'of', 'that', 'the', 'to', 'with')))
+      AS n_stop_gopher,
+    len(regexp_extract_all(text, '#'))
+      + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
+    len(ls) AS n_lines,
+    len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '•')))
+      AS n_bullet_lines,
+    len(list_filter(ls, x -> ends_with(x, '...') OR ends_with(x, '…')))
+      AS n_ellipsis_lines
+  FROM w
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  sum_word_len,
+  CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+  CAST(n_stop_gopher AS BIGINT) AS n_stop_gopher,
+  CAST(n_sym AS BIGINT) AS n_sym,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(n_bullet_lines AS BIGINT) AS n_bullet_lines,
+  CAST(n_ellipsis_lines AS BIGINT) AS n_ellipsis_lines,
+  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+         AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+         AND 10 * n_sym <= n_words
+         AND 10 * n_bullet_lines <= 9 * n_lines
+         AND 10 * n_ellipsis_lines <= 3 * n_lines
+         AND 5 * n_alpha_words >= 4 * n_words
+         AND n_stop_gopher >= 2
+       THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s
 """
 
 # Tokenize-to-ids mirror: the vocab is the same (count desc, token asc)
@@ -928,6 +989,7 @@ def data_queries() -> dict:
         "doc_dedup_exact": P.doc_dedup_exact,
         "doc_dedup_substring": P.doc_dedup_substring,
         "doc_sample_hash": P.doc_sample_hash,
+        "doc_sample_reservoir": P.doc_sample_reservoir,
         "doc_decontaminate": P.doc_decontaminate,
         "doc_sample_stratified": P.doc_sample_stratified,
         "doc_dedup_minhash": P.doc_dedup_minhash,
@@ -948,6 +1010,7 @@ def data_queries() -> dict:
         "doc_fingerprint": P.doc_fingerprint,
         "doc_pii_redact": P.doc_pii_redact,
         "doc_repetition_stats": P.doc_repetition_stats,
+        "doc_quality_gopher": P.doc_quality_gopher,
         "doc_vocab_topk": P.doc_vocab_topk,
         "doc_tokenize_ids": P.doc_tokenize_ids,
         "doc_chunk": P.doc_chunk,
@@ -994,6 +1057,7 @@ def data_oracle_sql() -> dict:
         "doc_dedup_exact": SQL_DOC_DEDUP_EXACT,
         "doc_dedup_substring": SQL_DOC_DEDUP_SUBSTRING,
         "doc_sample_hash": SQL_DOC_SAMPLE_HASH,
+        "doc_sample_reservoir": SQL_DOC_SAMPLE_RESERVOIR,
         "doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "doc_sample_stratified": SQL_DOC_SAMPLE_STRATIFIED,
         "doc_dedup_minhash": SQL_DOC_DEDUP_MINHASH,
@@ -1006,6 +1070,7 @@ def data_oracle_sql() -> dict:
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "doc_pii_redact": SQL_DOC_PII_REDACT,
         "doc_repetition_stats": SQL_DOC_REPETITION,
+        "doc_quality_gopher": SQL_DOC_QUALITY_GOPHER,
         "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
         "doc_tokenize_ids": SQL_DOC_TOKENIZE_IDS,
         "doc_chunk": SQL_DOC_CHUNK,

@@ -29,6 +29,7 @@ SQL_NAMES = [
     "part_brand_revenue", "region_revenue_by_year",
     "doc_unigram_logprob", "multimodal_png_features",
     "doc_dedup_substring", "doc_dedup_near_keep", "doc_tokenize_ids",
+    "doc_quality_gopher", "doc_sample_reservoir",
 ]
 
 
@@ -551,6 +552,74 @@ def test_pii_and_repetition_function_edges():
     v = vocab_partial(t)
     d = dict(zip(v.column("token").to_pylist(), v.column("n").to_pylist()))
     assert d["w"] == 3 and d[""] == 1
+
+
+def test_gopher_stats_edges_and_gates():
+    """Edge semantics the sf tables never exercise: newline-split lines,
+    bullet/ellipsis line rules, '#'/'...' symbol counting, empty text,
+    and each gate firing in integer arithmetic. A synthetic 60-word doc
+    passes all rules; variants each violate exactly one."""
+    from sbo_ray.functions.text import gopher_stats
+
+    good = " ".join(["the"] + ["word"] * 59)           # 60 words, mean 4.0
+    texts = [
+        good,                                          # keep
+        "",                                            # too few words
+        " ".join(["the"] + ["word"] * 59) + " ###" * 9,  # 69 words, 27 syms
+        "- the bullet\n- and bullet\nthe plain " + "word " * 57,  # 2/3 bullets ok
+        "a...\nb...\nthe plain " + "word " * 57,       # 2/3 ellipsis lines > 30%
+        " ".join(["word"] * 60),                       # no stopwords
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": texts})
+    g = gopher_stats(t)
+    assert g.column("n_words").to_pylist()[0] == 60
+    assert g.column("sum_word_len").to_pylist()[0] == 3 + 59 * 4
+    assert g.column("n_stop_gopher").to_pylist()[0] == 1  # 'the' once...
+    # ...so the good doc needs a second stopword to pass rule 7
+    texts[0] = "the and " + " ".join(["word"] * 58)
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": texts})
+    g = gopher_stats(t).to_pandas().set_index("doc_id")
+    assert g.loc[0, "keep"] == 1
+    assert g.loc[1, "keep"] == 0 and g.loc[1, "n_words"] == 1
+    assert g.loc[2, "n_sym"] == 9 * 3 and g.loc[2, "keep"] == 0
+    assert g.loc[3, "n_lines"] == 3 and g.loc[3, "n_bullet_lines"] == 2
+    assert g.loc[3, "keep"] == 1                       # 66% bullets <= 90%
+    assert g.loc[4, "n_ellipsis_lines"] == 2 and g.loc[4, "keep"] == 0
+    assert g.loc[5, "n_stop_gopher"] == 0 and g.loc[5, "keep"] == 0
+
+
+def test_reservoir_bottomk_merge_invariant(ray_session):
+    """The reservoir is partitioning-invariant: merging per-slice
+    bottom-k partials gives the same k rows as one global pass (the
+    monoid property the distributed shape relies on), and the result
+    equals the brute-force (key, doc_id) order head."""
+    import hashlib
+
+    from sbo_ray.pipelines.datapipe import doc_sample_reservoir
+
+    res = doc_sample_reservoir("/root/testdata/sf0.001", k=25).to_pandas()
+    assert len(res) == 25
+    t = pa.parquet.read_table("/root/testdata/sf0.001/documents.parquet",
+                              columns=["doc_id", "text"])
+    keys = np.array([
+        int.from_bytes(hashlib.md5(f"{i}:{s}".encode()).digest()[:8],
+                       "big") >> 1
+        for i, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist())], dtype=np.int64)
+    ids = np.asarray(t.column("doc_id"))
+    want = ids[np.lexsort((ids, keys))[:25]]
+    assert list(res["doc_id"]) == list(want)
+    # merge of per-slice bottom-k == global bottom-k
+    parts = []
+    for lo in range(0, len(ids), 97):
+        sl = slice(lo, lo + 97)
+        sel = np.lexsort((ids[sl], keys[sl]))[:25]
+        parts.append((ids[sl][sel], keys[sl][sel]))
+    mi = np.concatenate([p[0] for p in parts])
+    mk = np.concatenate([p[1] for p in parts])
+    assert list(mi[np.lexsort((mi, mk))[:25]]) == list(want)
 
 
 def test_chunk_docs_reconstructs_text():
