@@ -1424,6 +1424,74 @@ def emb_kmeans(sf_dir: str, k: int = 16, iters: int = 5,
     })
 
 
+_MM_SCHEMA = pa.schema([("mn", pa.list_(pa.float64())),
+                        ("mx", pa.list_(pa.float64()))])
+
+
+def emb_quantize_sq8(sf_dir: str):
+    """Scalar (int8) quantization of the embedding corpus — the
+    standard 4x memory reduction that makes 100-TB-scale ANN indexes
+    fit in cluster RAM (FAISS's SQ8 codec shape). Two streaming passes:
+
+      pass 1  per-block partial (per-dim min, per-dim max) — one
+              2 x dim row leaves each block; driver reduce is
+              blocks x dim floats (corpus-independent width);
+      pass 2  broadcast (mn, range) once (``ray.put``) and each block
+              encodes codes[d] = clamp(floor((x-mn)/(mx-mn)*256), 0,
+              255) vectorized over the (rows x dim) matrix.
+
+    Codes ship as list<int64> so the DuckDB gate compares exact BIGINT
+    values (production storage would be uint8 — same arithmetic). The
+    engine computes in float64 from the float32 values — identical IEEE
+    op order to the oracle's CAST AS DOUBLE, and ``floor`` (not round)
+    on BOTH sides dodges numpy-bankers vs SQL half-away rounding.
+    Constant dimensions (mx == mn) encode 0."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _MM_SCHEMA.empty_table()
+        m = S.embedding_matrix(t).astype(np.float64)
+        return pa.table({"mn": [m.min(axis=0)], "mx": [m.max(axis=0)]},
+                        schema=_MM_SCHEMA)
+
+    parts = pa.concat_tables(
+        [_MM_SCHEMA.empty_table()]
+        + list(ds.map_batches(mm_partial, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow", batch_size=None)))
+    if parts.num_rows == 0:
+        return rd.from_arrow(pa.schema([
+            ("vec_id", pa.int64()),
+            ("codes", pa.list_(pa.int64()))]).empty_table())
+    mns = np.stack([np.asarray(r) for r in
+                    parts.column("mn").to_pylist()])
+    mxs = np.stack([np.asarray(r) for r in
+                    parts.column("mx").to_pylist()])
+    mn, mx = mns.min(axis=0), mxs.max(axis=0)
+    mm_ref = ray.put((mn, mx))
+
+    def encode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "codes": pa.array([], pa.list_(pa.int64()))})
+        lo, hi = ray.get(mm_ref)
+        m = S.embedding_matrix(t).astype(np.float64)
+        rng = hi - lo
+        live = rng > 0
+        scaled = np.floor((m - lo) / np.where(live, rng, 1.0) * 256.0)
+        codes = np.clip(scaled, 0.0, 255.0).astype(np.int64)
+        codes[:, ~live] = 0
+        n, dim = codes.shape
+        offs = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "codes": pa.ListArray.from_arrays(offs,
+                                              pa.array(codes.reshape(-1))),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
 _SEM_SCHEMA = pa.schema([
     ("vec_id", pa.int64()), ("rep_id", pa.int64()),
     ("cluster", pa.int64()),

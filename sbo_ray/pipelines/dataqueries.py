@@ -639,6 +639,30 @@ FROM (SELECT label, unnest(embedding) AS x,
 GROUP BY label, i
 """
 
+# SQ8 mirror through positional unnest: per-dim global min/max, then
+# codes = clamp(floor((x-mn)/(mx-mn)*256), 0, 255). Both sides cast the
+# float32 values to DOUBLE and run the identical IEEE op sequence, and
+# both use floor (numpy rint is banker's rounding, SQL ROUND is
+# half-away — floor sidesteps the mismatch), so the BIGINT codes are
+# exactly equal, not approximately.
+SQL_EMB_QUANTIZE_SQ8 = """
+WITH u AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+), mm AS (
+  SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM u GROUP BY i
+)
+SELECT u.vec_id,
+       list(CAST(LEAST(255.0, GREATEST(0.0,
+            CASE WHEN mm.mx > mm.mn
+                 THEN FLOOR((u.x - mm.mn) / (mm.mx - mm.mn) * 256.0)
+                 ELSE 0.0 END)) AS BIGINT) ORDER BY u.i) AS codes
+FROM u JOIN mm USING (i)
+GROUP BY u.vec_id
+"""
+
 # JSON-extraction mirror through DuckDB's real JSON parser (the engine
 # uses an RE2 fast path; agreement proves it extracts the same field).
 SQL_EVENTS_PROPS = """
@@ -1005,6 +1029,7 @@ def data_queries() -> dict:
         "emb_similarity_topk": P.emb_similarity_topk,
         "emb_ann_lsh": P.emb_ann_lsh,
         "emb_ann_ivf": P.emb_ann_ivf,
+        "emb_quantize_sq8": P.emb_quantize_sq8,
         "doc_token_stats": P.doc_token_stats,
         "doc_lang_id": P.doc_lang_id,
         "doc_fingerprint": P.doc_fingerprint,
@@ -1096,6 +1121,7 @@ def data_oracle_sql() -> dict:
         "multimodal_audio_features": SQL_MULTIMODAL_AUDIO,
         "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,
         "emb_dedup_cosine": SQL_EMB_DEDUP_COSINE,
+        "emb_quantize_sq8": SQL_EMB_QUANTIZE_SQ8,
         "emb_similarity_topk": SQL_EMB_SIMILARITY_TOPK,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_lang_id": SQL_DOC_LANG_ID,

@@ -1069,3 +1069,43 @@ def test_kmeans_matches_numpy_reference(ray_session, tmp_path):
     assert got_map == want
     eng_cent = np.stack(got.sort_values("cluster")["centroid"].map(np.asarray))
     assert np.allclose(eng_cent, cent, atol=1e-9)
+
+
+def test_quantize_sq8_matches_numpy_reference(ray_session, tmp_path):
+    """SQ8 codes equal the numpy reference exactly: global per-dim
+    min/max, floor((x-mn)/(mx-mn)*256) clamped to [0,255]; the per-dim
+    max encodes 255, the min 0, and a constant dimension encodes 0."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import emb_quantize_sq8
+
+    rng = np.random.RandomState(11)
+    n, d = 200, 12
+    m = rng.randn(n, d).astype(np.float32)
+    m[:, 7] = 1.25  # constant dimension -> all-zero codes
+    t = pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array([list(r) for r in m],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * n, type=pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = emb_quantize_sq8(str(tmp_path)).to_pandas()
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    codes = np.stack(got["codes"].map(np.asarray))
+
+    x = m.astype(np.float64)
+    mn, mx = x.min(axis=0), x.max(axis=0)
+    rngs = mx - mn
+    live = rngs > 0
+    want = np.clip(np.floor((x - mn) / np.where(live, rngs, 1.0) * 256.0),
+                   0.0, 255.0).astype(np.int64)
+    want[:, ~live] = 0
+    assert (codes == want).all()
+    assert codes.min() >= 0 and codes.max() <= 255
+    for j in range(d):
+        if not live[j]:
+            assert (codes[:, j] == 0).all()
+            continue
+        assert codes[x[:, j].argmax(), j] == 255
+        assert codes[x[:, j].argmin(), j] == 0

@@ -129,3 +129,17 @@ def test_knn_join_empty_embeddings(ray_session, tmp_path):
     out = emb_knn_join(str(tmp_path))
     assert out.num_rows == 0
     assert out.schema.names == ["vec_id", "neighbor_id", "cos", "rnk"]
+
+
+def test_quantize_sq8_empty_embeddings(ray_session, tmp_path):
+    from sbo_ray.pipelines.datapipe import emb_quantize_sq8
+
+    pq.write_table(
+        pa.schema([("vec_id", pa.int64()),
+                   ("embedding", pa.list_(pa.float32())),
+                   ("label", pa.int32())]).empty_table(),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = emb_quantize_sq8(str(tmp_path))
+    assert out.count() == 0
+    assert out.schema().names == ["vec_id", "codes"]
