@@ -1332,7 +1332,12 @@ def emb_kmeans(sf_dir: str, k: int = 16, iters: int = 5,
     n_members, centroid). Iterative fixpoints are not SQL-expressible
     -> rows-only driver gate; pytest pins exact equality with a numpy
     Lloyd reference on planted separated clusters."""
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # iterative passes (sample + iters rounds + final count) re-consume
+    # the corpus: materialize the pruned read ONCE into the object store
+    # (blocks stay distributed; Ray spills past store capacity) instead
+    # of re-decoding parquet every round
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding"]).materialize()
     n = _parquet_num_rows(sf_dir, "embeddings")
     if sample_stride is None:
         sample_stride = max(1, n // max(256, k * 16))
