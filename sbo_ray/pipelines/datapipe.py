@@ -698,131 +698,180 @@ def _chunk_pair_replicate(id_col: str, B: int):
     return replicate
 
 
+_NGRAM_PAIRS_SCHEMA = pa.schema([
+    ("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64()),
+])
+
+
+def _ngram_slice(block: pa.Table, B: int) -> list:
+    """Split one read block into B chunk slices (``doc_id % B``) —
+    the exchange half of the raw-task chunk-pair join; each slice is
+    consumed by the B pair tasks whose pair contains its chunk."""
+    ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+    chunk = (ids % B).astype(np.int64)
+    order = np.argsort(chunk, kind="stable")
+    sorted_tbl = block.take(pa.array(order))
+    bounds = np.searchsorted(chunk[order], np.arange(B + 1))
+    return [sorted_tbl.slice(s, e - s)
+            for s, e in zip(bounds[:-1], bounds[1:])]
+
+
+def _ngram_pair(threshold: float, n: int, na_parts: int,
+                *parts) -> pa.Table:
+    """One chunk pair: ``parts[:na_parts]`` are the A-chunk slices, the
+    remainder the B-chunk slices (no remainder = the diagonal A x A
+    pair). Inverted-index co-occurrence counting: shared gram codes ->
+    sorted (gram, doc) postings per side -> aligned common-gram runs,
+    hot grams as one indicator matmul (BLAS), cold grams as COO
+    bincount in bounded-memory slices. Exact — same intersection
+    counts as per-pair set intersections."""
+    a_tbl = pa.concat_tables(parts[:na_parts])
+    diag = na_parts == len(parts)
+    b_tbl = a_tbl if diag else pa.concat_tables(parts[na_parts:])
+    ids_a = a_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    ids_b = ids_a if diag else \
+        b_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = a_tbl.column("text").to_pylist()
+    if not diag:
+        texts = texts + b_tbl.column("text").to_pylist()
+    # int32 throughout the counting kernel (codes/postings/COO keys all
+    # fit 2^31 at the documented 20k cap): the dense count matrices are
+    # memory-bandwidth bound under 32-way task concurrency, and halving
+    # the element width is a direct wall-time win
+    code: dict = {}
+    doc_codes = []
+    for t in texts:
+        gs = D.char_ngrams(t, n)
+        doc_codes.append(np.fromiter(
+            (code.setdefault(s, len(code)) for s in gs),
+            dtype=np.int32, count=len(gs)))
+    sizes = np.array([len(a) for a in doc_codes], dtype=np.int64)
+    a_idx = np.arange(len(ids_a))
+    b_idx = a_idx if diag else len(ids_a) + np.arange(len(ids_b))
+
+    def postings(idxs):
+        if len(idxs) == 0:
+            return np.zeros(0, np.int32), np.zeros(0, np.int32)
+        grams_f = np.concatenate([doc_codes[i] for i in idxs])
+        docs_f = np.repeat(np.arange(len(idxs), dtype=np.int32),
+                           sizes[idxs])
+        order = np.argsort(grams_f, kind="stable")
+        return grams_f[order], docs_f[order]
+
+    def ranges(starts, ends):
+        lens = ends - starts
+        total = int(lens.sum())
+        out_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        return (np.arange(total, dtype=np.int64)
+                - np.repeat(out_starts, lens) + np.repeat(starts, lens))
+
+    ga, da = postings(a_idx)
+    gb, db = postings(b_idx)
+    n_a, n_b = len(a_idx), len(b_idx)
+    counts = np.zeros((n_a, n_b), dtype=np.int32)
+    if len(ga) and len(gb):
+        common = np.intersect1d(ga, gb)
+        sa = np.searchsorted(ga, common)
+        ea = np.searchsorted(ga, common, side="right")
+        sb = np.searchsorted(gb, common)
+        eb = np.searchsorted(gb, common, side="right")
+        na, nb = ea - sa, eb - sb
+        tot = na * nb
+        # HOT grams (appear in many docs on both sides) contribute a
+        # rank-1 all-ones update over their doc sets: batch them as
+        # one indicator matmul (BLAS) instead of COO expansion
+        hot_thresh = max(16384, (n_a * n_b) >> 6)
+        hot = tot > hot_thresh
+        hot_idx = np.flatnonzero(hot)
+        hot_mask = hot
+        for side_sel in range(0, len(hot_idx), 512):
+            hs = hot_idx[side_sel:side_sel + 512]
+            H = len(hs)
+            Ah = np.zeros((n_a, H), dtype=np.float32)
+            Bh = np.zeros((n_b, H), dtype=np.float32)
+            Ah[da[ranges(sa[hs], ea[hs])],
+               np.repeat(np.arange(H), (ea - sa)[hs])] = 1.0
+            Bh[db[ranges(sb[hs], eb[hs])],
+               np.repeat(np.arange(H), (eb - sb)[hs])] = 1.0
+            counts += (Ah @ Bh.T).astype(np.int32)
+        # COLD grams: COO expansion accumulated with bincount
+        cold = np.flatnonzero(~hot_mask)
+        cum = np.cumsum(tot[cold])
+        budget = 16_000_000
+        start = 0
+        while start < len(cold):
+            base = int(cum[start - 1]) if start else 0
+            end = int(np.searchsorted(cum, base + budget, side="right")) + 1
+            end = min(max(end, start + 1), len(cold))
+            ks = cold[start:end]
+            na_k, nb_k, tot_k = na[ks], nb[ks], tot[ks]
+            rows = np.repeat(da[ranges(sa[ks], ea[ks])],
+                             np.repeat(nb_k, na_k))
+            t_off = np.concatenate([[0], np.cumsum(tot_k)[:-1]])
+            within = (np.arange(int(tot_k.sum()), dtype=np.int64)
+                      - np.repeat(t_off, tot_k))
+            cols = db[np.repeat(sb[ks], tot_k) + within % np.repeat(nb_k, tot_k)]
+            counts += np.bincount(
+                rows.astype(np.int64) * n_b + cols,
+                minlength=n_a * n_b).reshape(n_a, n_b).astype(np.int32)
+            start = end
+    sz_a, sz_b = sizes[a_idx], sizes[b_idx]
+    union = sz_a[:, None] + sz_b[None, :] - counts
+    jac = np.where(union > 0, counts / np.maximum(union, 1), 1.0)
+    mask = jac >= threshold
+    if diag:
+        mask &= np.triu(np.ones_like(mask, dtype=bool), 1)
+    ii, jj = np.nonzero(mask)
+    aa, bb = ids_a[ii], ids_b[jj]
+    return pa.Table.from_arrays([
+        pa.array(np.minimum(aa, bb).astype(np.int64)),
+        pa.array(np.maximum(aa, bb).astype(np.int64)),
+        pa.array(np.round(jac[mask], 3), type=pa.float64()),
+    ], schema=_NGRAM_PAIRS_SCHEMA)
+
+
 def doc_dedup_ngram(sf_dir: str, threshold: float = 0.4, n: int = 5,
                     n_chunks: int | None = None):
-    """Exact character-n-gram Jaccard near-dup pairs via the replicated
-    chunk-pair join (same distributed all-pairs layout as
-    ``emb_dedup_cosine``): each doc replicated to the B chunk-pair
-    groups containing its chunk; inside a group, n-gram sets are built
-    ONCE per doc and compared pairwise. Per-worker memory O(2n_docs/B x
-    doc n-grams); no corpus materialization. Finer-grained than the
-    word-shingle MinHash pipeline (catches char-level edits); exact, so
-    the brute-force SQL oracle gates it directly."""
+    """Exact character-n-gram Jaccard near-dup pairs via the raw-task
+    chunk-pair join: each read block is sliced once into B ``doc_id %
+    B`` chunk slices (``num_returns=B`` — no replication, no sort), and
+    each of the B(B+1)/2 pair tasks pulls exactly the two chunks it
+    compares; n-gram sets are built ONCE per doc inside the pair task.
+    Per-worker memory O(2 n_docs/B x doc n-grams); no corpus
+    materialization; the pair-above-threshold output is bounded so it
+    concats on the driver. (Previously this rode groupby('pair_id')
+    .map_groups — Ray Data sizes post-sort blocks by bytes, capping
+    this compute-heavy-per-byte stage at ~2-3 concurrent tasks; the
+    raw-task layout runs all pairs concurrently AND ships each doc
+    once instead of B times. Same deliberate drop below the Dataset
+    API as emb_semdedup, measured ~4x here.) Finer-grained than the
+    word-shingle MinHash pipeline (catches char-level edits); exact,
+    so the brute-force SQL oracle gates it directly."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     B = n_chunks or max(4, int(np.sqrt(2 * _cpus())))
-
-    def pair_block(g: pa.Table) -> pa.Table:
-        # inverted-index co-occurrence counting (r3; the per-pair Python
-        # set intersections were ~12us x O((n/B)^2) pairs): per-block
-        # gram codes -> sorted (gram, doc) postings per side -> aligned
-        # common-gram runs expanded to COO (rows, cols) increments on a
-        # dense counts matrix, in bounded-memory slices. Exact — same
-        # intersection counts as the set version.
-        pair_id = g.column("pair_id")[0].as_py()
-        c_a, c_b = pair_id // B, pair_id % B
-        chunk = g.column("chunk").to_numpy(zero_copy_only=False)
-        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = g.column("text").to_pylist()
-        code: dict = {}
-        doc_codes = []
-        for t in texts:
-            gs = D.char_ngrams(t, n)
-            doc_codes.append(np.fromiter(
-                (code.setdefault(s, len(code)) for s in gs),
-                dtype=np.int64, count=len(gs)))
-        sizes = np.array([len(a) for a in doc_codes], dtype=np.int64)
-        a_idx = np.flatnonzero(chunk == c_a)
-        b_idx = a_idx if c_a == c_b else np.flatnonzero(chunk == c_b)
-
-        def postings(idxs):
-            if len(idxs) == 0:
-                return np.zeros(0, np.int64), np.zeros(0, np.int64)
-            grams_f = np.concatenate([doc_codes[i] for i in idxs])
-            docs_f = np.repeat(np.arange(len(idxs), dtype=np.int64),
-                               sizes[idxs])
-            order = np.argsort(grams_f, kind="stable")
-            return grams_f[order], docs_f[order]
-
-        def ranges(starts, ends):
-            lens = ends - starts
-            total = int(lens.sum())
-            out_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            return (np.arange(total, dtype=np.int64)
-                    - np.repeat(out_starts, lens) + np.repeat(starts, lens))
-
-        ga, da = postings(a_idx)
-        gb, db = postings(b_idx)
-        n_a, n_b = len(a_idx), len(b_idx)
-        counts = np.zeros((n_a, n_b), dtype=np.int64)
-        if len(ga) and len(gb):
-            common = np.intersect1d(ga, gb)
-            sa = np.searchsorted(ga, common)
-            ea = np.searchsorted(ga, common, side="right")
-            sb = np.searchsorted(gb, common)
-            eb = np.searchsorted(gb, common, side="right")
-            na, nb = ea - sa, eb - sb
-            tot = na * nb
-            # HOT grams (appear in many docs on both sides) contribute a
-            # rank-1 all-ones update over their doc sets: batch them as
-            # one indicator matmul (BLAS) instead of COO expansion
-            hot_thresh = max(16384, (n_a * n_b) >> 6)
-            hot = tot > hot_thresh
-            hot_idx = np.flatnonzero(hot)
-            hot_mask = hot
-            for side_sel in range(0, len(hot_idx), 512):
-                hs = hot_idx[side_sel:side_sel + 512]
-                H = len(hs)
-                Ah = np.zeros((n_a, H), dtype=np.float32)
-                Bh = np.zeros((n_b, H), dtype=np.float32)
-                Ah[da[ranges(sa[hs], ea[hs])],
-                   np.repeat(np.arange(H), (ea - sa)[hs])] = 1.0
-                Bh[db[ranges(sb[hs], eb[hs])],
-                   np.repeat(np.arange(H), (eb - sb)[hs])] = 1.0
-                counts += (Ah @ Bh.T).astype(np.int64)
-            # COLD grams: COO expansion accumulated with bincount
-            cold = np.flatnonzero(~hot_mask)
-            cum = np.cumsum(tot[cold])
-            budget = 16_000_000
-            start = 0
-            while start < len(cold):
-                base = int(cum[start - 1]) if start else 0
-                end = int(np.searchsorted(cum, base + budget, side="right")) + 1
-                end = min(max(end, start + 1), len(cold))
-                ks = cold[start:end]
-                na_k, nb_k, tot_k = na[ks], nb[ks], tot[ks]
-                rows = np.repeat(da[ranges(sa[ks], ea[ks])],
-                                 np.repeat(nb_k, na_k))
-                t_off = np.concatenate([[0], np.cumsum(tot_k)[:-1]])
-                within = (np.arange(int(tot_k.sum()), dtype=np.int64)
-                          - np.repeat(t_off, tot_k))
-                cols = db[np.repeat(sb[ks], tot_k) + within % np.repeat(nb_k, tot_k)]
-                counts += np.bincount(rows * n_b + cols,
-                                      minlength=n_a * n_b).reshape(n_a, n_b)
-                start = end
-        sz_a, sz_b = sizes[a_idx], sizes[b_idx]
-        union = sz_a[:, None] + sz_b[None, :] - counts
-        jac = np.where(union > 0, counts / np.maximum(union, 1), 1.0)
-        mask = jac >= threshold
-        if c_a == c_b:
-            mask &= np.triu(np.ones_like(mask, dtype=bool), 1)
-        ii, jj = np.nonzero(mask)
-        aa, bb = ids[a_idx[ii]], ids[b_idx[jj]]
-        return pa.table({
-            "id_a": pa.array(np.minimum(aa, bb).astype(np.int64)),
-            "id_b": pa.array(np.maximum(aa, bb).astype(np.int64)),
-            "jaccard": pa.array(np.round(jac[mask], 3), type=pa.float64()),
-        })
-
-    out = (
-        ds.map_batches(_chunk_pair_replicate("doc_id", B), batch_format="pyarrow")
-        .groupby("pair_id")
-        .map_groups(pair_block, batch_format="pyarrow")
-    )
-    parts = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
-    if not parts:
-        return pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                          ("jaccard", pa.float64())]).empty_table()
-    return pa.concat_tables(parts)
+    refs = [block_ref for bundle in ds.iter_internal_ref_bundles()
+            for block_ref, _md in bundle.blocks]
+    if not refs:
+        return _NGRAM_PAIRS_SCHEMA.empty_table()
+    slice_task = ray.remote(_ngram_slice)
+    sl = [slice_task.options(num_returns=max(2, B)).remote(r, B)
+          for r in refs]
+    # num_cpus=4: each pair task churns dense (n/B)^2 count matrices
+    # (bandwidth-bound, ~0.5 GB allocation traffic) — at 32-way
+    # concurrency they thrash (measured 40-68 s); 8 concurrent tasks
+    # run the same 36 pairs in 21-31 s. Also honest accounting on a
+    # shared cluster: these are not 1-cpu-sized tasks.
+    pair_task = ray.remote(_ngram_pair).options(num_cpus=4)
+    outs = []
+    for c_a in range(B):
+        a_parts = [s[c_a] for s in sl]
+        outs.append(pair_task.remote(threshold, n, len(a_parts), *a_parts))
+        for c_b in range(c_a + 1, B):
+            outs.append(pair_task.remote(
+                threshold, n, len(a_parts),
+                *a_parts, *[s[c_b] for s in sl]))
+    return pa.concat_tables([_NGRAM_PAIRS_SCHEMA.empty_table()]
+                            + ray.get(outs))
 
 
 def _lp_partition(x: np.ndarray, P: int) -> np.ndarray:
