@@ -1157,60 +1157,89 @@ def doc_dedup_near_keep(sf_dir: str, threshold: float = 0.8,
         keep, batch_format="pyarrow")
 
 
+_COS_PAIRS_SCHEMA = pa.schema([
+    ("id_a", pa.int64()), ("id_b", pa.int64()), ("cos", pa.float64()),
+])
+
+
+def _cos_slice(block: pa.Table, B: int) -> list:
+    """Split one read block into B ``vec_id % B`` chunk slices for the
+    raw-task chunk-pair join (same exchange as ``_ngram_slice``)."""
+    ids = block.column("vec_id").to_numpy(zero_copy_only=False)
+    chunk = (ids % B).astype(np.int64)
+    order = np.argsort(chunk, kind="stable")
+    sorted_tbl = block.take(pa.array(order))
+    bounds = np.searchsorted(chunk[order], np.arange(B + 1))
+    return [sorted_tbl.slice(s, e - s)
+            for s, e in zip(bounds[:-1], bounds[1:])]
+
+
+def _cos_pair(threshold: float, na_parts: int, *parts) -> pa.Table:
+    """One chunk pair: cross (or in-chunk upper-triangle when no B
+    slices follow the A slices) chunked-cosine above-threshold pairs."""
+    a_tbl = pa.concat_tables(parts[:na_parts])
+    diag = na_parts == len(parts)
+    ids_a = a_tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    if a_tbl.num_rows == 0:
+        return _COS_PAIRS_SCHEMA.empty_table()
+    m_a = D.normalize_rows(S.embedding_matrix(a_tbl))
+    if diag:
+        lo, hi, cos = D.cosine_pairs_cross(
+            m_a, ids_a, m_a, ids_a, threshold, same=True)
+    else:
+        b_tbl = pa.concat_tables(parts[na_parts:])
+        if b_tbl.num_rows == 0:
+            return _COS_PAIRS_SCHEMA.empty_table()
+        ids_b = b_tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        m_b = D.normalize_rows(S.embedding_matrix(b_tbl))
+        lo, hi, cos = D.cosine_pairs_cross(
+            m_a, ids_a, m_b, ids_b, threshold, same=False)
+    return pa.Table.from_arrays([
+        pa.array(lo.astype(np.int64)), pa.array(hi.astype(np.int64)),
+        pa.array(np.round(cos, 3), type=pa.float64()),
+    ], schema=_COS_PAIRS_SCHEMA)
+
+
 def emb_dedup_cosine(sf_dir: str, threshold: float = 0.35,
                      n_chunks: int | None = None):
-    """Embedding near-dup pairs via a replicated chunk-pair join (the
-    classic distributed all-pairs "triangle" layout): each vector is
-    assigned a chunk ``c = vec_id % B`` and replicated to the B
-    chunk-pair groups containing c; ``groupby(pair_id).map_groups``
-    computes one cross-chunk (or in-chunk upper-triangle) matmul per
-    group. Exact — same threshold semantics as the brute force — with
+    """Embedding near-dup pairs via the raw-task chunk-pair join (the
+    classic distributed all-pairs "triangle" layout, same exchange as
+    ``doc_dedup_ngram``): each read block is sliced once into B
+    ``vec_id % B`` chunk slices (``num_returns=B`` — vectors ship once,
+    not B times through a sort), and each of the B(B+1)/2 pair tasks
+    pulls the two chunks it compares and runs one cross-chunk (or
+    in-chunk upper-triangle) chunked matmul. Exact — same threshold
+    semantics as the brute force — with
 
     - per-worker memory O(2n/B x dim), independent of corpus size,
     - no driver materialization and no whole-corpus broadcast,
-    - shuffle volume n x B rows (B ~ sqrt(#tasks): the standard
-      replication cost of distributed exact all-pairs).
+    - exchange volume n rows sliced + each slice read by B pair tasks
+      (object-store reads, not a shuffle).
 
     For approximate high-threshold dedup at extreme scale, LSH-bucket
     both sides instead (see ``emb_ann_lsh``'s bucketing); exact
     all-pairs at cos>0.35 is inherently O(n^2) compute anywhere."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     B = n_chunks or max(4, int(np.sqrt(2 * _cpus())))
-
-    def pair_block(g: pa.Table) -> pa.Table:
-        pair_id = g.column("pair_id")[0].as_py()
-        c_a, c_b = pair_id // B, pair_id % B
-        chunk = g.column("chunk").to_numpy(zero_copy_only=False)
-        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
-        m = D.normalize_rows(S.embedding_matrix(g))
-        a_mask = chunk == c_a
-        if c_a == c_b:
-            lo, hi, cos = D.cosine_pairs_cross(
-                m[a_mask], ids[a_mask], m[a_mask], ids[a_mask], threshold,
-                same=True)
-        else:
-            b_mask = ~a_mask
-            lo, hi, cos = D.cosine_pairs_cross(
-                m[a_mask], ids[a_mask], m[b_mask], ids[b_mask], threshold,
-                same=False)
-        return pa.table({
-            "id_a": pa.array(lo),
-            "id_b": pa.array(hi),
-            "cos": pa.array(np.round(cos, 3)),
-        })
-
-    out = (
-        ds.map_batches(_chunk_pair_replicate("vec_id", B), batch_format="pyarrow")
-        .groupby("pair_id")
-        .map_groups(pair_block, batch_format="pyarrow")
-    )
-    # the threshold-pair OUTPUT is small; rows replicated to a group
-    # whose other chunk they don't belong to were dropped by the masks
-    parts = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
-    if not parts:
-        return pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                          ("cos", pa.float64())]).empty_table()
-    return pa.concat_tables(parts)
+    refs = [block_ref for bundle in ds.iter_internal_ref_bundles()
+            for block_ref, _md in bundle.blocks]
+    if not refs:
+        return _COS_PAIRS_SCHEMA.empty_table()
+    slice_task = ray.remote(_cos_slice)
+    sl = [slice_task.options(num_returns=max(2, B)).remote(r, B)
+          for r in refs]
+    # num_cpus=2: big-matmul tasks; see doc_dedup_ngram's sizing note
+    pair_task = ray.remote(_cos_pair).options(num_cpus=2)
+    outs = []
+    for c_a in range(B):
+        a_parts = [s[c_a] for s in sl]
+        outs.append(pair_task.remote(threshold, len(a_parts), *a_parts))
+        for c_b in range(c_a + 1, B):
+            outs.append(pair_task.remote(
+                threshold, len(a_parts), *a_parts, *[s[c_b] for s in sl]))
+    # the threshold-pair OUTPUT is small, so it concats on the driver
+    return pa.concat_tables([_COS_PAIRS_SCHEMA.empty_table()]
+                            + ray.get(outs))
 
 
 # ---- similarity search -----------------------------------------------------
