@@ -849,8 +849,10 @@ def doc_dedup_ngram(sf_dir: str, threshold: float = 0.4, n: int = 5,
     so the brute-force SQL oracle gates it directly."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     B = n_chunks or max(4, int(np.sqrt(2 * _cpus())))
+    # zero-row blocks are dropped by METADATA (an empty parquet read
+    # yields a schemaless block that would poison the concat downstream)
     refs = [block_ref for bundle in ds.iter_internal_ref_bundles()
-            for block_ref, _md in bundle.blocks]
+            for block_ref, _md in bundle.blocks if _md.num_rows]
     if not refs:
         return _NGRAM_PAIRS_SCHEMA.empty_table()
     slice_task = ray.remote(_ngram_slice)
@@ -1221,8 +1223,10 @@ def emb_dedup_cosine(sf_dir: str, threshold: float = 0.35,
     all-pairs at cos>0.35 is inherently O(n^2) compute anywhere."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     B = n_chunks or max(4, int(np.sqrt(2 * _cpus())))
+    # zero-row blocks are dropped by METADATA (an empty parquet read
+    # yields a schemaless block that would poison the concat downstream)
     refs = [block_ref for bundle in ds.iter_internal_ref_bundles()
-            for block_ref, _md in bundle.blocks]
+            for block_ref, _md in bundle.blocks if _md.num_rows]
     if not refs:
         return _COS_PAIRS_SCHEMA.empty_table()
     slice_task = ray.remote(_cos_slice)
@@ -1708,8 +1712,10 @@ def emb_semdedup(sf_dir: str, nlist: int | None = None,
         target = max(256, nlist * 16)
         sample_stride = max(1, n // target)
 
+    # zero-row blocks are dropped by METADATA (an empty parquet read
+    # yields a schemaless block that would poison the concat downstream)
     refs = [block_ref for bundle in ds.iter_internal_ref_bundles()
-            for block_ref, _md in bundle.blocks]
+            for block_ref, _md in bundle.blocks if _md.num_rows]
     if not refs:
         return rd.from_arrow(_SEM_SCHEMA.empty_table())
     sample_task = ray.remote(_sem_sample)

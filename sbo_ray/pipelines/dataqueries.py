@@ -1022,7 +1022,11 @@ def data_queries() -> dict:
         "doc_dedup_clusters": P.doc_dedup_clusters,
         "doc_dedup_clusters_lp": P.doc_dedup_clusters_lp,
         "doc_dedup_near_keep": P.doc_dedup_near_keep,
-        "emb_semdedup": P.emb_semdedup,
+        # threshold 0.5 for the driver gate: the testdata embeddings
+        # carry label clusters but no planted 0.95-cosine duplicates,
+        # so the production default would emit 0 rows and the rows-only
+        # check would gate nothing
+        "emb_semdedup": lambda sf: P.emb_semdedup(sf, threshold=0.5),
         "emb_kmeans": P.emb_kmeans,
         "doc_dedup_simhash": P.doc_dedup_simhash,
         "emb_dedup_cosine": P.emb_dedup_cosine,

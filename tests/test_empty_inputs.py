@@ -143,3 +143,22 @@ def test_quantize_sq8_empty_embeddings(ray_session, tmp_path):
     out = emb_quantize_sq8(str(tmp_path))
     assert out.count() == 0
     assert out.schema().names == ["vec_id", "codes"]
+
+
+def test_raw_task_pair_ops_empty_embeddings(ray_session, tmp_path):
+    """The raw-task chunk-pair ops must survive a schemaless empty read
+    (zero-row blocks are dropped by metadata before slicing)."""
+    from sbo_ray.pipelines.datapipe import emb_dedup_cosine, emb_semdedup
+
+    pq.write_table(
+        pa.schema([("vec_id", pa.int64()),
+                   ("embedding", pa.list_(pa.float32())),
+                   ("label", pa.int32())]).empty_table(),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = emb_dedup_cosine(str(tmp_path))
+    assert out.num_rows == 0
+    assert out.schema.names == ["id_a", "id_b", "cos"]
+    sem = emb_semdedup(str(tmp_path))
+    assert sem.count() == 0
+    assert sem.schema().names == ["vec_id", "rep_id", "cluster"]
