@@ -1515,6 +1515,29 @@ _MM_SCHEMA = pa.schema([("mn", pa.list_(pa.float64())),
                         ("mx", pa.list_(pa.float64()))])
 
 
+def _sq8_minmax(ds: rd.Dataset):
+    """Streaming per-dim global (min, max) over the embedding column:
+    one 2 x dim partial row leaves each block, the driver reduce is
+    blocks x dim floats. Returns (mn, mx) or (None, None) on empty."""
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _MM_SCHEMA.empty_table()
+        m = S.embedding_matrix(t).astype(np.float64)
+        return pa.table({"mn": [m.min(axis=0)], "mx": [m.max(axis=0)]},
+                        schema=_MM_SCHEMA)
+
+    parts = pa.concat_tables(
+        [_MM_SCHEMA.empty_table()]
+        + list(ds.map_batches(mm_partial, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow", batch_size=None)))
+    if parts.num_rows == 0:
+        return None, None
+    mns = np.stack([np.asarray(r) for r in parts.column("mn").to_pylist()])
+    mxs = np.stack([np.asarray(r) for r in parts.column("mx").to_pylist()])
+    return mns.min(axis=0), mxs.max(axis=0)
+
+
 def emb_quantize_sq8(sf_dir: str):
     """Scalar (int8) quantization of the embedding corpus — the
     standard 4x memory reduction that makes 100-TB-scale ANN indexes
@@ -1535,26 +1558,11 @@ def emb_quantize_sq8(sf_dir: str):
     Constant dimensions (mx == mn) encode 0."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    def mm_partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _MM_SCHEMA.empty_table()
-        m = S.embedding_matrix(t).astype(np.float64)
-        return pa.table({"mn": [m.min(axis=0)], "mx": [m.max(axis=0)]},
-                        schema=_MM_SCHEMA)
-
-    parts = pa.concat_tables(
-        [_MM_SCHEMA.empty_table()]
-        + list(ds.map_batches(mm_partial, batch_format="pyarrow")
-               .iter_batches(batch_format="pyarrow", batch_size=None)))
-    if parts.num_rows == 0:
+    mn, mx = _sq8_minmax(ds)
+    if mn is None:
         return rd.from_arrow(pa.schema([
             ("vec_id", pa.int64()),
             ("codes", pa.list_(pa.int64()))]).empty_table())
-    mns = np.stack([np.asarray(r) for r in
-                    parts.column("mn").to_pylist()])
-    mxs = np.stack([np.asarray(r) for r in
-                    parts.column("mx").to_pylist()])
-    mn, mx = mns.min(axis=0), mxs.max(axis=0)
     mm_ref = ray.put((mn, mx))
 
     def encode(t: pa.Table) -> pa.Table:
@@ -1577,6 +1585,54 @@ def emb_quantize_sq8(sf_dir: str):
         })
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def emb_ann_sq8(sf_dir: str, k: int = 10):
+    """Asymmetric SQ8 search (the FAISS SQ8 query path): brute-force
+    cosine top-k of the FULL-PRECISION min-vec_id query against the
+    SQ8-quantized corpus, each corpus vector midpoint-reconstructed
+    from its codes (x^ = mn + (code + 0.5) * (mx - mn) / 256) — the
+    memory story of ``emb_quantize_sq8`` made queryable: the scan
+    touches 1 byte/dim instead of 4 at full scale. Two streaming
+    passes (min/max partials, then encode+reconstruct+score per block
+    with block-local top-k); driver sees k rows per block. Exact SQL
+    mirror: the oracle reconstructs through the same integer codes and
+    f64 arithmetic, so values gate exactly (not a recall contract)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    mn, mx = _sq8_minmax(ds)
+    if mn is None:
+        return pa.schema([("vec_id", pa.int64()),
+                          ("cos", pa.float64())]).empty_table()
+    first = _min_id_row(ds)
+    q_id = first["vec_id"]
+    q = np.asarray(first["embedding"], dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    ref = ray.put((q, mn, mx))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return S.topk_rows(np.zeros(0, np.int64), np.zeros(0), k)
+        qv, lo, hi = ray.get(ref)
+        m = S.embedding_matrix(batch).astype(np.float64)
+        rng = hi - lo
+        live = rng > 0
+        codes = np.clip(
+            np.floor((m - lo) / np.where(live, rng, 1.0) * 256.0),
+            0.0, 255.0)
+        codes[:, ~live] = 0.0
+        # rng == 0 dims reconstruct to mn with no special case
+        xh = lo + (codes + 0.5) * (rng / 256.0)
+        norms = np.linalg.norm(xh, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (xh / norms[:, None]) @ qv
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = ids != q_id
+        return S.topk_rows(ids[keep], sims[keep], k)
+
+    parts = list(
+        ds.map_batches(block_topk, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    return S.merge_topk(parts, k)
 
 
 _SEM_SCHEMA = pa.schema([

@@ -663,6 +663,45 @@ FROM u JOIN mm USING (i)
 GROUP BY u.vec_id
 """
 
+# Asymmetric SQ8 search mirror: reconstruct every corpus vector
+# through the SAME integer codes (floor/clamp as above, then midpoint
+# x^ = mn + (code+0.5)*(mx-mn)/256), cosine against the full-precision
+# min-vec_id query, ROUND-3 + id tie-break. All f64; the only nonlinear
+# step (the code) is integer-exact, so values gate exactly.
+SQL_EMB_ANN_SQ8 = """
+WITH u AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+), mm AS (
+  SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM u GROUP BY i
+), r AS (
+  SELECT u.vec_id, u.i,
+         mm.mn + (LEAST(255.0, GREATEST(0.0,
+             CASE WHEN mm.mx > mm.mn
+                  THEN FLOOR((u.x - mm.mn) / (mm.mx - mm.mn) * 256.0)
+                  ELSE 0.0 END)) + 0.5) * (mm.mx - mm.mn) / 256.0 AS xh
+  FROM u JOIN mm USING (i)
+), q AS (
+  SELECT i, x AS qx FROM u
+  WHERE vec_id = (SELECT MIN(vec_id) FROM u)
+), qn AS (
+  SELECT SQRT(SUM(qx * qx)) AS qnorm FROM q
+), s AS (
+  SELECT r.vec_id,
+         COALESCE(SUM(r.xh * q.qx)
+                  / NULLIF(SQRT(SUM(r.xh * r.xh)) * MAX(qn.qnorm), 0),
+                  0) AS cos
+  FROM r JOIN q USING (i), qn
+  GROUP BY r.vec_id
+)
+SELECT vec_id, ROUND(cos, 3) AS cos FROM s
+WHERE vec_id <> (SELECT MIN(vec_id) FROM u)
+ORDER BY ROUND(cos, 3) DESC, vec_id
+LIMIT 10
+"""
+
 # JSON-extraction mirror through DuckDB's real JSON parser (the engine
 # uses an RE2 fast path; agreement proves it extracts the same field).
 SQL_EVENTS_PROPS = """
@@ -1034,6 +1073,7 @@ def data_queries() -> dict:
         "emb_ann_lsh": P.emb_ann_lsh,
         "emb_ann_ivf": P.emb_ann_ivf,
         "emb_quantize_sq8": P.emb_quantize_sq8,
+        "emb_ann_sq8": P.emb_ann_sq8,
         "doc_token_stats": P.doc_token_stats,
         "doc_lang_id": P.doc_lang_id,
         "doc_fingerprint": P.doc_fingerprint,
@@ -1126,6 +1166,7 @@ def data_oracle_sql() -> dict:
         "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,
         "emb_dedup_cosine": SQL_EMB_DEDUP_COSINE,
         "emb_quantize_sq8": SQL_EMB_QUANTIZE_SQ8,
+        "emb_ann_sq8": SQL_EMB_ANN_SQ8,
         "emb_similarity_topk": SQL_EMB_SIMILARITY_TOPK,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_lang_id": SQL_DOC_LANG_ID,

@@ -1109,3 +1109,44 @@ def test_quantize_sq8_matches_numpy_reference(ray_session, tmp_path):
             continue
         assert codes[x[:, j].argmax(), j] == 255
         assert codes[x[:, j].argmin(), j] == 0
+
+
+def test_ann_sq8_matches_numpy_reference(ray_session, tmp_path):
+    """Asymmetric SQ8 top-k equals a numpy mirror (codes -> midpoint
+    reconstruct -> cosine -> round3/id ordering), and on well-separated
+    clusters the quantized top-1 agrees with full-precision top-1."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import emb_ann_sq8
+
+    rng = np.random.RandomState(3)
+    n, d = 300, 16
+    centers = rng.randn(3, d) * 6
+    m = (centers[np.arange(n) % 3] + rng.randn(n, d)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array([list(r) for r in m],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * n, type=pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = emb_ann_sq8(str(tmp_path), k=10).to_pandas()
+
+    x = m.astype(np.float64)
+    mn, mx = x.min(axis=0), x.max(axis=0)
+    rngs = mx - mn
+    live = rngs > 0
+    codes = np.clip(np.floor((x - mn) / np.where(live, rngs, 1.0) * 256.0),
+                    0.0, 255.0)
+    codes[:, ~live] = 0.0
+    xh = mn + (codes + 0.5) * (rngs / 256.0)
+    q = x[0] / np.linalg.norm(x[0])
+    sims = (xh / np.linalg.norm(xh, axis=1, keepdims=True)) @ q
+    ids = np.arange(1, n)  # exclude the query row
+    r = np.round(sims[1:], 3)
+    order = np.lexsort((ids, -r))[:10]
+    assert list(got["vec_id"]) == list(ids[order])
+    assert np.allclose(got["cos"], r[order])
+    # recall property: quantized winner is the full-precision winner
+    full = (x / np.linalg.norm(x, axis=1, keepdims=True)) @ q
+    assert got["vec_id"].iloc[0] == int(np.argmax(full[1:]) + 1)
