@@ -2177,6 +2177,118 @@ def doc_tokenize_ids(sf_dir: str, vocab_size: int = 1000):
         encode, batch_format="pyarrow")
 
 
+def _flat_vocab_ids(t: pa.Table, st: np.ndarray, si: np.ndarray):
+    """Per-block (doc_ids, offsets, flat token ids) under a broadcast
+    SORTED vocabulary (st tokens, si ids) — the doc_tokenize_ids encode
+    kernel factored out: dictionary codes + searchsorted per UNIQUE
+    token, OOV -> 0; no per-row Python."""
+    col = t.column("text")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    words = pc.split_pattern(col, " ")
+    offsets = words.offsets.to_numpy().astype(np.int64)
+    enc = words.values.dictionary_encode()
+    uniq = np.array(enc.dictionary.to_pylist(), dtype=object)
+    pos = np.minimum(np.searchsorted(st, uniq), len(st) - 1) \
+        if len(st) else np.zeros(len(uniq), dtype=np.int64)
+    ok = (st[pos] == uniq) if len(st) else np.zeros(len(uniq), dtype=bool)
+    uid = np.where(ok, si[pos] if len(st) else 0, 0)
+    flat_ids = uid[enc.indices.to_numpy(zero_copy_only=False)]
+    doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    return doc_ids, offsets, flat_ids
+
+
+def doc_perplexity_bigram(sf_dir: str, vocab_size: int = 1000):
+    """Bigram-LM quality score per document — ``doc_unigram_logprob``
+    with one token of context: mean -ln p(w_i | w_{i-1}) under the
+    corpus bigram distribution with add-one smoothing over the
+    (vocab_size+1)-way vocabulary (ids 1..V rank the corpus top-V like
+    doc_tokenize_ids; 0 is the shared OOV bucket), bigrams never cross
+    document boundaries. The standard within-domain fluency filter:
+    unigram scoring ranks rare WORDS, bigram scoring ranks improbable
+    TRANSITIONS (shuffled or templated text scores poorly even when
+    every word is common).
+
+    Three streaming passes, each shuffle-free: (1) the vocab top-V
+    (block histograms, bounded driver merge), (2) bigram counts — each
+    block emits its nonzero (ida*(V+1)+idb, count) partials from one
+    bincount, the driver folds them into a dense (V+1)^2 table (8 MB
+    at V=1000, corpus-independent), (3) scoring under the broadcast
+    count table: per-doc mean of -ln((c(a,b)+1)/(c(a.)+V+1)) via
+    segment reduceat. Output: (doc_id, n_bigrams, avg_neg_logprob
+    ROUND 6), docs with <2 tokens omitted (no transitions to score,
+    same omission as the SQL mirror's join)."""
+    V = vocab_size
+    vocab = doc_vocab_topk(sf_dir, k=V)
+    toks = np.array(vocab.column("token").to_pylist(), dtype=object)
+    ids = np.arange(1, len(toks) + 1, dtype=np.int64)
+    order = np.argsort(toks)
+    vref = ray.put((toks[order], ids[order]))
+    W = len(toks) + 1  # id space incl. OOV 0
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    BPART = pa.schema([("key", pa.int64()), ("c", pa.int64())])
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return BPART.empty_table()
+        st, si = ray.get(vref)
+        _docs, offsets, flat = _flat_vocab_ids(t, st, si)
+        a, b = flat[:-1], flat[1:]
+        # drop transitions that cross a document boundary
+        keep = np.ones(len(a), dtype=bool)
+        keep[offsets[1:-1] - 1] = False
+        key = a[keep] * W + b[keep]
+        cnt = np.bincount(key, minlength=W * W)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"key": nz.astype(np.int64),
+                         "c": cnt[nz].astype(np.int64)}, schema=BPART)
+
+    parts = list(docs.map_batches(
+        bigram_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    OUT = pa.schema([("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+                     ("avg_neg_logprob", pa.float64())])
+    if not parts:
+        return OUT.empty_table()
+    merged = pa.concat_tables(parts)
+    cb = np.zeros(W * W, dtype=np.int64)
+    np.add.at(cb, merged.column("key").to_numpy(zero_copy_only=False),
+              merged.column("c").to_numpy(zero_copy_only=False))
+    ca = cb.reshape(W, W).sum(axis=1)  # context totals c(a, .)
+    cnt_ref = ray.put((cb, ca))
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return OUT.empty_table()
+        st, si = ray.get(vref)
+        cb_g, ca_g = ray.get(cnt_ref)
+        doc_ids, offsets, flat = _flat_vocab_ids(t, st, si)
+        a, b = flat[:-1], flat[1:]
+        keep = np.ones(len(a), dtype=bool)
+        keep[offsets[1:-1] - 1] = False
+        nlp = -np.log((cb_g[a * W + b] + 1.0) / (ca_g[a] + float(W)))
+        nlp[~keep] = 0.0
+        # per-doc segment sums over the (uncompacted, boundary-zeroed)
+        # transition stream: transition i is (flat[i], flat[i+1]), so
+        # doc d's internal transitions are i in [offsets[d],
+        # offsets[d+1]-2] — cumsum differencing over [lo, hi)
+        csum = np.concatenate([[0.0], np.cumsum(nlp)])
+        kcum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+        lo = offsets[:-1]
+        hi = np.maximum(offsets[1:] - 1, lo)
+        n_big = kcum[hi] - kcum[lo]
+        sums = csum[hi] - csum[lo]
+        ok = n_big > 0
+        return pa.table({
+            "doc_id": pa.array(doc_ids[ok].astype(np.int64)),
+            "n_bigrams": pa.array(n_big[ok].astype(np.int64)),
+            "avg_neg_logprob": pa.array(
+                np.round(sums[ok] / n_big[ok], 6), type=pa.float64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def doc_lang_id(sf_dir: str):
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         T.lang_id, batch_format="pyarrow"

@@ -859,6 +859,42 @@ FROM tok JOIN g ON tok.t = g.t CROSS JOIN n
 GROUP BY 1
 """
 
+# Bigram-LM mirror: the same top-V vocab ranking as tokenize_ids
+# (count desc, token asc; OOV -> 0), a positional self-join for the
+# transitions (never crossing doc boundaries by construction), add-one
+# smoothing over the (|vocab|+1)-way id space, ROUND-6 mean like the
+# unigram oracle. Both sides do the -ln in float64.
+SQL_DOC_PERPLEXITY_BIGRAM = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), tok AS (
+  SELECT doc_id, unnest(ws) AS t, unnest(range(0, len(ws))) AS i FROM w
+), vocab AS (
+  SELECT t AS token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t ASC) AS id
+  FROM tok GROUP BY t ORDER BY id LIMIT 1000
+), m AS (
+  SELECT map(list(token ORDER BY id), list(id ORDER BY id)) AS mp FROM vocab
+), vv AS (
+  SELECT COUNT(*) + 1 AS wsz FROM vocab
+), idt AS (
+  SELECT doc_id, i, CAST(COALESCE(mp[t][1], 0) AS BIGINT) AS id
+  FROM tok, m
+), big AS (
+  SELECT a.doc_id, a.id AS ida, b.id AS idb
+  FROM idt a JOIN idt b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), cb AS (
+  SELECT ida, idb, COUNT(*) AS c FROM big GROUP BY ida, idb
+), ca AS (
+  SELECT ida, COUNT(*) AS c FROM big GROUP BY ida
+)
+SELECT big.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(-LN((cb.c + 1.0) / (ca.c + vv.wsz))) / COUNT(*), 6)
+         AS avg_neg_logprob
+FROM big JOIN cb USING (ida, idb) JOIN ca USING (ida) CROSS JOIN vv
+GROUP BY big.doc_id
+"""
+
 # Sequence-packing mirror: the engine's two-pass distributed prefix
 # sum == one window cumsum in doc_id order; whitespace token counts
 # match pc.split_pattern (both count empty segments).
@@ -1082,6 +1118,7 @@ def data_queries() -> dict:
         "doc_quality_gopher": P.doc_quality_gopher,
         "doc_vocab_topk": P.doc_vocab_topk,
         "doc_tokenize_ids": P.doc_tokenize_ids,
+        "doc_perplexity_bigram": P.doc_perplexity_bigram,
         "doc_chunk": P.doc_chunk,
         "emb_label_centroids": P.emb_label_centroids,
         "events_props_extract": P.events_props_extract,
@@ -1158,6 +1195,7 @@ def data_oracle_sql() -> dict:
         "doc_tfidf": SQL_DOC_TFIDF,
         "emb_knn_join": SQL_EMB_KNN_JOIN,
         "doc_unigram_logprob": SQL_DOC_UNIGRAM_LOGPROB,
+        "doc_perplexity_bigram": SQL_DOC_PERPLEXITY_BIGRAM,
         "emb_ann_lsh": SQL_EMB_SIMILARITY_TOPK,
         "emb_ann_ivf": SQL_EMB_SIMILARITY_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,

@@ -1150,3 +1150,59 @@ def test_ann_sq8_matches_numpy_reference(ray_session, tmp_path):
     # recall property: quantized winner is the full-precision winner
     full = (x / np.linalg.norm(x, axis=1, keepdims=True)) @ q
     assert got["vec_id"].iloc[0] == int(np.argmax(full[1:]) + 1)
+
+
+def test_perplexity_bigram_matches_python_reference(ray_session, tmp_path):
+    """Bigram LM scores equal a per-doc Python reference (add-one
+    smoothing over the (V+1)-way id space); transitions never cross
+    document boundaries; <2-token docs are omitted."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import doc_perplexity_bigram
+
+    texts = [
+        "a b a b c",
+        "b a b",
+        "solo",           # 1 token -> omitted
+        "a a a a",
+        "c b a",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = doc_perplexity_bigram(str(tmp_path), vocab_size=1000) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # reference: vocab ranked (count desc, token asc), ids 1..V, OOV 0
+    from collections import Counter
+    toks = [w for x in texts for w in x.split(" ")]
+    cnt = Counter(toks)
+    ranked = sorted(cnt, key=lambda w: (-cnt[w], w))
+    vid = {w: i + 1 for i, w in enumerate(ranked)}
+    W = len(ranked) + 1
+    big = Counter()
+    ctx = Counter()
+    docs_ids = [[vid.get(w, 0) for w in x.split(" ")] for x in texts]
+    for idseq in docs_ids:
+        for a, b in zip(idseq[:-1], idseq[1:]):
+            big[(a, b)] += 1
+            ctx[a] += 1
+    want = {}
+    for did, idseq in enumerate(docs_ids):
+        trans = list(zip(idseq[:-1], idseq[1:]))
+        if not trans:
+            continue
+        s = sum(-math.log((big[(a, b)] + 1.0) / (ctx[a] + W))
+                for a, b in trans)
+        want[did] = (len(trans), round(s / len(trans), 6))
+    assert list(got["doc_id"]) == sorted(want)
+    for _, row in got.iterrows():
+        n, v = want[row["doc_id"]]
+        assert row["n_bigrams"] == n
+        assert abs(row["avg_neg_logprob"] - v) < 1e-9
