@@ -1587,6 +1587,70 @@ def emb_quantize_sq8(sf_dir: str):
     return ds.map_batches(encode, batch_format="pyarrow")
 
 
+def emb_sample_balanced(sf_dir: str, per_label: int = 10):
+    """Cluster-balanced subsample — exactly ``per_label`` vectors per
+    label, drawn by a deterministic reservoir (the dataset-rebalancing
+    step: equal representation per class/domain regardless of the
+    corpus mix). Key = md5(vec_id) >> 1, bottom-k per LABEL under
+    (key, vec_id): block-local per-label bottom-k is closed under merge
+    (the doc_group_topk monoid — partial ordering == final ordering),
+    so each block emits <= labels x k rows and the driver merge is
+    bounded; no shuffle, reproducible across partitionings. Exact SQL
+    mirror: ROW_NUMBER() PARTITION BY label ORDER BY the same md5."""
+    import hashlib
+
+    SCHEMA = pa.schema([("vec_id", pa.int64()), ("label", pa.int64()),
+                        ("sample_key", pa.int64())])
+
+    def local_bottomk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return SCHEMA.empty_table()
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        labels = t.column("label").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keys = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(str(int(v)).encode()).digest()[:8],
+                "big") >> 1 for v in ids),
+            dtype=np.int64, count=len(ids))
+        order = np.lexsort((ids, keys, labels))
+        sl, sk, si = labels[order], keys[order], ids[order]
+        new = np.ones(len(sl), dtype=bool)
+        new[1:] = sl[1:] != sl[:-1]
+        starts = np.maximum.accumulate(
+            np.where(new, np.arange(len(sl)), 0))
+        rank = np.arange(len(sl)) - starts
+        keep = rank < per_label
+        return pa.table({
+            "vec_id": pa.array(si[keep], type=pa.int64()),
+            "label": pa.array(sl[keep], type=pa.int64()),
+            "sample_key": pa.array(sk[keep], type=pa.int64()),
+        })
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "label"])
+    batches = list(ds.map_batches(local_bottomk, batch_format="pyarrow")
+                   .iter_batches(batch_format="pyarrow", batch_size=None))
+    batches = [b for b in batches if b.num_rows]
+    if not batches:
+        return SCHEMA.empty_table()
+    merged = pa.concat_tables(batches)
+    labels = merged.column("label").to_numpy(zero_copy_only=False)
+    keys = merged.column("sample_key").to_numpy(zero_copy_only=False)
+    ids = merged.column("vec_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, keys, labels))
+    sl = labels[order]
+    new = np.ones(len(sl), dtype=bool)
+    new[1:] = sl[1:] != sl[:-1]
+    starts = np.maximum.accumulate(np.where(new, np.arange(len(sl)), 0))
+    keep = (np.arange(len(sl)) - starts) < per_label
+    sel = order[keep]
+    return pa.table({
+        "vec_id": pa.array(ids[sel], type=pa.int64()),
+        "label": pa.array(labels[sel], type=pa.int64()),
+        "sample_key": pa.array(keys[sel], type=pa.int64()),
+    })
+
+
 def emb_ann_sq8(sf_dir: str, k: int = 10):
     """Asymmetric SQ8 search (the FAISS SQ8 query path): brute-force
     cosine top-k of the FULL-PRECISION min-vec_id query against the

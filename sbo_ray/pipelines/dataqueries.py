@@ -42,6 +42,22 @@ ORDER BY sample_key, doc_id
 LIMIT 100
 """
 
+# Balanced per-label reservoir mirror: same md5(vec_id)>>1 key, same
+# (key, vec_id) tie order, ROW_NUMBER per label.
+SQL_EMB_SAMPLE_BALANCED = """
+WITH keyed AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 16))
+         ::UBIGINT >> 1 AS BIGINT) AS sample_key
+  FROM embeddings
+)
+SELECT vec_id, label, sample_key FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY label ORDER BY sample_key, vec_id) AS rn
+  FROM keyed
+) WHERE rn <= 10
+"""
+
 SQL_DOC_SAMPLE_STRATIFIED = f"""
 SELECT doc_id, lang FROM documents
 WHERE {_H63.format(salt='s2')} < CASE lang
@@ -1110,6 +1126,7 @@ def data_queries() -> dict:
         "emb_ann_ivf": P.emb_ann_ivf,
         "emb_quantize_sq8": P.emb_quantize_sq8,
         "emb_ann_sq8": P.emb_ann_sq8,
+        "emb_sample_balanced": P.emb_sample_balanced,
         "doc_token_stats": P.doc_token_stats,
         "doc_lang_id": P.doc_lang_id,
         "doc_fingerprint": P.doc_fingerprint,
@@ -1205,6 +1222,7 @@ def data_oracle_sql() -> dict:
         "emb_dedup_cosine": SQL_EMB_DEDUP_COSINE,
         "emb_quantize_sq8": SQL_EMB_QUANTIZE_SQ8,
         "emb_ann_sq8": SQL_EMB_ANN_SQ8,
+        "emb_sample_balanced": SQL_EMB_SAMPLE_BALANCED,
         "emb_similarity_topk": SQL_EMB_SIMILARITY_TOPK,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_lang_id": SQL_DOC_LANG_ID,

@@ -1206,3 +1206,38 @@ def test_perplexity_bigram_matches_python_reference(ray_session, tmp_path):
         n, v = want[row["doc_id"]]
         assert row["n_bigrams"] == n
         assert abs(row["avg_neg_logprob"] - v) < 1e-9
+
+
+def test_sample_balanced_exact_k_per_label(ray_session, tmp_path):
+    """Exactly min(k, label size) rows per label, chosen by the global
+    md5 bottom-k — invariant to block partitioning (single-file input
+    vs the engine's block-local monoid must agree with a global sort)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import emb_sample_balanced
+
+    rng = np.random.RandomState(7)
+    n = 150
+    labels = np.array([0] * 100 + [1] * 45 + [2] * 5)
+    t = pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array([list(r) for r in
+                               rng.randn(n, 4).astype(np.float32)],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(labels, type=pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = emb_sample_balanced(str(tmp_path), per_label=10).to_pandas()
+    sizes = got.groupby("label").size().to_dict()
+    assert sizes == {0: 10, 1: 10, 2: 5}
+
+    keys = np.array([int.from_bytes(
+        hashlib.md5(str(i).encode()).digest()[:8], "big") >> 1
+        for i in range(n)], dtype=np.int64)
+    for lab in (0, 1, 2):
+        ids = np.flatnonzero(labels == lab)
+        order = np.lexsort((ids, keys[ids]))[:10]
+        want = set(ids[order].tolist())
+        assert set(got[got["label"] == lab]["vec_id"]) == want
