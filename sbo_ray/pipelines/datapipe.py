@@ -2353,6 +2353,93 @@ def doc_perplexity_bigram(sf_dir: str, vocab_size: int = 1000):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+_SHUF_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                          ("shuffle_pos", pa.int64())])
+
+
+def _shuf_keys(block: pa.Table) -> np.ndarray:
+    import hashlib
+
+    ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(int(v)).encode()).digest()[:8],
+                        "big") >> 1 for v in ids),
+        dtype=np.int64, count=len(ids))
+
+
+def _shuf_slice(block: pa.Table, P: int, shift: int) -> list:
+    """Pass 1+route fused: key every row, slice by the key's top bits
+    (md5 keys are uniform, so equal-width ranges balance with no
+    sampling step). Returns P (ids, keys) shards — 16 bytes/row."""
+    ids = block.column("doc_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    if block.num_rows == 0:
+        return [(ids, ids) for _ in range(P)]
+    keys = _shuf_keys(block)
+    part = (keys >> shift).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    ids, keys = ids[order], keys[order]
+    bounds = np.searchsorted(part[order], np.arange(P + 1))
+    return [(ids[s:e], keys[s:e]) for s, e in zip(bounds[:-1], bounds[1:])]
+
+
+def _shuf_count(*shards) -> int:
+    return int(sum(len(s[0]) for s in shards))
+
+
+def _shuf_rank(base: int, *shards) -> pa.Table:
+    """One key range: sort its rows by (key, doc_id) and emit global
+    positions base + local rank."""
+    ids = np.concatenate([s[0] for s in shards])
+    if not len(ids):
+        return _SHUF_SCHEMA.empty_table()
+    keys = np.concatenate([s[1] for s in shards])
+    order = np.lexsort((ids, keys))
+    pos = np.empty(len(ids), dtype=np.int64)
+    pos[order] = base + np.arange(len(ids), dtype=np.int64)
+    return pa.Table.from_arrays([
+        pa.array(ids), pa.array(pos)], schema=_SHUF_SCHEMA)
+
+
+def doc_shuffle_order(sf_dir: str):
+    """Global deterministic training shuffle: every document's position
+    in the md5-random order (rank of md5(doc_id) with doc_id
+    tie-break) — the epoch-shuffle primitive, reproducible across
+    reruns, partitionings and cluster sizes, with NO all-to-all sort:
+
+      route  one scan keys each row and slices it into P key RANGES by
+             the hash's top bits (``num_returns=P``; md5 is uniform so
+             equal-width ranges balance without a sampling pass) —
+             16 bytes/row leave the scan;
+      rank   P range tasks sort locally; range r's global offset is
+             the prefix sum of per-range counts (P ints on the
+             driver), so position = offset + local rank.
+
+    Cross-range order == global order because ranges ARE the key's
+    high bits. Output: (doc_id, shuffle_pos), a permutation of
+    0..n-1; a downstream consumer shuffles by sorting/bucketing on
+    shuffle_pos (or slicing it into training shards). Exact SQL
+    mirror: ROW_NUMBER() OVER (ORDER BY the same md5, doc_id) - 1."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    refs = [block_ref for bundle in ds.iter_internal_ref_bundles()
+            for block_ref, _md in bundle.blocks if _md.num_rows]
+    if not refs:
+        return rd.from_arrow(_SHUF_SCHEMA.empty_table())
+    P = max(2, _n_parts())
+    shift = max(0, 63 - int(np.log2(P)))
+    slice_task = ray.remote(_shuf_slice)
+    sl = [slice_task.options(num_returns=P).remote(r, P, shift)
+          for r in refs]
+    count_task = ray.remote(_shuf_count)
+    counts = ray.get([count_task.remote(*[s[p] for s in sl])
+                      for p in range(P)])
+    bases = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank_task = ray.remote(_shuf_rank)
+    outs = [rank_task.remote(int(bases[p]), *[s[p] for s in sl])
+            for p in range(P)]
+    return rd.from_arrow_refs(outs)
+
+
 def doc_lang_id(sf_dir: str):
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         T.lang_id, batch_format="pyarrow"

@@ -42,6 +42,17 @@ ORDER BY sample_key, doc_id
 LIMIT 100
 """
 
+# Global-shuffle mirror: position = rank under (md5(doc_id) >> 1,
+# doc_id) — the engine's range-partition + prefix-sum rank must equal
+# one global ROW_NUMBER.
+SQL_DOC_SHUFFLE_ORDER = """
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (ORDER BY
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+         ::UBIGINT >> 1 AS BIGINT), doc_id) - 1 AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
 # Balanced per-label reservoir mirror: same md5(vec_id)>>1 key, same
 # (key, vec_id) tie order, ROW_NUMBER per label.
 SQL_EMB_SAMPLE_BALANCED = """
@@ -1136,6 +1147,7 @@ def data_queries() -> dict:
         "doc_vocab_topk": P.doc_vocab_topk,
         "doc_tokenize_ids": P.doc_tokenize_ids,
         "doc_perplexity_bigram": P.doc_perplexity_bigram,
+        "doc_shuffle_order": P.doc_shuffle_order,
         "doc_chunk": P.doc_chunk,
         "emb_label_centroids": P.emb_label_centroids,
         "events_props_extract": P.events_props_extract,
@@ -1213,6 +1225,7 @@ def data_oracle_sql() -> dict:
         "emb_knn_join": SQL_EMB_KNN_JOIN,
         "doc_unigram_logprob": SQL_DOC_UNIGRAM_LOGPROB,
         "doc_perplexity_bigram": SQL_DOC_PERPLEXITY_BIGRAM,
+        "doc_shuffle_order": SQL_DOC_SHUFFLE_ORDER,
         "emb_ann_lsh": SQL_EMB_SIMILARITY_TOPK,
         "emb_ann_ivf": SQL_EMB_SIMILARITY_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,

@@ -1241,3 +1241,34 @@ def test_sample_balanced_exact_k_per_label(ray_session, tmp_path):
         order = np.lexsort((ids, keys[ids]))[:10]
         want = set(ids[order].tolist())
         assert set(got[got["label"] == lab]["vec_id"]) == want
+
+
+def test_shuffle_order_is_md5_rank_permutation(ray_session, tmp_path):
+    """shuffle_pos is a permutation of 0..n-1 equal to the rank under
+    (md5(doc_id) >> 1, doc_id) — the distributed range-partition rank
+    must equal one global argsort."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import doc_shuffle_order
+
+    n = 500
+    t = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array([f"doc {i}" for i in range(n)]),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["s"] * n),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = doc_shuffle_order(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert sorted(got["shuffle_pos"]) == list(range(n))
+
+    keys = np.array([int.from_bytes(
+        hashlib.md5(str(i).encode()).digest()[:8], "big") >> 1
+        for i in range(n)], dtype=np.int64)
+    ids = np.arange(n)
+    want = np.empty(n, dtype=np.int64)
+    want[np.lexsort((ids, keys))] = np.arange(n)
+    assert list(got["shuffle_pos"]) == want.tolist()
