@@ -396,53 +396,80 @@ def doc_decontaminate_ngram(sf_dir: str,
         scan, batch_format="pyarrow")
 
 
-def _bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-    """One call per band-hash PARTITION (P total), vectorized grouping
-    inside — per-bucket map_groups paid ~60us x millions of tiny
-    buckets; see _n_parts. Emits the candidate pairs of every bucket in
-    this partition, deduped within the partition."""
-    g = g.sort_values(["band_hash", "doc_id"], kind="stable")
-    bh = g["band_hash"].to_numpy()
-    ids = g["doc_id"].to_numpy()
-    nb = np.ones(len(g), dtype=bool)
+_CAND_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+
+def _band_shard(block: pa.Table, P: int) -> list:
+    """Signatures + route for one doc block: minhash band rows sliced
+    into P ``band_hash % P`` shards (16 bytes/row) — the shard half of
+    the raw-task candidate exchange."""
+    bt = D.minhash_bands(block)
+    bh = bt.column("band_hash").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ids = bt.column("doc_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    if not len(bh):
+        return [(bh, ids) for _ in range(P)]
+    part = bh % P
+    order = np.argsort(part, kind="stable")
+    bh, ids = bh[order], ids[order]
+    bounds = np.searchsorted(part[order], np.arange(P + 1))
+    return [(bh[s:e], ids[s:e]) for s, e in zip(bounds[:-1], bounds[1:])]
+
+
+def _bucket_pairs_combine(*shards) -> pa.Table:
+    """One band-hash partition: same bucket->triangle pair emission as
+    ``_bucket_pairs_part`` (sorted ids per bucket, dedup within the
+    partition) over the pulled shards, looping only over buckets with
+    >= 2 members."""
+    bh = np.concatenate([s[0] for s in shards])
+    if not len(bh):
+        return _CAND_SCHEMA.empty_table()
+    ids = np.concatenate([s[1] for s in shards])
+    order = np.lexsort((ids, bh))
+    bh, ids = bh[order], ids[order]
+    nb = np.ones(len(bh), dtype=bool)
     nb[1:] = bh[1:] != bh[:-1]
-    bounds = np.append(np.flatnonzero(nb), len(g))
+    bounds = np.append(np.flatnonzero(nb), len(bh))
+    sizes = np.diff(bounds)
     outs_a, outs_b = [], []
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        m = e - s
-        if m >= 2:
-            bucket_ids = np.sort(ids[s:e])
-            iu, ju = np.triu_indices(m, 1)
-            outs_a.append(bucket_ids[iu])
-            outs_b.append(bucket_ids[ju])
+    for bi in np.flatnonzero(sizes >= 2):
+        s, e = bounds[bi], bounds[bi + 1]
+        bucket_ids = ids[s:e]  # ascending via the lexsort secondary key
+        iu, ju = np.triu_indices(e - s, 1)
+        outs_a.append(bucket_ids[iu])
+        outs_b.append(bucket_ids[ju])
     if not outs_a:
-        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                             "id_b": pd.Series([], dtype="int64")})
-    return pd.DataFrame({
-        "id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)
-    }).drop_duplicates()
+        return _CAND_SCHEMA.empty_table()
+    pairs = np.unique(
+        np.stack([np.concatenate(outs_a), np.concatenate(outs_b)], axis=1),
+        axis=0)
+    return pa.Table.from_arrays(
+        [pa.array(pairs[:, 0]), pa.array(pairs[:, 1])],
+        schema=_CAND_SCHEMA)
 
 
 def _candidate_pair_block_refs(sf_dir: str) -> list:
-    """LSH candidate generation as OBJECT-STORE block refs: band rows ->
-    band-hash partition groupby -> per-partition bucket pair blocks.
-    The blocks are consumed by ref (iter_internal_ref_bundles) so no
-    candidate pair ever lands on the driver — assembly, slot-map
-    construction and edge sharding all happen in remote tasks."""
+    """LSH candidate generation as OBJECT-STORE block refs via the
+    raw-task shard/combine exchange: each doc block computes its band
+    rows and slices them by ``band_hash % P`` (``num_returns=P``), and
+    P combine tasks emit their partition's bucket pairs. Locally this
+    times the same as the former groupby+Sort (signatures dominate:
+    ~9 s of the ~15 s warm stage at 4M); it's kept for the same reason
+    the other exchanges use it — no all-to-all barrier, shards stream
+    to combines as soon as each block is signed. No candidate pair
+    ever lands on the driver — assembly, slot-map construction and
+    edge sharding all happen in downstream remote tasks."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    P = _n_parts()
-    bands = ds.map_batches(D.minhash_bands, batch_format="pyarrow").map_batches(
-        lambda t: t.append_column(
-            "part", pa.array(t.column("band_hash").to_numpy() % P)),
-        batch_format="pyarrow",
-    )
-    cand_ds = bands.groupby("part").map_groups(
-        _bucket_pairs_part, batch_format="pandas")
-    refs = []
-    for bundle in cand_ds.iter_internal_ref_bundles():
-        for block_ref, _md in bundle.blocks:
-            refs.append(block_ref)
-    return refs
+    refs = [block_ref for bundle in ds.iter_internal_ref_bundles()
+            for block_ref, _md in bundle.blocks if _md.num_rows]
+    if not refs:
+        return []
+    P = max(2, _n_parts())
+    shard = ray.remote(_band_shard)
+    sl = [shard.options(num_returns=P).remote(r, P) for r in refs]
+    combine = ray.remote(_bucket_pairs_combine)
+    return [combine.remote(*[s[p] for s in sl]) for p in range(P)]
 
 
 def _pair_cols(block) -> np.ndarray | None:
