@@ -20,6 +20,7 @@ from __future__ import annotations
 import glob
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -214,6 +215,34 @@ SELECT source, dimension, key_value, time_window, cnt,
                            ORDER BY time_window
                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative
 FROM counts
+"""
+
+
+def sql_rate_zscore(cache: str) -> str:
+    """Independent SQL: per-source window request-rate z-scores (the
+    telemetry anomaly view over the SAME 10-minute event-time windows
+    the counter report uses). STDDEV_SAMP matches numpy ddof=1."""
+    return _pattern_cte(cache) + f"""
+, parsed AS (
+  SELECT source, {_extract_case("ts")} AS ts_str
+  FROM pat WHERE {_matches_case()}
+), w2 AS (
+  SELECT source,
+    CAST(year(lt) AS BIGINT)*100000000 + month(lt)*1000000 + day(lt)*10000
+      + hour(lt)*100 + (minute(lt) - minute(lt)%10) AS time_window
+  FROM (SELECT *, try_strptime(split_part(ts_str, ' ', 1),
+                               '%d/%b/%Y:%H:%M:%S') AS lt FROM parsed)
+), wc AS (
+  SELECT source, time_window, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM w2 GROUP BY 1, 2
+), st AS (
+  SELECT source, AVG(cnt) AS mean_c, STDDEV_SAMP(cnt) AS sd
+  FROM wc GROUP BY 1
+)
+SELECT wc.source, wc.time_window, wc.cnt,
+       ROUND((wc.cnt - st.mean_c) / st.sd, 6) AS zscore
+FROM wc JOIN st USING (source)
+WHERE st.sd > 0 AND ABS((wc.cnt - st.mean_c) / st.sd) >= 1.5
 """
 
 
@@ -969,6 +998,50 @@ def q_log_geo_counts(sf_dir: str):
     })
 
 
+def q_log_rate_zscore(sf_dir: str, z_cut: float = 1.5):
+    """Per-source request-rate anomaly view: the z-score of each
+    10-minute window's request count against the source's own
+    window-count distribution (mean/STDDEV over its windows, sample
+    ddof=1), emitting windows with |z| >= ``z_cut`` — the telemetry
+    alerting primitive on top of the windowed counters. Distributed
+    shape: block-local (source, window) partial counts -> stream merge
+    (bounded: sources x windows, windows bounded by the corpus time
+    span) -> per-source vectorized stats on the driver-held aggregate
+    (the same bounded-table contract as the counter report)."""
+    enr = _enriched(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("parse_ok"))
+        g = pa.table({
+            "source": t.column("source").combine_chunks(),
+            "time_window": t.column("time_window").combine_chunks(),
+        }).group_by(["source", "time_window"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "time_window", "cnt"])
+
+    schema = pa.schema([("source", pa.string()),
+                        ("time_window", pa.int64()), ("cnt", pa.int64())])
+    agg = logpipe._stream_merge(
+        enr.map_batches(partial, batch_format="pyarrow"),
+        ["source", "time_window"], "cnt", schema=schema)
+    df = logpipe.to_pandas_with_schema(agg, schema)
+    if df.empty:
+        return pa.schema([("source", pa.string()),
+                          ("time_window", pa.int64()), ("cnt", pa.int64()),
+                          ("zscore", pa.float64())]).empty_table()
+    stats = df.groupby("source")["cnt"].agg(["mean", "std"])  # std ddof=1
+    df = df.join(stats, on="source")
+    df = df[df["std"] > 0].copy()
+    df["zscore"] = np.round((df["cnt"] - df["mean"]) / df["std"], 6)
+    df = df[np.abs((df["cnt"] - df["mean"]) / df["std"]) >= z_cut]
+    df = df.sort_values(["source", "time_window"]).reset_index(drop=True)
+    return pa.table({
+        "source": pa.array(df["source"], pa.string()),
+        "time_window": pa.array(df["time_window"], pa.int64()),
+        "cnt": pa.array(df["cnt"], pa.int64()),
+        "zscore": pa.array(df["zscore"], pa.float64()),
+    })
+
+
 def q_log_status_class_counts(sf_dir: str):
     """Status-class (2xx/3xx/4xx/5xx) enrichment counts per source."""
     enr = _enriched(sf_dir)
@@ -1310,6 +1383,7 @@ def log_queries() -> dict:
         "log_repeat_offenders": q_log_repeat_offenders,
         "log_geo_counts": q_log_geo_counts,
         "log_status_class_counts": q_log_status_class_counts,
+        "log_rate_zscore": q_log_rate_zscore,
         "log_distinct_clients": q_log_distinct_clients,
         "log_distinct_clients_hll": q_log_distinct_clients_hll,
     }
@@ -1330,6 +1404,7 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_counter_deltas": sql_counter_deltas(cache),
         "log_geo_counts": sql_geo_counts(cache),
         "log_status_class_counts": sql_status_class_counts(cache),
+        "log_rate_zscore": sql_rate_zscore(cache),
         "log_distinct_clients": sql_distinct_clients(cache),
         # moved to independent SQL in r3 (Go net/url + malicious
         # classifier re-implemented in pure SQL, see _sql_url_ctes)
