@@ -1272,3 +1272,35 @@ def test_shuffle_order_is_md5_rank_permutation(ray_session, tmp_path):
     want = np.empty(n, dtype=np.int64)
     want[np.lexsort((ids, keys))] = np.arange(n)
     assert list(got["shuffle_pos"]) == want.tolist()
+
+
+def test_shuffle_order_partition_invariant_multiblock(ray_session, tmp_path):
+    """The range-partition rank must not depend on the block layout:
+    a 3-file documents table (3+ read blocks) produces the same
+    permutation as the global single-array reference."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import doc_shuffle_order
+
+    n = 300
+    d = tmp_path / "documents.parquet"
+    os.makedirs(d)
+    for part in range(3):
+        ids = list(range(part, n, 3))
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([f"doc {i}" for i in ids]),
+            "lang": pa.array(["en"] * len(ids)),
+            "source": pa.array(["s"] * len(ids)),
+        }), str(d / f"part-{part}.parquet"))
+    got = doc_shuffle_order(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    keys = np.array([int.from_bytes(
+        hashlib.md5(str(i).encode()).digest()[:8], "big") >> 1
+        for i in range(n)], dtype=np.int64)
+    want = np.empty(n, dtype=np.int64)
+    want[np.lexsort((np.arange(n), keys))] = np.arange(n)
+    assert list(got["shuffle_pos"]) == want.tolist()
