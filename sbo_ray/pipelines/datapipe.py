@@ -2769,6 +2769,89 @@ def customer_nation_agg(sf_dir: str):
     })
 
 
+def _anti_shard(block: pa.Table, P: int, key_col: str,
+                carry_col: str | None) -> list:
+    """Route one block's rows by the Fibonacci hash of ``key_col`` into
+    P shards of (keys, carry) arrays (carry=None ships key-only)."""
+    keys = block.column(key_col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    carry = (block.column(carry_col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+        if carry_col else np.zeros(0, np.int64))
+    if not len(keys):
+        return [(keys, carry) for _ in range(P)]
+    part = _lp_partition(keys, P)
+    order = np.argsort(part, kind="stable")
+    keys = keys[order]
+    carry = carry[order] if carry_col else carry
+    bounds = np.searchsorted(part[order], np.arange(P + 1))
+    return [(keys[s:e], carry[s:e] if carry_col else carry)
+            for s, e in zip(bounds[:-1], bounds[1:])]
+
+
+def _anti_combine(n_left: int, *shards) -> pa.Table:
+    """One hash partition of the anti-join: left keys absent from the
+    right side, counted per carry value. ``shards[:n_left]`` are
+    (custkey, nationkey) left shards, the rest key-only right shards."""
+    lk = np.concatenate([s[0] for s in shards[:n_left]])
+    if not len(lk):
+        return pa.table({"key": pa.array([], pa.int64()),
+                         "cnt": pa.array([], pa.int64())})
+    lc = np.concatenate([s[1] for s in shards[:n_left]])
+    rk = np.unique(np.concatenate([s[0] for s in shards[n_left:]])) \
+        if len(shards) > n_left else np.zeros(0, np.int64)
+    miss = ~np.isin(lk, rk)
+    vals, cnts = np.unique(lc[miss], return_counts=True)
+    return pa.table({"key": pa.array(vals.astype(np.int64)),
+                     "cnt": pa.array(cnts.astype(np.int64))})
+
+
+def customer_no_orders(sf_dir: str, status: str = "F"):
+    """Distributed ANTI-join (TPC-H Q22's core): customers with NO
+    fulfilled (``o_orderstatus == status``) orders, counted per
+    nation. Both sides are corpus-sized at scale, so neither
+    broadcasts: one raw-task hash exchange co-locates every custkey's
+    customer row and order rows in the same partition (Fibonacci-mix
+    hash, ``num_returns=P``, 8-16 bytes/row), each partition emits
+    per-nation missing counts via sorted-unique + ``isin``, and the
+    driver folds P x |nations| tiny partials. The status filter is
+    pushed into the scan (predicate before the exchange)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderstatus"]).filter(
+        expr=f"o_orderstatus == '{status}'")
+    OUT = pa.schema([("c_nationkey", pa.int64()),
+                     ("n_no_order_customers", pa.int64())])
+    crefs = [r for b in cust.iter_internal_ref_bundles()
+             for r, md in b.blocks if md.num_rows]
+    if not crefs:
+        return OUT.empty_table()
+    orefs = [r for b in orders.iter_internal_ref_bundles()
+             for r, md in b.blocks if md.num_rows]
+    P = max(2, _n_parts())
+    shard = ray.remote(_anti_shard)
+    csl = [shard.options(num_returns=P).remote(r, P, "c_custkey",
+                                               "c_nationkey")
+           for r in crefs]
+    osl = [shard.options(num_returns=P).remote(r, P, "o_custkey", None)
+           for r in orefs]
+    combine = ray.remote(_anti_combine)
+    outs = ray.get([combine.remote(len(csl),
+                                   *[s[p] for s in csl],
+                                   *[s[p] for s in osl])
+                    for p in range(P)])
+    merged = pa.concat_tables(outs)
+    if merged.num_rows == 0:
+        return OUT.empty_table()
+    g = merged.group_by("key").aggregate([("cnt", "sum")])
+    order = pc.sort_indices(g.column("key"))
+    return pa.table({
+        "c_nationkey": g.column("key").take(order).cast(pa.int64()),
+        "n_no_order_customers":
+            g.column("cnt_sum").take(order).cast(pa.int64()),
+    })
+
+
 def orders_mktsegment_revenue(sf_dir: str):
     """Both-sides-distributed hash join via native ``Dataset.join``
     (hash-partitioned on the key): orders x customer -> revenue per

@@ -1049,6 +1049,17 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY 1, 2
 """
 
+# Anti-join mirror (TPC-H Q22's core shape).
+SQL_CUSTOMER_NO_ORDERS = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_no_order_customers
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderstatus = 'F')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
 SQL_CUSTOMER_NATION_AGG = """
 SELECT n.n_name,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -1170,6 +1181,7 @@ def data_queries() -> dict:
         "multimodal_png_features": P.multimodal_png_features,
         "multimodal_audio_features": P.multimodal_audio_features,
         "customer_nation_agg": P.customer_nation_agg,
+        "customer_no_orders": P.customer_no_orders,
         "supplier_nation_revenue": P.supplier_nation_revenue,
         "part_brand_revenue": P.part_brand_revenue,
         "region_revenue_by_year": P.region_revenue_by_year,
@@ -1241,6 +1253,7 @@ def data_oracle_sql() -> dict:
         "doc_lang_id": SQL_DOC_LANG_ID,
         "multimodal_payload_stats": SQL_MULTIMODAL_PAYLOAD_STATS,
         "customer_nation_agg": SQL_CUSTOMER_NATION_AGG,
+        "customer_no_orders": SQL_CUSTOMER_NO_ORDERS,
         "supplier_nation_revenue": SQL_SUPPLIER_NATION_REVENUE,
         "part_brand_revenue": SQL_PART_BRAND_REVENUE,
         "region_revenue_by_year": SQL_REGION_REVENUE_BY_YEAR,
