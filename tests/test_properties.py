@@ -284,3 +284,69 @@ def test_png_malformed_inputs_raise():
     })
     with pytest.raises(NotImplementedError, match="jpeg"):
         PngDecoder()(t)
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 50)),
+                max_size=200),
+       st.integers(min_value=2, max_value=7))
+@settings(max_examples=60, deadline=None)
+def test_bucket_pairs_combine_matches_set_reference(rows, P):
+    """The raw-task candidate combine (per-partition bucket triangles,
+    deduped) equals the naive all-at-once set reference, for ANY
+    split of the band rows into shards."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sbo_ray.pipelines.datapipe import _bucket_pairs_combine
+
+    bh = np.array([r[0] for r in rows], dtype=np.int64)
+    ids = np.array([r[1] for r in rows], dtype=np.int64)
+    # arbitrary shard split: round-robin into 3 shards
+    shards = [(bh[i::3], ids[i::3]) for i in range(3)]
+    got = _bucket_pairs_combine(*shards)
+    got_pairs = set(zip(got.column("id_a").to_pylist(),
+                        got.column("id_b").to_pylist()))
+    want = set()
+    for h in set(bh.tolist()):
+        bucket = sorted(set(ids[bh == h].tolist()))
+        # the engine pairs bucket MEMBERS (row occurrences): duplicate
+        # ids in one bucket emit no self-pair after dedup, matching the
+        # set reference over distinct ids, EXCEPT identical ids pair to
+        # nothing — replicate via occurrences
+        occ = sorted(ids[bh == h].tolist())
+        for i in range(len(occ)):
+            for j in range(i + 1, len(occ)):
+                if occ[i] != occ[j]:
+                    want.add((min(occ[i], occ[j]), max(occ[i], occ[j])))
+                else:
+                    want.add((occ[i], occ[j]))
+    # identical-id pairs: the triangle includes (x, x) when the same id
+    # appears twice in one bucket — mirror exactly
+    assert got_pairs == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 5)),
+                max_size=120),
+       st.lists(st.integers(0, 40), max_size=120))
+@settings(max_examples=60, deadline=None)
+def test_anti_combine_matches_set_reference(custs, orders):
+    """The anti-join combine (missing keys counted per carry) equals a
+    naive set-difference reference for any shard split."""
+    import numpy as np
+
+    from sbo_ray.pipelines.datapipe import _anti_combine
+
+    ck = np.array([c[0] for c in custs], dtype=np.int64)
+    cn = np.array([c[1] for c in custs], dtype=np.int64)
+    ok = np.array(orders, dtype=np.int64)
+    left = [(ck[i::2], cn[i::2]) for i in range(2)]
+    right = [(ok[i::2], np.zeros(0, np.int64)) for i in range(2)]
+    got = _anti_combine(2, *left, *right)
+    got_map = dict(zip(got.column("key").to_pylist(),
+                       got.column("cnt").to_pylist()))
+    want = {}
+    oset = set(orders)
+    for k, n in custs:
+        if k not in oset:
+            want[n] = want.get(n, 0) + 1
+    assert got_map == want
