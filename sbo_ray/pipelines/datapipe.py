@@ -121,6 +121,39 @@ def doc_sample_hash(sf_dir: str, rate: float = 0.1, salt: str = "s1"):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def doc_split_assign(sf_dir: str, val: float = 0.05, test: float = 0.05,
+                     salt: str = "sp1"):
+    """Deterministic train/val/test split assignment by content-hash
+    range — the dataset-split step with the leakage guarantee that
+    matters at 100 TB: the SAME text always lands in the same split
+    (duplicate or re-crawled documents can never straddle train and
+    eval), regardless of partitioning, rerun or cluster size.
+    h = md5(text || salt) as 63-bit int; h < val*2^63 -> 'val',
+    < (val+test)*2^63 -> 'test', else 'train'. Pure map — no shuffle,
+    no state; exact SQL mirror (same md5 arithmetic)."""
+    t_val = int(val * (1 << 63))
+    t_test = int((val + test) * (1 << 63))
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "split": pa.array([], pa.string())})
+        h = D.add_text_hash(
+            t.append_column("__salted", pc.binary_join_element_wise(
+                t.column("text").cast(pa.string()), salt, "")),
+            column="__salted",
+        ).column("text_hash").to_numpy(zero_copy_only=False)
+        split = np.where(h < t_val, "val",
+                         np.where(h < t_test, "test", "train"))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "split": pa.array(split.astype(object), pa.string()),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def doc_sample_reservoir(sf_dir: str, k: int = 100):
     """Exact-k uniform sample (deterministic reservoir): every ROW gets
     the 63-bit key md5(doc_id ':' text) and the global bottom-k by

@@ -69,6 +69,15 @@ SELECT vec_id, label, sample_key FROM (
 ) WHERE rn <= 10
 """
 
+# Split-assignment mirror: same md5 hash ranges, same salt.
+SQL_DOC_SPLIT_ASSIGN = f"""
+SELECT doc_id,
+  CASE WHEN {_H63.format(salt='sp1')} < {int(0.05 * (1 << 63))} THEN 'val'
+       WHEN {_H63.format(salt='sp1')} < {int(0.10 * (1 << 63))} THEN 'test'
+       ELSE 'train' END AS split
+FROM documents
+"""
+
 SQL_DOC_SAMPLE_STRATIFIED = f"""
 SELECT doc_id, lang FROM documents
 WHERE {_H63.format(salt='s2')} < CASE lang
@@ -1127,6 +1136,7 @@ def data_queries() -> dict:
         "doc_dedup_substring": P.doc_dedup_substring,
         "doc_sample_hash": P.doc_sample_hash,
         "doc_sample_reservoir": P.doc_sample_reservoir,
+        "doc_split_assign": P.doc_split_assign,
         "doc_decontaminate": P.doc_decontaminate,
         "doc_sample_stratified": P.doc_sample_stratified,
         "doc_dedup_minhash": P.doc_dedup_minhash,
@@ -1205,6 +1215,7 @@ def data_oracle_sql() -> dict:
         "doc_dedup_substring": SQL_DOC_DEDUP_SUBSTRING,
         "doc_sample_hash": SQL_DOC_SAMPLE_HASH,
         "doc_sample_reservoir": SQL_DOC_SAMPLE_RESERVOIR,
+        "doc_split_assign": SQL_DOC_SPLIT_ASSIGN,
         "doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "doc_sample_stratified": SQL_DOC_SAMPLE_STRATIFIED,
         "doc_dedup_minhash": SQL_DOC_DEDUP_MINHASH,
