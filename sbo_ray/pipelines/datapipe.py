@@ -690,61 +690,86 @@ def doc_dedup_minhash(sf_dir: str, threshold: float = 0.8):
 
 def doc_dedup_simhash(sf_dir: str, max_hamming: int = 3):
     """SimHash near-dup pairs via 4x16-bit pigeonhole bucketing, fully
-    distributed: signature map_batches -> explode to (seg, seg_val)
-    bucket rows -> ``groupby(["seg","seg_val"]).map_groups`` in-bucket
-    vectorized Hamming verify -> driver dedupe of the (output-sized)
-    pair list. No corpus materialization; per-worker memory is bounded
-    by the largest pigeonhole bucket."""
+    distributed: per-block signatures -> (seg, seg_val) bucket rows
+    sliced by ``(seg_val*4 + seg) % P`` (``num_returns=P`` raw-task
+    exchange, same shape as substring/compat — bucket rows stream
+    shard-by-shard, no Sort) -> per-partition vectorized Hamming
+    verify -> driver dedupe of the (output-sized) pair list. No corpus
+    materialization; per-worker memory is bounded by the partition's
+    bucket rows."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    P = _n_parts()
-    seg_rows = ds.map_batches(D.simhash_batch, batch_format="pyarrow").map_batches(
-        D.simhash_segment_rows, batch_format="pyarrow"
-    ).map_batches(
-        lambda t: t.append_column("part", pa.array(
-            (t.column("seg_val").to_numpy() * 4 + t.column("seg").to_numpy()) % P)),
-        batch_format="pyarrow",
-    )
+    P = max(2, _n_parts())
 
-    def bucket_verify_part(g: pd.DataFrame) -> pd.DataFrame:
-        # partition-grouped (see _n_parts): vectorized per-bucket verify
-        # inside one call per hash partition
-        g = g.sort_values(["seg", "seg_val"], kind="stable")
-        seg = g["seg"].to_numpy()
-        sv = g["seg_val"].to_numpy()
-        ids_all = g["doc_id"].to_numpy(dtype=np.int64)
-        sigs_all = g["simhash"].to_numpy(dtype=np.int64)
-        nb = np.ones(len(g), dtype=bool)
+    def seg_shard(block: pa.Table) -> list:
+        t = D.simhash_segment_rows(D.simhash_batch(block))
+        seg = t.column("seg").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        E = (np.zeros(0, np.int64),) * 4
+        if not len(seg):
+            return [E for _ in range(P)]
+        sv = t.column("seg_val").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sigs = t.column("simhash").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        part = (sv * 4 + seg) % P
+        order = np.argsort(part, kind="stable")
+        seg, sv, ids, sigs = seg[order], sv[order], ids[order], sigs[order]
+        bounds = np.searchsorted(part[order], np.arange(P + 1))
+        return [(seg[s:e], sv[s:e], ids[s:e], sigs[s:e])
+                for s, e in zip(bounds[:-1], bounds[1:])]
+
+    PAIRS = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                       ("hamming", pa.int64())])
+
+    def bucket_verify_part(*shards) -> pa.Table:
+        seg = np.concatenate([s[0] for s in shards])
+        if not len(seg):
+            return PAIRS.empty_table()
+        sv = np.concatenate([s[1] for s in shards])
+        ids_all = np.concatenate([s[2] for s in shards])
+        sigs_all = np.concatenate([s[3] for s in shards])
+        order = np.lexsort((sv, seg))
+        seg, sv = seg[order], sv[order]
+        ids_all, sigs_all = ids_all[order], sigs_all[order]
+        nb = np.ones(len(seg), dtype=bool)
         nb[1:] = (seg[1:] != seg[:-1]) | (sv[1:] != sv[:-1])
-        bounds = np.append(np.flatnonzero(nb), len(g))
-        frames = []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s >= 2:
-                lo, hi, ham = D.simhash_bucket_pairs(
-                    ids_all[s:e], sigs_all[s:e], max_hamming)
-                if len(lo):
-                    frames.append(pd.DataFrame(
-                        {"id_a": lo, "id_b": hi, "hamming": ham}))
-        if not frames:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "hamming": pd.Series([], dtype="int64")})
-        return pd.concat(frames, ignore_index=True)
+        bounds = np.append(np.flatnonzero(nb), len(seg))
+        sizes = np.diff(bounds)
+        out_a, out_b, out_h = [], [], []
+        for bi in np.flatnonzero(sizes >= 2):
+            s, e = bounds[bi], bounds[bi + 1]
+            lo, hi, ham = D.simhash_bucket_pairs(
+                ids_all[s:e], sigs_all[s:e], max_hamming)
+            if len(lo):
+                out_a.append(lo)
+                out_b.append(hi)
+                out_h.append(ham)
+        if not out_a:
+            return PAIRS.empty_table()
+        return pa.Table.from_arrays([
+            pa.array(np.concatenate(out_a).astype(np.int64)),
+            pa.array(np.concatenate(out_b).astype(np.int64)),
+            pa.array(np.concatenate(out_h).astype(np.int64)),
+        ], schema=PAIRS)
 
-    pairs = (
-        seg_rows.groupby("part")
-        .map_groups(bucket_verify_part, batch_format="pandas")
-        .to_pandas()
-    )
-    # Ray's empty-Dataset to_pandas() loses column schema (CLAUDE.md
-    # soft spot): guard before sort_values, like doc_dedup_ngram
-    if pairs.empty or "id_a" not in pairs.columns:
-        return pa.table({"id_a": pa.array([], type=pa.int64()),
-                         "id_b": pa.array([], type=pa.int64()),
-                         "hamming": pa.array([], type=pa.int64())})
+    refs = [block_ref for bundle in ds.iter_internal_ref_bundles()
+            for block_ref, _md in bundle.blocks if _md.num_rows]
+    if not refs:
+        return PAIRS.empty_table()
+    shard = ray.remote(seg_shard)
+    sl = [shard.options(num_returns=P).remote(r) for r in refs]
+    verify = ray.remote(bucket_verify_part)
+    outs = ray.get([verify.remote(*[s[p] for s in sl]) for p in range(P)])
+    pairs = pa.concat_tables([PAIRS.empty_table()] + outs).to_pandas()
+    if pairs.empty:
+        return PAIRS.empty_table()
     # a pair is found once per shared segment (<=4): dedupe + sort; this
     # is the OUTPUT, orders of magnitude smaller than the corpus
     pairs = pairs.drop_duplicates().sort_values(["id_a", "id_b"])
-    return pa.Table.from_pandas(pairs.reset_index(drop=True), preserve_index=False)
+    return pa.Table.from_pandas(pairs.reset_index(drop=True),
+                                preserve_index=False)
 
 
 def doc_dedup_clusters(sf_dir: str, threshold: float = 0.8):
