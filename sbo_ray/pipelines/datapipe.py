@@ -1931,7 +1931,11 @@ def emb_semdedup(sf_dir: str, nlist: int | None = None,
     7.9 s as raw tasks vs 94 s through groupby at 4M x 64). Same
     deliberate drop below the Dataset API as ``_min_label_prop``, same
     justification: measured 6-8x on a fixed workload. Worker memory is
-    bounded by ``chunk^2`` cos tiles + the partition's vectors;
+    bounded by ``chunk^2`` cos tiles + the partition's vectors — the
+    SemDeDup analog of the LSH bucket contract: ``nlist`` scales with
+    the corpus so clusters stay ~n/nlist; a degenerate corpus that
+    collapses into one cluster concentrates that cluster's vectors in
+    one combine task (document/raise, don't silently churn);
     iterative k-means is not SQL-expressible -> rows-only driver gate;
     soundness/recall pytest-pinned against the exact all-pairs brute
     force."""
@@ -2528,8 +2532,12 @@ def doc_shuffle_order(sf_dir: str):
     Cross-range order == global order because ranges ARE the key's
     high bits. Output: (doc_id, shuffle_pos), a permutation of
     0..n-1; a downstream consumer shuffles by sorting/bucketing on
-    shuffle_pos (or slicing it into training shards). Exact SQL
-    mirror: ROW_NUMBER() OVER (ORDER BY the same md5, doc_id) - 1."""
+    shuffle_pos (or slicing it into training shards). md5 (one
+    hashlib call per row, ~0.7M rows/s/core) is deliberate: the DuckDB
+    mirror computes the identical key, making the permutation
+    ROW_NUMBER-exact; swap in a vectorized 64-bit mix if SQL parity is
+    ever dropped. Exact SQL mirror: ROW_NUMBER() OVER (ORDER BY the
+    same md5, doc_id) - 1."""
     ds = _read(sf_dir, "documents", columns=["doc_id"])
     refs = [block_ref for bundle in ds.iter_internal_ref_bundles()
             for block_ref, _md in bundle.blocks if _md.num_rows]
