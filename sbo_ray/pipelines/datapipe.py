@@ -121,6 +121,51 @@ def doc_sample_hash(sf_dir: str, rate: float = 0.1, salt: str = "s1"):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def doc_length_histogram(sf_dir: str, bucket_tokens: int = 10):
+    """Token-length distribution of the corpus — the first diagnostic
+    a curation run prints (truncation/packing budgets, length-filter
+    thresholds): docs bucketed by ``n_tokens // bucket_tokens``, with
+    per-bucket doc and token totals. One streaming scan emitting
+    per-block bucket partials (bincount — a few dozen ints each); the
+    driver folds partials. All-integer arithmetic, so the SQL mirror
+    gates exactly."""
+    PART = pa.schema([("bucket", pa.int64()), ("n_docs", pa.int64()),
+                      ("sum_tokens", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return PART.empty_table()
+        col = t.column("text")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        n_tok = pc.list_value_length(pc.split_pattern(col, " ")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        b = n_tok // bucket_tokens
+        n_docs = np.bincount(b)
+        sum_tok = np.bincount(b, weights=n_tok).astype(np.int64)
+        nz = np.flatnonzero(n_docs)
+        return pa.Table.from_arrays([
+            pa.array(nz.astype(np.int64)),
+            pa.array(n_docs[nz].astype(np.int64)),
+            pa.array(sum_tok[nz]),
+        ], schema=PART)
+
+    parts = pa.concat_tables(
+        [PART.empty_table()]
+        + list(_read(sf_dir, "documents", columns=["text"])
+               .map_batches(partial, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow", batch_size=None)))
+    g = parts.group_by("bucket").aggregate(
+        [("n_docs", "sum"), ("sum_tokens", "sum")])
+    order = pc.sort_indices(g.column("bucket"))
+    return pa.table({
+        "bucket": g.column("bucket").take(order).cast(pa.int64()),
+        "n_docs": g.column("n_docs_sum").take(order).cast(pa.int64()),
+        "sum_tokens":
+            g.column("sum_tokens_sum").take(order).cast(pa.int64()),
+    })
+
+
 def doc_split_assign(sf_dir: str, val: float = 0.05, test: float = 0.05,
                      salt: str = "sp1"):
     """Deterministic train/val/test split assignment by content-hash

@@ -69,6 +69,15 @@ SELECT vec_id, label, sample_key FROM (
 ) WHERE rn <= 10
 """
 
+# Length-histogram mirror: same integer bucket arithmetic, string_split
+# == pc.split_pattern (both keep empty tokens).
+SQL_DOC_LENGTH_HISTOGRAM = """
+SELECT CAST(len(string_split(text, ' ')) // 10 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
 # Split-assignment mirror: same md5 hash ranges, same salt.
 SQL_DOC_SPLIT_ASSIGN = f"""
 SELECT doc_id,
@@ -1137,6 +1146,7 @@ def data_queries() -> dict:
         "doc_sample_hash": P.doc_sample_hash,
         "doc_sample_reservoir": P.doc_sample_reservoir,
         "doc_split_assign": P.doc_split_assign,
+        "doc_length_histogram": P.doc_length_histogram,
         "doc_decontaminate": P.doc_decontaminate,
         "doc_sample_stratified": P.doc_sample_stratified,
         "doc_dedup_minhash": P.doc_dedup_minhash,
@@ -1216,6 +1226,7 @@ def data_oracle_sql() -> dict:
         "doc_sample_hash": SQL_DOC_SAMPLE_HASH,
         "doc_sample_reservoir": SQL_DOC_SAMPLE_RESERVOIR,
         "doc_split_assign": SQL_DOC_SPLIT_ASSIGN,
+        "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
         "doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "doc_sample_stratified": SQL_DOC_SAMPLE_STRATIFIED,
         "doc_dedup_minhash": SQL_DOC_DEDUP_MINHASH,
