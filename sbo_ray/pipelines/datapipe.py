@@ -3596,6 +3596,64 @@ def events_hourly(sf_dir: str):
         "sum_value": pc.round(g.column("sum_value"), 2),
     })
 
+def events_daily_active(sf_dir: str):
+    """Exact daily-active-users (DAU) — the canonical distinct-count
+    over an event stream, distributed the same way as the log side's
+    ``log_distinct_clients``: each block dedupes its own (day, user)
+    pairs (volume drops from events to block-distinct pairs before
+    anything leaves the worker), ONE Fibonacci-hash exchange on
+    user_id co-locates every copy of a user (``num_returns=P``), each
+    partition dedupes and counts per day, and the driver folds
+    P x |days| tiny partials. Distinct users are unbounded at scale —
+    nothing user-sized ever lands on the driver."""
+    P = max(2, _n_parts())
+
+    def pair_shard(block: pa.Table) -> list:
+        day = pc.floor_temporal(block.column("ts"), unit="day")
+        pairs = pa.table({
+            "day": day, "user_id": block.column("user_id"),
+        }).group_by(["day", "user_id"]).aggregate([])
+        u = pairs.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if not len(u):
+            return [pairs for _ in range(P)]
+        part = _lp_partition(u, P)
+        order = np.argsort(part, kind="stable")
+        sorted_tbl = pairs.take(pa.array(order))
+        bounds = np.searchsorted(part[order], np.arange(P + 1))
+        return [sorted_tbl.slice(s, e - s)
+                for s, e in zip(bounds[:-1], bounds[1:])]
+
+    PARTIAL = pa.schema([("day", pa.timestamp("us")), ("n", pa.int64())])
+
+    def dau_combine(*tables) -> pa.Table:
+        t = pa.concat_tables([x for x in tables if x.num_rows])
+        if t.num_rows == 0:
+            return PARTIAL.empty_table()
+        dd = t.group_by(["day", "user_id"]).aggregate([])
+        g = dd.group_by("day").aggregate([([], "count_all")])
+        return g.rename_columns(["day", "n"]).cast(PARTIAL)
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    OUT = pa.schema([("day", pa.timestamp("us")), ("n_users", pa.int64())])
+    refs = [block_ref for bundle in ds.iter_internal_ref_bundles()
+            for block_ref, _md in bundle.blocks if _md.num_rows]
+    if not refs:
+        return OUT.empty_table()
+    shard = ray.remote(pair_shard)
+    sl = [shard.options(num_returns=P).remote(r) for r in refs]
+    combine = ray.remote(dau_combine)
+    outs = ray.get([combine.remote(*[s[p] for s in sl])
+                    for p in range(P)])
+    merged = pa.concat_tables([PARTIAL.empty_table()] + outs)
+    g = merged.group_by("day").aggregate([("n", "sum")])
+    order = pc.sort_indices(g.column("day"))
+    return pa.table({
+        "day": g.column("day").take(order),
+        "n_users": g.column("n_sum").take(order).cast(pa.int64()),
+    })
+
+
 def events_funnel(sf_dir: str,
                   stages: tuple = ("view", "click", "purchase")):
     """Ordered funnel attainment per user: the first ``stages[0]`` event,

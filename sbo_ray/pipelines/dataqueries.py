@@ -1131,6 +1131,13 @@ SELECT user_id,
 FROM numbered GROUP BY user_id, session_no
 """
 
+# Exact-DAU mirror: same date_trunc, COUNT(DISTINCT).
+SQL_EVENTS_DAILY_ACTIVE = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
 SQL_EVENTS_HOURLY = """
 SELECT event_type, date_trunc('hour', ts) AS hour,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -1210,6 +1217,7 @@ def data_queries() -> dict:
         "lineitem_pricing_summary": P.lineitem_pricing_summary,
         "orders_by_month": P.orders_by_month,
         "events_hourly": P.events_hourly,
+        "events_daily_active": P.events_daily_active,
         "events_sessionize": P.events_sessionize,
         "events_sessionize_salted": P.events_sessionize_salted,
     }
@@ -1284,6 +1292,7 @@ def data_oracle_sql() -> dict:
         "lineitem_pricing_summary": SQL_LINEITEM_PRICING,
         "orders_by_month": SQL_ORDERS_BY_MONTH,
         "events_hourly": SQL_EVENTS_HOURLY,
+        "events_daily_active": SQL_EVENTS_DAILY_ACTIVE,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_sessionize_salted": SQL_EVENTS_SESSIONIZE,
     }
