@@ -1304,3 +1304,40 @@ def test_shuffle_order_partition_invariant_multiblock(ray_session, tmp_path):
     want = np.empty(n, dtype=np.int64)
     want[np.lexsort((np.arange(n), keys))] = np.arange(n)
     assert list(got["shuffle_pos"]) == want.tolist()
+
+
+def test_daily_active_multiblock_matches_pandas(ray_session, tmp_path):
+    """Exact DAU over a 3-file events table (multi-block exchange)
+    equals a pandas groupby-nunique reference."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import events_daily_active
+
+    rng = np.random.RandomState(9)
+    n = 3000
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    ts = base + (rng.randint(0, 5 * 86400, n) * 1_000_000).astype(
+        "timedelta64[us]")
+    users = rng.randint(0, 200, n)
+    d = tmp_path / "events.parquet"
+    os.makedirs(d)
+    for part in range(3):
+        sel = np.arange(part, n, 3)
+        pq.write_table(pa.table({
+            "event_id": pa.array(sel, type=pa.int64()),
+            "ts": pa.array(ts[sel], type=pa.timestamp("us")),
+            "user_id": pa.array(users[sel], type=pa.int64()),
+            "event_type": pa.array(["view"] * len(sel)),
+            "value": pa.array(np.ones(len(sel))),
+            "props": pa.array(["{}"] * len(sel)),
+        }), str(d / f"part-{part}.parquet"))
+    got = events_daily_active(str(tmp_path)).to_pandas()
+    ref = pd.DataFrame({"day": pd.Series(ts).dt.floor("D"),
+                        "user": users})
+    want = ref.groupby("day")["user"].nunique().sort_index()
+    got = got.sort_values("day").reset_index(drop=True)
+    assert list(got["n_users"]) == want.tolist()
+    assert list(pd.to_datetime(got["day"])) == list(want.index)
