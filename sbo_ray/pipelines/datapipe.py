@@ -733,6 +733,37 @@ def doc_dedup_minhash(sf_dir: str, threshold: float = 0.8):
         _PAIR_SCHEMA)
 
 
+def doc_decontaminate_neardup(sf_dir: str, threshold: float = 0.8,
+                              eval_mod: int = 7):
+    """DOC-level eval decontamination — the third decontamination mode
+    beside the substring and n-gram phrase checks: training documents
+    that are near-duplicates (word-shingle Jaccard >= threshold) of an
+    EVAL-set document, the realistic whole-document leak check (eval
+    rewrites, re-crawls, boilerplate-wrapped copies). The eval set here
+    is the membership predicate ``doc_id % eval_mod == 0`` (mod 7 ~
+    a 14% eval slice, sized so the fixed testdata actually contains
+    cross-set leaks to gate) so the SQL mirror stays exact; at scale
+    it would be a broadcast id/hash set — the pipeline is identical. Rides the full distributed MinHash-LSH
+    machinery (signatures -> raw-task bucket exchange -> driver-free
+    verify) and filters the verified pairs to cross-set ones; output
+    (train_id, eval_id, jaccard), one row per leaking pair."""
+    pairs = doc_dedup_minhash(sf_dir, threshold)
+    a = pairs.column("id_a").to_numpy(zero_copy_only=False)
+    b = pairs.column("id_b").to_numpy(zero_copy_only=False)
+    j = pairs.column("jaccard").to_numpy(zero_copy_only=False)
+    ea, eb = a % eval_mod == 0, b % eval_mod == 0
+    keep = ea ^ eb
+    a, b, j, ea = a[keep], b[keep], j[keep], ea[keep]
+    train = np.where(ea, b, a)
+    ev = np.where(ea, a, b)
+    order = np.lexsort((ev, train))
+    return pa.table({
+        "train_id": pa.array(train[order].astype(np.int64)),
+        "eval_id": pa.array(ev[order].astype(np.int64)),
+        "jaccard": pa.array(j[order], pa.float64()),
+    })
+
+
 def doc_dedup_simhash(sf_dir: str, max_hamming: int = 3):
     """SimHash near-dup pairs via 4x16-bit pigeonhole bucketing, fully
     distributed: per-block signatures -> (seg, seg_val) bucket rows

@@ -315,6 +315,15 @@ SQL_DOC_DEDUP_MINHASH = (
     _SQL_MINHASH_CORE + "SELECT id_a, id_b, jaccard FROM pairs"
 )
 
+# Doc-level decontamination mirror: the same verified pairs restricted
+# to cross-set (train x eval) ones, eval set = doc_id % 7 == 0.
+SQL_DOC_DECONTAMINATE_NEARDUP = _SQL_MINHASH_CORE + """
+SELECT CASE WHEN id_a % 7 = 0 THEN id_b ELSE id_a END AS train_id,
+       CASE WHEN id_a % 7 = 0 THEN id_a ELSE id_b END AS eval_id,
+       jaccard
+FROM pairs WHERE (id_a % 7 = 0) <> (id_b % 7 = 0)
+"""
+
 # Exact character-5-gram Jaccard pairs (doc_dedup_ngram's brute-force
 # mirror; the engine computes the same thing via the distributed
 # chunk-pair join).
@@ -1197,6 +1206,7 @@ def data_queries() -> dict:
         "doc_group_topk": P.doc_group_topk,
         "doc_pack_sequences": P.doc_pack_sequences,
         "doc_decontaminate_ngram": P.doc_decontaminate_ngram,
+        "doc_decontaminate_neardup": P.doc_decontaminate_neardup,
         "doc_pack_materialize": P.doc_pack_materialize,
         "events_funnel": P.events_funnel,
         "doc_tfidf": P.doc_tfidf,
@@ -1261,6 +1271,7 @@ def data_oracle_sql() -> dict:
         "doc_group_topk": SQL_DOC_GROUP_TOPK,
         "doc_pack_sequences": SQL_DOC_PACK_SEQUENCES,
         "doc_decontaminate_ngram": SQL_DOC_DECONTAMINATE_NGRAM,
+        "doc_decontaminate_neardup": SQL_DOC_DECONTAMINATE_NEARDUP,
         "doc_pack_materialize": SQL_DOC_PACK_MATERIALIZE,
         "events_funnel": SQL_EVENTS_FUNNEL,
         "doc_tfidf": SQL_DOC_TFIDF,
