@@ -43,7 +43,7 @@ _PRIORITY = [
     "emb_ann_sq8", "doc_perplexity_bigram", "emb_sample_balanced",
     "doc_shuffle_order", "log_rate_zscore", "customer_no_orders",
     "doc_split_assign", "doc_length_histogram", "events_daily_active",
-    "doc_decontaminate_neardup", "emb_semdedup",
+    "doc_decontaminate_neardup", "emb_semdedup", "multimodal_image_resize",
     # checked in r02 but rotated out of r03
     "multimodal_payload_stats", "multimodal_frame_sample",
     "multimodal_features", "customer_nation_agg",

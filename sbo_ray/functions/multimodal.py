@@ -242,6 +242,95 @@ class DecoderStub:
         })
 
 
+RESIZE_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("media_type", pa.string()),
+    ("out_width", pa.int64()),
+    ("out_height", pa.int64()),
+    ("sum_r", pa.int64()),
+    ("sum_g", pa.int64()),
+    ("sum_b", pa.int64()),
+])
+
+
+def mean_pool_2x2(rasters: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Vectorized 2x downsample of a stack of RGB rasters.
+
+    ``rasters`` is (n, 3*width*height) uint8, row-major interleaved RGB.
+    Each output pixel is the floor of the mean of its 2x2 source block
+    (integer arithmetic: sum of four uint8 in int32, then ``// 4`` — the
+    DuckDB oracle reproduces this exactly, no float rounding). Odd
+    trailing rows/columns are truncated, as cv2.resize(INTER_AREA) does
+    for non-dividing factors. Returns (n, out_h, out_w, 3) int32.
+    """
+    n = rasters.shape[0]
+    oh, ow = height // 2, width // 2
+    if oh == 0 or ow == 0:
+        raise ValueError(f"image {width}x{height} too small for 2x2 pooling")
+    px = rasters.reshape(n, height, width, 3)[:, : oh * 2, : ow * 2, :]
+    return px.reshape(n, oh, 2, ow, 2, 3).astype(np.int32).sum(axis=(2, 4)) // 4
+
+
+class ImageResizer:
+    """Actor-pool resize stage: REAL PPM decode + 2x2 integer mean-pool.
+
+    The shape a production image-resize stage takes on Ray Data — codec
+    state loads once per actor (``__init__``), ``__call__`` decodes one
+    payload batch, stacks the rasters and downsamples vectorized. Emits
+    integer channel sums of the RESIZED image so the DuckDB oracle can
+    gate the whole decode+pool path in closed form. Payloads whose
+    dimensions differ within a batch are pooled per dimension group (the
+    synth corpus is uniform; mixed batches stay correct, just less
+    vectorized).
+    """
+
+    def __init__(self) -> None:
+        pass  # real build: load codec / SIMD kernels once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        media = batch.column("media_type").to_pylist()
+        n = len(payloads)
+        dims = np.empty((n, 2), dtype=np.int64)
+        rasters: list[np.ndarray] = []
+        for mt, p in zip(media, payloads):
+            if mt != PPM_MEDIA_TYPE:
+                raise NotImplementedError(
+                    f"no codec for {mt!r} in this environment "
+                    f"(only {PPM_MEDIA_TYPE} decodes natively)"
+                )
+            w, h, _maxval, raster = decode_ppm(p)
+            dims[len(rasters)] = (w, h)
+            rasters.append(raster)
+        ow_v = np.zeros(n, dtype=np.int64)
+        oh_v = np.zeros(n, dtype=np.int64)
+        sums = np.zeros((n, 3), dtype=np.int64)
+        if n:
+            # pool per (w, h) group so uniform corpora run one stacked kernel
+            order = np.lexsort((dims[:, 1], dims[:, 0]))
+            bounds = np.flatnonzero(
+                np.any(dims[order][1:] != dims[order][:-1], axis=1)) + 1
+            for grp in np.split(order, bounds):
+                w, h = int(dims[grp[0], 0]), int(dims[grp[0], 1])
+                pooled = mean_pool_2x2(
+                    np.stack([rasters[i] for i in grp]), w, h)
+                ow_v[grp], oh_v[grp] = w // 2, h // 2
+                sums[grp] = pooled.sum(axis=(1, 2), dtype=np.int64)
+        def _chunkless(col):
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+        return pa.Table.from_arrays(
+            [
+                _chunkless(batch.column("doc_id")),
+                _chunkless(batch.column("media_type")),
+                pa.array(ow_v), pa.array(oh_v),
+                pa.array(sums[:, 0]), pa.array(sums[:, 1]),
+                pa.array(sums[:, 2]),
+            ],
+            schema=RESIZE_SCHEMA,
+        )
+
+
 # ---- WAV (RIFF / PCM16) audio support: real, pure-numpy --------------------
 WAV_MEDIA_TYPE = "audio/wav"
 

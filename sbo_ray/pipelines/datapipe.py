@@ -2859,6 +2859,46 @@ def multimodal_png_features(sf_dir: str):
     )
 
 
+def multimodal_image_resize(sf_dir: str):
+    """REAL image resize through the actor-pool stage: deterministic
+    synthetic PPM payloads decoded by the pure-numpy P6 parser, then a
+    vectorized 2x2 integer mean-pool downsample (``mean_pool_2x2``) —
+    the decode+resize stage a production image pipeline runs per batch
+    (the reference has no image path; this is the training-data resize
+    op the engine adds). Gated by an exact SQL oracle: each output
+    pixel is floor(mean of its 2x2 source block) and the source pixel
+    generator is a closed form, so the resized channel sums are
+    integer-exact in DuckDB. Same actor-pool shape as the decode paths:
+    kernel state loads once per actor, small batch_size because payload
+    batches are large."""
+    from ..functions.multimodal import (
+        PAYLOAD_SCHEMA, PPM_MEDIA_TYPE, ImageResizer, synth_ppm,
+    )
+
+    def to_images(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = [synth_ppm(int(i)) for i in ids]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array(payloads, type=pa.binary()),
+                pa.array([PPM_MEDIA_TYPE] * len(ids), type=pa.string()),
+                pa.array([len(p) for p in payloads], type=pa.int64()),
+            ],
+            schema=PAYLOAD_SCHEMA,
+        )
+
+    payload = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        to_images, batch_format="pyarrow"
+    )
+    return payload.map_batches(
+        ImageResizer,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(2, max(2, _cpus())),
+    )
+
+
 def multimodal_audio_features(sf_dir: str):
     """REAL audio decode through the actor-pool stage: deterministic
     synthetic RIFF/PCM16 WAV payloads (one clip per doc), decoded by the

@@ -540,6 +540,33 @@ FROM documents d CROSS JOIN (SELECT unnest(range(288)) AS k)
 GROUP BY d.doc_id
 """
 
+# Exact mirror of the decode + 2x2 integer mean-pool resize path over
+# the 12x8 PPM corpus: output pixel (ro, co, ch) of the 6x4 result is
+# floor(mean of the four source bytes at rows 2ro/2ro+1, cols 2co/2co+1)
+# and source byte k is the synth_ppm closed form — so the resized
+# channel sums are integer-exact. If the decode, the block gather or
+# the floor-mean were wrong, the sums would not match.
+SQL_MULTIMODAL_RESIZE = """
+WITH outpx AS (
+  SELECT d.doc_id, j // 18 AS ro, (j % 18) // 3 AS co, j % 3 AS ch
+  FROM documents d CROSS JOIN (SELECT unnest(range(72)) AS j)
+), vals AS (
+  SELECT doc_id, ch,
+    ( ((doc_id*31 + ((2*ro*12 + 2*co)*3 + ch)*17 + 23) % 256)
+    + ((doc_id*31 + ((2*ro*12 + 2*co + 1)*3 + ch)*17 + 23) % 256)
+    + ((doc_id*31 + (((2*ro + 1)*12 + 2*co)*3 + ch)*17 + 23) % 256)
+    + ((doc_id*31 + (((2*ro + 1)*12 + 2*co + 1)*3 + ch)*17 + 23) % 256)
+    ) // 4 AS v
+  FROM outpx
+)
+SELECT doc_id, 'image/x-portable-pixmap' AS media_type,
+       CAST(6 AS BIGINT) AS out_width, CAST(4 AS BIGINT) AS out_height,
+       CAST(SUM(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS sum_b
+FROM vals GROUP BY doc_id
+"""
+
 # Exact mirror of the real PNG decode path: per-doc dimensions
 # (8 + doc_id%5) x (6 + doc_id%3), RGB raster byte k is
 # (doc_id*41 + k*13 + 7) % 256 (multimodal.synth_png), scanline r uses
@@ -1216,6 +1243,7 @@ def data_queries() -> dict:
         "multimodal_frame_sample": P.multimodal_frame_sample,
         "multimodal_features": P.multimodal_features,
         "multimodal_png_features": P.multimodal_png_features,
+        "multimodal_image_resize": P.multimodal_image_resize,
         "multimodal_audio_features": P.multimodal_audio_features,
         "customer_nation_agg": P.customer_nation_agg,
         "customer_no_orders": P.customer_no_orders,
@@ -1283,6 +1311,7 @@ def data_oracle_sql() -> dict:
         "emb_ann_ivf": SQL_EMB_SIMILARITY_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_png_features": SQL_MULTIMODAL_PNG,
+        "multimodal_image_resize": SQL_MULTIMODAL_RESIZE,
         "multimodal_audio_features": SQL_MULTIMODAL_AUDIO,
         "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,
         "emb_dedup_cosine": SQL_EMB_DEDUP_COSINE,

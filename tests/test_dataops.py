@@ -30,6 +30,7 @@ SQL_NAMES = [
     "doc_unigram_logprob", "multimodal_png_features",
     "doc_dedup_substring", "doc_dedup_near_keep", "doc_tokenize_ids",
     "doc_quality_gopher", "doc_sample_reservoir",
+    "multimodal_image_resize",
 ]
 
 
@@ -232,6 +233,55 @@ def test_ppm_decode_roundtrip_and_malformed():
         decode_ppm(b"P5\n1 1\n255\n\x00")
     with pytest.raises(ValueError):
         decode_ppm(make_ppm(4, 2, px)[:-10])
+
+
+def test_mean_pool_2x2_kernel():
+    """Integer floor-mean pooling: known tiny case, odd-dim truncation,
+    and mixed-dims batches through the ImageResizer actor body."""
+    import numpy as np
+
+    from sbo_ray.functions.multimodal import (
+        ImageResizer, PPM_MEDIA_TYPE, make_ppm, mean_pool_2x2,
+    )
+
+    # 2x2 RGB image -> one output pixel = floor(mean of 4) per channel
+    px = np.array([
+        # (r, c) = (0,0) RGB   (0,1) RGB
+        1, 10, 100,            2, 20, 200,
+        # (1,0)                (1,1)
+        3, 30, 44,             5, 41, 255,
+    ], dtype=np.uint8)
+    out = mean_pool_2x2(px[None, :], width=2, height=2)
+    assert out.shape == (1, 1, 1, 3)
+    assert out[0, 0, 0].tolist() == [(1 + 2 + 3 + 5) // 4,
+                                     (10 + 20 + 30 + 41) // 4,
+                                     (100 + 200 + 44 + 255) // 4]
+    # odd trailing row/col truncated (5x3 -> 2x1 output)
+    odd = (np.arange(3 * 5 * 3) % 256).astype(np.uint8)
+    pooled = mean_pool_2x2(odd[None, :], width=5, height=3)
+    assert pooled.shape == (1, 1, 2, 3)
+    with pytest.raises(ValueError):
+        mean_pool_2x2(odd[:9][None, :], width=3, height=1)
+
+    # mixed dimensions in one batch group correctly
+    small = np.full(3 * 2 * 2, 8, dtype=np.uint8)
+    big = np.full(3 * 4 * 2, 100, dtype=np.uint8)
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "payload": pa.array(
+            [make_ppm(2, 2, small), make_ppm(4, 2, big), make_ppm(2, 2, small)],
+            type=pa.binary()),
+        "media_type": pa.array([PPM_MEDIA_TYPE] * 3),
+        "payload_bytes": pa.array([0, 0, 0], type=pa.int64()),
+    })
+    got = ImageResizer()(batch)
+    assert got.column("out_width").to_pylist() == [1, 2, 1]
+    assert got.column("out_height").to_pylist() == [1, 1, 1]
+    assert got.column("sum_r").to_pylist() == [8, 200, 8]
+    # non-PPM media raises (no codec in this container)
+    bad = batch.set_column(2, "media_type", pa.array(["image/jpeg"] * 3))
+    with pytest.raises(NotImplementedError):
+        ImageResizer()(bad)
 
 
 def test_multimodal_frame_sample_and_resize(ray_session):
