@@ -1773,6 +1773,62 @@ def emb_quantize_sq8(sf_dir: str):
     return ds.map_batches(encode, batch_format="pyarrow")
 
 
+def _rp_signs(dim: int, k: int) -> np.ndarray:
+    """Deterministic ±1 projection matrix (dim x k): sign of middle bit
+    16 of an LCG over the flat index — closed-form integer arithmetic
+    the DuckDB oracle reproduces exactly (the LCG's LOW bit alternates
+    with period 2, so a middle bit is the one to sample)."""
+    idx = np.arange(dim, dtype=np.int64)[:, None] * k + np.arange(k, dtype=np.int64)
+    h = (1103515245 * idx + 12345) % 2147483648
+    return np.where((h >> 16) & 1 == 0, 1, -1).astype(np.int64)
+
+
+def emb_project_rp(sf_dir: str, k: int = 16):
+    """Signed random projection over the SQ8-quantized corpus — the
+    dimensionality-reduction sketch (dim -> k) that LSH-style indexes
+    and cheap pre-filters run before exact scoring, computed entirely
+    in integers so the gate is hash-exact. Same two streaming passes as
+    ``emb_quantize_sq8`` (per-dim min/max partials, then broadcast
+    encode); each block then runs ONE (rows x dim) @ (dim x k) int64
+    matmul against the deterministic ±1 sign matrix (``_rp_signs``,
+    built per batch — dim x k is tiny). Output list<int64> of the k
+    projections per vector; no shuffle, corpus never materializes."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    mn, mx = _sq8_minmax(ds)
+    empty = pa.schema([("vec_id", pa.int64()),
+                       ("proj", pa.list_(pa.int64()))]).empty_table()
+    if mn is None:
+        return rd.from_arrow(empty)
+    mm_ref = ray.put((mn, mx))
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        lo, hi = ray.get(mm_ref)
+        m = S.embedding_matrix(t).astype(np.float64)
+        rng = hi - lo
+        live = rng > 0
+        scaled = np.floor((m - lo) / np.where(live, rng, 1.0) * 256.0)
+        codes = np.clip(scaled, 0.0, 255.0).astype(np.int64)
+        codes[:, ~live] = 0
+        # BLAS dgemm, not int64 matmul (numpy integer matmul has no SIMD
+        # path — measured 3x the whole stage). Exact: |proj| <= dim*255
+        # << 2^53, so float64 accumulation is integer-exact.
+        proj = (codes.astype(np.float64)
+                @ _rp_signs(codes.shape[1], k).astype(np.float64)
+                ).astype(np.int64)
+        n = proj.shape[0]
+        offs = pa.array(np.arange(0, (n + 1) * k, k, dtype=np.int32))
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "proj": pa.ListArray.from_arrays(offs,
+                                             pa.array(proj.reshape(-1))),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def emb_sample_balanced(sf_dir: str, per_label: int = 10):
     """Cluster-balanced subsample — exactly ``per_label`` vectors per
     label, drawn by a deterministic reservoir (the dataset-rebalancing

@@ -744,6 +744,37 @@ FROM u JOIN mm USING (i)
 GROUP BY u.vec_id
 """
 
+# Signed-random-projection mirror: the SAME integer SQ8 codes as the
+# quantize gate, projected through the closed-form ±1 matrix (middle
+# bit 16 of an LCG over the flat index d*k + j; u.i is 1-based so
+# d = i - 1). All-integer arithmetic end to end — the projections gate
+# as exact BIGINTs, no float rounding anywhere.
+SQL_EMB_PROJECT_RP = """
+WITH u AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+), mm AS (
+  SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM u GROUP BY i
+), codes AS (
+  SELECT u.vec_id, u.i, CAST(LEAST(255.0, GREATEST(0.0,
+         CASE WHEN mm.mx > mm.mn
+              THEN FLOOR((u.x - mm.mn) / (mm.mx - mm.mn) * 256.0)
+              ELSE 0.0 END)) AS BIGINT) AS code
+  FROM u JOIN mm USING (i)
+), proj AS (
+  SELECT c.vec_id, j.j AS component,
+         SUM(CASE WHEN ((1103515245 * ((c.i - 1) * 16 + j.j) + 12345)
+                        % 2147483648) // 65536 % 2 = 0
+                  THEN c.code ELSE -c.code END) AS p
+  FROM codes c CROSS JOIN (SELECT unnest(range(16)) AS j) j
+  GROUP BY c.vec_id, j.j
+)
+SELECT vec_id, list(CAST(p AS BIGINT) ORDER BY component) AS proj
+FROM proj GROUP BY vec_id
+"""
+
 # Asymmetric SQ8 search mirror: reconstruct every corpus vector
 # through the SAME integer codes (floor/clamp as above, then midpoint
 # x^ = mn + (code+0.5)*(mx-mn)/256), cosine against the full-precision
@@ -1210,6 +1241,7 @@ def data_queries() -> dict:
         "emb_ann_lsh": P.emb_ann_lsh,
         "emb_ann_ivf": P.emb_ann_ivf,
         "emb_quantize_sq8": P.emb_quantize_sq8,
+        "emb_project_rp": P.emb_project_rp,
         "emb_ann_sq8": P.emb_ann_sq8,
         "emb_sample_balanced": P.emb_sample_balanced,
         "doc_token_stats": P.doc_token_stats,
@@ -1316,6 +1348,7 @@ def data_oracle_sql() -> dict:
         "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,
         "emb_dedup_cosine": SQL_EMB_DEDUP_COSINE,
         "emb_quantize_sq8": SQL_EMB_QUANTIZE_SQ8,
+        "emb_project_rp": SQL_EMB_PROJECT_RP,
         "emb_ann_sq8": SQL_EMB_ANN_SQ8,
         "emb_sample_balanced": SQL_EMB_SAMPLE_BALANCED,
         "emb_similarity_topk": SQL_EMB_SIMILARITY_TOPK,

@@ -30,7 +30,7 @@ SQL_NAMES = [
     "doc_unigram_logprob", "multimodal_png_features",
     "doc_dedup_substring", "doc_dedup_near_keep", "doc_tokenize_ids",
     "doc_quality_gopher", "doc_sample_reservoir",
-    "multimodal_image_resize",
+    "multimodal_image_resize", "emb_project_rp",
 ]
 
 
@@ -233,6 +233,24 @@ def test_ppm_decode_roundtrip_and_malformed():
         decode_ppm(b"P5\n1 1\n255\n\x00")
     with pytest.raises(ValueError):
         decode_ppm(make_ppm(4, 2, px)[:-10])
+
+
+def test_rp_sign_matrix_deterministic_and_balanced():
+    """The ±1 projection matrix must be deterministic, reasonably
+    balanced, and NOT the LCG low-bit alternating pattern (the trap the
+    middle-bit sampling exists to dodge)."""
+    import numpy as np
+
+    from sbo_ray.pipelines.datapipe import _rp_signs
+
+    s = _rp_signs(64, 16)
+    assert s.shape == (64, 16) and set(np.unique(s)) == {-1, 1}
+    assert (s == _rp_signs(64, 16)).all()
+    frac_pos = (s == 1).mean()
+    assert 0.35 < frac_pos < 0.65
+    flat = s.reshape(-1)
+    # an alternating low-bit pattern would make every adjacent pair differ
+    assert (flat[1:] == flat[:-1]).any()
 
 
 def test_mean_pool_2x2_kernel():
