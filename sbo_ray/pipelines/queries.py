@@ -246,6 +246,26 @@ WHERE st.sd > 0 AND ABS((wc.cnt - st.mean_c) / st.sd) >= 1.5
 """
 
 
+def sql_bytes_quantiles(cache: str) -> str:
+    """Independent SQL: per-source byte-size percentiles. quantile_cont
+    == numpy 'linear' (rank q*(n-1), linear interpolation). Formats
+    without a bytes field and empty captures count as 0, matching the
+    engine's Atoi("")->0 fill."""
+    return _pattern_cte(cache) + f"""
+, parsed AS (
+  SELECT source,
+    CASE WHEN {_extract_opt("bytes")} = '' THEN 0
+         ELSE CAST({_extract_opt("bytes")} AS BIGINT) END AS bytes_sent
+  FROM pat WHERE {_matches_case()}
+)
+SELECT source,
+  ROUND(quantile_cont(bytes_sent, 0.5), 6) AS p50,
+  ROUND(quantile_cont(bytes_sent, 0.9), 6) AS p90,
+  ROUND(quantile_cont(bytes_sent, 0.99), 6) AS p99
+FROM parsed GROUP BY source
+"""
+
+
 # ---- Go net/url parse + malicious classifier, in pure SQL ------------------
 #
 # A genuinely independent third implementation of split_path
@@ -1042,6 +1062,59 @@ def q_log_rate_zscore(sf_dir: str, z_cut: float = 1.5):
     })
 
 
+def q_log_bytes_quantiles(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)):
+    """Per-source exact response-size percentiles (p50/p90/p99 of
+    bytes_sent over parsed lines) — the latency/size-distribution view
+    log analytics adds on top of the counters. Distributed shape:
+    value-HISTOGRAM quantiles — block-local (source, bytes_sent) partial
+    counts -> stream merge (bounded by sources x distinct byte values,
+    a bounded value domain in log data; the CMS/HLL sketch family is
+    the unbounded-domain path) -> the driver interpolates the order
+    statistic from the weighted histogram per source without ever
+    expanding the multiset. Matches numpy's 'linear' (= DuckDB
+    quantile_cont) definition: rank q*(n-1), v[lo] + frac*(v[hi]-v[lo]).
+    Missing/absent byte fields count as 0, the parse stage's Atoi("")
+    semantics (httpservers.go:175-176)."""
+    enr = _enriched(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("parse_ok"))
+        g = pa.table({
+            "source": t.column("source").combine_chunks(),
+            "bytes_sent": t.column("bytes_sent").combine_chunks(),
+        }).group_by(["source", "bytes_sent"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "bytes_sent", "cnt"])
+
+    schema = pa.schema([("source", pa.string()),
+                        ("bytes_sent", pa.int64()), ("cnt", pa.int64())])
+    agg = logpipe._stream_merge(
+        enr.map_batches(partial, batch_format="pyarrow"),
+        ["source", "bytes_sent"], "cnt", schema=schema)
+    df = logpipe.to_pandas_with_schema(agg, schema)
+    out_schema = pa.schema([("source", pa.string()), ("p50", pa.float64()),
+                            ("p90", pa.float64()), ("p99", pa.float64())])
+    if df.empty:
+        return out_schema.empty_table()
+    out = {"source": [], "p50": [], "p90": [], "p99": []}
+    for src, g in df.sort_values(["source", "bytes_sent"]).groupby(
+            "source", sort=True):
+        v = g["bytes_sent"].to_numpy(dtype=np.float64)
+        cum = np.cumsum(g["cnt"].to_numpy(dtype=np.int64))
+        n = int(cum[-1])
+        ps = []
+        for q in qs:
+            r = q * (n - 1)
+            lo = int(np.floor(r))
+            i = np.searchsorted(cum, lo, side="right")
+            j = np.searchsorted(cum, min(lo + 1, n - 1), side="right")
+            ps.append(round(float(v[i] + (r - lo) * (v[j] - v[i])), 6))
+        out["source"].append(src)
+        out["p50"].append(ps[0])
+        out["p90"].append(ps[1])
+        out["p99"].append(ps[2])
+    return pa.table(out, schema=out_schema)
+
+
 def q_log_status_class_counts(sf_dir: str):
     """Status-class (2xx/3xx/4xx/5xx) enrichment counts per source."""
     enr = _enriched(sf_dir)
@@ -1384,6 +1457,7 @@ def log_queries() -> dict:
         "log_geo_counts": q_log_geo_counts,
         "log_status_class_counts": q_log_status_class_counts,
         "log_rate_zscore": q_log_rate_zscore,
+        "log_bytes_quantiles": q_log_bytes_quantiles,
         "log_distinct_clients": q_log_distinct_clients,
         "log_distinct_clients_hll": q_log_distinct_clients_hll,
     }
@@ -1405,6 +1479,7 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_geo_counts": sql_geo_counts(cache),
         "log_status_class_counts": sql_status_class_counts(cache),
         "log_rate_zscore": sql_rate_zscore(cache),
+        "log_bytes_quantiles": sql_bytes_quantiles(cache),
         "log_distinct_clients": sql_distinct_clients(cache),
         # moved to independent SQL in r3 (Go net/url + malicious
         # classifier re-implemented in pure SQL, see _sql_url_ctes)

@@ -44,6 +44,7 @@ def contract(ray_session):
     "log_status_class_counts", "log_distinct_clients",
     "log_parse_stats_auto", "log_metrics_basic_auto",
     "log_counter_deltas", "log_repeat_offenders",
+    "log_rate_zscore", "log_bytes_quantiles",
 ])
 def test_query_matches_oracle_sql(contract, name):
     queries, sqls = contract
