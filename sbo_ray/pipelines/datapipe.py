@@ -1941,6 +1941,155 @@ def emb_ann_sq8(sf_dir: str, k: int = 10):
     return S.merge_topk(parts, k)
 
 
+_PQ_SCHEMA = pa.schema([("vec_id", pa.int64()),
+                        ("codes", pa.list_(pa.int64()))])
+_ADC_SCHEMA = pa.schema([("vec_id", pa.int64()), ("adc", pa.float64())])
+
+
+def _pq_codebook(ds: rd.Dataset, n: int, ksub: int) -> np.ndarray | None:
+    """Deterministic strided-sample codebook: the first ``ksub`` corpus
+    vectors (by vec_id) with ``vec_id % stride == 0``, stride =
+    ``n // ksub`` — sample-seeded quantizers are the standard cheap
+    init, and a closed-form pick (unlike k-means) keeps the SQL mirror
+    exact. One tiny streaming pass; returns a ksub x dim float64
+    matrix (or None on an empty corpus)."""
+    stride = max(1, n // ksub)
+
+    def strided(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % stride == 0))
+
+    parts = list(ds.map_batches(strided, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None))
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return None
+    t = pa.concat_tables(parts).sort_by("vec_id").slice(0, ksub)
+    return S.embedding_matrix(t).astype(np.float64)
+
+
+def _pq_encode(m: np.ndarray, cb: np.ndarray, M: int) -> np.ndarray:
+    """Exact-int PQ assignment: per subspace, argmin over the codebook
+    under the (floor(d2 * 1e6), code) composite BIGINT key. The float
+    squared-L2 enters ONLY through the floored integer, so DuckDB's
+    ``arg_min`` over the same key picks identical codes (floor on both
+    sides — numpy rounds half-to-even, SQL ROUND half-away, so round()
+    parity would be a coin flip at .5; see emb_quantize_sq8). Chunked
+    at 4096 rows so the rows x ksub x dsub diff temp stays bounded at
+    any block size (the ivf_assign lesson: unbounded per-block matmul
+    temps make 32 concurrent workers bandwidth-bound)."""
+    rows, dim = m.shape
+    ksub = cb.shape[0]
+    dsub = dim // M
+    codes = np.empty((rows, M), dtype=np.int64)
+    code_ix = np.arange(ksub, dtype=np.int64)
+    for mi in range(M):
+        xs = m[:, mi * dsub:(mi + 1) * dsub]
+        cs = cb[:, mi * dsub:(mi + 1) * dsub]
+        for s in range(0, rows, 4096):
+            x = xs[s:s + 4096]
+            d2 = ((x[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+            key = np.floor(d2 * 1e6).astype(np.int64) * 64 + code_ix
+            codes[s:s + 4096, mi] = key.argmin(axis=1)
+    return codes
+
+
+def emb_pq_codes(sf_dir: str, M: int = 8, ksub: int = 16):
+    """Product quantization of the embedding corpus (Jegou et al. 2011,
+    the codec behind FAISS IVFPQ): split dim into M subspaces and store
+    each sub-vector as the index of its nearest codebook entry — here
+    64 float32 -> 8 codes, the 32x compression that lets a 10^12-row
+    ANN index live in cluster RAM. Distributed shape mirrors
+    emb_quantize_sq8: one tiny codebook sample pass, ``ray.put`` the
+    ksub x dim matrix once, then ONE streaming encode pass
+    (_pq_encode's chunked integer-keyed argmin). Gate: codes are exact
+    BIGINTs — the only float step is floored identically on both
+    sides. k-means codebook refinement is deliberately emb_kmeans'
+    territory (iterative fixpoints are not SQL-expressible)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = _parquet_num_rows(sf_dir, "embeddings")
+    cb = _pq_codebook(ds, n, ksub)
+    if cb is None:
+        return rd.from_arrow(_PQ_SCHEMA.empty_table())
+    if cb.shape[1] % M:
+        raise ValueError(f"dim {cb.shape[1]} not divisible by M={M}")
+    cb_ref = ray.put(cb)
+
+    def encode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PQ_SCHEMA.empty_table()
+        codes = _pq_encode(S.embedding_matrix(t).astype(np.float64),
+                           ray.get(cb_ref), M)
+        rows = codes.shape[0]
+        offs = pa.array(np.arange(0, (rows + 1) * M, M, dtype=np.int32))
+        return pa.Table.from_arrays([
+            t.column("vec_id"),
+            pa.ListArray.from_arrays(offs, pa.array(codes.reshape(-1))),
+        ], schema=_PQ_SCHEMA)
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def emb_ann_pq(sf_dir: str, k: int = 10, M: int = 8, ksub: int = 16):
+    """Asymmetric-distance PQ search (ADC, the FAISS query path over
+    emb_pq_codes' codec): the full-precision min-vec_id query expands
+    once into an M x ksub lookup table of partial squared-L2 distances;
+    each corpus vector then scores as M table lookups + an M-term sum —
+    per-vector cost independent of dim, the property that makes PQ the
+    trillion-scale scan. Two streaming passes (codebook sample, then
+    encode+LUT-score+block-local top-k); the driver merges k rows per
+    block under the SAME (round6(adc), vec_id asc) key the blocks used
+    (partial top-k is closed under merge only when partial ordering ==
+    final ordering). Exact SQL mirror: the oracle routes through the
+    identical integer codes, so adc values gate exactly at round-6."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = _parquet_num_rows(sf_dir, "embeddings")
+    cb = _pq_codebook(ds, n, ksub)
+    if cb is None:
+        return _ADC_SCHEMA.empty_table()
+    if cb.shape[1] % M:
+        raise ValueError(f"dim {cb.shape[1]} not divisible by M={M}")
+    first = _min_id_row(ds)
+    q_id = first["vec_id"]
+    q = np.asarray(first["embedding"], dtype=np.float64)
+    dsub = cb.shape[1] // M
+    lut = np.empty((M, cb.shape[0]))
+    for mi in range(M):
+        d = q[mi * dsub:(mi + 1) * dsub] - cb[:, mi * dsub:(mi + 1) * dsub]
+        lut[mi] = (d ** 2).sum(axis=1)
+    ref = ray.put((cb, lut))
+
+    def topk_asc(ids: np.ndarray, adc: np.ndarray) -> pa.Table:
+        take = min(k, len(ids))
+        order = np.lexsort((ids, np.round(adc, 6)))[:take]
+        return pa.Table.from_arrays([
+            pa.array(ids[order].astype(np.int64)),
+            pa.array(np.round(adc[order], 6)),
+        ], schema=_ADC_SCHEMA)
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _ADC_SCHEMA.empty_table()
+        cbm, lutm = ray.get(ref)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = ids != q_id
+        if not keep.any():
+            return _ADC_SCHEMA.empty_table()
+        codes = _pq_encode(
+            S.embedding_matrix(t).astype(np.float64)[keep], cbm, M)
+        adc = lutm[np.arange(M), codes].sum(axis=1)
+        return topk_asc(ids[keep], adc)
+
+    parts = [t for t in
+             ds.map_batches(block_topk, batch_format="pyarrow").iter_batches(
+                 batch_format="pyarrow", batch_size=None) if t.num_rows]
+    if not parts:
+        return _ADC_SCHEMA.empty_table()
+    t = pa.concat_tables(parts)
+    return topk_asc(t.column("vec_id").to_numpy(zero_copy_only=False),
+                    t.column("adc").to_numpy(zero_copy_only=False))
+
+
 _SEM_SCHEMA = pa.schema([
     ("vec_id", pa.int64()), ("rep_id", pa.int64()),
     ("cluster", pa.int64()),

@@ -814,6 +814,87 @@ ORDER BY ROUND(cos, 3) DESC, vec_id
 LIMIT 10
 """
 
+# PQ mirror: the codebook is the first 16 vec_id-multiples-of-stride
+# rows (stride = n // 16 — closed form, so SQL can rebuild it), and the
+# per-subspace assignment is arg_min over the composite BIGINT key
+# floor(d2 * 1e6) * 64 + code — the float distance enters ONLY through
+# the floored integer (floor on both sides; round() parity is a coin
+# flip at .5), so the codes gate as exact BIGINTs.
+SQL_EMB_PQ_CODES = """
+WITH u AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+), cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, vec_id
+  FROM (SELECT vec_id FROM embeddings
+        WHERE vec_id % (SELECT GREATEST(1, COUNT(*) // 16)
+                        FROM embeddings) = 0
+        ORDER BY vec_id LIMIT 16)
+), cbu AS (
+  SELECT cb.code, u.i, u.x AS cx FROM cb JOIN u USING (vec_id)
+), d AS (
+  SELECT u.vec_id, CAST((u.i - 1) // 8 AS BIGINT) AS m, cbu.code,
+         SUM((u.x - cbu.cx) * (u.x - cbu.cx)) AS d2
+  FROM u JOIN cbu USING (i)
+  GROUP BY u.vec_id, (u.i - 1) // 8, cbu.code
+), a AS (
+  SELECT vec_id, m,
+         arg_min(code,
+                 CAST(FLOOR(d2 * 1000000.0) AS BIGINT) * 64 + code) AS code
+  FROM d GROUP BY vec_id, m
+)
+SELECT vec_id, list(CAST(code AS BIGINT) ORDER BY m) AS codes
+FROM a GROUP BY vec_id
+"""
+
+# ADC search mirror: same integer codes as SQL_EMB_PQ_CODES, then the
+# corpus distance estimate is the M-term sum of the query's partial
+# squared-L2 against the ASSIGNED codebook entries; (round6, id asc)
+# order on both sides.
+SQL_EMB_ANN_PQ = """
+WITH u AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+), cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, vec_id
+  FROM (SELECT vec_id FROM embeddings
+        WHERE vec_id % (SELECT GREATEST(1, COUNT(*) // 16)
+                        FROM embeddings) = 0
+        ORDER BY vec_id LIMIT 16)
+), cbu AS (
+  SELECT cb.code, u.i, u.x AS cx FROM cb JOIN u USING (vec_id)
+), d AS (
+  SELECT u.vec_id, CAST((u.i - 1) // 8 AS BIGINT) AS m, cbu.code,
+         SUM((u.x - cbu.cx) * (u.x - cbu.cx)) AS d2
+  FROM u JOIN cbu USING (i)
+  GROUP BY u.vec_id, (u.i - 1) // 8, cbu.code
+), a AS (
+  SELECT vec_id, m,
+         arg_min(code,
+                 CAST(FLOOR(d2 * 1000000.0) AS BIGINT) * 64 + code) AS code
+  FROM d GROUP BY vec_id, m
+), q AS (
+  SELECT i, x AS qx FROM u WHERE vec_id = (SELECT MIN(vec_id) FROM u)
+), lut AS (
+  SELECT CAST((q.i - 1) // 8 AS BIGINT) AS m, cbu.code,
+         SUM((q.qx - cbu.cx) * (q.qx - cbu.cx)) AS pd
+  FROM q JOIN cbu USING (i)
+  GROUP BY (q.i - 1) // 8, cbu.code
+), s AS (
+  SELECT a.vec_id, SUM(lut.pd) AS adc
+  FROM a JOIN lut USING (m, code)
+  GROUP BY a.vec_id
+)
+SELECT vec_id, ROUND(adc, 6) AS adc FROM s
+WHERE vec_id <> (SELECT MIN(vec_id) FROM u)
+ORDER BY ROUND(adc, 6), vec_id
+LIMIT 10
+"""
+
 # JSON-extraction mirror through DuckDB's real JSON parser (the engine
 # uses an RE2 fast path; agreement proves it extracts the same field).
 SQL_EVENTS_PROPS = """
@@ -1243,6 +1324,8 @@ def data_queries() -> dict:
         "emb_quantize_sq8": P.emb_quantize_sq8,
         "emb_project_rp": P.emb_project_rp,
         "emb_ann_sq8": P.emb_ann_sq8,
+        "emb_pq_codes": P.emb_pq_codes,
+        "emb_ann_pq": P.emb_ann_pq,
         "emb_sample_balanced": P.emb_sample_balanced,
         "doc_token_stats": P.doc_token_stats,
         "doc_lang_id": P.doc_lang_id,
@@ -1350,6 +1433,8 @@ def data_oracle_sql() -> dict:
         "emb_quantize_sq8": SQL_EMB_QUANTIZE_SQ8,
         "emb_project_rp": SQL_EMB_PROJECT_RP,
         "emb_ann_sq8": SQL_EMB_ANN_SQ8,
+        "emb_pq_codes": SQL_EMB_PQ_CODES,
+        "emb_ann_pq": SQL_EMB_ANN_PQ,
         "emb_sample_balanced": SQL_EMB_SAMPLE_BALANCED,
         "emb_similarity_topk": SQL_EMB_SIMILARITY_TOPK,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

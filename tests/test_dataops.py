@@ -1220,6 +1220,96 @@ def test_ann_sq8_matches_numpy_reference(ray_session, tmp_path):
     assert got["vec_id"].iloc[0] == int(np.argmax(full[1:]) + 1)
 
 
+def _pq_numpy_reference(m: np.ndarray, M: int = 8, ksub: int = 16):
+    """Mirror of the PQ contract: strided codebook (first ksub vec_id
+    multiples of n // ksub), per-subspace argmin under the
+    (floor(d2*1e6), code) composite key."""
+    n, d = m.shape
+    x = m.astype(np.float64)
+    stride = max(1, n // ksub)
+    cb_ids = np.arange(n)[np.arange(n) % stride == 0][:ksub]
+    cb = x[cb_ids]
+    dsub = d // M
+    codes = np.empty((n, M), dtype=np.int64)
+    for mi in range(M):
+        d2 = ((x[:, None, mi * dsub:(mi + 1) * dsub]
+               - cb[None, :, mi * dsub:(mi + 1) * dsub]) ** 2).sum(axis=2)
+        key = (np.floor(d2 * 1e6).astype(np.int64) * 64
+               + np.arange(ksub, dtype=np.int64))
+        codes[:, mi] = key.argmin(axis=1)
+    return cb, codes
+
+
+def test_pq_codes_matches_numpy_reference(ray_session, tmp_path):
+    """PQ codes equal the numpy mirror exactly, and every codebook row
+    encodes to its own code in every subspace (self-distance is exact
+    zero, the smallest possible composite key for that row)."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import emb_pq_codes
+
+    rng = np.random.RandomState(7)
+    n, d = 300, 16
+    m = rng.randn(n, d).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array([list(r) for r in m],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * n, type=pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = emb_pq_codes(str(tmp_path)).to_pandas()
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    codes = np.stack(got["codes"].map(np.asarray))
+
+    _, want = _pq_numpy_reference(m)
+    assert (codes == want).all()
+    assert codes.min() >= 0 and codes.max() <= 15
+    stride = n // 16
+    cb_ids = np.arange(n)[np.arange(n) % stride == 0][:16]
+    for c, vid in enumerate(cb_ids):
+        assert (codes[vid] == c).all()
+
+
+def test_ann_pq_matches_numpy_reference(ray_session, tmp_path):
+    """ADC top-k equals the numpy mirror (codes -> LUT sum ->
+    (round6, id) ascending ordering), and on well-separated clusters
+    the PQ winner lies in the query's cluster."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import emb_ann_pq
+
+    rng = np.random.RandomState(5)
+    n, d = 300, 16
+    centers = rng.randn(3, d) * 8
+    m = (centers[np.arange(n) % 3] + rng.randn(n, d)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array([list(r) for r in m],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * n, type=pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = emb_ann_pq(str(tmp_path), k=10).to_pandas()
+
+    cb, codes = _pq_numpy_reference(m)
+    x = m.astype(np.float64)
+    M, dsub = 8, d // 8
+    lut = np.empty((M, cb.shape[0]))
+    for mi in range(M):
+        diff = x[0, mi * dsub:(mi + 1) * dsub] \
+            - cb[:, mi * dsub:(mi + 1) * dsub]
+        lut[mi] = (diff ** 2).sum(axis=1)
+    adc = lut[np.arange(M), codes].sum(axis=1)
+    ids = np.arange(1, n)  # exclude the query row
+    r = np.round(adc[1:], 6)
+    order = np.lexsort((ids, r))[:10]
+    assert list(got["vec_id"]) == list(ids[order])
+    assert np.allclose(got["adc"], r[order])
+    # the nearest ADC neighbors share the query's planted cluster
+    assert all(v % 3 == 0 for v in got["vec_id"][:3])
+
+
 def test_perplexity_bigram_matches_python_reference(ray_session, tmp_path):
     """Bigram LM scores equal a per-doc Python reference (add-one
     smoothing over the (V+1)-way id space); transitions never cross

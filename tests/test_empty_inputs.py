@@ -145,6 +145,23 @@ def test_quantize_sq8_empty_embeddings(ray_session, tmp_path):
     assert out.schema().names == ["vec_id", "codes"]
 
 
+def test_pq_empty_embeddings(ray_session, tmp_path):
+    from sbo_ray.pipelines.datapipe import emb_ann_pq, emb_pq_codes
+
+    pq.write_table(
+        pa.schema([("vec_id", pa.int64()),
+                   ("embedding", pa.list_(pa.float32())),
+                   ("label", pa.int32())]).empty_table(),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = emb_pq_codes(str(tmp_path))
+    assert out.count() == 0
+    assert out.schema().names == ["vec_id", "codes"]
+    ann = emb_ann_pq(str(tmp_path))
+    assert ann.num_rows == 0
+    assert ann.schema.names == ["vec_id", "adc"]
+
+
 def test_raw_task_pair_ops_empty_embeddings(ray_session, tmp_path):
     """The raw-task chunk-pair ops must survive a schemaless empty read
     (zero-row blocks are dropped by metadata before slicing)."""
