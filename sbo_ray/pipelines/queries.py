@@ -1115,6 +1115,61 @@ def q_log_bytes_quantiles(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)):
     return pa.table(out, schema=out_schema)
 
 
+def q_log_bytes_quantiles_kll(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)):
+    """Approximate per-source byte-size percentiles via mergeable KLL
+    sketches (one bounded compactor ladder per (block, source),
+    merge-combined on the driver) — the scale twin of the exact
+    histogram path `q_log_bytes_quantiles`, for value domains where
+    the distinct-count is NOT bounded (latencies, scores) and the
+    histogram would be input-sized. No SQL gate (the sketch is
+    approximate by construction); the rank-error bound and the merge
+    law are pinned in tests/test_sketch.py, and the driver compares
+    row counts with the exact twin."""
+    from ..stages.kll import KLLSketch
+
+    K = 256
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("parse_ok"))
+        srcs, sketches = [], []
+        if t.num_rows:
+            enc = pc.dictionary_encode(t.column("source").combine_chunks())
+            bs = t.column("bytes_sent").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            idx = enc.indices.to_numpy(zero_copy_only=False)
+            for i, src in enumerate(enc.dictionary.to_pylist()):
+                sk = KLLSketch(K)
+                sk.add(bs[idx == i])
+                srcs.append(src)
+                sketches.append(sk.to_bytes())
+        return pa.table({
+            "source": pa.array(srcs, type=pa.string()),
+            "sketch": pa.array(sketches, type=pa.binary()),
+        })
+
+    parts = pa.concat_tables(
+        _enriched(sf_dir).map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    merged: dict[str, KLLSketch] = {}
+    for src, blob in zip(parts.column("source").to_pylist(),
+                         parts.column("sketch").to_pylist()):
+        sk = KLLSketch.from_bytes(blob)
+        if src in merged:
+            merged[src].merge(sk)
+        else:
+            merged[src] = sk
+    out_schema = pa.schema([("source", pa.string()), ("p50", pa.float64()),
+                            ("p90", pa.float64()), ("p99", pa.float64())])
+    rows = sorted(merged.items())
+    return pa.table({
+        "source": pa.array([s for s, _ in rows], type=pa.string()),
+        "p50": pa.array([r.quantile(qs[0]) for _, r in rows]),
+        "p90": pa.array([r.quantile(qs[1]) for _, r in rows]),
+        "p99": pa.array([r.quantile(qs[2]) for _, r in rows]),
+    }, schema=out_schema)
+
+
 def q_log_status_class_counts(sf_dir: str):
     """Status-class (2xx/3xx/4xx/5xx) enrichment counts per source."""
     enr = _enriched(sf_dir)
@@ -1458,6 +1513,7 @@ def log_queries() -> dict:
         "log_status_class_counts": q_log_status_class_counts,
         "log_rate_zscore": q_log_rate_zscore,
         "log_bytes_quantiles": q_log_bytes_quantiles,
+        "log_bytes_quantiles_kll": q_log_bytes_quantiles_kll,
         "log_distinct_clients": q_log_distinct_clients,
         "log_distinct_clients_hll": q_log_distinct_clients_hll,
     }
