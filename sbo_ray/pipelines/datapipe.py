@@ -2090,6 +2090,113 @@ def emb_ann_pq(sf_dir: str, k: int = 10, M: int = 8, ksub: int = 16):
                     t.column("adc").to_numpy(zero_copy_only=False))
 
 
+_COV_PART = pa.schema([("xtx", pa.list_(pa.float64())),
+                       ("xsum", pa.list_(pa.float64())),
+                       ("cnt", pa.int64())])
+
+
+def _cov_moments(ds: rd.Dataset):
+    """One streaming pass of second-moment partials: each block emits
+    its dim x dim Gram matrix (ONE dgemm), its column sum and its row
+    count — the classic distributed-covariance layout where the driver
+    reduce is blocks x (dim^2 + dim + 1) floats, corpus-independent.
+    Returns (xtx, xsum, n) or (None, None, 0) on empty."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _COV_PART.empty_table()
+        m = S.embedding_matrix(t).astype(np.float64)
+        return pa.table({
+            "xtx": [(m.T @ m).reshape(-1)],
+            "xsum": [m.sum(axis=0)],
+            "cnt": [m.shape[0]],
+        }, schema=_COV_PART)
+
+    xtx, xsum, n = None, None, 0
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for r in range(b.num_rows):
+            g = np.asarray(b.column("xtx")[r].as_py())
+            s = np.asarray(b.column("xsum")[r].as_py())
+            if xtx is None:
+                xtx, xsum = g, s
+            else:
+                xtx = xtx + g
+                xsum = xsum + s
+            n += int(b.column("cnt")[r].as_py())
+    if xtx is None:
+        return None, None, 0
+    dim = len(xsum)
+    return xtx.reshape(dim, dim), xsum, n
+
+
+def emb_covariance(sf_dir: str):
+    """Population covariance matrix of the embedding corpus — the
+    one-pass distributed Gram-matrix primitive under PCA / whitening /
+    Mahalanobis scoring: cov = X'X/n - mu mu'. Each block contributes
+    one dgemm partial (_cov_moments); nothing corpus-sized ships
+    anywhere. Output: the upper triangle as (dim_i, dim_j, cov) rows,
+    ROUND-6 — the SQL mirror recomputes the same moments through a
+    positional-unnest self-join, so values gate exactly (both sides
+    divide the same f64 sums by the same n)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    xtx, xsum, n = _cov_moments(ds)
+    schema = pa.schema([("dim_i", pa.int64()), ("dim_j", pa.int64()),
+                        ("cov", pa.float64())])
+    if n == 0:
+        return schema.empty_table()
+    mu = xsum / n
+    cov = xtx / n - np.outer(mu, mu)
+    dim = cov.shape[0]
+    ii, jj = np.triu_indices(dim)
+    return pa.table({
+        "dim_i": pa.array(ii.astype(np.int64)),
+        "dim_j": pa.array(jj.astype(np.int64)),
+        "cov": pa.array(np.round(cov[ii, jj], 6)),
+    }, schema=schema)
+
+
+def emb_pca_project(sf_dir: str, k: int = 8):
+    """PCA projection of the embedding corpus onto its top-k principal
+    components: the covariance comes from the same one-dgemm-per-block
+    moment pass as emb_covariance, the 64 x 64 eigendecomposition runs
+    on the driver (dim-sized, corpus-independent), and the projection
+    is one more streaming pass against the broadcast component matrix.
+    Components are sign-canonicalized (largest-|loading| coordinate
+    made positive) so the output is deterministic up to eigh itself.
+    Iterative/linear-algebra semantics are not SQL-expressible ->
+    rows-only driver gate; pytest pins exact equality with a numpy
+    reference (same eigh, same BLAS)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    xtx, xsum, n = _cov_moments(ds)
+    schema = pa.schema([("vec_id", pa.int64()),
+                        ("proj", pa.list_(pa.float64()))])
+    if n == 0:
+        return rd.from_arrow(schema.empty_table())
+    mu = xsum / n
+    cov = xtx / n - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, np.argsort(w)[::-1][:k]]  # dim x k, eigenvalue desc
+    flip = comps[np.abs(comps).argmax(axis=0), np.arange(comps.shape[1])] < 0
+    comps = np.where(flip, -comps, comps)
+    ref = ray.put((mu, comps))
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        mu_b, c_b = ray.get(ref)
+        p = np.round((S.embedding_matrix(t).astype(np.float64) - mu_b)
+                     @ c_b, 6)
+        rows, kk = p.shape
+        offs = pa.array(np.arange(0, (rows + 1) * kk, kk, dtype=np.int32))
+        return pa.Table.from_arrays([
+            t.column("vec_id"),
+            pa.ListArray.from_arrays(offs, pa.array(p.reshape(-1))),
+        ], schema=schema)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 _SEM_SCHEMA = pa.schema([
     ("vec_id", pa.int64()), ("rep_id", pa.int64()),
     ("cluster", pa.int64()),

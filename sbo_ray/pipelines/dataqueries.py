@@ -895,6 +895,31 @@ ORDER BY ROUND(adc, 6), vec_id
 LIMIT 10
 """
 
+# Covariance mirror through a positional-unnest self-join: second
+# moments SUM(x_i * x_j)/n minus the mean outer product, upper triangle
+# only. Both sides divide f64 sums by the same n and round to 6;
+# summation-order noise is ~1e-13 absolute, far inside the rounding.
+SQL_EMB_COVARIANCE = """
+WITH u AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+), m AS (
+  SELECT i, SUM(x) / (SELECT COUNT(*) FROM embeddings) AS mu
+  FROM u GROUP BY i
+), p AS (
+  SELECT a.i AS i, b.i AS j,
+         SUM(a.x * b.x) / (SELECT COUNT(*) FROM embeddings) AS sxy
+  FROM u a JOIN u b USING (vec_id)
+  WHERE a.i <= b.i
+  GROUP BY a.i, b.i
+)
+SELECT CAST(p.i - 1 AS BIGINT) AS dim_i, CAST(p.j - 1 AS BIGINT) AS dim_j,
+       ROUND(p.sxy - ma.mu * mb.mu, 6) AS cov
+FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+"""
+
 # JSON-extraction mirror through DuckDB's real JSON parser (the engine
 # uses an RE2 fast path; agreement proves it extracts the same field).
 SQL_EVENTS_PROPS = """
@@ -1326,6 +1351,8 @@ def data_queries() -> dict:
         "emb_ann_sq8": P.emb_ann_sq8,
         "emb_pq_codes": P.emb_pq_codes,
         "emb_ann_pq": P.emb_ann_pq,
+        "emb_covariance": P.emb_covariance,
+        "emb_pca_project": P.emb_pca_project,
         "emb_sample_balanced": P.emb_sample_balanced,
         "doc_token_stats": P.doc_token_stats,
         "doc_lang_id": P.doc_lang_id,
@@ -1435,6 +1462,7 @@ def data_oracle_sql() -> dict:
         "emb_ann_sq8": SQL_EMB_ANN_SQ8,
         "emb_pq_codes": SQL_EMB_PQ_CODES,
         "emb_ann_pq": SQL_EMB_ANN_PQ,
+        "emb_covariance": SQL_EMB_COVARIANCE,
         "emb_sample_balanced": SQL_EMB_SAMPLE_BALANCED,
         "emb_similarity_topk": SQL_EMB_SIMILARITY_TOPK,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

@@ -1310,6 +1310,67 @@ def test_ann_pq_matches_numpy_reference(ray_session, tmp_path):
     assert all(v % 3 == 0 for v in got["vec_id"][:3])
 
 
+def test_covariance_matches_numpy_reference(ray_session, tmp_path):
+    """Distributed one-dgemm-per-block covariance equals numpy's
+    population covariance to round-6 (the gate's resolution)."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import emb_covariance
+
+    rng = np.random.RandomState(13)
+    n, d = 400, 12
+    m = rng.randn(n, d).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array([list(r) for r in m],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * n, type=pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = emb_covariance(str(tmp_path)).to_pandas()
+    assert len(got) == d * (d + 1) // 2
+    want = np.cov(m.astype(np.float64), rowvar=False, bias=True)
+    for _, r in got.iterrows():
+        assert abs(r["cov"] - want[int(r["dim_i"]), int(r["dim_j"])]) < 1e-6
+
+
+def test_pca_project_matches_numpy_reference(ray_session, tmp_path):
+    """PCA projections equal a numpy mirror exactly (same moments, same
+    eigh, same sign canonicalization), and the top component captures
+    the planted high-variance direction."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import emb_pca_project
+
+    rng = np.random.RandomState(17)
+    n, d, k = 400, 12, 4
+    m = rng.randn(n, d)
+    m[:, 3] *= 10.0  # planted dominant direction
+    m = m.astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array([list(r) for r in m],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * n, type=pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = emb_pca_project(str(tmp_path), k=k).to_pandas()
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    proj = np.stack(got["proj"].map(np.asarray))
+
+    x = m.astype(np.float64)
+    mu = x.mean(axis=0)
+    cov = (x.T @ x) / n - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, np.argsort(w)[::-1][:k]]
+    flip = comps[np.abs(comps).argmax(axis=0), np.arange(k)] < 0
+    comps = np.where(flip, -comps, comps)
+    want = np.round((x - mu) @ comps, 6)
+    assert np.allclose(proj, want, atol=2e-6)
+    # the dominant component is the planted axis
+    assert np.abs(comps[:, 0]).argmax() == 3
+
+
 def test_perplexity_bigram_matches_python_reference(ray_session, tmp_path):
     """Bigram LM scores equal a per-doc Python reference (add-one
     smoothing over the (V+1)-way id space); transitions never cross

@@ -162,6 +162,23 @@ def test_pq_empty_embeddings(ray_session, tmp_path):
     assert ann.schema.names == ["vec_id", "adc"]
 
 
+def test_covariance_pca_empty_embeddings(ray_session, tmp_path):
+    from sbo_ray.pipelines.datapipe import emb_covariance, emb_pca_project
+
+    pq.write_table(
+        pa.schema([("vec_id", pa.int64()),
+                   ("embedding", pa.list_(pa.float32())),
+                   ("label", pa.int32())]).empty_table(),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    cov = emb_covariance(str(tmp_path))
+    assert cov.num_rows == 0
+    assert cov.schema.names == ["dim_i", "dim_j", "cov"]
+    p = emb_pca_project(str(tmp_path))
+    assert p.count() == 0
+    assert p.schema().names == ["vec_id", "proj"]
+
+
 def test_raw_task_pair_ops_empty_embeddings(ray_session, tmp_path):
     """The raw-task chunk-pair ops must survive a schemaless empty read
     (zero-row blocks are dropped by metadata before slicing)."""
