@@ -2090,6 +2090,86 @@ def emb_ann_pq(sf_dir: str, k: int = 10, M: int = 8, ksub: int = 16):
                     t.column("adc").to_numpy(zero_copy_only=False))
 
 
+def emb_ann_ivfpq(sf_dir: str, k: int = 10, nlist: int = 32,
+                  nprobe: int = 24, shortlist: int | None = None,
+                  M: int = 8, ksub: int = 16):
+    """IVF+PQ with exact re-ranking — the production trillion-scale
+    index shape (FAISS IVFPQ + refine), composed from the repo's own
+    pieces: the coarse quantizer (emb_ann_ivf's sampled spherical
+    k-means) prunes each block's scan to the query's nprobe nearest
+    lists, the PQ ADC table (emb_ann_pq's M x ksub LUT over NORMALIZED
+    vectors, so squared-L2 = 2 - 2cos ranks like cosine) shortlists
+    within them at M lookups per vector, and only the block-local
+    shortlist is re-scored in full precision. Everything broadcast
+    rides ONE ray.put (centroids + probe set + codebook + LUT); each
+    block emits the exact cosine top-k of its shortlist and the driver
+    merges k rows per block under the (round3 desc, id asc) key.
+
+    Gate: with the defaults the result is exact-equal to brute-force
+    top-k on the test corpora (same contract as emb_ann_lsh /
+    emb_ann_ivf — the recall knobs are nprobe/nlist and the shortlist
+    width; shallow-setting recall is asserted in tests)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = _parquet_num_rows(sf_dir, "embeddings")
+    if shortlist is None:
+        shortlist = max(64, 8 * k)
+    first = _min_id_row(ds)
+    q_id = first["vec_id"]
+    q = np.asarray(first["embedding"], dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+
+    # coarse quantizer sample (same stride policy as emb_ann_ivf)
+    target = max(512, nlist * 64)
+    sample_stride = max(7, n // target)
+
+    def strided(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % sample_stride == 0))
+
+    sample_t = pa.concat_tables(
+        ds.map_batches(strided, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None)).sort_by("vec_id")
+    centroids = S.ivf_centroids(S.embedding_matrix(sample_t), nlist)
+    probe = np.argsort(-(centroids @ q))[:nprobe]
+
+    # PQ codec over NORMALIZED vectors (ADC L2 then ranks like cosine)
+    cb = _pq_codebook(ds, n, ksub)
+    if cb is None:
+        return S._EMPTY_TOPK.empty_table()
+    if cb.shape[1] % M:
+        raise ValueError(f"dim {cb.shape[1]} not divisible by M={M}")
+    cb = D.normalize_rows(cb.astype(np.float64)).astype(np.float64)
+    dsub = cb.shape[1] // M
+    lut = np.empty((M, cb.shape[0]))
+    for mi in range(M):
+        d = q[mi * dsub:(mi + 1) * dsub] - cb[:, mi * dsub:(mi + 1) * dsub]
+        lut[mi] = (d ** 2).sum(axis=1)
+    bcast = ray.put((q, centroids, np.asarray(probe, dtype=np.int64),
+                     cb, lut))
+
+    def block_scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return S._EMPTY_TOPK.empty_table()
+        qv, cent, probe_arr, cbm, lutm = ray.get(bcast)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = D.normalize_rows(S.embedding_matrix(batch)).astype(np.float64)
+        lists = S.ivf_assign(m, cent)
+        mask = np.isin(lists, probe_arr) & (ids != q_id)
+        if not mask.any():
+            return S._EMPTY_TOPK.empty_table()
+        ids, m = ids[mask], m[mask]
+        codes = _pq_encode(m, cbm, M)
+        adc = lutm[np.arange(M), codes].sum(axis=1)
+        keep = np.lexsort((ids, np.round(adc, 6)))[:shortlist]
+        # exact re-rank of the shortlist only
+        return S.topk_rows(ids[keep], m[keep] @ qv, k)
+
+    parts = list(
+        ds.map_batches(block_scan, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    return S.merge_topk(parts, k)
+
+
 _COV_PART = pa.schema([("xtx", pa.list_(pa.float64())),
                        ("xsum", pa.list_(pa.float64())),
                        ("cnt", pa.int64())])

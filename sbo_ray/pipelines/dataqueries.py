@@ -1353,6 +1353,7 @@ def data_queries() -> dict:
         "emb_ann_pq": P.emb_ann_pq,
         "emb_covariance": P.emb_covariance,
         "emb_pca_project": P.emb_pca_project,
+        "emb_ann_ivfpq": P.emb_ann_ivfpq,
         "emb_sample_balanced": P.emb_sample_balanced,
         "doc_token_stats": P.doc_token_stats,
         "doc_lang_id": P.doc_lang_id,
@@ -1451,6 +1452,7 @@ def data_oracle_sql() -> dict:
         "doc_shuffle_order": SQL_DOC_SHUFFLE_ORDER,
         "emb_ann_lsh": SQL_EMB_SIMILARITY_TOPK,
         "emb_ann_ivf": SQL_EMB_SIMILARITY_TOPK,
+        "emb_ann_ivfpq": SQL_EMB_SIMILARITY_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_png_features": SQL_MULTIMODAL_PNG,
         "multimodal_image_resize": SQL_MULTIMODAL_RESIZE,

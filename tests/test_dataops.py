@@ -352,6 +352,20 @@ def test_ann_ivf_recall_and_exactness(ray_session):
     assert len(shallow & set(exact_df["vec_id"])) >= 2
 
 
+def test_ann_ivfpq_recall_and_exactness(ray_session):
+    from sbo_ray.pipelines.datapipe import emb_ann_ivfpq, emb_similarity_topk
+
+    exact_df = emb_similarity_topk(SF).to_pandas()
+    # default settings: the ADC shortlist + exact re-rank is exact-equal
+    # (gated by the exact SQL oracle too)
+    assert emb_ann_ivfpq(SF).to_pandas().equals(exact_df)
+    # shallow settings (few probes, narrow shortlist) still recover a
+    # good share on isotropic (worst-case) data
+    shallow = set(emb_ann_ivfpq(SF, nlist=32, nprobe=8, shortlist=32)
+                  .to_pandas()["vec_id"])
+    assert len(shallow & set(exact_df["vec_id"])) >= 2
+
+
 def test_sessionize_salted_equals_single_pass(ray_session):
     """The two-phase skew-safe sessionization must reproduce the
     single-pass result exactly, including sessions spanning bucket
