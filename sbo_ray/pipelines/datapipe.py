@@ -121,6 +121,59 @@ def doc_sample_hash(sf_dir: str, rate: float = 0.1, salt: str = "s1"):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def doc_sample_weighted(sf_dir: str, k: int = 100):
+    """Weighted exact-k sample (the exponential-clock / Gumbel form of
+    Efraimidis-Spirakis 2006): every row draws u in (0, 1] from its
+    deterministic 63-bit md5 key and ranks by -ln(u)/w ascending with
+    w = its whitespace token count, so inclusion probability tracks
+    the weight (the quality- or length-weighted draw a curation
+    pipeline uses to bias toward substantive documents) while staying
+    reproducible across reruns, partitionings and cluster sizes. Same
+    monoid top-k shape as doc_sample_reservoir: each block keeps its
+    bottom-k under the FINAL (round6(wkey), doc_id) ordering — so the
+    partial selection is closed under merge — and the driver merges
+    <= k x blocks rows; no shuffle, corpus never materializes. Exact
+    SQL mirror through the same md5 + ln arithmetic (u is built from
+    identical double ops on both sides; only libm's last-ulp ln noise
+    remains, far inside ROUND-6 + the id tie-break)."""
+    import hashlib
+
+    def local_bottomk(t: pa.Table) -> pa.Table:
+        ids_c = t.column("doc_id")
+        if isinstance(ids_c, pa.ChunkedArray):
+            ids_c = ids_c.combine_chunks()
+        ids = ids_c.to_numpy(zero_copy_only=False)
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        payload = pc.binary_join_element_wise(
+            ids_c.cast(pa.string()), text.cast(pa.string()), ":")
+        u63 = np.fromiter(
+            (int.from_bytes(hashlib.md5(v.as_py().encode()).digest()[:8],
+                            "big") >> 1 for v in payload),
+            dtype=np.int64, count=len(payload))
+        w = pc.list_value_length(pc.split_pattern(text, " ")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = (u63.astype(np.float64) + 1.0) * 2.0 ** -63
+        wkey = np.round(-np.log(u) / w, 6)
+        sel = np.lexsort((ids, wkey))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[sel], type=pa.int64()),
+            "wkey": pa.array(wkey[sel], type=pa.float64()),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    schema = pa.schema([("doc_id", pa.int64()), ("wkey", pa.float64())])
+    batches = list(ds.map_batches(local_bottomk, batch_format="pyarrow")
+                   .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not batches:
+        return schema.empty_table()
+    merged = pa.concat_tables(batches)
+    order = pc.sort_indices(merged, sort_keys=[("wkey", "ascending"),
+                                               ("doc_id", "ascending")])
+    return merged.take(order[:k]).cast(schema)
+
+
 def doc_length_histogram(sf_dir: str, bucket_tokens: int = 10):
     """Token-length distribution of the corpus — the first diagnostic
     a curation run prints (truncation/packing budgets, length-filter

@@ -42,6 +42,25 @@ ORDER BY sample_key, doc_id
 LIMIT 100
 """
 
+# Weighted-sample mirror: same per-row 63-bit md5 key, u in (0,1] from
+# identical double arithmetic ((u63+1) * 2^-63), exponential clock
+# -ln(u)/w with w = the whitespace token count; (ROUND-6, id) total
+# order. Only libm's last-ulp ln noise separates the sides — far
+# inside the rounding.
+SQL_DOC_SAMPLE_WEIGHTED = """
+WITH t AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 16))
+         ::UBIGINT >> 1 AS BIGINT) AS u63,
+    len(string_split(text, ' ')) AS w
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(-ln((CAST(u63 AS DOUBLE) + 1) * POWER(2.0, -63)) / w, 6) AS wkey
+FROM t ORDER BY wkey, doc_id
+LIMIT 100
+"""
+
 # Global-shuffle mirror: position = rank under (md5(doc_id) >> 1,
 # doc_id) — the engine's range-partition + prefix-sum rank must equal
 # one global ROW_NUMBER.
@@ -1325,6 +1344,7 @@ def data_queries() -> dict:
         "doc_dedup_substring": P.doc_dedup_substring,
         "doc_sample_hash": P.doc_sample_hash,
         "doc_sample_reservoir": P.doc_sample_reservoir,
+        "doc_sample_weighted": P.doc_sample_weighted,
         "doc_split_assign": P.doc_split_assign,
         "doc_length_histogram": P.doc_length_histogram,
         "doc_decontaminate": P.doc_decontaminate,
@@ -1414,6 +1434,7 @@ def data_oracle_sql() -> dict:
         "doc_dedup_substring": SQL_DOC_DEDUP_SUBSTRING,
         "doc_sample_hash": SQL_DOC_SAMPLE_HASH,
         "doc_sample_reservoir": SQL_DOC_SAMPLE_RESERVOIR,
+        "doc_sample_weighted": SQL_DOC_SAMPLE_WEIGHTED,
         "doc_split_assign": SQL_DOC_SPLIT_ASSIGN,
         "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
         "doc_decontaminate": SQL_DOC_DECONTAMINATE,

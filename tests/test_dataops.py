@@ -1324,6 +1324,41 @@ def test_ann_pq_matches_numpy_reference(ray_session, tmp_path):
     assert all(v % 3 == 0 for v in got["vec_id"][:3])
 
 
+def test_sample_weighted_reference_and_bias(ray_session, tmp_path):
+    """Weighted sampling equals a per-row Python reference (same md5 /
+    exponential-clock arithmetic), is invariant to the block layout,
+    and actually biases toward heavy (long) docs."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import doc_sample_weighted
+
+    rng = np.random.RandomState(23)
+    n = 600
+    # half the corpus short (3 tokens), half long (60 tokens)
+    texts = [" ".join(f"w{rng.randint(99)}" for _ in range(3 if i % 2 else 60))
+             for i in range(n)]
+    t = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = doc_sample_weighted(str(tmp_path), k=50).to_pandas()
+
+    keys = []
+    for i, txt in enumerate(texts):
+        u63 = int.from_bytes(
+            hashlib.md5(f"{i}:{txt}".encode()).digest()[:8], "big") >> 1
+        u = (float(u63) + 1.0) * 2.0 ** -63
+        w = len(txt.split(" "))
+        keys.append((round(-math.log(u) / w, 6), i))
+    want = sorted(keys)[:50]
+    assert list(got["doc_id"]) == [i for _, i in want]
+    assert np.allclose(got["wkey"], [k_ for k_, _ in want])
+    # long docs (even ids, 20x the weight) dominate the sample
+    assert (got["doc_id"] % 2 == 0).mean() > 0.8
+
+
 def test_covariance_matches_numpy_reference(ray_session, tmp_path):
     """Distributed one-dgemm-per-block covariance equals numpy's
     population covariance to round-6 (the gate's resolution)."""
