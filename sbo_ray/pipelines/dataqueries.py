@@ -712,6 +712,45 @@ FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
 GROUP BY t ORDER BY n DESC, t LIMIT 100
 """
 
+# Bigram mirror: positional self-join of the space-split tokens on
+# (doc_id, i+1) — doc boundaries can't pair by construction.
+SQL_DOC_VOCAB_BIGRAMS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+         unnest(range(0, len(string_split(text, ' ')))) AS i
+  FROM documents
+)
+SELECT a.t || ' ' || b.t AS bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+GROUP BY 1 ORDER BY n DESC, bigram LIMIT 100
+"""
+
+# Outlier-score mirror: per-dim AVG rebuilds the corpus mean, then the
+# same f64 cosine arithmetic as the engine's broadcast score pass;
+# the flag compares the ROUNDED cosine on both sides.
+SQL_EMB_OUTLIER_SCORES = """
+WITH u AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+), m AS (
+  SELECT i, AVG(x) AS mu FROM u GROUP BY i
+), mn AS (
+  SELECT SQRT(SUM(mu * mu)) AS mnorm FROM m
+), s AS (
+  SELECT u.vec_id,
+         COALESCE(SUM(u.x * m.mu)
+                  / NULLIF(SQRT(SUM(u.x * u.x)) * MAX(mn.mnorm), 0),
+                  0) AS cos
+  FROM u JOIN m USING (i), mn
+  GROUP BY u.vec_id
+)
+SELECT vec_id, ROUND(cos, 6) AS cos_mean,
+       ROUND(cos, 6) < 0.0 AS is_outlier
+FROM s
+"""
+
 # Chunking mirror: same space-split tokens with positions; chunk i holds
 # tokens [i*32, (i+1)*32); ordered string_agg rebuilds the chunk text
 # (joining with ' ' reproduces the original substring, empties included).
@@ -1382,6 +1421,8 @@ def data_queries() -> dict:
         "doc_repetition_stats": P.doc_repetition_stats,
         "doc_quality_gopher": P.doc_quality_gopher,
         "doc_vocab_topk": P.doc_vocab_topk,
+        "doc_vocab_bigrams": P.doc_vocab_bigrams,
+        "emb_outlier_scores": P.emb_outlier_scores,
         "doc_tokenize_ids": P.doc_tokenize_ids,
         "doc_perplexity_bigram": P.doc_perplexity_bigram,
         "doc_shuffle_order": P.doc_shuffle_order,
@@ -1451,6 +1492,8 @@ def data_oracle_sql() -> dict:
         "doc_repetition_stats": SQL_DOC_REPETITION,
         "doc_quality_gopher": SQL_DOC_QUALITY_GOPHER,
         "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
+        "doc_vocab_bigrams": SQL_DOC_VOCAB_BIGRAMS,
+        "emb_outlier_scores": SQL_EMB_OUTLIER_SCORES,
         "doc_tokenize_ids": SQL_DOC_TOKENIZE_IDS,
         "doc_chunk": SQL_DOC_CHUNK,
         "emb_label_centroids": SQL_EMB_LABEL_CENTROIDS,

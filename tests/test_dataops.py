@@ -1324,6 +1324,62 @@ def test_ann_pq_matches_numpy_reference(ray_session, tmp_path):
     assert all(v % 3 == 0 for v in got["vec_id"][:3])
 
 
+def test_vocab_bigrams_reference_and_boundaries(ray_session, tmp_path):
+    """Bigram top-k equals a Python reference, and pairs never cross
+    document boundaries (the flat-buffer adjacent join masks each
+    doc's last token)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import doc_vocab_bigrams
+
+    texts = ["a b c", "c a b", "b", "", "a b"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = doc_vocab_bigrams(str(tmp_path), k=10).to_pandas()
+
+    ref = Counter()
+    for txt in texts:
+        toks = txt.split(" ")
+        ref.update(f"{x} {y}" for x, y in zip(toks, toks[1:]))
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["bigram"], got["n"])) == want
+    assert "c c" not in set(got["bigram"])  # doc 0 -> doc 1 boundary
+
+
+def test_outlier_scores_planted(ray_session, tmp_path):
+    """Cosine-to-mean scores equal a numpy mirror, and a planted
+    anti-mean vector is flagged while aligned vectors are not."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import emb_outlier_scores
+
+    rng = np.random.RandomState(29)
+    n, d = 200, 16
+    base = rng.randn(d) * 3
+    m = (base + rng.randn(n, d) * 0.5).astype(np.float32)
+    m[0] = -base  # planted outlier, anti-aligned with the mean
+    t = pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array([list(r) for r in m],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * n, type=pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = emb_outlier_scores(str(tmp_path)).to_pandas()
+    got = got.sort_values("vec_id").reset_index(drop=True)
+
+    x = m.astype(np.float64)
+    mu = x.mean(axis=0)
+    want = np.round(
+        (x @ mu) / (np.linalg.norm(x, axis=1) * np.linalg.norm(mu)), 6)
+    assert np.allclose(got["cos_mean"], want, atol=2e-6)
+    assert bool(got["is_outlier"][0])
+    assert got["is_outlier"][1:].sum() == (want[1:] < 0).sum() == 0
+
+
 def test_sample_weighted_reference_and_bias(ray_session, tmp_path):
     """Weighted sampling equals a per-row Python reference (same md5 /
     exponential-clock arithmetic), is invariant to the block layout,

@@ -162,6 +162,34 @@ def test_pq_empty_embeddings(ray_session, tmp_path):
     assert ann.schema.names == ["vec_id", "adc"]
 
 
+def test_bigrams_weighted_empty_documents(ray_session, empty_doc_dir):
+    from sbo_ray.pipelines.datapipe import (
+        doc_sample_weighted,
+        doc_vocab_bigrams,
+    )
+
+    out = doc_vocab_bigrams(empty_doc_dir)
+    assert out.num_rows == 0
+    assert out.schema.names == ["bigram", "n"]
+    w = doc_sample_weighted(empty_doc_dir)
+    assert w.num_rows == 0
+    assert w.schema.names == ["doc_id", "wkey"]
+
+
+def test_outlier_scores_empty_embeddings(ray_session, tmp_path):
+    from sbo_ray.pipelines.datapipe import emb_outlier_scores
+
+    pq.write_table(
+        pa.schema([("vec_id", pa.int64()),
+                   ("embedding", pa.list_(pa.float32())),
+                   ("label", pa.int32())]).empty_table(),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = emb_outlier_scores(str(tmp_path))
+    assert out.count() == 0
+    assert out.schema().names == ["vec_id", "cos_mean", "is_outlier"]
+
+
 def test_covariance_pca_empty_embeddings(ray_session, tmp_path):
     from sbo_ray.pipelines.datapipe import emb_covariance, emb_pca_project
 
