@@ -4391,6 +4391,130 @@ def events_funnel(sf_dir: str,
         [b.select(schema.names).cast(schema) for b in batches])
 
 
+_BM25 = pa.schema([("doc_id", pa.int64()), ("score", pa.float64())])
+_BM25_STAT = pa.schema([("term", pa.string()), ("df", pa.int64()),
+                        ("dl_sum", pa.int64()), ("n_docs", pa.int64())])
+
+
+def doc_bm25_topk(sf_dir: str, k: int = 100, n_terms: int = 3,
+                  k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 retrieval over the corpus (Robertson et al.; the
+    lexical-relevance scorer retrieval-augmented pipelines pair with
+    the embedding ANN ops): score every document against the corpus'
+    top-``n_terms`` tokens (a deterministic query both sides can
+    rebuild) and emit the global top-k docs. Three streaming passes,
+    all bounded:
+
+      vocab  doc_vocab_topk(n_terms) -> the query terms (broadcast);
+      stats  per-block partials of df per term (distinct docs
+             containing it), total token count and doc count — one
+             (n_terms + 2)-int row per block;
+      score  broadcast (terms, idf, avgdl) once; each block computes
+             per-doc tf for the query terms via dictionary codes +
+             bincount (no per-row Python), scores docs with >= 1 hit,
+             and keeps its local top-k under the FINAL
+             (round6(score) desc, doc_id asc) key — merge-closed.
+
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1) (the +1 keeps common terms
+    positive). Exact SQL mirror: same tokenization, same f64 formula;
+    ROUND-6 + id tie-break absorbs libm's last-ulp ln differences."""
+    terms = doc_vocab_topk(sf_dir, k=n_terms).column("token").to_pylist()
+    if not terms:
+        return _BM25.empty_table()
+    terms_sorted = np.array(sorted(terms), dtype=object)
+    tref = ray.put(terms_sorted)
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        col = t.column("text")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ts = ray.get(tref)
+        if len(col) == 0:
+            return _BM25_STAT.empty_table()
+        toks = pc.split_pattern(col.cast(pa.string()), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(col), dtype=np.int64), lens)
+        enc = toks.values.dictionary_encode()
+        uniq = np.array(enc.dictionary.to_pylist(), dtype=object)
+        pos = np.searchsorted(ts, uniq)
+        slot = np.where((pos < len(ts)) & (ts[np.minimum(pos, len(ts) - 1)]
+                                           == uniq), pos, len(ts))
+        tok_slot = slot[enc.indices.to_numpy(zero_copy_only=False)]
+        hit = tok_slot < len(ts)
+        # distinct (doc, term) pairs -> df per term
+        pairs = np.unique(doc_idx[hit] * len(ts) + tok_slot[hit])
+        df = np.bincount(pairs % len(ts), minlength=len(ts))
+        return pa.table({
+            "term": pa.array(list(ts), pa.string()),
+            "df": pa.array(df.astype(np.int64)),
+            "dl_sum": pa.array([int(lens.sum())] * len(ts), pa.int64()),
+            "n_docs": pa.array([len(col)] * len(ts), pa.int64()),
+        }, schema=_BM25_STAT)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df_tot = np.zeros(len(terms_sorted), dtype=np.int64)
+    dl_sum = 0
+    n_docs = 0
+    for bt in ds.map_batches(stat_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        if bt.num_rows == 0:
+            continue
+        tarr = np.array(bt.column("term").to_pylist(), dtype=object)
+        order = np.argsort(tarr)
+        df_tot += bt.column("df").to_numpy(zero_copy_only=False)[order]
+        dl_sum += int(bt.column("dl_sum")[0].as_py())
+        n_docs += int(bt.column("n_docs")[0].as_py())
+    if n_docs == 0:
+        return _BM25.empty_table()
+    avgdl = dl_sum / n_docs
+    idf = np.log((n_docs - df_tot + 0.5) / (df_tot + 0.5) + 1.0)
+    sref = ray.put((terms_sorted, idf, avgdl))
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        col = t.column("text")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if len(col) == 0:
+            return _BM25.empty_table()
+        ts, idf_b, avg_b = ray.get(sref)
+        nt = len(ts)
+        toks = pc.split_pattern(col.cast(pa.string()), " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        doc_idx = np.repeat(np.arange(len(col), dtype=np.int64),
+                            lens.astype(np.int64))
+        enc = toks.values.dictionary_encode()
+        uniq = np.array(enc.dictionary.to_pylist(), dtype=object)
+        pos = np.searchsorted(ts, uniq)
+        slot = np.where((pos < nt) & (ts[np.minimum(pos, nt - 1)] == uniq),
+                        pos, nt)
+        tok_slot = slot[enc.indices.to_numpy(zero_copy_only=False)]
+        hit = tok_slot < nt
+        tf = np.bincount(doc_idx[hit] * nt + tok_slot[hit],
+                         minlength=len(col) * nt).reshape(len(col), nt) \
+            .astype(np.float64)
+        denom = tf + k1 * (1.0 - b + b * lens[:, None] / avg_b)
+        score = (idf_b * tf * (k1 + 1.0) / denom * (tf > 0)).sum(axis=1)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        has = tf.sum(axis=1) > 0
+        ids, score = ids[has], score[has]
+        take = min(k, len(ids))
+        order = np.lexsort((ids, -np.round(score, 6)))[:take]
+        return pa.table({"doc_id": pa.array(ids[order].astype(np.int64)),
+                         "score": pa.array(np.round(score[order], 6))},
+                        schema=_BM25)
+
+    parts = [x for x in ds.map_batches(score_topk, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)
+             if x.num_rows]
+    if not parts:
+        return _BM25.empty_table()
+    merged = pa.concat_tables(parts)
+    ids = merged.column("doc_id").to_numpy(zero_copy_only=False)
+    sc = merged.column("score").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -sc))[:k]
+    return pa.table({"doc_id": pa.array(ids[order]),
+                     "score": pa.array(sc[order])}, schema=_BM25)
+
+
 def doc_tfidf(sf_dir: str, k: int = 3):
     """Top-k TF-IDF terms per document (space-split tokens,
     idf = ln(N/df), score = tf*idf) — the classic relevance/keyword

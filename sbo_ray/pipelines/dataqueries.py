@@ -712,6 +712,42 @@ FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
 GROUP BY t ORDER BY n DESC, t LIMIT 100
 """
 
+# BM25 mirror: the oracle rebuilds the SAME deterministic query (corpus
+# top-3 tokens, count desc / token asc), then the Okapi formula in f64
+# with idf = ln((N - df + 0.5)/(df + 0.5) + 1), k1 = 1.2, b = 0.75.
+# avgdl is exactly equal on both sides (integer token counts sum
+# exactly in f64 below 2^53); ROUND-6 + id tie-break absorbs libm ln
+# noise.
+SQL_DOC_BM25_TOPK = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), q AS (
+  SELECT t FROM tok GROUP BY t
+  ORDER BY COUNT(*) DESC, t LIMIT 3
+), dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+), st AS (
+  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT AVG(CAST(dl AS DOUBLE)) FROM dl) AS avgdl
+), tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok WHERE t IN (SELECT t FROM q)
+  GROUP BY doc_id, t
+), df AS (
+  SELECT t, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY t
+), sc AS (
+  SELECT tf.doc_id,
+         SUM(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS score
+  FROM tf JOIN df USING (t) JOIN dl USING (doc_id), st
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 6) AS score FROM sc
+ORDER BY ROUND(score, 6) DESC, doc_id
+LIMIT 100
+"""
+
 # Bigram mirror: positional self-join of the space-split tokens on
 # (doc_id, i+1) — doc boundaries can't pair by construction.
 SQL_DOC_VOCAB_BIGRAMS = """
@@ -1422,6 +1458,7 @@ def data_queries() -> dict:
         "doc_quality_gopher": P.doc_quality_gopher,
         "doc_vocab_topk": P.doc_vocab_topk,
         "doc_vocab_bigrams": P.doc_vocab_bigrams,
+        "doc_bm25_topk": P.doc_bm25_topk,
         "emb_outlier_scores": P.emb_outlier_scores,
         "doc_tokenize_ids": P.doc_tokenize_ids,
         "doc_perplexity_bigram": P.doc_perplexity_bigram,
@@ -1493,6 +1530,7 @@ def data_oracle_sql() -> dict:
         "doc_quality_gopher": SQL_DOC_QUALITY_GOPHER,
         "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
         "doc_vocab_bigrams": SQL_DOC_VOCAB_BIGRAMS,
+        "doc_bm25_topk": SQL_DOC_BM25_TOPK,
         "emb_outlier_scores": SQL_EMB_OUTLIER_SCORES,
         "doc_tokenize_ids": SQL_DOC_TOKENIZE_IDS,
         "doc_chunk": SQL_DOC_CHUNK,

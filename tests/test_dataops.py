@@ -1324,6 +1324,52 @@ def test_ann_pq_matches_numpy_reference(ray_session, tmp_path):
     assert all(v % 3 == 0 for v in got["vec_id"][:3])
 
 
+def test_bm25_matches_python_reference(ray_session, tmp_path):
+    """BM25 top-k equals a per-doc Python reference (same query-term
+    selection, same Okapi formula), and docs with no query-term hit
+    are absent."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import doc_bm25_topk
+
+    texts = ["apple apple banana", "banana cherry", "apple cherry cherry",
+             "durian elderberry", "apple banana cherry apple", "durian"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = doc_bm25_topk(str(tmp_path), k=10).to_pandas()
+
+    from collections import Counter
+    corpus = Counter(w for txt in texts for w in txt.split(" "))
+    terms = [t_ for t_, _ in sorted(corpus.items(),
+                                    key=lambda kv: (-kv[1], kv[0]))[:3]]
+    n = len(texts)
+    dls = [len(txt.split(" ")) for txt in texts]
+    avgdl = sum(dls) / n
+    df = {t_: sum(t_ in txt.split(" ") for txt in texts) for t_ in terms}
+    want = []
+    for i, txt in enumerate(texts):
+        cnt = Counter(txt.split(" "))
+        s = 0.0
+        hits = 0
+        for t_ in terms:
+            tf = cnt.get(t_, 0)
+            if not tf:
+                continue
+            hits += 1
+            idf = math.log((n - df[t_] + 0.5) / (df[t_] + 0.5) + 1)
+            s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dls[i] / avgdl))
+        if hits:
+            want.append((round(s, 6), i))
+    want = sorted(want, key=lambda kv: (-kv[0], kv[1]))
+    assert list(got["doc_id"]) == [i for _, i in want]
+    assert np.allclose(got["score"], [s for s, _ in want])
+    # durian-only docs carry no query term and never appear
+    assert 5 not in set(got["doc_id"])
+
+
 def test_vocab_bigrams_reference_and_boundaries(ray_session, tmp_path):
     """Bigram top-k equals a Python reference, and pairs never cross
     document boundaries (the flat-buffer adjacent join masks each
