@@ -47,7 +47,7 @@ _PRIORITY = [
     "emb_project_rp", "log_bytes_quantiles", "emb_pq_codes", "emb_ann_pq",
     "log_bytes_quantiles_kll", "emb_covariance", "emb_pca_project",
     "emb_ann_ivfpq", "doc_sample_weighted", "doc_vocab_bigrams",
-    "emb_outlier_scores", "doc_bm25_topk",
+    "emb_outlier_scores", "doc_bm25_topk", "multimodal_bmp_features",
     # checked in r02 but rotated out of r03
     "multimodal_payload_stats", "multimodal_frame_sample",
     "multimodal_features", "customer_nation_agg",

@@ -686,3 +686,127 @@ class PngDecoder:
             ],
             schema=PNG_FEATURE_SCHEMA,
         )
+
+
+# ---- BMP (24-bit, uncompressed) ---------------------------------------------
+
+BMP_MEDIA_TYPE = "image/bmp"
+
+BMP_FEATURE_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("media_type", pa.string()),
+    ("width", pa.int64()), ("height", pa.int64()),
+    ("bpp", pa.int64()), ("row_pad", pa.int64()),
+    ("sum_r", pa.int64()), ("sum_g", pa.int64()), ("sum_b", pa.int64()),
+])
+
+
+def make_bmp(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """Render an RGB8 pixel array (uint8, len == 3*w*h, RGB scan order
+    top-down) as a real 24-bit BMP: BITMAPFILEHEADER + 40-byte
+    BITMAPINFOHEADER, BGR byte order, rows stored BOTTOM-UP, each row
+    padded to a 4-byte boundary — the three quirks every real BMP
+    reader must honor."""
+    import struct
+
+    px = pixels.astype(np.uint8).reshape(height, width, 3)
+    bgr = px[:, :, ::-1]               # RGB -> BGR
+    pad = (4 - (width * 3) % 4) % 4
+    rows = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up
+        rows.extend(bgr[r].tobytes())
+        rows.extend(b"\x00" * pad)
+    data_off = 14 + 40
+    size = data_off + len(rows)
+    hdr = (b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+           + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                         0, len(rows), 2835, 2835, 0, 0))
+    return bytes(hdr) + bytes(rows)
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
+    """Parse a 24-bit uncompressed BMP with stdlib struct + numpy:
+    signature, header offsets, BITMAPINFOHEADER validation, padded
+    bottom-up BGR rows -> flat RGB8 top-down. Returns (width, height,
+    bpp, row_pad, pixels)."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP: bad signature or truncated header")
+    data_off = struct.unpack_from("<I", data, 10)[0]
+    (hsz, width, height, planes, bpp, comp) = struct.unpack_from(
+        "<IiiHHI", data, 14)
+    if hsz < 40:
+        raise ValueError(f"unsupported BMP header size {hsz}")
+    if planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError(
+            f"unsupported BMP: planes={planes} bpp={bpp} compression={comp}"
+            " (only uncompressed 24-bit decodes here)")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height}")
+    pad = (4 - (width * 3) % 4) % 4
+    stride = width * 3 + pad
+    need = data_off + stride * height
+    if len(data) < need:
+        raise ValueError(f"truncated BMP pixel array: {len(data)} < {need}")
+    raw = np.frombuffer(data, dtype=np.uint8, count=stride * height,
+                        offset=data_off).reshape(height, stride)
+    bgr = raw[:, :width * 3].reshape(height, width, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return width, height, bpp, pad, bgr[:, :, ::-1].reshape(-1).copy()
+
+
+def synth_bmp(doc_id: int) -> bytes:
+    """Deterministic synthetic BMP per doc: width ``7 + doc_id % 6``
+    (exercises every row-padding value 0-3), height ``5 + doc_id % 4``,
+    RGB raster byte k is ``(doc_id*53 + k*17 + 3) % 256`` — closed
+    forms the DuckDB oracle reproduces exactly."""
+    w, h = 7 + doc_id % 6, 5 + doc_id % 4
+    k = np.arange(3 * w * h, dtype=np.int64)
+    return make_bmp(w, h, ((doc_id * 53 + k * 17 + 3) % 256))
+
+
+class BmpDecoder:
+    """Actor-pool decode/feature stage for BMP payload columns — the
+    third real image codec beside PPM and PNG (stdlib struct + numpy;
+    no codec library). Emits dimensions, the row padding the reader
+    had to skip, and integer channel sums (exact-SQL-gateable)."""
+
+    def __init__(self) -> None:
+        pass  # real build: load decoder handles once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        media = batch.column("media_type").to_pylist()
+        w_v, h_v, d_v, p_v, r_v, g_v, b_v = [], [], [], [], [], [], []
+        for mt, p in zip(media, payloads):
+            if mt != BMP_MEDIA_TYPE:
+                raise NotImplementedError(
+                    f"no codec for {mt!r} in this environment "
+                    f"(only {BMP_MEDIA_TYPE} decodes natively here)")
+            w, h, bpp, pad, px = decode_bmp(p)
+            amp = px.astype(np.int64)
+            w_v.append(w)
+            h_v.append(h)
+            d_v.append(bpp)
+            p_v.append(pad)
+            r_v.append(int(amp[0::3].sum()))
+            g_v.append(int(amp[1::3].sum()))
+            b_v.append(int(amp[2::3].sum()))
+
+        def _col(name):
+            c = batch.column(name)
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        return pa.Table.from_arrays(
+            [
+                _col("doc_id"), _col("media_type"),
+                pa.array(w_v, type=pa.int64()), pa.array(h_v, type=pa.int64()),
+                pa.array(d_v, type=pa.int64()), pa.array(p_v, type=pa.int64()),
+                pa.array(r_v, type=pa.int64()), pa.array(g_v, type=pa.int64()),
+                pa.array(b_v, type=pa.int64()),
+            ],
+            schema=BMP_FEATURE_SCHEMA,
+        )

@@ -3445,6 +3445,43 @@ def multimodal_png_features(sf_dir: str):
     )
 
 
+def multimodal_bmp_features(sf_dir: str):
+    """REAL BMP decode through the actor-pool stage: deterministic
+    synthetic 24-bit BMPs (width cycles all four row-padding values,
+    bottom-up BGR storage), decoded by the stdlib-struct + numpy parser
+    inside ``BmpDecoder`` — the third real image codec beside PPM and
+    PNG. Gated by an exact SQL oracle: dimensions, the row padding and
+    the RGB channel sums are closed forms over doc_id (the generator
+    emits RGB scan order; storage order is the decoder's problem).
+    Same actor-pool shape as the other decode paths."""
+    from ..functions.multimodal import (
+        BMP_MEDIA_TYPE, BmpDecoder, PAYLOAD_SCHEMA, synth_bmp,
+    )
+
+    def to_images(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = [synth_bmp(int(i)) for i in ids]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array(payloads, type=pa.binary()),
+                pa.array([BMP_MEDIA_TYPE] * len(ids), type=pa.string()),
+                pa.array([len(p) for p in payloads], type=pa.int64()),
+            ],
+            schema=PAYLOAD_SCHEMA,
+        )
+
+    payload = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        to_images, batch_format="pyarrow"
+    )
+    return payload.map_batches(
+        BmpDecoder,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(2, max(2, _cpus())),
+    )
+
+
 def multimodal_image_resize(sf_dir: str):
     """REAL image resize through the actor-pool stage: deterministic
     synthetic PPM payloads decoded by the pure-numpy P6 parser, then a

@@ -618,6 +618,29 @@ SELECT s.doc_id, 'image/png' AS media_type,
 FROM sums s JOIN filt f USING (doc_id)
 """
 
+# Exact mirror of the real BMP decode path: the generator emits RGB
+# scan-order byte k = (doc_id*53 + k*17 + 3) % 256; the BGR/bottom-up/
+# padded storage is the decoder's problem, so the oracle only needs the
+# closed forms for dims, padding and channel sums.
+SQL_MULTIMODAL_BMP = """
+WITH dims AS (
+  SELECT doc_id, 7 + doc_id % 6 AS w, 5 + doc_id % 4 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, unnest(range(3 * w * h)) AS k FROM dims
+)
+SELECT doc_id, 'image/bmp' AS media_type,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(24 AS BIGINT) AS bpp,
+       CAST((4 - (w * 3) % 4) % 4 AS BIGINT) AS row_pad,
+       CAST(SUM(CASE WHEN k % 3 = 0
+                THEN (doc_id*53 + k*17 + 3) % 256 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN k % 3 = 1
+                THEN (doc_id*53 + k*17 + 3) % 256 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN k % 3 = 2
+                THEN (doc_id*53 + k*17 + 3) % 256 END) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, w, h
+"""
+
 # Exact mirror of the real WAV decode path: the synthetic clip's sample
 # k is ((doc_id*37 + k*29 + 11) % 65536) - 32768 (multimodal.synth_wav),
 # 256 mono samples @ 8 kHz => 512 PCM bytes + 44-byte canonical RIFF
@@ -1484,6 +1507,7 @@ def data_queries() -> dict:
         "multimodal_frame_sample": P.multimodal_frame_sample,
         "multimodal_features": P.multimodal_features,
         "multimodal_png_features": P.multimodal_png_features,
+        "multimodal_bmp_features": P.multimodal_bmp_features,
         "multimodal_image_resize": P.multimodal_image_resize,
         "multimodal_audio_features": P.multimodal_audio_features,
         "customer_nation_agg": P.customer_nation_agg,
@@ -1557,6 +1581,7 @@ def data_oracle_sql() -> dict:
         "emb_ann_ivfpq": SQL_EMB_SIMILARITY_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_png_features": SQL_MULTIMODAL_PNG,
+        "multimodal_bmp_features": SQL_MULTIMODAL_BMP,
         "multimodal_image_resize": SQL_MULTIMODAL_RESIZE,
         "multimodal_audio_features": SQL_MULTIMODAL_AUDIO,
         "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,

@@ -404,6 +404,41 @@ def test_ngram_jaccard_dedup_planted(ray_session, planted):
         assert ngram_jaccard(texts[a], texts[b]) >= 0.5
 
 
+def test_bmp_decode_roundtrip_and_malformed():
+    import struct
+
+    from sbo_ray.functions.multimodal import decode_bmp, make_bmp, synth_bmp
+
+    # round-trip across all four padding values
+    for d in range(24):
+        w, h, bpp, pad, px = decode_bmp(synth_bmp(d))
+        assert (w, h, bpp) == (7 + d % 6, 5 + d % 4, 24)
+        assert pad == (4 - (w * 3) % 4) % 4
+        k = np.arange(3 * w * h, dtype=np.int64)
+        assert (px == (d * 53 + k * 17 + 3) % 256).all()
+    # top-down variant (negative height) decodes to the same raster
+    data = bytearray(synth_bmp(3))
+    w, h, _, _, want = decode_bmp(bytes(data))
+    struct.pack_into("<i", data, 22, -h)
+    pad = (4 - (w * 3) % 4) % 4
+    stride = w * 3 + pad
+    rows = data[54:]
+    flipped = b"".join(rows[(h - 1 - r) * stride:(h - r) * stride]
+                       for r in range(h))
+    top_down = bytes(data[:54]) + flipped
+    assert (decode_bmp(top_down)[4] == want).all()
+    # malformed inputs raise cleanly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="signature"):
+        decode_bmp(b"XX" + bytes(60))
+    with _pytest.raises(ValueError, match="truncated BMP pixel"):
+        decode_bmp(synth_bmp(1)[:-4])
+    bad = bytearray(synth_bmp(2))
+    struct.pack_into("<H", bad, 28, 32)  # 32 bpp unsupported
+    with _pytest.raises(ValueError, match="bpp=32"):
+        decode_bmp(bytes(bad))
+
+
 def test_wav_decode_roundtrip_and_malformed():
     import struct
 
