@@ -3818,6 +3818,78 @@ def events_sliding_window(sf_dir: str, size_minutes: int = 60,
     })
 
 
+def events_sliding_distinct(sf_dir: str, size_minutes: int = 60,
+                            slide_minutes: int = 15):
+    """Sliding-window DISTINCT users — the overlapping-window form of
+    exact DAU (concurrent-user curves, rolling reach). Distinct counts
+    don't partial-sum, so this composes the two proven layouts: the
+    sliding expansion happens block-locally (every event joins its
+    k = size/slide windows, then the block dedupes its (window, user)
+    pairs — volume drops before anything leaves the worker), ONE
+    Fibonacci-hash exchange on user_id co-locates every copy of a user
+    (``num_returns=P`` raw tasks, the events_daily_active layout), each
+    partition dedupes and counts per window over its DISJOINT user set,
+    and the driver folds P x |windows| ints. Nothing user-sized lands
+    anywhere central. COUNT(DISTINCT)-over-expansion SQL mirror."""
+    if size_minutes % slide_minutes:
+        raise ValueError("size must be a multiple of slide")
+    k = size_minutes // slide_minutes
+    slide_us = np.int64(slide_minutes) * 60 * 1_000_000
+    P = max(2, _n_parts())
+
+    def pair_shard(block: pa.Table) -> list:
+        n = block.num_rows
+        ts = block.column("ts").to_numpy(zero_copy_only=False)
+        bucket = ts.astype("datetime64[us]").astype(np.int64) // slide_us
+        idx = np.repeat(np.arange(n), k)
+        wstart = (bucket[:, None] - np.arange(k)[None, :]).ravel() * slide_us
+        pairs = pa.table({
+            "window_start": pa.array(wstart.astype("datetime64[us]")),
+            "user_id": block.column("user_id").take(pa.array(idx)),
+        }).group_by(["window_start", "user_id"]).aggregate([])
+        u = pairs.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if not len(u):
+            return [pairs for _ in range(P)]
+        part = _lp_partition(u, P)
+        order = np.argsort(part, kind="stable")
+        sorted_tbl = pairs.take(pa.array(order))
+        bounds = np.searchsorted(part[order], np.arange(P + 1))
+        return [sorted_tbl.slice(s, e - s)
+                for s, e in zip(bounds[:-1], bounds[1:])]
+
+    PARTIAL = pa.schema([("window_start", pa.timestamp("us")),
+                         ("n", pa.int64())])
+
+    def win_combine(*tables) -> pa.Table:
+        live = [x for x in tables if x.num_rows]
+        if not live:
+            return PARTIAL.empty_table()
+        t = pa.concat_tables(live)
+        dd = t.group_by(["window_start", "user_id"]).aggregate([])
+        g = dd.group_by("window_start").aggregate([([], "count_all")])
+        return g.rename_columns(["window_start", "n"]).cast(PARTIAL)
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    OUT = pa.schema([("window_start", pa.timestamp("us")),
+                     ("n_users", pa.int64())])
+    refs = [block_ref for bundle in ds.iter_internal_ref_bundles()
+            for block_ref, _md in bundle.blocks if _md.num_rows]
+    if not refs:
+        return OUT.empty_table()
+    shard = ray.remote(pair_shard)
+    sl = [shard.options(num_returns=P).remote(r) for r in refs]
+    combine = ray.remote(win_combine)
+    outs = ray.get([combine.remote(*[s[p] for s in sl]) for p in range(P)])
+    merged = pa.concat_tables([PARTIAL.empty_table()] + outs)
+    g = merged.group_by("window_start").aggregate([("n", "sum")])
+    order = pc.sort_indices(g.column("window_start"))
+    return pa.table({
+        "window_start": g.column("window_start").take(order),
+        "n_users": g.column("n_sum").take(order).cast(pa.int64()),
+    })
+
+
 def events_transitions(sf_dir: str):
     """Per-user next-event transition counts (sequence bigrams) — the
     Markov-chain / funnel building block. Hash-partition by user so

@@ -1091,6 +1091,16 @@ FROM events, (SELECT UNNEST(range(4)) AS i) i
 GROUP BY 1, 2
 """
 
+# Sliding-distinct mirror: the same window expansion as
+# SQL_EVENTS_SLIDING, COUNT(DISTINCT user_id) per window.
+SQL_EVENTS_SLIDING_DISTINCT = """
+SELECT make_timestamp((epoch_us(ts) // 900000000 - i.i) * 900000000)
+         AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events, (SELECT UNNEST(range(4)) AS i) i
+GROUP BY 1 ORDER BY 1
+"""
+
 # Transition-bigram mirror via LEAD() over per-user (ts, event_id)
 # order — the same adjacency the engine's sort+shift encodes.
 SQL_EVENTS_TRANSITIONS = """
@@ -1492,6 +1502,7 @@ def data_queries() -> dict:
         "events_asof_join": P.events_asof_join,
         "events_window_join": P.events_window_join,
         "events_sliding_window": P.events_sliding_window,
+        "events_sliding_distinct": P.events_sliding_distinct,
         "events_transitions": P.events_transitions,
         "events_quantiles": P.events_quantiles,
         "doc_group_topk": P.doc_group_topk,
@@ -1563,6 +1574,7 @@ def data_oracle_sql() -> dict:
         "events_asof_join": SQL_EVENTS_ASOF,
         "events_window_join": SQL_EVENTS_WINDOW_JOIN,
         "events_sliding_window": SQL_EVENTS_SLIDING,
+        "events_sliding_distinct": SQL_EVENTS_SLIDING_DISTINCT,
         "events_transitions": SQL_EVENTS_TRANSITIONS,
         "events_quantiles": SQL_EVENTS_QUANTILES,
         "doc_group_topk": SQL_DOC_GROUP_TOPK,

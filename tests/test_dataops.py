@@ -1711,6 +1711,51 @@ def test_shuffle_order_partition_invariant_multiblock(ray_session, tmp_path):
     assert list(got["shuffle_pos"]) == want.tolist()
 
 
+def test_sliding_distinct_multiblock_matches_pandas(ray_session, tmp_path):
+    """Sliding-window distinct users over a 3-file events table (window
+    expansion + user exchange) equals a pandas expand-then-nunique
+    reference."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import events_sliding_distinct
+
+    rng = np.random.RandomState(11)
+    n = 3000
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    ts = base + (rng.randint(0, 86400, n) * 1_000_000).astype(
+        "timedelta64[us]")
+    users = rng.randint(0, 150, n)
+    d = tmp_path / "events.parquet"
+    os.makedirs(d)
+    for part in range(3):
+        sel = np.arange(part, n, 3)
+        pq.write_table(pa.table({
+            "event_id": pa.array(sel, type=pa.int64()),
+            "ts": pa.array(ts[sel], type=pa.timestamp("us")),
+            "user_id": pa.array(users[sel], type=pa.int64()),
+            "event_type": pa.array(["view"] * len(sel)),
+            "value": pa.array(np.ones(len(sel))),
+            "props": pa.array(["{}"] * len(sel)),
+        }), str(d / f"part-{part}.parquet"))
+    got = events_sliding_distinct(str(tmp_path)).to_pandas()
+
+    slide_us = 15 * 60 * 1_000_000
+    bucket = ts.astype(np.int64) // slide_us
+    rows = []
+    for o in range(4):
+        rows.append(pd.DataFrame({
+            "ws": (bucket - o) * slide_us, "user": users}))
+    ref = pd.concat(rows)
+    want = ref.groupby("ws")["user"].nunique().sort_index()
+    got = got.sort_values("window_start").reset_index(drop=True)
+    assert list(got["n_users"]) == want.tolist()
+    assert [int(x.value) for x in pd.to_datetime(got["window_start"])] \
+        == [int(w * 1000) for w in want.index]
+
+
 def test_daily_active_multiblock_matches_pandas(ray_session, tmp_path):
     """Exact DAU over a 3-file events table (multi-block exchange)
     equals a pandas groupby-nunique reference."""
