@@ -159,6 +159,50 @@ def _rolling_hashes(data: bytes, window: int = _FP_WINDOW) -> np.ndarray:
     return out
 
 
+def _winnow(h: np.ndarray, w: int) -> np.ndarray:
+    """Robust winnowing (Schleimer et al. 2003): for every window of
+    ``w`` consecutive rolling hashes select the RIGHTMOST minimal one;
+    return the selected positions (0-based, strictly increasing). The
+    rightmost-tie rule makes selections non-decreasing as the window
+    slides, so adjacent dedup yields the distinct fingerprint set."""
+    n = len(h)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    if n <= w:
+        return np.array([n - 1 - int(np.argmin(h[::-1]))], dtype=np.int64)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(h, w)
+    rev_idx = win[:, ::-1].argmin(axis=1)
+    pos = np.arange(n - w + 1, dtype=np.int64) + (w - 1 - rev_idx)
+    keep = np.ones(len(pos), dtype=bool)
+    keep[1:] = pos[1:] != pos[:-1]
+    return pos[keep]
+
+
+def winnow_fingerprint(batch: pa.Table, w: int = 8) -> pa.Table:
+    """Per-doc winnowed fingerprints exploded to (doc_id, pos, fp_hash)
+    rows — positions are 1-based hash positions (matching the SQL
+    mirror's range(1, ...)); hashes are the same polynomial rolling
+    hashes as ``fingerprint`` reinterpreted as int64."""
+    texts = [t or "" for t in batch.column("text").to_pylist()]
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    out_id, out_pos, out_h = [], [], []
+    for i, t in enumerate(texts):
+        h = _rolling_hashes(t.encode("utf-8"))
+        pos = _winnow(h, w)
+        out_id.append(np.full(len(pos), ids[i], dtype=np.int64))
+        out_pos.append(pos + 1)
+        out_h.append(h[pos].astype(np.int64))
+    cat = (lambda xs: np.concatenate(xs) if xs
+           else np.zeros(0, dtype=np.int64))
+    return pa.table({
+        "doc_id": pa.array(cat(out_id)),
+        "pos": pa.array(cat(out_pos)),
+        "fp_hash": pa.array(cat(out_h)),
+    })
+
+
 def fingerprint(batch: pa.Table, n_min: int = 8) -> pa.Table:
     """Document fingerprint: the n_min smallest rolling-window hashes
     (a winnowing-style min-sample; equal docs -> equal fingerprints,

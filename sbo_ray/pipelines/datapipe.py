@@ -3251,6 +3251,26 @@ def doc_fingerprint(sf_dir: str):
     )
 
 
+def doc_winnow(sf_dir: str, w: int = 8):
+    """Robust winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    selection rule): every window of ``w`` consecutive rolling hashes
+    contributes its RIGHTMOST minimum, guaranteeing any shared
+    substring of length >= window + w - 1 bytes shares a fingerprint —
+    the positional plagiarism/dedup primitive doc_fingerprint's
+    bottom-k sketch can't provide (it has no position guarantee). Pure
+    map over blocks (per-doc sliding-window argmin, vectorized via
+    stride tricks); exploded (doc_id, pos, fp_hash) rows gate against
+    an exact SQL mirror (expanded windows + ROW_NUMBER under the same
+    (hash asc, pos desc) rule)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        return T.winnow_fingerprint(batch, w=w)
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
 def doc_curation_pipeline(sf_dir: str, lang: str = "en",
                           min_tokens: int = 20, max_tokens: int = 1000,
                           min_stop_ratio: float = 0.015):

@@ -450,6 +450,45 @@ _FP_POWERS = ", ".join(
     f"{pow(int(_FP_BASE), _FP_WINDOW - 1 - k, 1 << 64)}::HUGEINT"
     for k in range(_FP_WINDOW)
 )
+# Winnowing mirror (default w = 8): the SAME per-position rolling hash
+# as SQL_DOC_FINGERPRINT (no DISTINCT), windows expanded over hash
+# positions, selection = ROW_NUMBER under (hash asc, pos desc) = 1 —
+# the rightmost-minimum rule — then DISTINCT selected positions.
+SQL_DOC_WINNOW = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         GREATEST(octet_length(encode(text)), {_FP_WINDOW}) AS n
+  FROM documents
+), pos AS (
+  SELECT doc_id, hx, n, unnest(range(1, n - {_FP_WINDOW} + 2)) AS i FROM b
+), terms AS (
+  SELECT doc_id, i, k,
+    CASE WHEN (i + k) * 2 <= strlen(hx)
+         THEN ('0x' || substr(hx, (i + k - 1) * 2 + 1, 2))::UBIGINT::HUGEINT
+         ELSE 0::HUGEINT END
+      * ([{_FP_POWERS}])[k + 1] AS term
+  FROM pos CROSS JOIN (SELECT unnest(range({_FP_WINDOW})) AS k)
+), h AS (
+  SELECT doc_id, i, SUM(term) % 18446744073709551616::HUGEINT AS hv
+  FROM terms GROUP BY doc_id, i
+), mx AS (
+  SELECT doc_id, MAX(i) AS m FROM h GROUP BY doc_id
+), wins AS (
+  SELECT doc_id, unnest(range(1, GREATEST(1, m - 8 + 1) + 1)) AS ws FROM mx
+), sel AS (
+  SELECT w.doc_id, w.ws, h.i, h.hv,
+         ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.ws
+                            ORDER BY h.hv ASC, h.i DESC) AS rn
+  FROM wins w JOIN h ON h.doc_id = w.doc_id
+              AND h.i BETWEEN w.ws AND w.ws + 7
+)
+SELECT DISTINCT doc_id, CAST(i AS BIGINT) AS pos,
+       CASE WHEN hv >= 9223372036854775808::HUGEINT
+            THEN (hv - 18446744073709551616::HUGEINT)::BIGINT
+            ELSE hv::BIGINT END AS fp_hash
+FROM sel WHERE rn = 1
+"""
+
 SQL_DOC_FINGERPRINT = f"""
 WITH b AS (
   SELECT doc_id, hex(encode(text)) AS hx,
@@ -1486,6 +1525,7 @@ def data_queries() -> dict:
         "doc_token_stats": P.doc_token_stats,
         "doc_lang_id": P.doc_lang_id,
         "doc_fingerprint": P.doc_fingerprint,
+        "doc_winnow": P.doc_winnow,
         "doc_pii_redact": P.doc_pii_redact,
         "doc_repetition_stats": P.doc_repetition_stats,
         "doc_quality_gopher": P.doc_quality_gopher,
@@ -1560,6 +1600,7 @@ def data_oracle_sql() -> dict:
         "doc_dedup_near_keep": SQL_DOC_DEDUP_NEAR_KEEP,
         "doc_dedup_simhash": SQL_DOC_DEDUP_SIMHASH,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "doc_winnow": SQL_DOC_WINNOW,
         "doc_pii_redact": SQL_DOC_PII_REDACT,
         "doc_repetition_stats": SQL_DOC_REPETITION,
         "doc_quality_gopher": SQL_DOC_QUALITY_GOPHER,

@@ -1359,6 +1359,43 @@ def test_ann_pq_matches_numpy_reference(ray_session, tmp_path):
     assert all(v % 3 == 0 for v in got["vec_id"][:3])
 
 
+def test_winnow_reference_and_guarantee(ray_session, tmp_path):
+    """Winnowed fingerprints equal a brute-force rightmost-window-min
+    reference, and the winnowing GUARANTEE holds: two docs sharing a
+    substring of >= byte_window + w - 1 bytes share a fingerprint."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.functions.text import _FP_WINDOW, _rolling_hashes
+    from sbo_ray.pipelines.datapipe import doc_winnow
+
+    w = 8
+    shared = "the quick brown fox jumps over the lazy dog"  # 44 bytes
+    texts = ["AAA " + shared + " 111", "zzz " + shared + " qq", "unrelated"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = doc_winnow(str(tmp_path), w=w).to_pandas()
+
+    for i, txt in enumerate(texts):
+        h = _rolling_hashes(txt.encode())
+        sel = set()
+        m = len(h)
+        for ws in range(max(1, m - w + 1)):
+            win = h[ws:ws + w]
+            mn = win.min()
+            sel.add(ws + max(j for j in range(len(win)) if win[j] == mn))
+        sub = got[got["doc_id"] == i]
+        assert set(sub["pos"]) == {p + 1 for p in sel}, i
+        for _, r in sub.iterrows():
+            assert np.int64(r["fp_hash"]) == h[r["pos"] - 1].astype(np.int64)
+    assert len(shared.encode()) >= _FP_WINDOW + w - 1
+    h0 = set(got[got["doc_id"] == 0]["fp_hash"])
+    h1 = set(got[got["doc_id"] == 1]["fp_hash"])
+    assert h0 & h1  # the guarantee
+    h2 = set(got[got["doc_id"] == 2]["fp_hash"])
+    assert not (h0 & h2)
+
+
 def test_bm25_matches_python_reference(ray_session, tmp_path):
     """BM25 top-k equals a per-doc Python reference (same query-term
     selection, same Okapi formula), and docs with no query-term hit
