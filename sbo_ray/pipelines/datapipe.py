@@ -3735,6 +3735,107 @@ def orders_mktsegment_revenue(sf_dir: str):
     })
 
 
+_Q3 = pa.schema([("l_orderkey", pa.int64()),
+                 ("o_orderdate", pa.timestamp("us")),
+                 ("revenue", pa.float64())])
+
+
+def orders_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                             date: str = "1995-03-15", k: int = 10):
+    """TPC-H Q3 (shipping priority): top-k unshipped orders by revenue
+    for one market segment — the canonical 3-table analytical join.
+    Distributed shape: segment-filtered customers x date-filtered
+    orders through ONE native hash join (both sides corpus-sized, so
+    neither broadcasts), the result joined to date-filtered lineitem
+    through a SECOND hash join on orderkey; blocks then emit per-order
+    partial revenues, ONE Fibonacci-hash exchange on orderkey makes
+    the per-partition sums exact (join blocks usually already hold an
+    order whole, but Ray may split partitions by size — the exchange
+    removes that assumption), and each partition keeps its local top-k
+    under the FINAL (round2(revenue) desc, o_orderdate asc, key asc)
+    rule — merge-closed, driver sees P x k rows. Exact SQL mirror."""
+    cutoff = pa.scalar(pd.Timestamp(date))
+    P = max(2, _n_parts())
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["c_mktsegment"], segment)), batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(lambda t: t.filter(pc.less(t["o_orderdate"], cutoff)),
+                     batch_format="pyarrow")
+    j1 = orders.join(cust, join_type="inner",
+                     num_partitions=max(4, _cpus()),
+                     on=("o_custkey",), right_on=("c_custkey",))
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"]) \
+        .map_batches(lambda t: t.filter(pc.greater(t["l_shipdate"], cutoff)),
+                     batch_format="pyarrow")
+    j2 = li.join(j1, join_type="inner",
+                 num_partitions=max(4, _cpus()),
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def rev_shard(block: pa.Table) -> list:
+        disc = pc.multiply(block["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), block["l_discount"]))
+        g = pa.table({
+            "l_orderkey": block.column("l_orderkey"),
+            "o_orderdate": block.column("o_orderdate"),
+            "revenue": disc,
+        }).group_by(["l_orderkey", "o_orderdate"]).aggregate(
+            [("revenue", "sum")]).rename_columns(
+            ["l_orderkey", "o_orderdate", "revenue"])
+        keys = g.column("l_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if not len(keys):
+            return [g.cast(_Q3) for _ in range(P)]
+        part = _lp_partition(keys, P)
+        order = np.argsort(part, kind="stable")
+        st = g.take(pa.array(order)).cast(_Q3)
+        bounds = np.searchsorted(part[order], np.arange(P + 1))
+        return [st.slice(s, e - s) for s, e in zip(bounds[:-1], bounds[1:])]
+
+    def topk_combine(*shards) -> pa.Table:
+        live = [x for x in shards if x.num_rows]
+        if not live:
+            return _Q3.empty_table()
+        t = pa.concat_tables(live)
+        g = t.group_by(["l_orderkey", "o_orderdate"]).aggregate(
+            [("revenue", "sum")]).rename_columns(
+            ["l_orderkey", "o_orderdate", "revenue"])
+        keys = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        dates = g.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        rev = np.round(g.column("revenue").to_numpy(zero_copy_only=False), 2)
+        order = np.lexsort((keys, dates, -rev))[:k]
+        return pa.table({
+            "l_orderkey": pa.array(keys[order].astype(np.int64)),
+            "o_orderdate": g.column("o_orderdate").take(pa.array(order)),
+            "revenue": pa.array(rev[order]),
+        }, schema=_Q3)
+
+    refs = [block_ref for bundle in j2.iter_internal_ref_bundles()
+            for block_ref, _md in bundle.blocks if _md.num_rows]
+    if not refs:
+        return _Q3.empty_table()
+    shard = ray.remote(rev_shard)
+    sl = [shard.options(num_returns=P).remote(r) for r in refs]
+    combine = ray.remote(topk_combine)
+    outs = ray.get([combine.remote(*[s[p] for s in sl]) for p in range(P)])
+    merged = pa.concat_tables([_Q3.empty_table()] + outs)
+    keys = merged.column("l_orderkey").to_numpy(zero_copy_only=False)
+    dates = merged.column("o_orderdate").to_numpy(zero_copy_only=False) \
+        .astype("datetime64[us]").astype(np.int64)
+    rev = merged.column("revenue").to_numpy(zero_copy_only=False)
+    order = np.lexsort((keys, dates, -rev))[:k]
+    return pa.table({
+        "l_orderkey": pa.array(keys[order].astype(np.int64)),
+        "o_orderdate": merged.column("o_orderdate").take(pa.array(order)),
+        "revenue": pa.array(rev[order]),
+    }, schema=_Q3)
+
+
 def lineitem_pricing_summary(sf_dir: str):
     """TPC-H Q1-style pricing summary (grouped multi-aggregate)."""
     from ray.data.aggregate import Count, Sum

@@ -657,6 +657,23 @@ SELECT s.doc_id, 'image/png' AS media_type,
 FROM sums s JOIN filt f USING (doc_id)
 """
 
+# TPC-H Q3 mirror: the textbook 3-way join + revenue ranking, same
+# (ROUND-2 desc, date asc, key asc) ordering as the engine's
+# merge-closed local top-k.
+SQL_ORDERS_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) DESC,
+         o_orderdate, l_orderkey
+LIMIT 10
+"""
+
 # Exact mirror of the real BMP decode path: the generator emits RGB
 # scan-order byte k = (doc_id*53 + k*17 + 3) % 256; the BGR/bottom-up/
 # padded storage is the decoder's problem, so the oracle only needs the
@@ -1568,6 +1585,7 @@ def data_queries() -> dict:
         "region_revenue_by_year": P.region_revenue_by_year,
         "events_retention": P.events_retention,
         "orders_mktsegment_revenue": P.orders_mktsegment_revenue,
+        "orders_shipping_priority": P.orders_shipping_priority,
         "lineitem_pricing_summary": P.lineitem_pricing_summary,
         "orders_by_month": P.orders_by_month,
         "events_hourly": P.events_hourly,
@@ -1657,6 +1675,7 @@ def data_oracle_sql() -> dict:
         "region_revenue_by_year": SQL_REGION_REVENUE_BY_YEAR,
         "events_retention": SQL_EVENTS_RETENTION,
         "orders_mktsegment_revenue": SQL_ORDERS_MKTSEGMENT_REVENUE,
+        "orders_shipping_priority": SQL_ORDERS_SHIPPING_PRIORITY,
         "lineitem_pricing_summary": SQL_LINEITEM_PRICING,
         "orders_by_month": SQL_ORDERS_BY_MONTH,
         "events_hourly": SQL_EVENTS_HOURLY,

@@ -31,6 +31,10 @@ SQL_NAMES = [
     "doc_dedup_substring", "doc_dedup_near_keep", "doc_tokenize_ids",
     "doc_quality_gopher", "doc_sample_reservoir",
     "multimodal_image_resize", "emb_project_rp",
+    "emb_pq_codes", "emb_ann_pq", "emb_ann_ivfpq", "emb_covariance",
+    "emb_outlier_scores", "doc_sample_weighted", "doc_vocab_bigrams",
+    "doc_bm25_topk", "doc_winnow", "multimodal_bmp_features",
+    "events_sliding_distinct", "orders_shipping_priority",
 ]
 
 
