@@ -174,6 +174,38 @@ def doc_sample_weighted(sf_dir: str, k: int = 100):
     return merged.take(order[:k]).cast(schema)
 
 
+def doc_compression_ratio(sf_dir: str):
+    """Per-doc zlib compression ratio — the classic cheap repetition /
+    junk heuristic (boilerplate and template spam compress far below
+    natural text; near-random noise compresses above 1.0). Pure map
+    over blocks (stdlib zlib level 6 per doc, the fingerprint-precedent
+    per-doc loop); emits (doc_id, raw_bytes, zlib_bytes, ratio round6).
+    zlib output bytes have no closed form, so there is no SQL oracle —
+    rows-only driver gate; a pytest pins exact equality with direct
+    zlib.compress and the repetitive-vs-random ordering property."""
+    import zlib
+
+    schema = pa.schema([("doc_id", pa.int64()), ("raw_bytes", pa.int64()),
+                        ("zlib_bytes", pa.int64()), ("ratio", pa.float64())])
+
+    def ratios(t: pa.Table) -> pa.Table:
+        texts = [x or "" for x in t.column("text").to_pylist()]
+        raw = np.array([len(x.encode("utf-8")) for x in texts],
+                       dtype=np.int64)
+        comp = np.array([len(zlib.compress(x.encode("utf-8"), 6))
+                         for x in texts], dtype=np.int64)
+        ratio = np.round(comp / np.maximum(raw, 1), 6)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "raw_bytes": pa.array(raw),
+            "zlib_bytes": pa.array(comp),
+            "ratio": pa.array(ratio),
+        }, schema=schema)
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(ratios, batch_format="pyarrow")
+
+
 def doc_length_histogram(sf_dir: str, bucket_tokens: int = 10):
     """Token-length distribution of the corpus — the first diagnostic
     a curation run prints (truncation/packing budgets, length-filter
@@ -2081,6 +2113,57 @@ def emb_pq_codes(sf_dir: str, M: int = 8, ksub: int = 16):
         ], schema=_PQ_SCHEMA)
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def emb_pq_error(sf_dir: str, M: int = 8, ksub: int = 16):
+    """Per-subspace PQ quantization error (mean squared L2 between each
+    sub-vector and its assigned codebook entry) — the codec-quality
+    diagnostic that tells you whether M/ksub are adequate before you
+    build the 10^12-row index on them. One streaming pass after the
+    codebook sample: each block encodes (same _pq_encode integer-key
+    assignment) and emits an M x (sum_d2, count) partial; the driver
+    folds M pairs. Exact SQL mirror through the same integer codes;
+    ROUND-6 on the mean."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = _parquet_num_rows(sf_dir, "embeddings")
+    schema = pa.schema([("m", pa.int64()), ("mse", pa.float64())])
+    cb = _pq_codebook(ds, n, ksub)
+    if cb is None:
+        return schema.empty_table()
+    if cb.shape[1] % M:
+        raise ValueError(f"dim {cb.shape[1]} not divisible by M={M}")
+    dsub = cb.shape[1] // M
+    cb_ref = ray.put(cb)
+    PART = pa.schema([("m", pa.int64()), ("sum_d2", pa.float64()),
+                      ("cnt", pa.int64())])
+
+    def err_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return PART.empty_table()
+        cbm = ray.get(cb_ref)
+        x = S.embedding_matrix(t).astype(np.float64)
+        codes = _pq_encode(x, cbm, M)
+        sums = np.empty(M)
+        for mi in range(M):
+            diff = x[:, mi * dsub:(mi + 1) * dsub] \
+                - cbm[codes[:, mi], mi * dsub:(mi + 1) * dsub]
+            sums[mi] = (diff ** 2).sum()
+        return pa.table({"m": pa.array(np.arange(M, dtype=np.int64)),
+                         "sum_d2": pa.array(sums),
+                         "cnt": pa.array([t.num_rows] * M, pa.int64())},
+                        schema=PART)
+
+    tot = np.zeros(M)
+    cnt = 0
+    for b in ds.map_batches(err_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows == 0:
+            continue
+        mi = b.column("m").to_numpy(zero_copy_only=False)
+        tot[mi] += b.column("sum_d2").to_numpy(zero_copy_only=False)
+        cnt += int(b.column("cnt")[0].as_py())
+    return pa.table({"m": pa.array(np.arange(M, dtype=np.int64)),
+                     "mse": pa.array(np.round(tot / cnt, 6))}, schema=schema)
 
 
 def emb_ann_pq(sf_dir: str, k: int = 10, M: int = 8, ksub: int = 16):

@@ -1022,6 +1022,39 @@ SELECT vec_id, list(CAST(code AS BIGINT) ORDER BY m) AS codes
 FROM a GROUP BY vec_id
 """
 
+# PQ-error mirror: same integer codes as SQL_EMB_PQ_CODES; the assigned
+# code's d2 joins back and averages per subspace.
+SQL_EMB_PQ_ERROR = """
+WITH u AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+), cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, vec_id
+  FROM (SELECT vec_id FROM embeddings
+        WHERE vec_id % (SELECT GREATEST(1, COUNT(*) // 16)
+                        FROM embeddings) = 0
+        ORDER BY vec_id LIMIT 16)
+), cbu AS (
+  SELECT cb.code, u.i, u.x AS cx FROM cb JOIN u USING (vec_id)
+), d AS (
+  SELECT u.vec_id, CAST((u.i - 1) // 8 AS BIGINT) AS m, cbu.code,
+         SUM((u.x - cbu.cx) * (u.x - cbu.cx)) AS d2
+  FROM u JOIN cbu USING (i)
+  GROUP BY u.vec_id, (u.i - 1) // 8, cbu.code
+), a AS (
+  SELECT vec_id, m,
+         arg_min(code,
+                 CAST(FLOOR(d2 * 1000000.0) AS BIGINT) * 64 + code) AS code
+  FROM d GROUP BY vec_id, m
+)
+SELECT a.m AS m,
+       ROUND(SUM(d.d2) / (SELECT COUNT(*) FROM embeddings), 6) AS mse
+FROM a JOIN d ON d.vec_id = a.vec_id AND d.m = a.m AND d.code = a.code
+GROUP BY a.m ORDER BY a.m
+"""
+
 # ADC search mirror: same integer codes as SQL_EMB_PQ_CODES, then the
 # corpus distance estimate is the M-term sum of the query's partial
 # squared-L2 against the ASSIGNED codebook entries; (round6, id asc)
@@ -1535,6 +1568,8 @@ def data_queries() -> dict:
         "emb_ann_sq8": P.emb_ann_sq8,
         "emb_pq_codes": P.emb_pq_codes,
         "emb_ann_pq": P.emb_ann_pq,
+        "emb_pq_error": P.emb_pq_error,
+        "doc_compression_ratio": P.doc_compression_ratio,
         "emb_covariance": P.emb_covariance,
         "emb_pca_project": P.emb_pca_project,
         "emb_ann_ivfpq": P.emb_ann_ivfpq,
@@ -1662,6 +1697,7 @@ def data_oracle_sql() -> dict:
         "emb_ann_sq8": SQL_EMB_ANN_SQ8,
         "emb_pq_codes": SQL_EMB_PQ_CODES,
         "emb_ann_pq": SQL_EMB_ANN_PQ,
+        "emb_pq_error": SQL_EMB_PQ_ERROR,
         "emb_covariance": SQL_EMB_COVARIANCE,
         "emb_sample_balanced": SQL_EMB_SAMPLE_BALANCED,
         "emb_similarity_topk": SQL_EMB_SIMILARITY_TOPK,

@@ -35,6 +35,7 @@ SQL_NAMES = [
     "emb_outlier_scores", "doc_sample_weighted", "doc_vocab_bigrams",
     "doc_bm25_topk", "doc_winnow", "multimodal_bmp_features",
     "events_sliding_distinct", "orders_shipping_priority",
+    "emb_pq_error",
 ]
 
 
@@ -1361,6 +1362,68 @@ def test_ann_pq_matches_numpy_reference(ray_session, tmp_path):
     assert np.allclose(got["adc"], r[order])
     # the nearest ADC neighbors share the query's planted cluster
     assert all(v % 3 == 0 for v in got["vec_id"][:3])
+
+
+def test_pq_error_matches_numpy_and_beats_random(ray_session, tmp_path):
+    """Per-subspace PQ MSE equals the numpy mirror and is strictly
+    below the variance of a random-assignment baseline (the quantizer
+    actually quantizes)."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import emb_pq_error
+
+    rng = np.random.RandomState(31)
+    n, d = 300, 16
+    m = rng.randn(n, d).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array([list(r) for r in m],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * n, type=pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = emb_pq_error(str(tmp_path)).to_pandas()
+
+    cb, codes = _pq_numpy_reference(m)
+    x = m.astype(np.float64)
+    M, dsub = 8, d // 8
+    for mi in range(M):
+        diff = x[:, mi * dsub:(mi + 1) * dsub] \
+            - cb[codes[:, mi], mi * dsub:(mi + 1) * dsub]
+        want = round(float((diff ** 2).sum() / n), 6)
+        assert abs(got["mse"][mi] - want) < 2e-6, mi
+    # nearest-entry assignment beats assigning everyone to entry 0
+    base = ((x[:, :dsub] - cb[0, :dsub]) ** 2).sum() / n
+    assert got["mse"][0] < base
+
+
+def test_compression_ratio_reference_and_ordering(ray_session, tmp_path):
+    """Ratios equal direct zlib, and repetitive text compresses far
+    below high-entropy text (the heuristic's point)."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import doc_compression_ratio
+
+    rng = np.random.RandomState(37)
+    rep = "spam ham " * 200
+    rand = "".join(chr(33 + rng.randint(90)) for _ in range(1600))
+    texts = [rep, rand, "", "short"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = pa.concat_tables(
+        doc_compression_ratio(str(tmp_path)).iter_batches(
+            batch_format="pyarrow", batch_size=None)).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    for i, txt in enumerate(texts):
+        raw = len(txt.encode())
+        comp = len(zlib.compress(txt.encode(), 6))
+        assert got["raw_bytes"][i] == raw
+        assert got["zlib_bytes"][i] == comp
+        assert got["ratio"][i] == round(comp / max(raw, 1), 6)
+    assert got["ratio"][0] < 0.1 < got["ratio"][1]
 
 
 def test_winnow_reference_and_guarantee(ray_session, tmp_path):
