@@ -973,6 +973,11 @@ _NGRAM_PAIRS_SCHEMA = pa.schema([
     ("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64()),
 ])
 
+_CONTAIN_PAIRS_SCHEMA = pa.schema([
+    ("id_contained", pa.int64()), ("id_container", pa.int64()),
+    ("containment", pa.float64()),
+])
+
 
 def _ngram_slice(block: pa.Table, B: int) -> list:
     """Split one read block into B chunk slices (``doc_id % B``) —
@@ -988,7 +993,7 @@ def _ngram_slice(block: pa.Table, B: int) -> list:
 
 
 def _ngram_pair(threshold: float, n: int, na_parts: int,
-                *parts) -> pa.Table:
+                *parts, metric: str = "jaccard") -> pa.Table:
     """One chunk pair: ``parts[:na_parts]`` are the A-chunk slices, the
     remainder the B-chunk slices (no remainder = the diagonal A x A
     pair). Inverted-index co-occurrence counting: shared gram codes ->
@@ -1087,6 +1092,30 @@ def _ngram_pair(threshold: float, n: int, na_parts: int,
                 minlength=n_a * n_b).reshape(n_a, n_b).astype(np.int32)
             start = end
     sz_a, sz_b = sizes[a_idx], sizes[b_idx]
+    if metric == "containment":
+        # asymmetric: intersection over the SMALLER distinct-gram set
+        denom = np.maximum(np.minimum(sz_a[:, None], sz_b[None, :]), 1)
+        score = counts / denom
+        mask = score >= threshold
+        if diag:
+            mask &= np.triu(np.ones_like(mask, dtype=bool), 1)
+        ii, jj = np.nonzero(mask)
+        a_ids, b_ids = ids_a[ii], ids_b[jj]
+        a_sz, b_sz = sz_a[ii], sz_b[jj]
+        # contained = the smaller set; size tie -> the larger doc_id
+        a_in = (a_sz < b_sz) | ((a_sz == b_sz) & (a_ids > b_ids))
+        # round-3 half-away via EXACT integer arithmetic — numpy's
+        # half-to-even on c/min hits .0005 boundaries constantly here
+        # (small integer denominators), so float round() is a coin flip
+        # vs SQL ROUND; the mirror computes the same integer quotient
+        c = counts[mask].astype(np.int64)
+        d = denom[mask].astype(np.int64)
+        r3 = np.floor((c * 2000 + d) / (2.0 * d)) / 1000.0
+        return pa.Table.from_arrays([
+            pa.array(np.where(a_in, a_ids, b_ids).astype(np.int64)),
+            pa.array(np.where(a_in, b_ids, a_ids).astype(np.int64)),
+            pa.array(r3, type=pa.float64()),
+        ], schema=_CONTAIN_PAIRS_SCHEMA)
     union = sz_a[:, None] + sz_b[None, :] - counts
     jac = np.where(union > 0, counts / np.maximum(union, 1), 1.0)
     mask = jac >= threshold
@@ -1144,6 +1173,40 @@ def doc_dedup_ngram(sf_dir: str, threshold: float = 0.4, n: int = 5,
                 threshold, n, len(a_parts),
                 *a_parts, *[s[c_b] for s in sl]))
     return pa.concat_tables([_NGRAM_PAIRS_SCHEMA.empty_table()]
+                            + ray.get(outs))
+
+
+def doc_dedup_containment(sf_dir: str, threshold: float = 0.6, n: int = 5,
+                          n_chunks: int | None = None):
+    """ASYMMETRIC near-dup pairs by n-gram containment — intersection
+    over the SMALLER distinct-gram set (|A∩B| / min(|A|, |B|)): catches
+    quote-expansions and supersets whose symmetric Jaccard dilutes
+    below any threshold (a doc fully contained in one 10x its size has
+    containment 1.0 but Jaccard 0.1). Same raw-task chunk-pair join
+    and inverted-index counting kernel as doc_dedup_ngram (the O(n^2)
+    exact mode is capped by the same contract; MinHash-LSH is the
+    scale path); the emit identifies the contained side (smaller set;
+    size tie -> larger doc_id). Exact brute-force SQL mirror."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    B = n_chunks or max(4, int(np.sqrt(2 * _cpus())))
+    refs = [block_ref for bundle in ds.iter_internal_ref_bundles()
+            for block_ref, _md in bundle.blocks if _md.num_rows]
+    if not refs:
+        return _CONTAIN_PAIRS_SCHEMA.empty_table()
+    slice_task = ray.remote(_ngram_slice)
+    sl = [slice_task.options(num_returns=max(2, B)).remote(r, B)
+          for r in refs]
+    pair_task = ray.remote(_ngram_pair).options(num_cpus=4)
+    outs = []
+    for c_a in range(B):
+        a_parts = [s[c_a] for s in sl]
+        outs.append(pair_task.remote(threshold, n, len(a_parts), *a_parts,
+                                     metric="containment"))
+        for c_b in range(c_a + 1, B):
+            outs.append(pair_task.remote(
+                threshold, n, len(a_parts),
+                *a_parts, *[s[c_b] for s in sl], metric="containment"))
+    return pa.concat_tables([_CONTAIN_PAIRS_SCHEMA.empty_table()]
                             + ray.get(outs))
 
 

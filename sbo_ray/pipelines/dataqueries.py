@@ -346,6 +346,39 @@ FROM pairs WHERE (id_a % 7 = 0) <> (id_b % 7 = 0)
 # Exact character-5-gram Jaccard pairs (doc_dedup_ngram's brute-force
 # mirror; the engine computes the same thing via the distributed
 # chunk-pair join).
+# Containment mirror: the same distinct-5-gram sets as the ngram
+# oracle, intersection over the SMALLER set; contained = smaller set,
+# size tie -> the larger doc_id (inter's ia < ib makes that ib).
+SQL_DOC_DEDUP_CONTAINMENT = r"""
+WITH g AS (
+  SELECT doc_id,
+    CASE WHEN strlen(text) < 5 THEN [text]
+         ELSE list_transform(range(1, strlen(text) - 3), i -> substr(text, i, 5))
+    END AS grams
+  FROM documents
+), dg AS (
+  SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(grams) AS s FROM g)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+  FROM dg a JOIN dg b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CASE WHEN sa.n < sb.n THEN ia
+            WHEN sa.n > sb.n THEN ib
+            ELSE ib END AS id_contained,
+       CASE WHEN sa.n < sb.n THEN ib
+            WHEN sa.n > sb.n THEN ia
+            ELSE ia END AS id_container,
+       FLOOR((c * 2000 + LEAST(sa.n, sb.n))
+             / (2.0 * LEAST(sa.n, sb.n))) / 1000 AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = ia
+JOIN sizes sb ON sb.doc_id = ib
+WHERE c * 1.0 / LEAST(sa.n, sb.n) >= 0.6
+"""
+
 SQL_DOC_DEDUP_NGRAM = r"""
 WITH g AS (
   SELECT doc_id,
@@ -1548,6 +1581,7 @@ def data_queries() -> dict:
         "doc_sample_stratified": P.doc_sample_stratified,
         "doc_dedup_minhash": P.doc_dedup_minhash,
         "doc_dedup_ngram": P.doc_dedup_ngram,
+        "doc_dedup_containment": P.doc_dedup_containment,
         "doc_curation_pipeline": P.doc_curation_pipeline,
         "doc_dedup_clusters": P.doc_dedup_clusters,
         "doc_dedup_clusters_lp": P.doc_dedup_clusters_lp,
@@ -1647,6 +1681,7 @@ def data_oracle_sql() -> dict:
         "doc_sample_stratified": SQL_DOC_SAMPLE_STRATIFIED,
         "doc_dedup_minhash": SQL_DOC_DEDUP_MINHASH,
         "doc_dedup_ngram": SQL_DOC_DEDUP_NGRAM,
+        "doc_dedup_containment": SQL_DOC_DEDUP_CONTAINMENT,
         "doc_curation_pipeline": SQL_DOC_CURATION,
         "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
         "doc_dedup_clusters_lp": SQL_DOC_DEDUP_CLUSTERS,

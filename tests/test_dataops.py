@@ -35,7 +35,7 @@ SQL_NAMES = [
     "emb_outlier_scores", "doc_sample_weighted", "doc_vocab_bigrams",
     "doc_bm25_topk", "doc_winnow", "multimodal_bmp_features",
     "events_sliding_distinct", "orders_shipping_priority",
-    "emb_pq_error",
+    "emb_pq_error", "doc_dedup_containment",
 ]
 
 
@@ -442,6 +442,42 @@ def test_bmp_decode_roundtrip_and_malformed():
     struct.pack_into("<H", bad, 28, 32)  # 32 bpp unsupported
     with _pytest.raises(ValueError, match="bpp=32"):
         decode_bmp(bytes(bad))
+
+
+def test_containment_catches_supersets_jaccard_misses(ray_session, tmp_path):
+    """A doc fully contained in one ~10x its size has containment 1.0
+    but Jaccard ~0.1 — the asymmetric metric's whole point. Also pins
+    the contained-side rule and the exact-integer round-3."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.functions.dedup import char_ngrams
+    from sbo_ray.pipelines.datapipe import (
+        doc_dedup_containment,
+        doc_dedup_ngram,
+    )
+
+    rng = np.random.RandomState(41)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    small = " ".join(rng.choice(vocab, 8))
+    big = small + " " + " ".join(rng.choice(vocab, 80))
+    other = " ".join(rng.choice(["xx", "yy", "zz", "ww"], 40))
+    texts = [big, small, other]
+    t = pa.table({"doc_id": pa.array(range(3), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    got = doc_dedup_containment(str(tmp_path), threshold=0.9).to_pandas()
+    pairs = set(zip(got["id_contained"], got["id_container"]))
+    assert (1, 0) in pairs  # small contained in big
+    row = got[(got["id_contained"] == 1) & (got["id_container"] == 0)]
+    sa, sb = char_ngrams(big, 5), char_ngrams(small, 5)
+    c, d = len(sa & sb), min(len(sa), len(sb))
+    assert float(row["containment"].iloc[0]) == \
+        np.floor((c * 2000 + d) / (2.0 * d)) / 1000.0
+    # symmetric Jaccard misses the same pair at the same threshold
+    jac = doc_dedup_ngram(str(tmp_path), threshold=0.9).to_pandas()
+    assert (0, 1) not in set(zip(jac["id_a"], jac["id_b"]))
+    assert not any(got["id_contained"] == 2)
 
 
 def test_wav_decode_roundtrip_and_malformed():
