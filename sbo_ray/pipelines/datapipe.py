@@ -4235,6 +4235,61 @@ def events_quantiles(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)):
     return ds.groupby("event_type").map_groups(quants, batch_format="pandas")
 
 
+def events_quantiles_kll(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)):
+    """Approximate per-type value percentiles via mergeable KLL
+    sketches — the scale twin of ``events_quantiles`` for heavy groups
+    or unbounded group cardinality, where co-locating a group's order
+    statistics is the bottleneck the sketch removes (same pairing as
+    log_bytes_quantiles / _kll on the log side). One bounded compactor
+    ladder per (block, event_type); driver merges |types| x blocks
+    sketches. No SQL gate (approximate by construction); rank-error
+    and merge law are pinned in tests/test_sketch.py and the exact
+    twin brackets it in the query-level test."""
+    from ..stages.kll import KLLSketch
+
+    K = 256
+
+    def partial(t: pa.Table) -> pa.Table:
+        srcs, sketches = [], []
+        if t.num_rows:
+            enc = pc.dictionary_encode(t.column("event_type")
+                                       .combine_chunks())
+            vals = t.column("value").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            idx = enc.indices.to_numpy(zero_copy_only=False)
+            for i, et in enumerate(enc.dictionary.to_pylist()):
+                sk = KLLSketch(K)
+                sk.add(vals[idx == i])
+                srcs.append(et)
+                sketches.append(sk.to_bytes())
+        return pa.table({
+            "event_type": pa.array(srcs, type=pa.string()),
+            "sketch": pa.array(sketches, type=pa.binary()),
+        })
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    parts = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    merged: dict = {}
+    for et, blob in zip(parts.column("event_type").to_pylist(),
+                        parts.column("sketch").to_pylist()):
+        sk = KLLSketch.from_bytes(blob)
+        if et in merged:
+            merged[et].merge(sk)
+        else:
+            merged[et] = sk
+    schema = pa.schema([("event_type", pa.string()), ("p50", pa.float64()),
+                        ("p90", pa.float64()), ("p99", pa.float64())])
+    rows = sorted(merged.items())
+    return pa.table({
+        "event_type": pa.array([s for s, _ in rows], type=pa.string()),
+        "p50": pa.array([r.quantile(qs[0]) for _, r in rows]),
+        "p90": pa.array([r.quantile(qs[1]) for _, r in rows]),
+        "p99": pa.array([r.quantile(qs[2]) for _, r in rows]),
+    }, schema=schema)
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows over the events stream: per user, events closer
     than ``gap_minutes`` belong to one session (the classic stream

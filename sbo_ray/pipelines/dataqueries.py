@@ -1631,6 +1631,7 @@ def data_queries() -> dict:
         "events_sliding_distinct": P.events_sliding_distinct,
         "events_transitions": P.events_transitions,
         "events_quantiles": P.events_quantiles,
+        "events_quantiles_kll": P.events_quantiles_kll,
         "doc_group_topk": P.doc_group_topk,
         "doc_pack_sequences": P.doc_pack_sequences,
         "doc_decontaminate_ngram": P.doc_decontaminate_ngram,

@@ -96,6 +96,28 @@ def test_kll_merge_law_and_roundtrip():
         assert abs(rank - q * len(data)) <= 0.02 * len(data), q
 
 
+def test_kll_events_quantiles_query_accuracy(ray_session):
+    """The events-side KLL twin brackets the exact per-type quantiles
+    at q +/- 0.05 (same contract as the log-side twin)."""
+    from sbo_ray.pipelines.datapipe import (
+        events_quantiles,
+        events_quantiles_kll,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    est = events_quantiles_kll(SF).to_pandas().set_index("event_type")
+    lo = events_quantiles(SF, qs=(0.45, 0.85, 0.94)).to_pandas() \
+        .set_index("event_type")
+    hi = events_quantiles(SF, qs=(0.55, 0.95, 1.0)).to_pandas() \
+        .set_index("event_type")
+    assert sorted(est.index) == sorted(lo.index)
+    for col in ("p50", "p90", "p99"):
+        j = est[[col]].join(lo[[col]], rsuffix="_lo").join(
+            hi[[col]], rsuffix="_hi")
+        assert (j[col] >= j[f"{col}_lo"]).all(), col
+        assert (j[col] <= j[f"{col}_hi"]).all(), col
+
+
 def test_kll_bytes_quantiles_query_accuracy(ray_session):
     """The KLL twin brackets the exact per-source percentiles: each
     estimate lies between the exact quantiles at q +/- 0.05 (rank-error
