@@ -50,7 +50,7 @@ _PRIORITY = [
     "emb_outlier_scores", "doc_bm25_topk", "multimodal_bmp_features",
     "events_sliding_distinct", "doc_winnow", "orders_shipping_priority",
     "emb_pq_error", "doc_compression_ratio", "doc_dedup_containment",
-    "events_quantiles_kll",
+    "events_quantiles_kll", "events_user_value_topk",
     # checked in r02 but rotated out of r03
     "multimodal_payload_stats", "multimodal_frame_sample",
     "multimodal_features", "customer_nation_agg",

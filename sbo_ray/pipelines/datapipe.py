@@ -4235,6 +4235,83 @@ def events_quantiles(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)):
     return ds.groupby("event_type").map_groups(quants, batch_format="pandas")
 
 
+_ULTV = pa.schema([("user_id", pa.int64()), ("n_events", pa.int64()),
+                   ("total_value", pa.float64())])
+
+
+def events_user_value_topk(sf_dir: str, k: int = 100):
+    """Top-k users by lifetime summed value — exact heavy hitters over
+    a high-cardinality key (users are unbounded at scale, so the
+    vocab_topk-style driver merge is a memory cliff; the CMS sketch is
+    the approximate twin). Same layout as doc_vocab_bigrams: block
+    partials (one group_by per block — volume drops to block-distinct
+    users), ONE Fibonacci-hash exchange on user_id, per-partition
+    exact sums + LOCAL top-k under the FINAL (round2(value) desc,
+    n desc, user asc) key — a user lives in exactly one partition, so
+    P local top-ks contain the global top-k; driver merges P x k rows.
+    Exact SQL mirror."""
+    P = max(2, _n_parts())
+
+    def val_shard(block: pa.Table) -> list:
+        g = pa.table({
+            "user_id": block.column("user_id"),
+            "value": block.column("value"),
+        }).group_by("user_id").aggregate(
+            [("value", "sum"), ("value", "count")]).rename_columns(
+            ["user_id", "total_value", "n_events"])
+        g = g.select(["user_id", "n_events", "total_value"]) \
+            .cast(pa.schema([("user_id", pa.int64()),
+                             ("n_events", pa.int64()),
+                             ("total_value", pa.float64())]))
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        if not len(u):
+            return [g for _ in range(P)]
+        part = _lp_partition(u.astype(np.int64), P)
+        order = np.argsort(part, kind="stable")
+        st = g.take(pa.array(order))
+        bounds = np.searchsorted(part[order], np.arange(P + 1))
+        return [st.slice(s, e - s) for s, e in zip(bounds[:-1], bounds[1:])]
+
+    def ltv_combine(*shards) -> pa.Table:
+        live = [x for x in shards if x.num_rows]
+        if not live:
+            return _ULTV.empty_table()
+        t = pa.concat_tables(live)
+        g = t.group_by("user_id").aggregate(
+            [("total_value", "sum"), ("n_events", "sum")]).rename_columns(
+            ["user_id", "total_value", "n_events"])
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        n = g.column("n_events").to_numpy(zero_copy_only=False)
+        v = np.round(g.column("total_value").to_numpy(zero_copy_only=False),
+                     2)
+        order = np.lexsort((u, -n, -v))[:k]
+        return pa.table({
+            "user_id": pa.array(u[order].astype(np.int64)),
+            "n_events": pa.array(n[order].astype(np.int64)),
+            "total_value": pa.array(v[order]),
+        }, schema=_ULTV)
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    refs = [block_ref for bundle in ds.iter_internal_ref_bundles()
+            for block_ref, _md in bundle.blocks if _md.num_rows]
+    if not refs:
+        return _ULTV.empty_table()
+    shard = ray.remote(val_shard)
+    sl = [shard.options(num_returns=P).remote(r) for r in refs]
+    combine = ray.remote(ltv_combine)
+    outs = ray.get([combine.remote(*[s[p] for s in sl]) for p in range(P)])
+    merged = pa.concat_tables([_ULTV.empty_table()] + outs)
+    u = merged.column("user_id").to_numpy(zero_copy_only=False)
+    n = merged.column("n_events").to_numpy(zero_copy_only=False)
+    v = merged.column("total_value").to_numpy(zero_copy_only=False)
+    order = np.lexsort((u, -n, -v))[:k]
+    return pa.table({
+        "user_id": pa.array(u[order].astype(np.int64)),
+        "n_events": pa.array(n[order].astype(np.int64)),
+        "total_value": pa.array(v[order]),
+    }, schema=_ULTV)
+
+
 def events_quantiles_kll(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)):
     """Approximate per-type value percentiles via mergeable KLL
     sketches — the scale twin of ``events_quantiles`` for heavy groups

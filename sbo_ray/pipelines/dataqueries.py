@@ -1213,6 +1213,16 @@ FROM events, (SELECT UNNEST(range(4)) AS i) i
 GROUP BY 1, 2
 """
 
+# User-LTV heavy-hitters mirror: same (ROUND-2 desc, n desc, id asc)
+# total order as the engine's merge-closed per-partition top-k.
+SQL_EVENTS_USER_VALUE_TOPK = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY user_id
+ORDER BY ROUND(SUM(value), 2) DESC, COUNT(*) DESC, user_id
+LIMIT 100
+"""
+
 # Sliding-distinct mirror: the same window expansion as
 # SQL_EVENTS_SLIDING, COUNT(DISTINCT user_id) per window.
 SQL_EVENTS_SLIDING_DISTINCT = """
@@ -1629,6 +1639,7 @@ def data_queries() -> dict:
         "events_window_join": P.events_window_join,
         "events_sliding_window": P.events_sliding_window,
         "events_sliding_distinct": P.events_sliding_distinct,
+        "events_user_value_topk": P.events_user_value_topk,
         "events_transitions": P.events_transitions,
         "events_quantiles": P.events_quantiles,
         "events_quantiles_kll": P.events_quantiles_kll,
@@ -1705,6 +1716,7 @@ def data_oracle_sql() -> dict:
         "events_window_join": SQL_EVENTS_WINDOW_JOIN,
         "events_sliding_window": SQL_EVENTS_SLIDING,
         "events_sliding_distinct": SQL_EVENTS_SLIDING_DISTINCT,
+        "events_user_value_topk": SQL_EVENTS_USER_VALUE_TOPK,
         "events_transitions": SQL_EVENTS_TRANSITIONS,
         "events_quantiles": SQL_EVENTS_QUANTILES,
         "doc_group_topk": SQL_DOC_GROUP_TOPK,

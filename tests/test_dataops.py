@@ -35,7 +35,7 @@ SQL_NAMES = [
     "emb_outlier_scores", "doc_sample_weighted", "doc_vocab_bigrams",
     "doc_bm25_topk", "doc_winnow", "multimodal_bmp_features",
     "events_sliding_distinct", "orders_shipping_priority",
-    "emb_pq_error", "doc_dedup_containment",
+    "emb_pq_error", "doc_dedup_containment", "events_user_value_topk",
 ]
 
 
