@@ -32,6 +32,8 @@ def entry() -> Any:
 # absent from CORRECTNESS_r03/r02) go FIRST so every operator earns a
 # row across rounds; the 50 r3-green gates follow.
 _PRIORITY = [
+    # newest (added after the round-4 driver-order freeze)
+    "doc_quality_c4",
     # never driver-checked through r3 (judge-verified only)
     "events_funnel", "doc_tfidf", "emb_knn_join", "doc_unigram_logprob",
     "multimodal_audio_features", "supplier_nation_revenue",

@@ -408,6 +408,55 @@ def gopher_stats(batch: pa.Table) -> pa.Table:
     })
 
 
+def c4_stats(batch: pa.Table) -> pa.Table:
+    """Per-doc C4 quality-filter stats + keep flag (Raffel et al. 2020
+    §2.2 — the LINE-level companion to ``gopher_stats``'s word-level
+    rules), one vectorized pass. A line is KEPT iff it ends in a
+    terminal punctuation mark ('.', '!', '?', '"'), has >= 5
+    space-split words, and does not mention "javascript"
+    (case-insensitive). The doc is kept iff it has >= 3 kept lines
+    (C4's >= 3-sentences gate, applied to the filtered page), no
+    "lorem ipsum", and no '{'. Every column is an INTEGER and every
+    gate is integer arithmetic, so the DuckDB mirror
+    (SQL_DOC_QUALITY_C4) is hash-exact."""
+    col = _text_col(batch)
+    n_docs = len(col)
+    low = pc.utf8_lower(col)
+    lines = pc.split_pattern(col, "\n")
+    n_lines = pc.list_value_length(lines).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    lflat = lines.values
+    line_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                        np.diff(lines.offsets.to_numpy(zero_copy_only=False)))
+    terminal = np.zeros(len(lflat), dtype=bool)
+    for p in (".", "!", "?", '"'):
+        terminal |= pc.ends_with(lflat, p).to_numpy(zero_copy_only=False)
+    line_words = pc.list_value_length(pc.split_pattern(lflat, " ")) \
+        .cast(pa.int64()).to_numpy(zero_copy_only=False)
+    js = pc.match_substring(pc.utf8_lower(lflat), "javascript") \
+        .to_numpy(zero_copy_only=False)
+    kept = terminal & (line_words >= 5) & ~js
+    n_kept = np.bincount(line_of[kept], minlength=n_docs).astype(np.int64)
+    n_kept_words = np.bincount(line_of[kept], weights=line_words[kept],
+                               minlength=n_docs).astype(np.int64)
+    n_js = np.bincount(line_of[js], minlength=n_docs).astype(np.int64)
+    has_lorem = pc.match_substring(low, "lorem ipsum") \
+        .to_numpy(zero_copy_only=False)
+    has_brace = (pc.count_substring(col, "{").cast(pa.int64())
+                 .to_numpy(zero_copy_only=False) > 0)
+    keep = (n_kept >= 3) & ~has_lorem & ~has_brace
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_lines": pa.array(n_lines, type=pa.int64()),
+        "n_kept_lines": pa.array(n_kept),
+        "n_kept_words": pa.array(n_kept_words),
+        "n_js_lines": pa.array(n_js),
+        "has_lorem": pa.array(has_lorem.astype(np.int64)),
+        "has_brace": pa.array(has_brace.astype(np.int64)),
+        "keep": pa.array(keep.astype(np.int64)),
+    })
+
+
 def vocab_partial(batch: pa.Table) -> pa.Table:
     """Block-local token histogram (space-split): the partial-aggregate
     half of the global vocabulary count. Emits (token, n) per unique

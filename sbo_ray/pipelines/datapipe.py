@@ -2753,6 +2753,62 @@ def doc_quality_gopher(sf_dir: str):
     )
 
 
+def doc_quality_c4(sf_dir: str):
+    """C4 quality-filter rules (Raffel et al. 2020 §2.2) per doc: the
+    LINE-level filter family (terminal punctuation, >= 5 words/line, no
+    javascript mentions, lorem-ipsum / curly-brace page gates) as ONE
+    vectorized map_batches scan (functions/text.c4_stats), no shuffle.
+    Like doc_quality_gopher, embarrassingly parallel at 100 TB and
+    usable as a block-local gate ahead of any dedup shuffle.
+
+    The synthetic corpus is single-line with no terminal punctuation,
+    so (like doc_pii_redact) deterministic multi-line structure is
+    appended per doc — closed form over doc_id, rebuilt identically by
+    the SQL oracle — making every rule (kept line, short line,
+    javascript line, lorem-ipsum page, brace page, the >= 3-kept-lines
+    boundary) fire on both sides."""
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        id_s = ids.cast(pa.string())
+        empty = pa.array([""] * len(ids), type=pa.string())
+
+        def opt(mask: np.ndarray, part) -> pa.Array:
+            return pc.if_else(pa.array(mask), part, empty)
+
+        good2 = pc.binary_join_element_wise(
+            "\nAnother good sentence number ", id_s, " right here!"
+            "\nIs this a third good line ", id_s, "?", "")
+        js = pc.binary_join_element_wise(
+            "\nEnable javascript to view page ", id_s, " now.", "")
+        brace = pc.binary_join_element_wise(
+            "\nfunction f() { return ", id_s, "; }", "")
+        aug = pc.binary_join_element_wise(
+            txt,
+            "\nThis is a plain sentence with id ", id_s, ".",
+            opt(ids_np % 2 == 0, good2),
+            opt(ids_np % 3 == 0, pa.array(
+                ["\nshort line."] * len(ids), type=pa.string())),
+            opt(ids_np % 5 == 0, js),
+            opt(ids_np % 7 == 0, pa.array(
+                ["\nlorem ipsum dolor sit amet placeholder text here."]
+                * len(ids), type=pa.string())),
+            opt(ids_np % 11 == 0, brace),
+            "")
+        return pa.table({"doc_id": ids, "text": aug})
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(augment, batch_format="pyarrow")
+        .map_batches(T.c4_stats, batch_format="pyarrow")
+    )
+
+
 def doc_pack_sequences(sf_dir: str, seq_len: int = 512,
                        chunk_docs: int = 4096):
     """GPT-style sequence PACKING: concatenate every document's tokens

@@ -254,6 +254,67 @@ SELECT doc_id,
 FROM s
 """
 
+# C4 mirror: the kept-line predicate is repeated (filter for the count,
+# filter+transform for the word sum) because DuckDB lambdas can't bind
+# a named intermediate; both copies must stay in lockstep with
+# functions/text.c4_stats.
+SQL_DOC_QUALITY_C4 = """
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || chr(10) || 'This is a plain sentence with id ' || doc_id || '.'
+    || CASE WHEN doc_id % 2 = 0 THEN
+         chr(10) || 'Another good sentence number ' || doc_id
+         || ' right here!'
+         || chr(10) || 'Is this a third good line ' || doc_id || '?'
+       ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'short line.'
+       ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN
+         chr(10) || 'Enable javascript to view page ' || doc_id || ' now.'
+       ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN
+         chr(10) || 'lorem ipsum dolor sit amet placeholder text here.'
+       ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN
+         chr(10) || 'function f() { return ' || doc_id || '; }'
+       ELSE '' END AS text
+  FROM documents
+), l AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM aug
+), s AS (
+  SELECT doc_id,
+    len(ls) AS n_lines,
+    len(list_filter(ls, x ->
+        (ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?')
+         OR ends_with(x, '"'))
+        AND len(string_split(x, ' ')) >= 5
+        AND NOT contains(lower(x), 'javascript'))) AS n_kept_lines,
+    CAST(COALESCE(list_sum(list_transform(list_filter(ls, x ->
+        (ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?')
+         OR ends_with(x, '"'))
+        AND len(string_split(x, ' ')) >= 5
+        AND NOT contains(lower(x), 'javascript')),
+        x -> len(string_split(x, ' ')))), 0) AS BIGINT) AS n_kept_words,
+    len(list_filter(ls, x -> contains(lower(x), 'javascript')))
+      AS n_js_lines,
+    CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END
+      AS has_lorem,
+    CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS has_brace
+  FROM l
+)
+SELECT doc_id,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(n_kept_lines AS BIGINT) AS n_kept_lines,
+  n_kept_words,
+  CAST(n_js_lines AS BIGINT) AS n_js_lines,
+  CAST(has_lorem AS BIGINT) AS has_lorem,
+  CAST(has_brace AS BIGINT) AS has_brace,
+  CAST(CASE WHEN n_kept_lines >= 3 AND has_lorem = 0 AND has_brace = 0
+       THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s
+"""
+
 # Tokenize-to-ids mirror: the vocab is the same (count desc, token asc)
 # ranking as doc_vocab_topk, built as a MAP scalar; per-token lookup via
 # map extract, OOV -> 0; same string_split semantics (empties kept).
@@ -1625,6 +1686,7 @@ def data_queries() -> dict:
         "doc_pii_redact": P.doc_pii_redact,
         "doc_repetition_stats": P.doc_repetition_stats,
         "doc_quality_gopher": P.doc_quality_gopher,
+        "doc_quality_c4": P.doc_quality_c4,
         "doc_vocab_topk": P.doc_vocab_topk,
         "doc_vocab_bigrams": P.doc_vocab_bigrams,
         "doc_bm25_topk": P.doc_bm25_topk,
@@ -1704,6 +1766,7 @@ def data_oracle_sql() -> dict:
         "doc_pii_redact": SQL_DOC_PII_REDACT,
         "doc_repetition_stats": SQL_DOC_REPETITION,
         "doc_quality_gopher": SQL_DOC_QUALITY_GOPHER,
+        "doc_quality_c4": SQL_DOC_QUALITY_C4,
         "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
         "doc_vocab_bigrams": SQL_DOC_VOCAB_BIGRAMS,
         "doc_bm25_topk": SQL_DOC_BM25_TOPK,
