@@ -5568,6 +5568,30 @@ def region_revenue_by_year(sf_dir: str):
     })
 
 
+def _unigram_vocab_ref(docs):
+    """Pass 1 of the unigram-LM scorers (doc_unigram_logprob,
+    doc_ccnet_buckets): vocabulary-bounded driver merge of block token
+    histograms (Heaps' law contract — same as doc_tfidf), vocabulary
+    broadcast ONCE sorted with its count array so scoring passes work
+    entirely in index_in positions. Returns (object ref to
+    (sorted_vocab, counts_f64), total_tokens) or (None, 0) on empty."""
+    parts = list(docs.map_batches(
+        T.vocab_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return None, 0
+    agg = pa.concat_tables(parts).group_by("token").aggregate(
+        [("n", "sum")])
+    total = int(pc.sum(agg.column("n_sum")).as_py() or 0)
+    if total == 0:
+        return None, 0
+    order = pc.sort_indices(agg.column("token"))
+    vocab = agg.column("token").take(order).combine_chunks()
+    cnt_arr = agg.column("n_sum").take(order).to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    return ray.put((vocab, cnt_arr)), total
+
+
 def doc_unigram_logprob(sf_dir: str):
     """Corpus-unigram-LM quality score per document: the mean negative
     log-probability of the doc's tokens under the corpus unigram
@@ -5581,29 +5605,13 @@ def doc_unigram_logprob(sf_dir: str):
     one bincount over per-unique-token terms, not a token loop."""
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    parts = list(docs.map_batches(
-        T.vocab_partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow", batch_size=None))
     empty = pa.schema([
         ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
         ("avg_neg_logprob", pa.float64()),
     ]).empty_table()
-    if not parts:
+    cnt_ref, total = _unigram_vocab_ref(docs)
+    if cnt_ref is None:
         return empty
-    agg = pa.concat_tables(parts).group_by("token").aggregate(
-        [("n", "sum")])
-    total = int(pc.sum(agg.column("n_sum")).as_py() or 0)
-    if total == 0:
-        return empty
-    # broadcast the vocabulary SORTED with its count array — pass 2
-    # works entirely in index_in positions (the string-group_by +
-    # to_pylist + dict-lookup version was ~2x the whole query; same
-    # int-composite-key idiom as doc_tfidf)
-    order = pc.sort_indices(agg.column("token"))
-    vocab = agg.column("token").take(order).combine_chunks()
-    cnt_arr = agg.column("n_sum").take(order).to_numpy(
-        zero_copy_only=False).astype(np.float64)
-    cnt_ref = ray.put((vocab, cnt_arr))
 
     def score(batch: pa.Table) -> pa.Table:
         vocab_a, gc_arr = ray.get(cnt_ref)
@@ -5633,3 +5641,144 @@ def doc_unigram_logprob(sf_dir: str):
     out = list(docs.map_batches(score, batch_format="pyarrow")
                .iter_batches(batch_format="pyarrow", batch_size=None))
     return pa.concat_tables(out) if out else empty
+
+
+_CCNET_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("score", pa.float64()),
+    ("ccnet_rank", pa.int64()), ("bucket", pa.int64()),
+])
+
+
+def _ccnet_sample(block: pa.Table, per_block: int) -> np.ndarray:
+    k = block.column("key").to_numpy(zero_copy_only=False)
+    if len(k) <= per_block:
+        return k.astype(np.int64)
+    idx = np.linspace(0, len(k) - 1, per_block).astype(np.int64)
+    return k[idx].astype(np.int64)
+
+
+def _ccnet_slice(block: pa.Table, splits: np.ndarray) -> list:
+    """Route one scored block into len(splits)+1 key RANGES
+    (searchsorted side='right': equal keys always land in one range,
+    so cross-range order == key order regardless of split quality).
+    16 bytes/row leave the scan."""
+    P = len(splits) + 1
+    ids = block.column("doc_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    keys = block.column("key").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    if not len(ids):
+        return [(ids, keys) for _ in range(P)]
+    part = np.searchsorted(splits, keys, side="right")
+    order = np.argsort(part, kind="stable")
+    ids, keys = ids[order], keys[order]
+    bounds = np.searchsorted(part[order], np.arange(P + 1))
+    return [(ids[s:e], keys[s:e]) for s, e in zip(bounds[:-1], bounds[1:])]
+
+
+def _ccnet_rank(base: int, n_total: int, *shards) -> pa.Table:
+    """One key range: local (key, doc_id) sort; global rank = prefix-sum
+    base + local rank; tertile bucket = 3*rank // n."""
+    ids = np.concatenate([s[0] for s in shards])
+    if not len(ids):
+        return _CCNET_SCHEMA.empty_table()
+    keys = np.concatenate([s[1] for s in shards])
+    order = np.lexsort((ids, keys))
+    rank = np.empty(len(ids), dtype=np.int64)
+    rank[order] = base + np.arange(len(ids), dtype=np.int64)
+    return pa.Table.from_arrays([
+        pa.array(ids), pa.array(np.round(keys / 1e6, 6)),
+        pa.array(rank), pa.array(3 * rank // n_total)],
+        schema=_CCNET_SCHEMA)
+
+
+def doc_ccnet_buckets(sf_dir: str, sample_per_block: int = 64):
+    """CCNet-style corpus bucketing (Wenzek et al. 2020): rank every
+    document by its unigram-LM quality score (doc_unigram_logprob's
+    mean -ln p) and split the corpus into equal-count head / middle /
+    tail tertiles — the standard quality-stratified pretraining layout
+    (head = most fluent). Output: (doc_id, score, ccnet_rank, bucket),
+    rank 0-based under (round6-int score key asc, doc_id asc),
+    bucket = 3*rank // n in {0, 1, 2}.
+
+    Engine shape — exact global RANK BY A DERIVED, NON-UNIFORM key
+    (doc_shuffle_order's md5 key was uniform, so equal-width ranges
+    balanced with no extra step; a score key is skewed, so this adds
+    the one missing piece):
+
+      pass 1  token-histogram partials -> vocabulary-bounded driver
+              merge, count map broadcast once (shared with
+              doc_unigram_logprob via _unigram_vocab_ref);
+      pass 2  block-local scoring emits (doc_id, int64 round6-score
+              key) — 16 bytes/row, text never leaves the scan;
+      splits  a bounded per-block key SAMPLE (sample_per_block rows)
+              picks P-1 range splits on the driver — sample quality
+              affects only balance, never correctness, because ranges
+              partition the key space and equal keys cannot straddle
+              a boundary (side='right' routing);
+      rank    P range tasks sort locally; prefix sum of range counts
+              (P ints) gives global ranks and tertile buckets.
+
+    The float score is gated through the round6-int composite key on
+    both sides (the doc_sample_weighted idiom: libm last-ulp noise
+    cannot flip an integer key off a measure-zero boundary). Exact SQL
+    mirror: ROW_NUMBER under the same CAST(ROUND(score,6)*1e6 AS
+    BIGINT), doc_id order."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cnt_ref, total = _unigram_vocab_ref(docs)
+    if cnt_ref is None:
+        return rd.from_arrow(_CCNET_SCHEMA.empty_table())
+
+    def score_keys(batch: pa.Table) -> pa.Table:
+        vocab_a, gc_arr = ray.get(cnt_ref)
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(col, " ")
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(
+            np.arange(len(batch), dtype=np.int64),
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False))
+        nv = len(vocab_a)
+        tcode = pc.index_in(toks.values, value_set=vocab_a).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uk, c = np.unique(doc_idx * nv + tcode, return_counts=True)
+        d, tc = uk // nv, uk % nv
+        neg_lp = -np.log(gc_arr[tc] / total)
+        n_tok = np.bincount(d, weights=c, minlength=len(batch))
+        lp_sum = np.bincount(d, weights=c * neg_lp, minlength=len(batch))
+        key = np.rint(
+            np.round(lp_sum / np.maximum(n_tok, 1), 6) * 1e6
+        ).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "key": pa.array(key),
+        })
+
+    scored = docs.map_batches(score_keys, batch_format="pyarrow")
+    refs = [block_ref for bundle in scored.iter_internal_ref_bundles()
+            for block_ref, _md in bundle.blocks if _md.num_rows]
+    if not refs:
+        return rd.from_arrow(_CCNET_SCHEMA.empty_table())
+    P = max(2, _n_parts())
+    sample_task = ray.remote(_ccnet_sample)
+    sample = np.sort(np.concatenate(ray.get(
+        [sample_task.remote(r, sample_per_block) for r in refs])))
+    splits = np.unique(
+        sample[(np.arange(1, P) * len(sample)) // P]) \
+        if len(sample) else np.array([], dtype=np.int64)
+    P_eff = len(splits) + 1
+    slice_task = ray.remote(_ccnet_slice)
+    sl = [slice_task.options(num_returns=P_eff).remote(r, splits)
+          for r in refs]
+    if P_eff == 1:
+        sl = [[s] for s in sl]
+    count_task = ray.remote(_shuf_count)
+    counts = ray.get([count_task.remote(*[s[p] for s in sl])
+                      for p in range(P_eff)])
+    n_total = int(sum(counts))
+    bases = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank_task = ray.remote(_ccnet_rank)
+    outs = [rank_task.remote(int(bases[p]), n_total, *[s[p] for s in sl])
+            for p in range(P_eff)]
+    return rd.from_arrow_refs(outs)

@@ -1397,6 +1397,34 @@ FROM tok JOIN g ON tok.t = g.t CROSS JOIN n
 GROUP BY 1
 """
 
+# CCNet-buckets mirror: same unigram score as SQL_DOC_UNIGRAM_LOGPROB,
+# then ROW_NUMBER under the round6-int composite key (score key asc,
+# doc_id asc) and tertile bucket by integer division — DuckDB's `/` on
+# integers returns DOUBLE, so `//` is required for the bucket.
+SQL_DOC_CCNET_BUCKETS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), g AS (
+  SELECT t, COUNT(*) AS c FROM tok GROUP BY 1
+), n AS (SELECT SUM(c) AS total FROM g),
+sc AS (
+  SELECT tok.doc_id,
+         ROUND(SUM(-ln(g.c / n.total)) / COUNT(*), 6) AS score
+  FROM tok JOIN g ON tok.t = g.t CROSS JOIN n
+  GROUP BY 1
+), r AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(ROUND(score, 6) * 1000000 AS BIGINT), doc_id
+         ) - 1 AS rk,
+         COUNT(*) OVER () AS nn
+  FROM sc
+)
+SELECT doc_id, score, CAST(rk AS BIGINT) AS ccnet_rank,
+       CAST((3 * rk) // nn AS BIGINT) AS bucket
+FROM r
+"""
+
 # Bigram-LM mirror: the same top-V vocab ranking as tokenize_ids
 # (count desc, token asc; OOV -> 0), a positional self-join for the
 # transitions (never crossing doc boundaries by construction), add-one
@@ -1687,6 +1715,7 @@ def data_queries() -> dict:
         "doc_repetition_stats": P.doc_repetition_stats,
         "doc_quality_gopher": P.doc_quality_gopher,
         "doc_quality_c4": P.doc_quality_c4,
+        "doc_ccnet_buckets": P.doc_ccnet_buckets,
         "doc_vocab_topk": P.doc_vocab_topk,
         "doc_vocab_bigrams": P.doc_vocab_bigrams,
         "doc_bm25_topk": P.doc_bm25_topk,
@@ -1767,6 +1796,7 @@ def data_oracle_sql() -> dict:
         "doc_repetition_stats": SQL_DOC_REPETITION,
         "doc_quality_gopher": SQL_DOC_QUALITY_GOPHER,
         "doc_quality_c4": SQL_DOC_QUALITY_C4,
+        "doc_ccnet_buckets": SQL_DOC_CCNET_BUCKETS,
         "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
         "doc_vocab_bigrams": SQL_DOC_VOCAB_BIGRAMS,
         "doc_bm25_topk": SQL_DOC_BM25_TOPK,

@@ -29,7 +29,8 @@ SQL_NAMES = [
     "part_brand_revenue", "region_revenue_by_year",
     "doc_unigram_logprob", "multimodal_png_features",
     "doc_dedup_substring", "doc_dedup_near_keep", "doc_tokenize_ids",
-    "doc_quality_gopher", "doc_quality_c4", "doc_sample_reservoir",
+    "doc_quality_gopher", "doc_quality_c4", "doc_ccnet_buckets",
+    "doc_sample_reservoir",
     "multimodal_image_resize", "emb_project_rp",
     "emb_pq_codes", "emb_ann_pq", "emb_ann_ivfpq", "emb_covariance",
     "emb_outlier_scores", "doc_sample_weighted", "doc_vocab_bigrams",
