@@ -3904,6 +3904,119 @@ def customer_no_orders(sf_dir: str, status: str = "F"):
     })
 
 
+_EMB_CUR = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                      ("cos_mean", pa.float64())])
+
+
+def _emb_cur_combine(n_text: int, *shards) -> pa.Table:
+    """One hash partition of the text x embedding curation join:
+    ``shards[:n_text]`` are (doc_id, n_tokens) gate-passing text rows,
+    the rest (vec_id, cos-in-micro-units) inlier embedding rows. Inner
+    join via sorted-unique vec_ids + searchsorted (vec_ids are unique,
+    so one probe per doc); output sorted by doc_id for per-partition
+    determinism. ``cos_int / 1e6`` reproduces ROUND(cos, 6) exactly:
+    both are the nearest double to the same decimal."""
+    ts = shards[:n_text]
+    es = shards[n_text:]
+    tk = (np.concatenate([s[0] for s in ts])
+          if ts else np.zeros(0, np.int64))
+    ek = (np.concatenate([s[0] for s in es])
+          if es else np.zeros(0, np.int64))
+    if not len(tk) or not len(ek):
+        return _EMB_CUR.empty_table()
+    tc = np.concatenate([s[1] for s in ts])
+    ec = np.concatenate([s[1] for s in es])
+    order = np.argsort(ek, kind="stable")
+    eks, ecs = ek[order], ec[order]
+    pos = np.searchsorted(eks, tk)
+    pos_c = np.minimum(pos, len(eks) - 1)
+    found = eks[pos_c] == tk
+    dk, nt = tk[found], tc[found]
+    cm = ecs[pos_c[found]] / 1e6
+    oo = np.argsort(dk, kind="stable")
+    return pa.table({"doc_id": dk[oo], "n_tokens": nt[oo],
+                     "cos_mean": cm[oo]}, schema=_EMB_CUR)
+
+
+def doc_emb_curation(sf_dir: str, lang: str = "en", min_tokens: int = 20,
+                     max_tokens: int = 1000, min_stop_ratio: float = 0.015,
+                     cos_threshold: float = 0.0):
+    """JOINT text + embedding curation — the multi-signal quality gate a
+    production pretraining pipeline runs (e.g. DataComp-LM-style
+    filtering): a document survives only if its TEXT passes the
+    language/length/stopword gates AND its EMBEDDING is an inlier
+    (cosine vs the corpus mean >= threshold, emb_outlier_scores'
+    criterion). Documents and embeddings are BOTH corpus-sized, so
+    neither side broadcasts: each side gates block-locally first (text
+    stats via one fused scan, cosines via the two-pass broadcast-mean
+    scorer), then ONE Fibonacci-hash raw-task exchange
+    (``num_returns=P``, 16 bytes/row, survivors only) co-locates every
+    doc's text row and embedding row, and each partition emits matches
+    via sorted vec_ids + searchsorted. Output rides
+    ``from_arrow_refs`` — kept rows never concat on the driver.
+    Cosines cross the exchange as ROUND-6 micro-units (int64) so the
+    join carries integers only and the float reconstruction is exact
+    on both engine and oracle sides."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    SCALE = 10000
+    thr = int(round(min_stop_ratio * SCALE))
+
+    def text_gate(batch: pa.Table) -> pa.Table:
+        stats = T.annotate_stats(batch)
+        alpha = pc.max_element_wise(stats.column("n_alpha_tokens"), 1)
+        ratio_ok = pc.greater_equal(
+            pc.multiply(pc.cast(stats.column("n_stop_en"), pa.int64()),
+                        pa.scalar(SCALE, pa.int64())),
+            pc.multiply(pc.cast(alpha, pa.int64()),
+                        pa.scalar(thr, pa.int64())),
+        )
+        m = pc.and_(
+            pc.equal(stats.column("pred_lang"), lang),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(stats.column("n_tokens"), min_tokens),
+                    pc.less_equal(stats.column("n_tokens"), max_tokens)),
+                ratio_ok,
+            ),
+        )
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pc.cast(stats.column("n_tokens"), pa.int64()),
+        }).filter(m)
+
+    def emb_gate(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.greater_equal(t.column("cos_mean"),
+                                         pa.scalar(cos_threshold)))
+        micro = pc.round(pc.multiply(keep.column("cos_mean"),
+                                     pa.scalar(1e6)))
+        return pa.table({"vec_id": keep.column("vec_id"),
+                         "cos_int": pc.cast(micro, pa.int64())})
+
+    text_ds = docs.map_batches(text_gate, batch_format="pyarrow")
+    emb_ds = emb_outlier_scores(sf_dir, threshold=cos_threshold) \
+        .map_batches(emb_gate, batch_format="pyarrow")
+    trefs = [r for b in text_ds.iter_internal_ref_bundles()
+             for r, md in b.blocks if md.num_rows]
+    if not trefs:
+        return _EMB_CUR.empty_table()
+    erefs = [r for b in emb_ds.iter_internal_ref_bundles()
+             for r, md in b.blocks if md.num_rows]
+    if not erefs:
+        return _EMB_CUR.empty_table()
+    P = max(2, _n_parts())
+    shard = ray.remote(_anti_shard)
+    tsl = [shard.options(num_returns=P).remote(r, P, "doc_id", "n_tokens")
+           for r in trefs]
+    esl = [shard.options(num_returns=P).remote(r, P, "vec_id", "cos_int")
+           for r in erefs]
+    combine = ray.remote(_emb_cur_combine)
+    outs = [combine.remote(len(tsl),
+                           *[s[p] for s in tsl],
+                           *[s[p] for s in esl])
+            for p in range(P)]
+    return rd.from_arrow_refs(outs)
+
+
 def orders_mktsegment_revenue(sf_dir: str):
     """Both-sides-distributed hash join via native ``Dataset.join``
     (hash-partitioned on the key): orders x customer -> revenue per

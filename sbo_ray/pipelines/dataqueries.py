@@ -960,6 +960,59 @@ SELECT vec_id, ROUND(cos, 6) AS cos_mean,
 FROM s
 """
 
+# Joint text+embedding curation mirror: the SQL_DOC_CURATION lang/
+# quality CTEs (minus the dedup-rep step this op doesn't take) inner-
+# joined to SQL_EMB_OUTLIER_SCORES' cosine CTE on doc_id = vec_id; the
+# embedding gate compares the ROUNDED cosine like the engine so the
+# keep boundary is deterministic on both sides.
+SQL_DOC_EMB_CURATION = f"""
+WITH c AS (
+  SELECT doc_id,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        x -> x IN ({{de}}))) AS c_de,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        x -> x IN ({{en}}))) AS c_en,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        x -> x IN ({{es}}))) AS c_es,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        x -> x IN ({{fr}}))) AS c_fr,
+    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+    len(regexp_extract_all(lower(text), '[a-z]+')) AS n_alpha
+  FROM documents
+), lang AS (
+  SELECT doc_id, n_tokens, n_alpha, CAST(c_en AS BIGINT) AS n_stop_en,
+    CASE
+      WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+      WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+      WHEN c_es >= c_fr THEN 'es'
+      ELSE 'fr' END AS pred_lang
+  FROM c
+), u AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+), m AS (
+  SELECT i, AVG(x) AS mu FROM u GROUP BY i
+), mn AS (
+  SELECT SQRT(SUM(mu * mu)) AS mnorm FROM m
+), s AS (
+  SELECT u.vec_id,
+         COALESCE(SUM(u.x * m.mu)
+                  / NULLIF(SQRT(SUM(u.x * u.x)) * MAX(mn.mnorm), 0),
+                  0) AS cos
+  FROM u JOIN m USING (i), mn
+  GROUP BY u.vec_id
+)
+SELECT l.doc_id, l.n_tokens, ROUND(s.cos, 6) AS cos_mean
+FROM lang l JOIN s ON l.doc_id = s.vec_id
+WHERE l.pred_lang = 'en'
+  AND l.n_tokens BETWEEN 20 AND 1000
+  AND l.n_stop_en * 10000 >= GREATEST(1, l.n_alpha) * 150
+  AND ROUND(s.cos, 6) >= 0.0
+""".format(de=_sql_list(LANG_STOPWORDS["de"]), en=_sql_list(LANG_STOPWORDS["en"]),
+           es=_sql_list(LANG_STOPWORDS["es"]), fr=_sql_list(LANG_STOPWORDS["fr"]))
+
 # Chunking mirror: same space-split tokens with positions; chunk i holds
 # tokens [i*32, (i+1)*32); ordered string_agg rebuilds the chunk text
 # (joining with ' ' reproduces the original substring, empties included).
@@ -1716,6 +1769,7 @@ def data_queries() -> dict:
         "doc_quality_gopher": P.doc_quality_gopher,
         "doc_quality_c4": P.doc_quality_c4,
         "doc_ccnet_buckets": P.doc_ccnet_buckets,
+        "doc_emb_curation": P.doc_emb_curation,
         "doc_vocab_topk": P.doc_vocab_topk,
         "doc_vocab_bigrams": P.doc_vocab_bigrams,
         "doc_bm25_topk": P.doc_bm25_topk,
@@ -1797,6 +1851,7 @@ def data_oracle_sql() -> dict:
         "doc_quality_gopher": SQL_DOC_QUALITY_GOPHER,
         "doc_quality_c4": SQL_DOC_QUALITY_C4,
         "doc_ccnet_buckets": SQL_DOC_CCNET_BUCKETS,
+        "doc_emb_curation": SQL_DOC_EMB_CURATION,
         "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
         "doc_vocab_bigrams": SQL_DOC_VOCAB_BIGRAMS,
         "doc_bm25_topk": SQL_DOC_BM25_TOPK,

@@ -122,6 +122,22 @@ def ensure_events(n: int, n_users: int = 50_000, seed: int = SEED) -> str:
     return d
 
 
+def ensure_doc_emb(n_docs: int, n_emb: int, dim: int = 64) -> str:
+    """A combined dir (documents.parquet + embeddings.parquet symlinks)
+    for ops that join both tables on doc_id = vec_id
+    (``doc_emb_curation``). No new data is generated."""
+    dd = ensure_docs(n_docs)
+    ed = ensure_embeddings(n_emb, dim=dim)
+    d = _dir(f"docemb{n_docs}_{n_emb}x{dim}")
+    os.makedirs(d, exist_ok=True)
+    for src, name in ((dd, "documents.parquet"), (ed, "embeddings.parquet")):
+        dst = os.path.join(d, name)
+        if not os.path.lexists(dst):
+            os.symlink(os.path.join(src, name), dst)
+    _mark(d)
+    return d
+
+
 def ensure_embeddings(n: int, dim: int = 64, seed: int = SEED) -> str:
     """embeddings.parquet with ``n`` rows (vec_id, embedding, label)."""
     d = _dir(f"emb{n}x{dim}")
