@@ -3013,6 +3013,79 @@ def doc_pack_materialize(sf_dir: str, seq_len: int = 512,
     return pa.concat_tables(out).select(empty.schema.names).cast(empty.schema)
 
 
+def doc_paragraph_dedup(sf_dir: str, shared_mod: int = 7):
+    """Paragraph-level exact dedup (the CCNet / Dolma sub-document
+    pass): explode every document into newline-separated paragraphs and
+    keep ONE copy of each distinct paragraph corpus-wide — the first by
+    (doc_id, para_idx). Output is the surviving paragraph table.
+
+    The synthetic corpus is single-line, so (like doc_quality_c4 /
+    doc_pii_redact) deterministic multi-paragraph structure is appended
+    per doc — a shared paragraph keyed by ``doc_id % shared_mod``
+    (planted cross-doc duplicates, ~n/shared_mod copies each) and a
+    unique tail — rebuilt identically by the SQL oracle, so the
+    keep-first boundary fires on both sides.
+
+    Scale shape: explode + hash-route in ONE map_batches (paragraph
+    text moves once, inherent — the output IS the surviving text, the
+    pack_materialize precedent); the winner per distinct paragraph is
+    decided entirely inside its hash partition (equal strings always
+    co-locate) via dictionary codes + lexsort — and selection groups on
+    the STRING, so a 64-bit hash collision can only co-locate, never
+    merge, distinct paragraphs. No driver state, no broadcast."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    P = _n_parts()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        mod_s = pa.array(ids_np % shared_mod).cast(pa.string())
+        aug = pc.binary_join_element_wise(
+            txt, "\nShared paragraph number ", mod_s,
+            ".\nUnique tail ", ids.cast(pa.string()), ".", "")
+        paras = pc.split_pattern(aug, "\n")
+        counts = pc.list_value_length(paras).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = paras.flatten()
+        starts = np.cumsum(counts) - counts
+        total = int(counts.sum())
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        t = pa.table({
+            "doc_id": pa.array(ids_np[doc_of], pa.int64()),
+            "para_idx": pa.array(
+                np.arange(total, dtype=np.int64) - starts[doc_of]),
+            "para": flat,
+        }).filter(pc.not_equal(flat, ""))
+        t = D.add_text_hash(t, column="para")
+        part = _lp_partition(t.column("text_hash").to_numpy(
+            zero_copy_only=False), P)
+        return t.drop_columns(["text_hash"]).append_column(
+            "part", pa.array(part))
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        did = g["doc_id"].to_numpy()
+        idx = g["para_idx"].to_numpy()
+        enc = pc.dictionary_encode(pa.array(g["para"], pa.string()))
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((idx, did, codes))
+        c_s = codes[order]
+        first = np.ones(len(c_s), dtype=bool)
+        first[1:] = c_s[1:] != c_s[:-1]
+        keep = np.sort(order[first])
+        return pd.DataFrame({
+            "doc_id": did[keep], "para_idx": idx[keep],
+            "para": g["para"].to_numpy()[keep],
+        })
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("part").map_groups(dedup_part))
+
+
 def doc_group_topk(sf_dir: str, k: int = 3):
     """Group-wise top-k: the k largest documents per language by
     (n_chars DESC, doc_id ASC). Engine shape: each block keeps at most

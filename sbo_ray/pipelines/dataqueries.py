@@ -1013,6 +1013,28 @@ WHERE l.pred_lang = 'en'
 """.format(de=_sql_list(LANG_STOPWORDS["de"]), en=_sql_list(LANG_STOPWORDS["en"]),
            es=_sql_list(LANG_STOPWORDS["es"]), fr=_sql_list(LANG_STOPWORDS["fr"]))
 
+# Paragraph-dedup mirror: same deterministic augmentation (shared
+# paragraph keyed by doc_id % 7 + unique tail), newline explode with
+# 1-based positions, keep-first per distinct paragraph by (doc_id, idx).
+SQL_DOC_PARAGRAPH_DEDUP = """
+WITH aug AS (
+  SELECT doc_id,
+         text || chr(10) || 'Shared paragraph number ' ||
+         CAST(doc_id % 7 AS VARCHAR) || '.' || chr(10) ||
+         'Unique tail ' || CAST(doc_id AS VARCHAR) || '.' AS t
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         unnest(str_split(t, chr(10))) AS para,
+         unnest(range(1, len(str_split(t, chr(10))) + 1)) AS idx
+  FROM aug
+)
+SELECT doc_id, idx - 1 AS para_idx, para
+FROM p
+WHERE para <> ''
+QUALIFY ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, idx) = 1
+"""
+
 # Chunking mirror: same space-split tokens with positions; chunk i holds
 # tokens [i*32, (i+1)*32); ordered string_agg rebuilds the chunk text
 # (joining with ' ' reproduces the original substring, empties included).
@@ -1770,6 +1792,7 @@ def data_queries() -> dict:
         "doc_quality_c4": P.doc_quality_c4,
         "doc_ccnet_buckets": P.doc_ccnet_buckets,
         "doc_emb_curation": P.doc_emb_curation,
+        "doc_paragraph_dedup": P.doc_paragraph_dedup,
         "doc_vocab_topk": P.doc_vocab_topk,
         "doc_vocab_bigrams": P.doc_vocab_bigrams,
         "doc_bm25_topk": P.doc_bm25_topk,
@@ -1852,6 +1875,7 @@ def data_oracle_sql() -> dict:
         "doc_quality_c4": SQL_DOC_QUALITY_C4,
         "doc_ccnet_buckets": SQL_DOC_CCNET_BUCKETS,
         "doc_emb_curation": SQL_DOC_EMB_CURATION,
+        "doc_paragraph_dedup": SQL_DOC_PARAGRAPH_DEDUP,
         "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
         "doc_vocab_bigrams": SQL_DOC_VOCAB_BIGRAMS,
         "doc_bm25_topk": SQL_DOC_BM25_TOPK,
