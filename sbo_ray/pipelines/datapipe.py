@@ -121,6 +121,50 @@ def doc_sample_hash(sf_dir: str, rate: float = 0.1, salt: str = "s1"):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def doc_mix_epochs(sf_dir: str):
+    """Data-mixing epoch expansion — the Dolma/DCLM mixture primitive:
+    each source gets a (possibly fractional) epoch weight and every doc
+    is repeated floor(w) times plus one more with probability frac(w),
+    decided by the doc's deterministic content hash (so the extra-epoch
+    draw is reproducible across reruns, partitionings and cluster
+    sizes, and exact duplicates draw identically — content-determinism
+    by design). Weights derive from the source name's numeric suffix
+    mod 4 -> w in {1.0, 1.75, 2.5, 3.25}, so the op works over any
+    source set; thresholds are exact power-of-two integers (frac * 2^63
+    with frac in {0, .75, .5, .25}) — no float arithmetic crosses the
+    engine/oracle boundary. Pure map expansion (repeat-take inside one
+    map_batches): no shuffle, no state, embarrassingly parallel at
+    100 TB."""
+    FULL = np.array([1, 1, 2, 3], np.int64)
+    THR = np.array([0, 3 << 61, 1 << 62, 1 << 61], np.int64)
+
+    def expand(t: pa.Table) -> pa.Table:
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        digits = pc.extract_regex(src, r"(?P<d>[0-9]+)")
+        mk = pc.cast(pc.struct_field(digits, "d"), pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64) % 4
+        h = D.add_text_hash(
+            t.append_column("__salted", pc.binary_join_element_wise(
+                t.column("text").cast(pa.string()), "mix", "")),
+            column="__salted",
+        ).column("text_hash").to_numpy(zero_copy_only=False)
+        reps = FULL[mk] + (h < THR[mk])
+        total = int(reps.sum())
+        starts = np.cumsum(reps) - reps
+        doc_of = np.repeat(np.arange(len(reps)), reps)
+        return pa.table({
+            "doc_id": t.column("doc_id").take(pa.array(doc_of)),
+            "source": src.take(pa.array(doc_of)),
+            "epoch": pa.array(
+                np.arange(total, dtype=np.int64) - starts[doc_of]),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
 def doc_sample_weighted(sf_dir: str, k: int = 100):
     """Weighted exact-k sample (the exponential-clock / Gumbel form of
     Efraimidis-Spirakis 2006): every row draws u in (0, 1] from its

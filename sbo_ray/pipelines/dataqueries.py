@@ -31,6 +31,25 @@ SELECT doc_id, text FROM documents
 WHERE {_H63.format(salt='s1')} < {int(0.1 * (1 << 63))}
 """
 
+# Mixture-epoch mirror: same suffix-mod-4 weight class, same md5 63-bit
+# fractional-epoch draw against exact power-of-two integer thresholds.
+SQL_DOC_MIX_EPOCHS = f"""
+WITH m AS (
+  SELECT doc_id, source,
+    CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4 AS mk,
+    {_H63.format(salt='mix')} AS h
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+    CASE mk WHEN 2 THEN 2 WHEN 3 THEN 3 ELSE 1 END
+      + CASE WHEN h < CASE mk WHEN 1 THEN {3 << 61} WHEN 2 THEN {1 << 62}
+                              WHEN 3 THEN {1 << 61} ELSE 0 END
+             THEN 1 ELSE 0 END AS n_epochs
+  FROM m
+)
+SELECT doc_id, source, unnest(range(n_epochs)) AS epoch FROM r
+"""
+
 # exact-k reservoir mirror: same per-ROW md5(doc_id ':' text) 63-bit
 # key, same (key, doc_id) total order — the LIMIT is the reservoir
 SQL_DOC_SAMPLE_RESERVOIR = """
@@ -1793,6 +1812,7 @@ def data_queries() -> dict:
         "doc_ccnet_buckets": P.doc_ccnet_buckets,
         "doc_emb_curation": P.doc_emb_curation,
         "doc_paragraph_dedup": P.doc_paragraph_dedup,
+        "doc_mix_epochs": P.doc_mix_epochs,
         "doc_vocab_topk": P.doc_vocab_topk,
         "doc_vocab_bigrams": P.doc_vocab_bigrams,
         "doc_bm25_topk": P.doc_bm25_topk,
@@ -1876,6 +1896,7 @@ def data_oracle_sql() -> dict:
         "doc_ccnet_buckets": SQL_DOC_CCNET_BUCKETS,
         "doc_emb_curation": SQL_DOC_EMB_CURATION,
         "doc_paragraph_dedup": SQL_DOC_PARAGRAPH_DEDUP,
+        "doc_mix_epochs": SQL_DOC_MIX_EPOCHS,
         "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
         "doc_vocab_bigrams": SQL_DOC_VOCAB_BIGRAMS,
         "doc_bm25_topk": SQL_DOC_BM25_TOPK,

@@ -37,7 +37,7 @@ SQL_NAMES = [
     "doc_bm25_topk", "doc_winnow", "multimodal_bmp_features",
     "events_sliding_distinct", "orders_shipping_priority",
     "emb_pq_error", "doc_dedup_containment", "events_user_value_topk",
-    "doc_emb_curation", "doc_paragraph_dedup",
+    "doc_emb_curation", "doc_paragraph_dedup", "doc_mix_epochs",
 ]
 
 
