@@ -2186,6 +2186,70 @@ def _pq_encode(m: np.ndarray, cb: np.ndarray, M: int) -> np.ndarray:
     return codes
 
 
+def emb_kmeans_step(sf_dir: str, k: int = 16):
+    """ONE exactly-gated Lloyd iteration: assign every vector to its
+    nearest deterministic strided seed (the _pq_codebook pick) and emit
+    each cluster's size and updated mean, exploded to (cluster, dim)
+    rows like emb_label_centroids. ``emb_kmeans`` stays the iterative
+    fixpoint (rows-only by nature); this gates the assign+update STEP
+    against SQL exactly: assignment routes the squared-L2 through the
+    (floor(d2*1e6)*64 + j) composite BIGINT key (the _pq_encode idiom
+    at full dim — summation-order noise is ~1e-15 relative and cannot
+    flip an integer key except at measure-zero boundaries, and a seed's
+    own distance is exactly 0 in the direct diff-square form on both
+    sides), means under ROUND-4. One streaming pass, k x dim driver
+    state, chunked 4096-row diff temps (the ivf_assign lesson)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = _parquet_num_rows(sf_dir, "embeddings")
+    OUT = pa.schema([("cluster", pa.int64()), ("dim", pa.int64()),
+                     ("n_members", pa.int64()), ("centroid", pa.float64())])
+    cb = _pq_codebook(ds, n, k)
+    if cb is None:
+        return OUT.empty_table()
+    cb_ref = ray.put(cb)
+    PART = pa.schema([("cluster", pa.int64()), ("dim", pa.int64()),
+                      ("s", pa.float64()), ("cnt", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return PART.empty_table()
+        c = ray.get(cb_ref)
+        kk, d = c.shape
+        x = S.embedding_matrix(t).astype(np.float64)
+        asg = np.empty(len(x), dtype=np.int64)
+        jix = np.arange(kk, dtype=np.int64)
+        for s in range(0, len(x), 4096):
+            xx = x[s:s + 4096]
+            d2 = ((xx[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            key = np.floor(d2 * 1e6).astype(np.int64) * 64 + jix
+            asg[s:s + 4096] = key.argmin(axis=1)
+        uniq, codes = np.unique(asg, return_inverse=True)
+        sums = np.zeros((len(uniq), d), dtype=np.float64)
+        np.add.at(sums, codes, x)
+        cnts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "cluster": pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(uniq))),
+            "s": pa.array(sums.reshape(-1)),
+            "cnt": pa.array(np.repeat(cnts, d)),
+        }, schema=PART)
+
+    parts = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    g = parts.group_by(["cluster", "dim"]).aggregate(
+        [("s", "sum"), ("cnt", "sum")])
+    return pa.table({
+        "cluster": g.column("cluster"),
+        "dim": g.column("dim"),
+        "n_members": g.column("cnt_sum"),
+        "centroid": pc.round(pc.divide(g.column("s_sum"),
+                                       pc.cast(g.column("cnt_sum"),
+                                               pa.float64())), 4),
+    }, schema=OUT)
+
+
 def emb_pq_codes(sf_dir: str, M: int = 8, ksub: int = 16):
     """Product quantization of the embedding corpus (Jegou et al. 2011,
     the codec behind FAISS IVFPQ): split dim into M subspaces and store

@@ -1210,6 +1210,40 @@ SELECT vec_id, list(CAST(code AS BIGINT) ORDER BY m) AS codes
 FROM a GROUP BY vec_id
 """
 
+# One-Lloyd-step mirror: same strided seeds as SQL_EMB_PQ_CODES' cb
+# (k=16 at full dim), arg_min over the identical floored composite key,
+# cluster means under ROUND-4 (the emb_label_centroids tolerance).
+SQL_EMB_KMEANS_STEP = """
+WITH u AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+), cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, vec_id
+  FROM (SELECT vec_id FROM embeddings
+        WHERE vec_id % (SELECT GREATEST(1, COUNT(*) // 16)
+                        FROM embeddings) = 0
+        ORDER BY vec_id LIMIT 16)
+), cbu AS (
+  SELECT cb.j, u.i, u.x AS cx FROM cb JOIN u USING (vec_id)
+), d AS (
+  SELECT u.vec_id, cbu.j, SUM((u.x - cbu.cx) * (u.x - cbu.cx)) AS d2
+  FROM u JOIN cbu USING (i)
+  GROUP BY u.vec_id, cbu.j
+), a AS (
+  SELECT vec_id,
+         arg_min(j, CAST(FLOOR(d2 * 1000000.0) AS BIGINT) * 64 + j)
+           AS cluster
+  FROM d GROUP BY vec_id
+)
+SELECT a.cluster, CAST(u.i - 1 AS BIGINT) AS dim,
+       COUNT(*) AS n_members,
+       ROUND(SUM(u.x) / COUNT(*), 4) AS centroid
+FROM a JOIN u USING (vec_id)
+GROUP BY a.cluster, u.i
+"""
+
 # PQ-error mirror: same integer codes as SQL_EMB_PQ_CODES; the assigned
 # code's d2 joins back and averages per subspace.
 SQL_EMB_PQ_ERROR = """
@@ -1793,6 +1827,7 @@ def data_queries() -> dict:
         "emb_quantize_sq8": P.emb_quantize_sq8,
         "emb_project_rp": P.emb_project_rp,
         "emb_ann_sq8": P.emb_ann_sq8,
+        "emb_kmeans_step": P.emb_kmeans_step,
         "emb_pq_codes": P.emb_pq_codes,
         "emb_ann_pq": P.emb_ann_pq,
         "emb_pq_error": P.emb_pq_error,
@@ -1936,6 +1971,7 @@ def data_oracle_sql() -> dict:
         "emb_quantize_sq8": SQL_EMB_QUANTIZE_SQ8,
         "emb_project_rp": SQL_EMB_PROJECT_RP,
         "emb_ann_sq8": SQL_EMB_ANN_SQ8,
+        "emb_kmeans_step": SQL_EMB_KMEANS_STEP,
         "emb_pq_codes": SQL_EMB_PQ_CODES,
         "emb_ann_pq": SQL_EMB_ANN_PQ,
         "emb_pq_error": SQL_EMB_PQ_ERROR,
