@@ -810,3 +810,294 @@ class BmpDecoder:
             ],
             schema=BMP_FEATURE_SCHEMA,
         )
+
+
+# ---- GIF (87a, real LZW codec) ---------------------------------------------
+# The fourth real image codec beside PPM/PNG/BMP: stdlib-only GIF87a
+# reader with a full variable-width LSB-first LZW decompressor (dict
+# growth, width bumps at 2^w, CLEAR/END handling, 12-bit cap) plus the
+# matching greedy encoder used by the synthetic generator. Spec:
+# GIF87a (CompuServe 1987) / GIF89a §§20-22. Conformance is pinned by
+# a hand-packed bitstream fixture (one-pixel image) and growth-path
+# round-trips in tests/test_multimodal.py — there is no codec library
+# in this container to cross-check against, same caveat as PNG.
+
+GIF_MEDIA_TYPE = "image/gif"
+
+GIF_FEATURE_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("media_type", pa.string()),
+    ("width", pa.int64()), ("height", pa.int64()),
+    ("palette_size", pa.int64()),
+    ("sum_idx", pa.int64()),
+    ("sum_r", pa.int64()), ("sum_g", pa.int64()), ("sum_b", pa.int64()),
+])
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Greedy GIF-LZW compress of palette indices: variable-width codes
+    starting at min_code_size+1 bits, LSB-first packing, CLEAR emitted
+    first, dict entries (prefix_code, symbol) -> next code, width bump
+    when the largest assigned code reaches 2^width, hard 12-bit cap
+    (emit CLEAR and reset — the spec's table-full recovery)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table: dict = {}
+    next_code = end + 1
+    emit(clear, width)
+    prefix = -1
+    for sym in map(int, indices):
+        if prefix < 0:
+            prefix = sym
+            continue
+        key = (prefix, sym)
+        if key in table:
+            prefix = table[key]
+            continue
+        emit(prefix, width)
+        table[key] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code > (1 << 12):
+            emit(clear, width)
+            table.clear()
+            next_code = end + 1
+            width = min_code_size + 1
+        prefix = sym
+    if prefix >= 0:
+        emit(prefix, width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> np.ndarray:
+    """GIF-LZW decompress to palette indices. Handles the decoder-side
+    dict (entry added per code AFTER the first following a CLEAR, the
+    one-behind pairing with the encoder), the c == next_code
+    prev+first special case, width bump when the table fills 2^width,
+    and deferred CLEARs. Raises ValueError on corrupt streams."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(n_expected, dtype=np.int64)
+    n_out = 0
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    table: list = []
+    prev: list | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [[i] for i in range(clear)] + [None, None]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated before END code")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError(f"first LZW code {code} not a literal")
+            s = table[code]
+        elif code < len(table):
+            s = table[code]
+        elif code == len(table):
+            s = prev + prev[:1]
+        else:
+            raise ValueError(f"LZW code {code} beyond table {len(table)}")
+        if n_out + len(s) > n_expected:
+            raise ValueError("LZW output exceeds expected pixel count")
+        out[n_out:n_out + len(s)] = s
+        n_out += len(s)
+        if prev is not None and len(table) < (1 << 12):
+            table.append(prev + s[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = s
+    if n_out != n_expected:
+        raise ValueError(f"LZW decoded {n_out} pixels, expected {n_expected}")
+    return out
+
+
+def make_gif(width: int, height: int, palette: np.ndarray,
+             indices: np.ndarray) -> bytes:
+    """Render palette indices as a real GIF87a: logical screen
+    descriptor with a global color table (power-of-two padded), one
+    image descriptor, LZW-compressed pixel data in <=255-byte
+    sub-blocks, trailer."""
+    import struct
+
+    pal = palette.astype(np.uint8).reshape(-1, 3)
+    n = len(pal)
+    bits = max(1, int(n - 1).bit_length())
+    padded = np.zeros(((1 << bits), 3), dtype=np.uint8)
+    padded[:n] = pal
+    mcs = max(2, bits)
+    lzw = _lzw_encode(np.asarray(indices, dtype=np.int64), mcs)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", width, height,
+                       0x80 | ((bits - 1) & 7), 0, 0)
+    out += padded.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    out.append(mcs)
+    for s in range(0, len(lzw), 255):
+        block = lzw[s:s + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)      # block terminator
+    out.append(0x3B)   # trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> tuple[int, int, int, np.ndarray, np.ndarray]:
+    """Parse a GIF87a/89a with stdlib struct + the LZW decompressor:
+    header, logical screen descriptor, global/local color table,
+    extension-block skipping, sub-block reassembly. Returns (width,
+    height, palette_size, palette (n,3) uint8, indices). Raises
+    ValueError on malformed input and NotImplementedError for
+    interlaced images (nothing in this environment writes them)."""
+    import struct
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature or truncated header")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        gsz = 2 << (packed & 7)
+        if pos + 3 * gsz > len(data):
+            raise ValueError("truncated global color table")
+        gct = np.frombuffer(data, np.uint8, 3 * gsz, pos).reshape(gsz, 3)
+        pos += 3 * gsz
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:
+            raise ValueError("GIF trailer before any image data")
+        if b == 0x21:                       # extension: label + sub-blocks
+            pos += 1
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        pal = gct
+        if ipacked & 0x80:
+            lsz = 2 << (ipacked & 7)
+            pal = np.frombuffer(data, np.uint8, 3 * lsz, pos).reshape(lsz, 3)
+            pos += 3 * lsz
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        if w <= 0 or h <= 0 or w > sw or h > sh:
+            raise ValueError(f"bad GIF image dimensions {w}x{h} in {sw}x{sh}")
+        mcs = data[pos]
+        pos += 1
+        chunks = []
+        while True:
+            if pos >= len(data):
+                raise ValueError("truncated GIF sub-blocks")
+            ln = data[pos]
+            pos += 1
+            if ln == 0:
+                break
+            chunks.append(data[pos:pos + ln])
+            pos += ln
+        idx = _lzw_decode(b"".join(chunks), mcs, w * h)
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("palette index out of range")
+        return w, h, len(pal), pal.copy(), idx
+    raise ValueError("no image descriptor in GIF")
+
+
+def synth_gif(doc_id: int) -> bytes:
+    """Deterministic synthetic GIF per doc: width ``6 + doc_id % 5``,
+    height ``4 + doc_id % 3``, an 8-color palette with channel closed
+    forms (r=(j*37+5)%256, g=(j*59+11)%256, b=(j*83+23)%256) and pixel
+    index k = (doc_id*31 + k*7 + 1) % 8 — every feature the decoder
+    emits is a closed form the DuckDB oracle reproduces exactly."""
+    w, h = 6 + doc_id % 5, 4 + doc_id % 3
+    j = np.arange(8, dtype=np.int64)
+    pal = np.stack([(j * 37 + 5) % 256, (j * 59 + 11) % 256,
+                    (j * 83 + 23) % 256], axis=1)
+    k = np.arange(w * h, dtype=np.int64)
+    return make_gif(w, h, pal, (doc_id * 31 + k * 7 + 1) % 8)
+
+
+class GifDecoder:
+    """Actor-pool decode/feature stage for GIF payload columns — the
+    fourth real image codec (stdlib struct + a full variable-width LZW
+    decompressor). Emits dimensions, palette size, the palette-index
+    sum (pins the LZW stream itself) and RGB channel sums through the
+    palette (pins the color-table walk)."""
+
+    def __init__(self) -> None:
+        pass  # real build: load decoder handles once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        media = batch.column("media_type").to_pylist()
+        w_v, h_v, n_v, i_v, r_v, g_v, b_v = [], [], [], [], [], [], []
+        for mt, p in zip(media, payloads):
+            if mt != GIF_MEDIA_TYPE:
+                raise NotImplementedError(
+                    f"no codec for {mt!r} in this environment "
+                    f"(only {GIF_MEDIA_TYPE} decodes natively here)")
+            w, h, npal, pal, idx = decode_gif(p)
+            rgb = pal[idx].astype(np.int64)
+            w_v.append(w)
+            h_v.append(h)
+            n_v.append(npal)
+            i_v.append(int(idx.sum()))
+            r_v.append(int(rgb[:, 0].sum()))
+            g_v.append(int(rgb[:, 1].sum()))
+            b_v.append(int(rgb[:, 2].sum()))
+
+        def _col(name):
+            c = batch.column(name)
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        return pa.Table.from_arrays(
+            [
+                _col("doc_id"), _col("media_type"),
+                pa.array(w_v, type=pa.int64()), pa.array(h_v, type=pa.int64()),
+                pa.array(n_v, type=pa.int64()), pa.array(i_v, type=pa.int64()),
+                pa.array(r_v, type=pa.int64()), pa.array(g_v, type=pa.int64()),
+                pa.array(b_v, type=pa.int64()),
+            ],
+            schema=GIF_FEATURE_SCHEMA,
+        )

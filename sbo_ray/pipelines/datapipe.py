@@ -3885,6 +3885,44 @@ def multimodal_bmp_features(sf_dir: str):
     )
 
 
+def multimodal_gif_features(sf_dir: str):
+    """REAL GIF decode through the actor-pool stage: deterministic
+    synthetic GIF87a payloads (8-color global palette, real
+    variable-width LZW streams with dict growth) decoded by the
+    stdlib-struct + numpy parser inside ``GifDecoder`` — the fourth
+    real image codec beside PPM, PNG and BMP, and the only one whose
+    pixel data is entropy-coded. Gated by an exact SQL oracle:
+    dimensions, palette size, the palette-index sum (pins the LZW
+    bitstream) and RGB channel sums (pin the color-table walk) are
+    closed forms over doc_id."""
+    from ..functions.multimodal import (
+        GIF_MEDIA_TYPE, GifDecoder, PAYLOAD_SCHEMA, synth_gif,
+    )
+
+    def to_images(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = [synth_gif(int(i)) for i in ids]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array(payloads, type=pa.binary()),
+                pa.array([GIF_MEDIA_TYPE] * len(ids), type=pa.string()),
+                pa.array([len(p) for p in payloads], type=pa.int64()),
+            ],
+            schema=PAYLOAD_SCHEMA,
+        )
+
+    payload = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        to_images, batch_format="pyarrow"
+    )
+    return payload.map_batches(
+        GifDecoder,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(2, max(2, _cpus())),
+    )
+
+
 def multimodal_image_resize(sf_dir: str):
     """REAL image resize through the actor-pool stage: deterministic
     synthetic PPM payloads decoded by the pure-numpy P6 parser, then a

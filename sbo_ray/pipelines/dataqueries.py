@@ -810,6 +810,27 @@ SELECT doc_id, 'image/bmp' AS media_type,
 FROM px GROUP BY doc_id, w, h
 """
 
+# GIF mirror: palette index k = (doc_id*31 + k*7 + 1) % 8 (recovered
+# only if the LZW decompress is right), channel closed forms through
+# the 8-entry palette.
+SQL_MULTIMODAL_GIF = """
+WITH dims AS (
+  SELECT doc_id, 6 + doc_id % 5 AS w, 4 + doc_id % 3 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h,
+         (doc_id * 31 + unnest(range(w * h)) * 7 + 1) % 8 AS j
+  FROM dims
+)
+SELECT doc_id, 'image/gif' AS media_type,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(8 AS BIGINT) AS palette_size,
+       CAST(SUM(j) AS BIGINT) AS sum_idx,
+       CAST(SUM((j * 37 + 5) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((j * 59 + 11) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((j * 83 + 23) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, w, h
+"""
+
 # Exact mirror of the real WAV decode path: the synthetic clip's sample
 # k is ((doc_id*37 + k*29 + 11) % 65536) - 32768 (multimodal.synth_wav),
 # 256 mono samples @ 8 kHz => 512 PCM bytes + 44-byte canonical RIFF
@@ -1880,6 +1901,7 @@ def data_queries() -> dict:
         "multimodal_features": P.multimodal_features,
         "multimodal_png_features": P.multimodal_png_features,
         "multimodal_bmp_features": P.multimodal_bmp_features,
+        "multimodal_gif_features": P.multimodal_gif_features,
         "multimodal_image_resize": P.multimodal_image_resize,
         "multimodal_audio_features": P.multimodal_audio_features,
         "customer_nation_agg": P.customer_nation_agg,
@@ -1964,6 +1986,7 @@ def data_oracle_sql() -> dict:
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_png_features": SQL_MULTIMODAL_PNG,
         "multimodal_bmp_features": SQL_MULTIMODAL_BMP,
+        "multimodal_gif_features": SQL_MULTIMODAL_GIF,
         "multimodal_image_resize": SQL_MULTIMODAL_RESIZE,
         "multimodal_audio_features": SQL_MULTIMODAL_AUDIO,
         "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,

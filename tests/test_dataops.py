@@ -38,7 +38,7 @@ SQL_NAMES = [
     "events_sliding_distinct", "orders_shipping_priority",
     "emb_pq_error", "doc_dedup_containment", "events_user_value_topk",
     "doc_emb_curation", "doc_paragraph_dedup", "doc_mix_epochs",
-    "emb_kmeans_step",
+    "emb_kmeans_step", "multimodal_gif_features",
 ]
 
 
@@ -1934,3 +1934,44 @@ def test_daily_active_multiblock_matches_pandas(ray_session, tmp_path):
     got = got.sort_values("day").reset_index(drop=True)
     assert list(got["n_users"]) == want.tolist()
     assert list(pd.to_datetime(got["day"])) == list(want.index)
+
+
+def test_gif_lzw_codec_and_malformed():
+    """Pins the LZW bitstream itself (hand-packed fixture: mcs=3, one
+    pixel idx 5 -> codes CLEAR(8),5,END(9) LSB-first = 58 09), the
+    width-growth and 12-bit-reset round-trips, the full container walk
+    (incl. an 89a extension block), and malformed-input errors."""
+    import pytest as _pytest
+
+    from sbo_ray.functions.multimodal import (
+        _lzw_decode, _lzw_encode, decode_gif, make_gif, synth_gif,
+    )
+
+    assert _lzw_encode(np.array([5]), 3) == b"\x58\x09"
+    assert list(_lzw_decode(b"\x58\x09", 3, 1)) == [5]
+    rng = np.random.RandomState(7)
+    for n in (1, 2, 70, 500, 60000):  # 60000 crosses the 12-bit reset
+        seq = rng.randint(0, 8, n)
+        assert (_lzw_decode(_lzw_encode(seq, 3), 3, n) == seq).all()
+    for d in range(15):
+        w, h, npal, pal, idx = decode_gif(synth_gif(d))
+        assert (w, h, npal) == (6 + d % 5, 4 + d % 3, 8)
+        k = np.arange(w * h, dtype=np.int64)
+        assert (idx == (d * 31 + k * 7 + 1) % 8).all()
+        j = np.arange(8, dtype=np.int64)
+        assert (pal[:, 0] == (j * 37 + 5) % 256).all()
+    # an 89a graphic-control extension before the image must be skipped
+    g = bytearray(synth_gif(4))
+    g[:6] = b"GIF89a"
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    data = bytes(g[:13 + 24]) + ext + bytes(g[13 + 24:])
+    w, h, _, _, idx = decode_gif(data)
+    assert (w, h) == (6 + 4 % 5, 4 + 4 % 3) and len(idx) == w * h
+    with _pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTAGIF" + bytes(20))
+    with _pytest.raises(ValueError, match="truncated GIF sub-blocks"):
+        decode_gif(synth_gif(1)[:-6])
+    bad = bytearray(synth_gif(2))
+    bad[13 + 24 + 9] |= 0x40  # image-descriptor packed byte: interlace
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(bad))
