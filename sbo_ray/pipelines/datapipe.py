@@ -3247,6 +3247,50 @@ def doc_group_topk(sf_dir: str, k: int = 3):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def doc_entropy(sf_dir: str):
+    """Per-doc token-distribution Shannon entropy (plus token/type
+    counts) — the lexical-diversity quality signal (low entropy flags
+    boilerplate/repetition, complementing doc_repetition_stats'
+    n-gram view). Space-split tokens like vocab/pack. One block-local
+    vectorized pass: dictionary codes + a (doc, code) composite key
+    into np.unique, per-doc fold via add.at — no shuffle, no state,
+    embarrassingly parallel at 100 TB. Entropy as sum p*ln(n/c) (all
+    non-negative terms, so no -0.0 can diverge from the oracle) under
+    ROUND-6 (libm ulp noise only, the doc_sample_weighted rule)."""
+    def ent(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        toks = pc.split_pattern(txt, " ")
+        n_tok = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        codes = pc.dictionary_encode(flat).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rows = len(n_tok)
+        doc_of = np.repeat(np.arange(rows, dtype=np.int64), n_tok)
+        V = int(codes.max()) + 1 if len(codes) else 1
+        uk, cnt = np.unique(doc_of * V + codes, return_counts=True)
+        ud = uk // V
+        n_types = np.bincount(ud, minlength=rows).astype(np.int64)
+        nn = n_tok[ud].astype(np.float64)
+        contrib = (cnt / nn) * np.log(nn / cnt)
+        ent_v = np.zeros(rows)
+        np.add.at(ent_v, ud, contrib)
+        return pa.table({
+            "doc_id": ids,
+            "n_tokens": pa.array(n_tok),
+            "n_types": pa.array(n_types),
+            "entropy": pa.array(np.round(ent_v, 6)),
+        })
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(ent, batch_format="pyarrow")
+
+
 def doc_vocab_topk(sf_dir: str, k: int = 100):
     """Global vocabulary top-k: block-local token histograms
     (functions/text.vocab_partial — volume drops from tokens to

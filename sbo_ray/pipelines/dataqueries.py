@@ -919,6 +919,24 @@ FROM base LEFT JOIN big ON base.doc_id = big.doc_id
 GROUP BY base.doc_id, n_tokens, n_distinct_tokens, top_token_count
 """
 
+# Entropy mirror: same space-split tokens; p*ln(n/c) form (non-negative
+# terms -> no -0.0 ambiguity) under ROUND-6.
+SQL_DOC_ENTROPY = """
+WITH c AS (
+  SELECT doc_id, t, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  GROUP BY doc_id, t
+), n AS (
+  SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_types FROM c GROUP BY doc_id
+)
+SELECT c.doc_id, CAST(n.n AS BIGINT) AS n_tokens,
+       CAST(n.n_types AS BIGINT) AS n_types,
+       ROUND(SUM((c.c / n.n) * ln(n.n / c.c)), 6) AS entropy
+FROM c JOIN n USING (doc_id)
+GROUP BY c.doc_id, n.n, n.n_types
+"""
+
 SQL_DOC_VOCAB_TOPK = """
 SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
 FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
@@ -1869,6 +1887,7 @@ def data_queries() -> dict:
         "doc_emb_curation": P.doc_emb_curation,
         "doc_paragraph_dedup": P.doc_paragraph_dedup,
         "doc_mix_epochs": P.doc_mix_epochs,
+        "doc_entropy": P.doc_entropy,
         "doc_vocab_topk": P.doc_vocab_topk,
         "doc_vocab_bigrams": P.doc_vocab_bigrams,
         "doc_bm25_topk": P.doc_bm25_topk,
@@ -1954,6 +1973,7 @@ def data_oracle_sql() -> dict:
         "doc_emb_curation": SQL_DOC_EMB_CURATION,
         "doc_paragraph_dedup": SQL_DOC_PARAGRAPH_DEDUP,
         "doc_mix_epochs": SQL_DOC_MIX_EPOCHS,
+        "doc_entropy": SQL_DOC_ENTROPY,
         "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
         "doc_vocab_bigrams": SQL_DOC_VOCAB_BIGRAMS,
         "doc_bm25_topk": SQL_DOC_BM25_TOPK,
