@@ -3247,6 +3247,54 @@ def doc_group_topk(sf_dir: str, k: int = 3):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def doc_quality_linear(sf_dir: str, n_buckets: int = 1024):
+    """Hashing-trick linear classifier inference (the fastText-style
+    quality-model scoring pass a DCLM/FineWeb pipeline runs over every
+    doc): each token hashes into one of ``n_buckets`` feature buckets
+    (the per-unique md5 63-bit idiom), the model is a closed-form
+    integer CENTI-weight vector w(b) = (b*37) % 101 - 50, and the doc
+    score is the mean token weight. The per-doc weight SUM is exact
+    int64 on both sides, the keep decision (sum > 0) is an integer
+    compare, and the score ships as a FLOORED integer micro-score
+    (floor(sum*10000/n)) — mean-weight denominators 100*n hit exact
+    .5e-6 ROUND boundaries constantly, so ROUND-6 parity is a coin
+    flip here and floor is the safe gate: the true quotient is >= 1/n
+    from any integer whenever it isn't one, so the correctly-rounded
+    f64 division cannot cross a floor boundary. Broadcast-free
+    (weights are a formula, the real
+    build would ``ray.put`` the trained vector once); one block-local
+    vectorized pass, no shuffle — model inference at 100 TB is an
+    embarrassingly parallel map."""
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        toks = pc.split_pattern(txt, " ")
+        n_tok = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pa.table({"t": toks.flatten()})
+        h = D.add_text_hash(flat, column="t").column(
+            "text_hash").to_numpy(zero_copy_only=False)
+        w = (h % n_buckets) * 37 % 101 - 50
+        rows = len(n_tok)
+        doc_of = np.repeat(np.arange(rows, dtype=np.int64), n_tok)
+        score_c = np.zeros(rows, dtype=np.int64)
+        np.add.at(score_c, doc_of, w)
+        return pa.table({
+            "doc_id": ids,
+            "n_tokens": pa.array(n_tok),
+            "score_micro": pa.array(np.floor(
+                score_c * 10000.0 / np.maximum(n_tok, 1)).astype(np.int64)),
+            "keep": pa.array((score_c > 0).astype(np.int64)),
+        })
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow")
+
+
 def doc_entropy(sf_dir: str):
     """Per-doc token-distribution Shannon entropy (plus token/type
     counts) — the lexical-diversity quality signal (low entropy flags

@@ -919,6 +919,27 @@ FROM base LEFT JOIN big ON base.doc_id = big.doc_id
 GROUP BY base.doc_id, n_tokens, n_distinct_tokens, top_token_count
 """
 
+# Linear-classifier mirror: same per-token md5 63-bit bucket, integer
+# centi-weights ((b*37)%101-50) summed exactly; keep is an integer
+# compare and the score is a FLOORED integer micro-score (ROUND-6
+# parity is a coin flip at the 100*n denominators' .5 boundaries).
+SQL_DOC_QUALITY_LINEAR = """
+WITH f AS (
+  SELECT doc_id,
+    CAST((('0x' || substr(md5(t), 1, 16))::UBIGINT >> 1) % 1024
+         AS BIGINT) AS b
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+), s AS (
+  SELECT doc_id, COUNT(*) AS n, SUM(((b * 37) % 101) - 50) AS score_c
+  FROM f GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(FLOOR(score_c * 10000.0 / n) AS BIGINT) AS score_micro,
+       CAST(CASE WHEN score_c > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s
+"""
+
 # Entropy mirror: same space-split tokens; p*ln(n/c) form (non-negative
 # terms -> no -0.0 ambiguity) under ROUND-6.
 SQL_DOC_ENTROPY = """
@@ -1887,6 +1908,7 @@ def data_queries() -> dict:
         "doc_emb_curation": P.doc_emb_curation,
         "doc_paragraph_dedup": P.doc_paragraph_dedup,
         "doc_mix_epochs": P.doc_mix_epochs,
+        "doc_quality_linear": P.doc_quality_linear,
         "doc_entropy": P.doc_entropy,
         "doc_vocab_topk": P.doc_vocab_topk,
         "doc_vocab_bigrams": P.doc_vocab_bigrams,
@@ -1973,6 +1995,7 @@ def data_oracle_sql() -> dict:
         "doc_emb_curation": SQL_DOC_EMB_CURATION,
         "doc_paragraph_dedup": SQL_DOC_PARAGRAPH_DEDUP,
         "doc_mix_epochs": SQL_DOC_MIX_EPOCHS,
+        "doc_quality_linear": SQL_DOC_QUALITY_LINEAR,
         "doc_entropy": SQL_DOC_ENTROPY,
         "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
         "doc_vocab_bigrams": SQL_DOC_VOCAB_BIGRAMS,

@@ -38,7 +38,7 @@ SQL_NAMES = [
     "events_sliding_distinct", "orders_shipping_priority",
     "emb_pq_error", "doc_dedup_containment", "events_user_value_topk",
     "doc_emb_curation", "doc_paragraph_dedup", "doc_mix_epochs",
-    "emb_kmeans_step", "multimodal_gif_features", "doc_entropy",
+    "emb_kmeans_step", "multimodal_gif_features", "doc_entropy", "doc_quality_linear",
 ]
 
 
