@@ -4132,6 +4132,74 @@ def customer_nation_agg(sf_dir: str):
     })
 
 
+_INC_DD = pa.schema([("doc_id", pa.int64()), ("n_copies", pa.int64())])
+
+
+def _inc_dedup_combine(*shards) -> pa.Table:
+    """One hash partition of the incremental dedup: (text_hash, doc_id)
+    rows where even ids are the EXISTING corpus and odd ids the new
+    snapshot. Emits, per hash absent from the existing side, the new
+    side's min doc_id + copy count (sorted-unique anti-probe, then one
+    lexsort + segment fold). Sorted by doc_id for determinism."""
+    ks = np.concatenate([s[0] for s in shards])
+    if not len(ks):
+        return _INC_DD.empty_table()
+    ids = np.concatenate([s[1] for s in shards])
+    is_new = (ids % 2) == 1
+    old_k = np.unique(ks[~is_new])
+    nk, nid = ks[is_new], ids[is_new]
+    if not len(nk):
+        return _INC_DD.empty_table()
+    fresh = ~np.isin(nk, old_k)
+    nk, nid = nk[fresh], nid[fresh]
+    if not len(nk):
+        return _INC_DD.empty_table()
+    o = np.lexsort((nid, nk))
+    nk, nid = nk[o], nid[o]
+    first = np.ones(len(nk), dtype=bool)
+    first[1:] = nk[1:] != nk[:-1]
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.append(starts, len(nk)))
+    keep_ids = nid[starts]
+    oo = np.argsort(keep_ids, kind="stable")
+    return pa.table({"doc_id": keep_ids[oo],
+                     "n_copies": counts[oo].astype(np.int64)},
+                    schema=_INC_DD)
+
+
+def doc_dedup_incremental(sf_dir: str):
+    """INCREMENTAL exact dedup — dedup a new snapshot against an
+    already-ingested corpus (the pass a rolling CommonCrawl pipeline
+    runs per crawl: new docs survive only if their content hash is
+    unseen in ALL previous snapshots, then first-wins within the new
+    batch). Even doc_ids stand in for the existing corpus, odd for the
+    incoming snapshot. Both sides are corpus-sized, so this is the
+    distributed hash ANTI-join (customer_no_orders idiom) on the
+    content hash: one fused scan hashes per-unique and routes 16-byte
+    (hash, doc_id) rows by Fibonacci hash (``num_returns=P``); each
+    partition anti-probes the existing side via sorted uniques and
+    folds the survivors' min-id + copy count in one lexsort. Text
+    never enters the exchange; no driver state; output rides
+    ``from_arrow_refs``."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        return D.add_text_hash(t).select(["text_hash", "doc_id"])
+
+    hashed = ds.map_batches(hash_rows, batch_format="pyarrow")
+    refs = [r for b in hashed.iter_internal_ref_bundles()
+            for r, md in b.blocks if md.num_rows]
+    if not refs:
+        return _INC_DD.empty_table()
+    P = max(2, _n_parts())
+    shard = ray.remote(_anti_shard)
+    sl = [shard.options(num_returns=P).remote(r, P, "text_hash", "doc_id")
+          for r in refs]
+    combine = ray.remote(_inc_dedup_combine)
+    outs = [combine.remote(*[s[p] for s in sl]) for p in range(P)]
+    return rd.from_arrow_refs(outs)
+
+
 def _anti_shard(block: pa.Table, P: int, key_col: str,
                 carry_col: str | None) -> list:
     """Route one block's rows by the Fibonacci hash of ``key_col`` into

@@ -919,6 +919,22 @@ FROM base LEFT JOIN big ON base.doc_id = big.doc_id
 GROUP BY base.doc_id, n_tokens, n_distinct_tokens, top_token_count
 """
 
+# Incremental-dedup mirror: even ids = existing corpus, odd = new
+# snapshot; NOT IN anti-join on text (the engine groups by the md5
+# hash — equivalent absent a 64-bit collision), first-wins + copy
+# count within the new batch.
+SQL_DOC_DEDUP_INCREMENTAL = """
+WITH newd AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+), oldd AS (
+  SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0
+)
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM newd
+WHERE text NOT IN (SELECT text FROM oldd)
+GROUP BY text
+"""
+
 # Linear-classifier mirror: same per-token md5 63-bit bucket, integer
 # centi-weights ((b*37)%101-50) summed exactly; keep is an integer
 # compare and the score is a FLOORED integer micro-score (ROUND-6
@@ -1908,6 +1924,7 @@ def data_queries() -> dict:
         "doc_emb_curation": P.doc_emb_curation,
         "doc_paragraph_dedup": P.doc_paragraph_dedup,
         "doc_mix_epochs": P.doc_mix_epochs,
+        "doc_dedup_incremental": P.doc_dedup_incremental,
         "doc_quality_linear": P.doc_quality_linear,
         "doc_entropy": P.doc_entropy,
         "doc_vocab_topk": P.doc_vocab_topk,
@@ -1995,6 +2012,7 @@ def data_oracle_sql() -> dict:
         "doc_emb_curation": SQL_DOC_EMB_CURATION,
         "doc_paragraph_dedup": SQL_DOC_PARAGRAPH_DEDUP,
         "doc_mix_epochs": SQL_DOC_MIX_EPOCHS,
+        "doc_dedup_incremental": SQL_DOC_DEDUP_INCREMENTAL,
         "doc_quality_linear": SQL_DOC_QUALITY_LINEAR,
         "doc_entropy": SQL_DOC_ENTROPY,
         "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
