@@ -6135,6 +6135,83 @@ def doc_unigram_logprob(sf_dir: str):
     return pa.concat_tables(out) if out else empty
 
 
+def doc_bigram_logprob(sf_dir: str, k_big: int = 2000,
+                       backoff: float = 0.4):
+    """Bigram-LM quality score with unigram BACKOFF — the next-order
+    perplexity proxy after doc_unigram_logprob: each adjacent token
+    pair scores -ln(c12/c1) if the bigram is in the corpus TOP-K
+    bigram table, else -ln(backoff * c(w2)/total) (the Katz-style
+    escape). The bigram model is truncated to top-K BY CONSTRUCTION
+    because full bigram vocabularies run ~10x unigram (the
+    doc_vocab_bigrams driver-memory cliff): the top-K table comes from
+    that op's distributed hash exchange and is broadcast once, bounded
+    and corpus-independent, alongside the unigram vocab ref. Scoring
+    is one shuffle-free block-local pass (pairs never leave their
+    block; index_in + where, no token loop). Docs with < 2 tokens have
+    no bigrams and drop on both sides."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    empty = pa.schema([
+        ("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+        ("avg_neg_logprob", pa.float64()),
+    ]).empty_table()
+    cnt_ref, total = _unigram_vocab_ref(docs)
+    if cnt_ref is None:
+        return empty
+    top = doc_vocab_bigrams(sf_dir, k=k_big)
+    bo = pc.sort_indices(top.column("bigram"))
+    big_ref = ray.put((
+        top.column("bigram").take(bo).combine_chunks(),
+        top.column("n").take(bo).to_numpy(
+            zero_copy_only=False).astype(np.float64),
+    ))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab_a, gc = ray.get(cnt_ref)
+        bgv, bgc = ray.get(big_ref)
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(col, " ")
+        n_tok = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        doc_of = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        mask = np.ones(len(flat), dtype=bool)
+        ends = np.cumsum(n_tok) - 1
+        mask[ends[n_tok > 0]] = False
+        left_pos = np.flatnonzero(mask)
+        if not len(left_pos):
+            return empty.schema.empty_table()
+        lefts = flat.take(pa.array(left_pos))
+        rights = flat.take(pa.array(left_pos + 1))
+        bg = pc.binary_join_element_wise(lefts, rights, " ")
+        c1 = gc[pc.index_in(lefts, value_set=vocab_a).to_numpy(
+            zero_copy_only=False).astype(np.int64)]
+        c2 = gc[pc.index_in(rights, value_set=vocab_a).to_numpy(
+            zero_copy_only=False).astype(np.int64)]
+        bix = pc.fill_null(pc.index_in(bg, value_set=bgv), -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        in_top = bix >= 0
+        lp = np.where(in_top,
+                      -np.log(bgc[np.maximum(bix, 0)] / c1),
+                      -np.log(backoff * c2 / total))
+        dpair = doc_of[left_pos]
+        n_pairs = np.maximum(n_tok - 1, 0)
+        lp_sum = np.bincount(dpair, weights=lp, minlength=len(n_tok))
+        keep = n_pairs > 0
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_bigrams": pa.array(n_pairs[keep]),
+            "avg_neg_logprob": pa.array(
+                np.round(lp_sum[keep] / n_pairs[keep], 6)),
+        })
+
+    out = list(docs.map_batches(score, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables(out) if out else empty
+
+
 _CCNET_SCHEMA = pa.schema([
     ("doc_id", pa.int64()), ("score", pa.float64()),
     ("ccnet_rank", pa.int64()), ("bucket", pa.int64()),

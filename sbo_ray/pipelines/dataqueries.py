@@ -1601,6 +1601,38 @@ FROM tok JOIN g ON tok.t = g.t CROSS JOIN n
 GROUP BY 1
 """
 
+# Bigram-LM mirror: same top-2000 bigram table (count desc, bigram asc
+# ties), -ln(c12/c1) in-table, -ln(0.4*c2/total) backoff, ROUND-6 mean
+# (libm-ulp noise only); docs with < 2 tokens have no pair rows.
+SQL_DOC_BIGRAM_LOGPROB = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+         unnest(range(0, len(string_split(text, ' ')))) AS i
+  FROM documents
+), uni AS (
+  SELECT t, COUNT(*) AS c FROM tok GROUP BY 1
+), tot AS (SELECT SUM(c) AS total FROM uni),
+pairs AS (
+  SELECT a.doc_id, a.t AS w1, b.t AS w2, a.t || ' ' || b.t AS bg
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), bcnt AS (
+  SELECT bg, COUNT(*) AS c12 FROM pairs GROUP BY 1
+), topk AS (
+  SELECT bg, c12 FROM bcnt ORDER BY c12 DESC, bg LIMIT 2000
+)
+SELECT pairs.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(CASE WHEN topk.bg IS NOT NULL
+                      THEN -ln(topk.c12 / u1.c)
+                      ELSE -ln(0.4 * u2.c / tot.total) END)
+             / COUNT(*), 6) AS avg_neg_logprob
+FROM pairs
+LEFT JOIN topk ON pairs.bg = topk.bg
+JOIN uni u1 ON pairs.w1 = u1.t
+JOIN uni u2 ON pairs.w2 = u2.t
+CROSS JOIN tot
+GROUP BY pairs.doc_id
+"""
+
 # CCNet-buckets mirror: same unigram score as SQL_DOC_UNIGRAM_LOGPROB,
 # then ROW_NUMBER under the round6-int composite key (score key asc,
 # doc_id asc) and tertile bucket by integer division — DuckDB's `/` on
@@ -1954,6 +1986,7 @@ def data_queries() -> dict:
         "doc_tfidf": P.doc_tfidf,
         "emb_knn_join": P.emb_knn_join,
         "doc_unigram_logprob": P.doc_unigram_logprob,
+        "doc_bigram_logprob": P.doc_bigram_logprob,
         "multimodal_payload_stats": P.multimodal_payload_stats,
         "multimodal_frame_sample": P.multimodal_frame_sample,
         "multimodal_features": P.multimodal_features,
@@ -2039,6 +2072,7 @@ def data_oracle_sql() -> dict:
         "doc_tfidf": SQL_DOC_TFIDF,
         "emb_knn_join": SQL_EMB_KNN_JOIN,
         "doc_unigram_logprob": SQL_DOC_UNIGRAM_LOGPROB,
+        "doc_bigram_logprob": SQL_DOC_BIGRAM_LOGPROB,
         "doc_perplexity_bigram": SQL_DOC_PERPLEXITY_BIGRAM,
         "doc_shuffle_order": SQL_DOC_SHUFFLE_ORDER,
         "emb_ann_lsh": SQL_EMB_SIMILARITY_TOPK,
