@@ -4958,6 +4958,117 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     return ds.groupby("part").map_groups(sessions_part, batch_format="pandas")
 
 
+def events_ab_ttest(sf_dir: str):
+    """A/B experiment readout — the experimentation-analytics
+    primitive: users hash-split into two arms (md5 of the user id, the
+    repo's deterministic-assignment idiom — same user always lands in
+    the same arm across reruns and partitionings), then Welch's
+    t-statistic over per-event values. Distributed shape: ONE streaming
+    pass of per-block (arm, n, sum, sumsq) partials, a 2-row driver
+    fold — nothing corpus-sized anywhere, the 100-TB shape of every
+    sufficient-statistics test. Variance comes EXPLICITLY from the
+    (n, sum, sumsq) moments on both sides (DuckDB's VAR_SAMP uses a
+    different update rule, so the oracle computes the same closed form
+    instead); ROUND-6 absorbs summation-order noise."""
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    PART = pa.schema([("arm", pa.int64()), ("n", pa.int64()),
+                      ("sv", pa.float64()), ("svv", pa.float64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return PART.empty_table()
+        uid_s = pa.table(
+            {"u": t.column("user_id").cast(pa.string())})
+        h = D.add_text_hash(uid_s, column="u").column(
+            "text_hash").to_numpy(zero_copy_only=False)
+        arm = (h % 2).astype(np.int64)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        n = np.bincount(arm, minlength=2)
+        sv = np.bincount(arm, weights=v, minlength=2)
+        svv = np.bincount(arm, weights=v * v, minlength=2)
+        return pa.table({"arm": pa.array([0, 1], pa.int64()),
+                         "n": pa.array(n.astype(np.int64)),
+                         "sv": pa.array(sv), "svv": pa.array(svv)},
+                        schema=PART)
+
+    parts = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    g = parts.group_by("arm").aggregate(
+        [("n", "sum"), ("sv", "sum"), ("svv", "sum")])
+    idx = g.column("arm").to_numpy(zero_copy_only=False)
+    n = np.zeros(2, np.int64)
+    sv = np.zeros(2)
+    svv = np.zeros(2)
+    n[idx] = g.column("n_sum").to_numpy(zero_copy_only=False)
+    sv[idx] = g.column("sv_sum").to_numpy(zero_copy_only=False)
+    svv[idx] = g.column("svv_sum").to_numpy(zero_copy_only=False)
+    mean = sv / n
+    var = (svv - sv * sv / n) / (n - 1)
+    t_stat = (mean[0] - mean[1]) / np.sqrt(var[0] / n[0] + var[1] / n[1])
+    return pa.table({
+        "n_a": pa.array([n[0]]), "n_b": pa.array([n[1]]),
+        "mean_a": pa.array([round(mean[0], 6)]),
+        "mean_b": pa.array([round(mean[1], 6)]),
+        "t_stat": pa.array([round(float(t_stat), 6)]),
+    })
+
+
+def events_user_features(sf_dir: str):
+    """Per-user feature engineering — the user-level feature table a
+    ranking/recommendation training job materializes: event count,
+    total value, distinct event types, first/last timestamps and
+    distinct active days. Needs per-user DISTINCT sets, so it is
+    partition-grouped by user hash (the sessionize pattern, P ~ 4x
+    cpus, never per-user map_groups) with everything inside a
+    partition vectorized: one lexsort per distinct-feature, segment
+    boundaries, bincount folds. Output is user-sized (the op's own
+    output), per-partition."""
+    P = _n_parts()
+
+    def feats_part(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        uu, codes = np.unique(uid, return_inverse=True)
+        nu = len(uu)
+        ts = g["ts"].to_numpy()
+        v = g["value"].to_numpy()
+        n_events = np.bincount(codes, minlength=nu).astype(np.int64)
+        sum_value = np.bincount(codes, weights=v, minlength=nu)
+        tsi = ts.astype("datetime64[us]").astype(np.int64)
+        first_ts = np.full(nu, np.iinfo(np.int64).max)
+        np.minimum.at(first_ts, codes, tsi)
+        last_ts = np.full(nu, np.iinfo(np.int64).min)
+        np.maximum.at(last_ts, codes, tsi)
+
+        def n_distinct(vals: np.ndarray) -> np.ndarray:
+            o = np.lexsort((vals, codes))
+            cs, vs = codes[o], vals[o]
+            newseg = np.ones(len(cs), dtype=bool)
+            newseg[1:] = (cs[1:] != cs[:-1]) | (vs[1:] != vs[:-1])
+            return np.bincount(cs[newseg], minlength=nu).astype(np.int64)
+
+        et_codes = pd.factorize(g["event_type"].to_numpy())[0]
+        days = tsi // 86_400_000_000
+        return pd.DataFrame({
+            "user_id": uu,
+            "n_events": n_events,
+            "total_value": np.round(sum_value, 6),
+            "n_event_types": n_distinct(et_codes),
+            "first_ts": first_ts.astype("datetime64[us]"),
+            "last_ts": last_ts.astype("datetime64[us]"),
+            "n_active_days": n_distinct(days),
+        })
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "part", pa.array(t.column("user_id").to_numpy() % P)),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("part").map_groups(feats_part, batch_format="pandas")
+
+
 def events_sessionize_salted(sf_dir: str, gap_minutes: int = 30,
                              bucket: str = "day"):
     """Skew-safe sessionization (the scale path for hot users): phase 1

@@ -1633,6 +1633,40 @@ CROSS JOIN tot
 GROUP BY pairs.doc_id
 """
 
+# A/B-test mirror: same md5 arm split on CAST(user_id AS VARCHAR),
+# variance explicitly from the (n, sum, sumsq) moments (VAR_SAMP uses
+# a different update rule), Welch t in the identical op order.
+SQL_EVENTS_AB_TTEST = """
+WITH e AS (
+  SELECT CAST((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+              ::UBIGINT >> 1) % 2 AS BIGINT) AS arm,
+         value
+  FROM events
+), s AS (
+  SELECT arm, COUNT(*) AS n, SUM(value) AS sv, SUM(value * value) AS svv
+  FROM e GROUP BY arm
+)
+SELECT a.n AS n_a, b.n AS n_b,
+       ROUND(a.sv / a.n, 6) AS mean_a, ROUND(b.sv / b.n, 6) AS mean_b,
+       ROUND((a.sv / a.n - b.sv / b.n)
+             / sqrt(((a.svv - a.sv * a.sv / a.n) / (a.n - 1)) / a.n
+                  + ((b.svv - b.sv * b.sv / b.n) / (b.n - 1)) / b.n),
+             6) AS t_stat
+FROM s a JOIN s b ON a.arm = 0 AND b.arm = 1
+"""
+
+# User-feature mirror: plain grouped aggregates; active days via
+# CAST(ts AS DATE) = the engine's epoch-day integer division.
+SQL_EVENTS_USER_FEATURES = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS total_value,
+       COUNT(DISTINCT event_type) AS n_event_types,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days
+FROM events GROUP BY user_id
+"""
+
 # CCNet-buckets mirror: same unigram score as SQL_DOC_UNIGRAM_LOGPROB,
 # then ROW_NUMBER under the round6-int composite key (score key asc,
 # doc_id asc) and tertile bucket by integer division — DuckDB's `/` on
@@ -1974,6 +2008,8 @@ def data_queries() -> dict:
         "events_sliding_window": P.events_sliding_window,
         "events_sliding_distinct": P.events_sliding_distinct,
         "events_user_value_topk": P.events_user_value_topk,
+        "events_ab_ttest": P.events_ab_ttest,
+        "events_user_features": P.events_user_features,
         "events_transitions": P.events_transitions,
         "events_quantiles": P.events_quantiles,
         "events_quantiles_kll": P.events_quantiles_kll,
@@ -2061,6 +2097,8 @@ def data_oracle_sql() -> dict:
         "events_sliding_window": SQL_EVENTS_SLIDING,
         "events_sliding_distinct": SQL_EVENTS_SLIDING_DISTINCT,
         "events_user_value_topk": SQL_EVENTS_USER_VALUE_TOPK,
+        "events_ab_ttest": SQL_EVENTS_AB_TTEST,
+        "events_user_features": SQL_EVENTS_USER_FEATURES,
         "events_transitions": SQL_EVENTS_TRANSITIONS,
         "events_quantiles": SQL_EVENTS_QUANTILES,
         "doc_group_topk": SQL_DOC_GROUP_TOPK,

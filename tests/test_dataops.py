@@ -39,7 +39,8 @@ SQL_NAMES = [
     "emb_pq_error", "doc_dedup_containment", "events_user_value_topk",
     "doc_emb_curation", "doc_paragraph_dedup", "doc_mix_epochs",
     "emb_kmeans_step", "multimodal_gif_features", "doc_entropy", "doc_quality_linear",
-    "doc_dedup_incremental", "doc_bigram_logprob",
+    "doc_dedup_incremental", "doc_bigram_logprob", "events_ab_ttest",
+    "events_user_features",
 ]
 
 
