@@ -6259,7 +6259,15 @@ def doc_bigram_logprob(sf_dir: str, k_big: int = 2000,
     and corpus-independent, alongside the unigram vocab ref. Scoring
     is one shuffle-free block-local pass (pairs never leave their
     block; index_in + where, no token loop). Docs with < 2 tokens have
-    no bigrams and drop on both sides."""
+    no bigrams and drop on both sides.
+
+    Complement of ``doc_perplexity_bigram``, which is the OTHER
+    standard smoothing family: add-one over a dense truncated-id
+    (V+1)^2 table (every transition gets mass from the prior). This op
+    keeps exact counts for the head (top-K bigram TABLE, raw tokens,
+    no id truncation) and handles the tail by Katz-style backoff to
+    the unigram model — the two disagree exactly where smoothing
+    choices matter."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     empty = pa.schema([
         ("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
