@@ -4132,6 +4132,94 @@ def customer_nation_agg(sf_dir: str):
     })
 
 
+def _table_shard(block: pa.Table, P: int, key_col: str) -> list:
+    """Route one block's ROWS (all columns) by the Fibonacci hash of
+    ``key_col`` into P table slices — the string-carrying sibling of
+    _anti_shard for exchanges whose carry isn't a single int64."""
+    keys = block.column(key_col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    if not len(keys):
+        return [block] * P
+    part = _lp_partition(keys, P)
+    order = np.argsort(part, kind="stable")
+    t = block.take(pa.array(order))
+    bounds = np.searchsorted(part[order], np.arange(P + 1))
+    return [t.slice(s, e - s) for s, e in zip(bounds[:-1], bounds[1:])]
+
+
+_SEMI_ORD = pa.schema([("o_orderpriority", pa.string()),
+                       ("n_orders", pa.int64()),
+                       ("total_price", pa.float64())])
+
+
+def _semi_orders_combine(n_ord: int, *shards) -> pa.Table:
+    """One hash partition of the orders SEMI-join: keep orders whose
+    orderkey appears in the lineitem key shards, fold per-priority
+    (count, price-sum) partials via pyarrow group_by."""
+    ot = pa.concat_tables([s for s in shards[:n_ord] if s.num_rows])  \
+        if any(s.num_rows for s in shards[:n_ord]) else None
+    if ot is None:
+        return _SEMI_ORD.empty_table()
+    rk = (np.unique(np.concatenate([s[0] for s in shards[n_ord:]]))
+          if len(shards) > n_ord else np.zeros(0, np.int64))
+    ok = ot.column("o_orderkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    hit = ot.filter(pa.array(np.isin(ok, rk)))
+    if hit.num_rows == 0:
+        return _SEMI_ORD.empty_table()
+    g = hit.group_by("o_orderpriority").aggregate(
+        [("o_orderkey", "count"), ("o_totalprice", "sum")])
+    return pa.table({
+        "o_orderpriority": g.column("o_orderpriority"),
+        "n_orders": g.column("o_orderkey_count").cast(pa.int64()),
+        "total_price": g.column("o_totalprice_sum"),
+    }, schema=_SEMI_ORD)
+
+
+def orders_with_returns(sf_dir: str, flag: str = "R"):
+    """Distributed hash SEMI-join (TPC-H Q4's shape, the EXISTS
+    complement of customer_no_orders' anti-join): orders with at least
+    one returned lineitem, aggregated per order priority. Both sides
+    are corpus-sized, so neither broadcasts: the returnflag filter is
+    pushed into the lineitem scan, lineitem ships KEYS ONLY (8
+    bytes/row via _anti_shard), orders ship their three needed columns
+    via _table_shard, one Fibonacci-hash exchange co-locates them, and
+    each partition emits |priorities|-sized partials the driver folds.
+    Membership (not join multiplicity) is the semi-join semantics —
+    duplicate lineitem keys collapse in the per-partition unique."""
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag"]).filter(
+        expr=f"l_returnflag == '{flag}'")
+    orefs = [r for b in orders.iter_internal_ref_bundles()
+             for r, md in b.blocks if md.num_rows]
+    if not orefs:
+        return _SEMI_ORD.empty_table()
+    lrefs = [r for b in li.iter_internal_ref_bundles()
+             for r, md in b.blocks if md.num_rows]
+    P = max(2, _n_parts())
+    tshard = ray.remote(_table_shard)
+    kshard = ray.remote(_anti_shard)
+    osl = [tshard.options(num_returns=P).remote(r, P, "o_orderkey")
+           for r in orefs]
+    lsl = [kshard.options(num_returns=P).remote(r, P, "l_orderkey", None)
+           for r in lrefs]
+    combine = ray.remote(_semi_orders_combine)
+    outs = ray.get([combine.remote(len(osl),
+                                   *[s[p] for s in osl],
+                                   *[s[p] for s in lsl])
+                    for p in range(P)])
+    merged = pa.concat_tables([_SEMI_ORD.empty_table()] + outs)
+    g = merged.group_by("o_orderpriority").aggregate(
+        [("n_orders", "sum"), ("total_price", "sum")])
+    return pa.table({
+        "o_orderpriority": g.column("o_orderpriority"),
+        "n_orders": g.column("n_orders_sum"),
+        "total_price": pc.round(g.column("total_price_sum"), 2),
+    }, schema=_SEMI_ORD)
+
+
 _INC_DD = pa.schema([("doc_id", pa.int64()), ("n_copies", pa.int64())])
 
 

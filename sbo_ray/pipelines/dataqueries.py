@@ -1667,6 +1667,16 @@ SELECT user_id,
 FROM events GROUP BY user_id
 """
 
+# Semi-join mirror: EXISTS via IN; membership, not multiplicity.
+SQL_ORDERS_WITH_RETURNS = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     WHERE l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
 # CCNet-buckets mirror: same unigram score as SQL_DOC_UNIGRAM_LOGPROB,
 # then ROW_NUMBER under the round6-int composite key (score key asc,
 # doc_id asc) and tertile bucket by integer division — DuckDB's `/` on
@@ -2039,6 +2049,7 @@ def data_queries() -> dict:
         "events_retention": P.events_retention,
         "orders_mktsegment_revenue": P.orders_mktsegment_revenue,
         "orders_shipping_priority": P.orders_shipping_priority,
+        "orders_with_returns": P.orders_with_returns,
         "lineitem_pricing_summary": P.lineitem_pricing_summary,
         "orders_by_month": P.orders_by_month,
         "events_hourly": P.events_hourly,
@@ -2145,6 +2156,7 @@ def data_oracle_sql() -> dict:
         "events_retention": SQL_EVENTS_RETENTION,
         "orders_mktsegment_revenue": SQL_ORDERS_MKTSEGMENT_REVENUE,
         "orders_shipping_priority": SQL_ORDERS_SHIPPING_PRIORITY,
+        "orders_with_returns": SQL_ORDERS_WITH_RETURNS,
         "lineitem_pricing_summary": SQL_LINEITEM_PRICING,
         "orders_by_month": SQL_ORDERS_BY_MONTH,
         "events_hourly": SQL_EVENTS_HOURLY,
