@@ -2808,6 +2808,58 @@ def doc_token_stats(sf_dir: str):
     )
 
 
+def _ensure_jsonl_docs(sf_dir: str, n_shards: int = 4) -> list[str]:
+    """Deterministic JSONL mirror of documents.parquet (the format raw
+    LLM corpora actually arrive in — Dolma, RedPajama, FineWeb all
+    ship newline-delimited JSON shards). Cached under /tmp/sbo_jsonl
+    keyed by the source dir; rows shard round-robin by doc_id and
+    serialize via pandas' C writer. Rewritten atomically (tmp +
+    rename dir marker)."""
+    import hashlib
+    import json
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        (os.path.abspath(src) + str(os.path.getmtime(src))).encode()
+    ).hexdigest()[:12]
+    d = os.path.join("/tmp/sbo_jsonl", f"docs_{key}_{n_shards}")
+    marker = os.path.join(d, "_SUCCESS")
+    paths = [os.path.join(d, f"shard-{i:03d}.jsonl")
+             for i in range(n_shards)]
+    if os.path.exists(marker):
+        return paths
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(src, columns=["doc_id", "text"])
+    df = t.to_pandas()
+    for i, p in enumerate(paths):
+        part = df[df["doc_id"].to_numpy() % n_shards == i]
+        part.to_json(p + ".tmp", orient="records", lines=True,
+                     force_ascii=False)
+        os.replace(p + ".tmp", p)
+    with open(marker, "w") as f:
+        json.dump({"rows": len(df)}, f)
+    return paths
+
+
+def doc_token_stats_jsonl(sf_dir: str):
+    """The JSONL SOURCE path: the same token-stats operator over
+    newline-delimited JSON shards (``ray.data.read_json`` -> Arrow
+    batches, pyarrow's parallel JSON reader per shard) instead of
+    Parquet — demonstrating that every doc-side operator runs
+    unchanged over the raw-corpus interchange format. Gated by the
+    SAME SQL oracle as doc_token_stats (identical rows, different
+    wire format), which pins the JSON round-trip (escaping, unicode,
+    int64 ids) byte-exactly."""
+    paths = _ensure_jsonl_docs(sf_dir)
+    tune_context()
+    ds = rd.read_json(paths)
+    return ds.map_batches(
+        lambda t: T.token_stats(t.select(["doc_id", "text"])),
+        batch_format="pyarrow")
+
+
 def doc_pii_redact(sf_dir: str):
     """PII redaction over the documents table: mask emails then IPv4s
     with vectorized RE2 kernels (functions/text.pii_redact). The corpus

@@ -1989,6 +1989,7 @@ def data_queries() -> dict:
         "emb_ann_ivfpq": P.emb_ann_ivfpq,
         "emb_sample_balanced": P.emb_sample_balanced,
         "doc_token_stats": P.doc_token_stats,
+        "doc_token_stats_jsonl": P.doc_token_stats_jsonl,
         "doc_lang_id": P.doc_lang_id,
         "doc_fingerprint": P.doc_fingerprint,
         "doc_winnow": P.doc_winnow,
@@ -2146,6 +2147,7 @@ def data_oracle_sql() -> dict:
         "emb_sample_balanced": SQL_EMB_SAMPLE_BALANCED,
         "emb_similarity_topk": SQL_EMB_SIMILARITY_TOPK,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
+        "doc_token_stats_jsonl": SQL_DOC_TOKEN_STATS,
         "doc_lang_id": SQL_DOC_LANG_ID,
         "multimodal_payload_stats": SQL_MULTIMODAL_PAYLOAD_STATS,
         "customer_nation_agg": SQL_CUSTOMER_NATION_AGG,

@@ -40,7 +40,7 @@ SQL_NAMES = [
     "doc_emb_curation", "doc_paragraph_dedup", "doc_mix_epochs",
     "emb_kmeans_step", "multimodal_gif_features", "doc_entropy", "doc_quality_linear",
     "doc_dedup_incremental", "doc_bigram_logprob", "events_ab_ttest",
-    "events_user_features", "orders_with_returns",
+    "events_user_features", "orders_with_returns", "doc_token_stats_jsonl",
 ]
 
 
