@@ -181,6 +181,51 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Resumable DATA-side run — the 100-TB operational shape for the
+    embarrassingly-parallel curation stages (quality stats here; any
+    shard-local op slots in): one output PARTITION per input shard
+    (``out/shard=<stem>/``), each written as an idempotent two-phase
+    fragment (fsio) and committed with a marker, so a killed run
+    resumes by SKIPPING finished partitions — never one giant file,
+    never recomputing finished work. Shard-local ops make per-shard
+    resume exact by construction (no cross-shard state)."""
+    import ray.data as rd
+
+    from . import fsio
+    from .functions import text as T
+
+    _init_ray()
+    out = args.out or "/tmp/sbo_ray_out/curate"
+    done_before, ran = [], []
+    for p in args.inputs:
+        stem = os.path.splitext(os.path.basename(p))[0]
+        pdir = os.path.join(out, f"shard={stem}")
+        marker = os.path.join(pdir, "_SUCCESS")
+        if fsio.exists(marker):
+            if not args.resume:
+                print(f"partition shard={stem} already committed; "
+                      "pass --resume to skip it and continue",
+                      file=sys.stderr)
+                return 2
+            done_before.append(stem)
+            continue
+        ds = rd.read_parquet(p, columns=["doc_id", "text"])
+        fsio.makedirs(pdir)
+        fsio.clear_fragments(pdir)
+        n_rows = 0
+        for i, b in enumerate(ds.map_batches(
+                T.token_stats, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None)):
+            fsio.write_fragment(pdir, f"part-{i:05d}.parquet", b)
+            n_rows += b.num_rows
+        with fsio.open_file(marker, "wb") as f:
+            f.write(json.dumps({"rows": n_rows}).encode())
+        ran.append(stem)
+    print(json.dumps({"out": out, "ran": ran, "skipped": done_before}))
+    return 0
+
+
 def cmd_osmetrics(args) -> int:
     """The reference's periodic host OS-metrics collection (its host
     cron into sbo_os_metrics, db/mysqldb.go:240-269) as a CLI profile —
@@ -197,7 +242,8 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="sbo_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in (("count", cmd_count), ("metrics", cmd_metrics),
-                     ("run", cmd_run), ("follow", cmd_follow)):
+                     ("run", cmd_run), ("follow", cmd_follow),
+                     ("curate", cmd_curate)):
         sp = sub.add_parser(name)
         sp.add_argument("inputs", nargs="+")
         sp.add_argument("--config", default=None)

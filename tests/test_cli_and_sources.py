@@ -225,3 +225,51 @@ def test_follow_feeds_the_engine_incrementally(ray_session, tmp_path):
         enr = logpipe.enriched_dataset_from(rd.from_arrow(t), job)
         total += logpipe.global_counters(enr)["requests"]
     assert total == 3
+
+
+def test_cli_curate_partitioned_resume(ray_session, tmp_path, capsys):
+    """The resumable data-side run: one committed partition per input
+    shard, a second invocation without --resume refuses, --resume
+    SKIPS committed partitions and reruns only the missing one, and
+    the partitioned output unions to exactly the per-shard stats."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sbo_ray import cli
+
+    shards = []
+    for i in range(2):
+        p = tmp_path / f"docs{i}.parquet"
+        pq.write_table(pa.table({
+            "doc_id": pa.array([2 * i, 2 * i + 1], pa.int64()),
+            "text": pa.array([f"alpha beta {i}", f"gamma {i}"]),
+        }), p)
+        shards.append(str(p))
+    out = str(tmp_path / "curated")
+    rc = cli.main(["curate", *shards, "--out", out])
+    assert rc == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sorted(res["ran"]) == ["docs0", "docs1"] and res["skipped"] == []
+    # committed partitions exist, one per shard, markers carry rows
+    for s in ("docs0", "docs1"):
+        m = _json.load(open(f"{out}/shard={s}/_SUCCESS"))
+        assert m["rows"] == 2
+    # rerun without --resume refuses (exit 2)
+    assert cli.main(["curate", *shards, "--out", out]) == 2
+    capsys.readouterr()
+    # drop one marker -> --resume reruns ONLY that partition
+    import os as _os
+
+    _os.remove(f"{out}/shard=docs1/_SUCCESS")
+    rc = cli.main(["curate", *shards, "--out", out, "--resume"])
+    assert rc == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["ran"] == ["docs1"] and res["skipped"] == ["docs0"]
+    # the partitioned output unions to all 4 docs
+    import glob as _glob
+
+    frags = _glob.glob(f"{out}/shard=*/part-*.parquet")
+    total = sum(pq.read_table(f).num_rows for f in frags)
+    assert total == 4
