@@ -361,13 +361,56 @@ def synth_wav(doc_id: int, n_samples: int = 256, sample_rate: int = 8000) -> byt
     return make_wav(sample_rate, s.astype(np.int16))
 
 
+def _ulaw_lut() -> np.ndarray:
+    """G.711 mu-law byte -> linear PCM16 expansion table (the Sun
+    ulaw2linear closed form: complement, 3-bit exponent, 4-bit
+    mantissa; mag = (8*man + 132) * 2^e - 132, sign from bit 7)."""
+    b = np.arange(256, dtype=np.int64)
+    u = 255 - b
+    e = (u >> 4) & 7
+    man = u & 0xF
+    mag = (man * 8 + 132) * (1 << e) - 132
+    return np.where(u & 0x80, -mag, mag)
+
+
+_ULAW_LUT = _ulaw_lut()
+
+
+def make_wav_ulaw(sample_rate: int, ulaw_bytes: bytes,
+                  n_channels: int = 1) -> bytes:
+    """Render raw G.711 mu-law bytes as a RIFF/WAVE payload (format
+    code 7, 8 bits/sample — the telephony WAV variant)."""
+    import struct
+
+    byte_rate = sample_rate * n_channels
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(ulaw_bytes)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 7, n_channels, sample_rate, byte_rate,
+        n_channels, 8)
+    return (hdr + fmt + b"data" + struct.pack("<I", len(ulaw_bytes))
+            + ulaw_bytes)
+
+
+def synth_wav_ulaw(doc_id: int, n_samples: int = 256,
+                   sample_rate: int = 8000) -> bytes:
+    """Deterministic synthetic mu-law clip per doc: encoded byte k is
+    ``(doc_id*13 + k*7 + 5) % 256`` — the DECODED linear amplitudes are
+    the G.711 closed form over that byte, which the DuckDB oracle
+    rebuilds exactly (all-integer)."""
+    k = np.arange(n_samples, dtype=np.int64)
+    return make_wav_ulaw(
+        sample_rate, ((doc_id * 13 + k * 7 + 5) % 256)
+        .astype(np.uint8).tobytes())
+
+
 def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     """Parse a RIFF/WAVE payload: walks the chunk list (word-aligned, so
-    unknown chunks like LIST/INFO are skipped correctly), requires a PCM
-    (format code 1) 16-bit ``fmt `` chunk, and returns
+    unknown chunks like LIST/INFO are skipped correctly), decodes PCM16
+    (format 1) natively and G.711 mu-law (format 7, 8-bit — the
+    telephony variant) through the expansion LUT, and returns
     ``(sample_rate, n_channels, int16 array of interleaved samples)``.
     Raises ValueError on malformed input and NotImplementedError for
-    non-PCM16 encodings (no codec libs in this container)."""
+    other encodings (no codec libs in this container)."""
     import struct
 
     if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -386,20 +429,26 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
                 raise ValueError("short fmt chunk")
             audio_format, n_channels, sample_rate, _br, _ba, bits = \
                 struct.unpack_from("<HHIIHH", body, 0)
-            if audio_format != 1 or bits != 16:
+            if (audio_format, bits) not in ((1, 16), (7, 8)):
                 raise NotImplementedError(
-                    f"only PCM16 WAV decodes natively (format={audio_format}, "
-                    f"bits={bits})"
+                    f"only PCM16 and G.711 mu-law WAV decode natively "
+                    f"(format={audio_format}, bits={bits})"
                 )
             if n_channels < 1:
                 raise ValueError("WAV with zero channels")
-            fmt = (sample_rate, n_channels)
+            fmt = (sample_rate, n_channels, audio_format)
         elif cid == b"data":
             pcm = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or pcm is None:
         raise ValueError("WAV missing fmt or data chunk")
-    sample_rate, n_channels = fmt
+    sample_rate, n_channels, audio_format = fmt
+    if audio_format == 7:
+        samples = _ULAW_LUT[np.frombuffer(pcm, dtype=np.uint8)] \
+            .astype(np.int16)
+        if n_channels > 1 and len(samples) % n_channels:
+            samples = samples[: len(samples) // n_channels * n_channels]
+        return sample_rate, n_channels, samples
     samples = np.frombuffer(pcm[: len(pcm) // 2 * 2], dtype="<i2")
     if n_channels > 1 and len(samples) % n_channels:
         samples = samples[: len(samples) // n_channels * n_channels]

@@ -4107,6 +4107,44 @@ def multimodal_image_resize(sf_dir: str):
     )
 
 
+def multimodal_ulaw_features(sf_dir: str):
+    """REAL G.711 mu-law decode (WAV format code 7 — the telephony
+    variant, the first ENCODED audio the engine expands natively):
+    deterministic synthetic mu-law clips decoded through the same
+    AudioDecoder actor pool, whose chunk walker now recognizes the
+    8-bit format-7 fmt chunk and expands companded bytes via the
+    closed-form Sun ulaw2linear table. Gated exactly: the oracle
+    rebuilds byte k = (doc_id*13 + k*7 + 5) % 256 and applies the same
+    all-integer expansion (complement, 3-bit exponent, 4-bit mantissa,
+    mag = (8*man+132)*2^e - 132)."""
+    from ..functions.multimodal import (
+        PAYLOAD_SCHEMA, WAV_MEDIA_TYPE, AudioDecoder, synth_wav_ulaw,
+    )
+
+    def to_clips(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = [synth_wav_ulaw(int(i)) for i in ids]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array(payloads, type=pa.binary()),
+                pa.array([WAV_MEDIA_TYPE] * len(ids), type=pa.string()),
+                pa.array([len(p) for p in payloads], type=pa.int64()),
+            ],
+            schema=PAYLOAD_SCHEMA,
+        )
+
+    payload = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        to_clips, batch_format="pyarrow"
+    )
+    return payload.map_batches(
+        AudioDecoder,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(2, max(2, _cpus())),
+    )
+
+
 def multimodal_audio_features(sf_dir: str):
     """REAL audio decode through the actor-pool stage: deterministic
     synthetic RIFF/PCM16 WAV payloads (one clip per doc), decoded by the

@@ -831,6 +831,34 @@ SELECT doc_id, 'image/gif' AS media_type,
 FROM px GROUP BY doc_id, w, h
 """
 
+# mu-law mirror: same encoded byte closed form, same all-integer G.711
+# expansion (complement, 3-bit exponent via integer div, power-of-two
+# CASE, sign from bit 7). Payload = 44-byte header + 256 bytes.
+SQL_MULTIMODAL_ULAW = """
+WITH px AS (
+  SELECT doc_id,
+         255 - ((doc_id * 13 + unnest(range(256)) * 7 + 5) % 256) AS u
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    (CASE WHEN u >= 128 THEN -1 ELSE 1 END) *
+    (((u % 16) * 8 + 132) *
+     (CASE (u // 16) % 8 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+           WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64
+           ELSE 128 END) - 132) AS amp
+  FROM px
+)
+SELECT doc_id, 'audio/wav' AS media_type,
+       CAST(300 AS BIGINT) AS payload_bytes,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(256 AS BIGINT) AS n_samples,
+       CAST(SUM(amp) AS BIGINT) AS sum_amp,
+       CAST(SUM(ABS(amp)) AS BIGINT) AS sum_abs_amp,
+       CAST(MAX(ABS(amp)) AS BIGINT) AS max_abs_amp
+FROM s GROUP BY doc_id
+"""
+
 # Exact mirror of the real WAV decode path: the synthetic clip's sample
 # k is ((doc_id*37 + k*29 + 11) % 65536) - 32768 (multimodal.synth_wav),
 # 256 mono samples @ 8 kHz => 512 PCM bytes + 44-byte canonical RIFF
@@ -2042,6 +2070,7 @@ def data_queries() -> dict:
         "multimodal_gif_features": P.multimodal_gif_features,
         "multimodal_image_resize": P.multimodal_image_resize,
         "multimodal_audio_features": P.multimodal_audio_features,
+        "multimodal_ulaw_features": P.multimodal_ulaw_features,
         "customer_nation_agg": P.customer_nation_agg,
         "customer_no_orders": P.customer_no_orders,
         "supplier_nation_revenue": P.supplier_nation_revenue,
@@ -2134,6 +2163,7 @@ def data_oracle_sql() -> dict:
         "multimodal_gif_features": SQL_MULTIMODAL_GIF,
         "multimodal_image_resize": SQL_MULTIMODAL_RESIZE,
         "multimodal_audio_features": SQL_MULTIMODAL_AUDIO,
+        "multimodal_ulaw_features": SQL_MULTIMODAL_ULAW,
         "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,
         "emb_dedup_cosine": SQL_EMB_DEDUP_COSINE,
         "emb_quantize_sq8": SQL_EMB_QUANTIZE_SQ8,

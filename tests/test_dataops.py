@@ -41,6 +41,7 @@ SQL_NAMES = [
     "emb_kmeans_step", "multimodal_gif_features", "doc_entropy", "doc_quality_linear",
     "doc_dedup_incremental", "doc_bigram_logprob", "events_ab_ttest",
     "events_user_features", "orders_with_returns", "doc_token_stats_jsonl",
+    "multimodal_ulaw_features",
 ]
 
 
@@ -1977,3 +1978,32 @@ def test_gif_lzw_codec_and_malformed():
     bad[13 + 24 + 9] |= 0x40  # image-descriptor packed byte: interlace
     with _pytest.raises(NotImplementedError, match="interlaced"):
         decode_gif(bytes(bad))
+
+
+def test_ulaw_decode_known_vectors_and_container():
+    """Pins the G.711 expansion against the canonical ulaw2linear
+    values (0x00 -> -32124, 0x80 -> +32124, 0xFF/0x7F -> 0) and the
+    format-7 RIFF walk end-to-end; PCM16 stays the format-1 path and
+    other formats still raise."""
+    import struct
+
+    import pytest as _pytest
+
+    from sbo_ray.functions.multimodal import (
+        _ULAW_LUT, decode_wav, make_wav_ulaw, synth_wav_ulaw,
+    )
+
+    assert _ULAW_LUT[0x00] == -32124 and _ULAW_LUT[0x80] == 32124
+    assert _ULAW_LUT[0xFF] == 0 and _ULAW_LUT[0x7F] == 0
+    sr, ch, samples = decode_wav(make_wav_ulaw(8000, bytes([0, 0x80, 0xFF])))
+    assert (sr, ch) == (8000, 1)
+    assert list(samples) == [-32124, 32124, 0]
+    d = 9
+    sr, ch, samples = decode_wav(synth_wav_ulaw(d))
+    k = np.arange(256, dtype=np.int64)
+    assert (samples == _ULAW_LUT[(d * 13 + k * 7 + 5) % 256]).all()
+    # a-law (format 6) still refuses
+    bad = bytearray(make_wav_ulaw(8000, bytes(4)))
+    struct.pack_into("<H", bad, 20, 6)
+    with _pytest.raises(NotImplementedError, match="format=6"):
+        decode_wav(bytes(bad))
