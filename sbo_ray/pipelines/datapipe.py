@@ -5136,6 +5136,51 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     return ds.groupby("part").map_groups(sessions_part, batch_format="pandas")
 
 
+def events_running_total(sf_dir: str):
+    """CUMULATIVE window (ROWS UNBOUNDED PRECEDING) per user — the
+    running-balance/LTV-to-date primitive, completing the window
+    family next to the time-framed sliding window and the sessionizer:
+    every event gets its user's running event count and running value
+    sum under the total (ts, event_id) order. Partition-grouped by
+    user hash (the sessionize pattern); inside a partition one lexsort
+    + cumsum with segment-base subtraction — no per-user Python, no
+    per-row state. Running sums are sequential prefix sums on BOTH
+    engines (np.cumsum and DuckDB's window accumulate in the same
+    order), ROUND-6 absorbs the residue."""
+    P = _n_parts()
+
+    def running_part(g: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort((g["event_id"].to_numpy(),
+                        g["ts"].to_numpy(), g["user_id"].to_numpy()))
+        uid = g["user_id"].to_numpy()[o]
+        v = g["value"].to_numpy()[o]
+        new = np.ones(len(uid), dtype=bool)
+        new[1:] = uid[1:] != uid[:-1]
+        seg = np.cumsum(new) - 1
+        cs = np.cumsum(v)
+        starts = np.flatnonzero(new)
+        base = (cs[starts] - v[starts])[seg]
+        pos = np.arange(len(uid), dtype=np.int64)
+        running_n = pos - starts[seg] + 1
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[o],
+            "user_id": uid,
+            "ts": g["ts"].to_numpy()[o],
+            "running_n": running_n,
+            "running_value": np.round(cs - base, 6),
+        })
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "part", pa.array(t.column("user_id").to_numpy() % P)),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("part").map_groups(running_part,
+                                         batch_format="pandas")
+
+
 def events_ab_ttest(sf_dir: str):
     """A/B experiment readout — the experimentation-analytics
     primitive: users hash-split into two arms (md5 of the user id, the

@@ -1661,6 +1661,17 @@ CROSS JOIN tot
 GROUP BY pairs.doc_id
 """
 
+# Running-total mirror: the same total (ts, event_id) order, ROWS
+# UNBOUNDED PRECEDING frame; both engines accumulate sequentially.
+SQL_EVENTS_RUNNING_TOTAL = """
+SELECT event_id, user_id, ts,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_n,
+       ROUND(SUM(value) OVER w, 6) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
 # A/B-test mirror: same md5 arm split on CAST(user_id AS VARCHAR),
 # variance explicitly from the (n, sum, sumsq) moments (VAR_SAMP uses
 # a different update rule), Welch t in the identical op order.
@@ -2047,6 +2058,7 @@ def data_queries() -> dict:
         "events_sliding_window": P.events_sliding_window,
         "events_sliding_distinct": P.events_sliding_distinct,
         "events_user_value_topk": P.events_user_value_topk,
+        "events_running_total": P.events_running_total,
         "events_ab_ttest": P.events_ab_ttest,
         "events_user_features": P.events_user_features,
         "events_transitions": P.events_transitions,
@@ -2138,6 +2150,7 @@ def data_oracle_sql() -> dict:
         "events_sliding_window": SQL_EVENTS_SLIDING,
         "events_sliding_distinct": SQL_EVENTS_SLIDING_DISTINCT,
         "events_user_value_topk": SQL_EVENTS_USER_VALUE_TOPK,
+        "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
         "events_ab_ttest": SQL_EVENTS_AB_TTEST,
         "events_user_features": SQL_EVENTS_USER_FEATURES,
         "events_transitions": SQL_EVENTS_TRANSITIONS,
