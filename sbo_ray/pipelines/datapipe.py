@@ -1655,6 +1655,97 @@ def emb_similarity_topk(sf_dir: str, k: int = 10):
     return S.merge_topk(parts, k)
 
 
+_BATCH_SEARCH = pa.schema([
+    ("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+    ("cos", pa.float64()), ("rnk", pa.int64()),
+])
+
+
+def emb_batch_search(sf_dir: str, n_queries: int = 32, k: int = 10):
+    """Brute-force cosine top-k for a BATCH of queries — the broadcast
+    query-MATRIX baseline (one ray.put of the Q x d panel, ONE
+    streaming corpus pass, per-block `X @ Q.T` matmul) that
+    emb_similarity_topk's single-query path generalizes to and the
+    LSH/IVF variants approximate. Queries are the deterministic
+    strided sample (the codebook pick). Per block each query keeps
+    its top-k under the knn composite key (round3-micro * 2^33 - id,
+    loud 2^33 assert), so block partials stay closed under the final
+    merge; the driver folds blocks x Q x k rows. 100-TB shape: the
+    corpus streams once regardless of Q; per-block temp is rows x Q."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = _parquet_num_rows(sf_dir, "embeddings")
+    qm = _pq_codebook(ds, n, n_queries)
+    if qm is None:
+        return _BATCH_SEARCH.empty_table()
+    stride = max(1, n // n_queries)
+
+    def strided_ids(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        return b.select(["vec_id"]).filter(pa.array(ids % stride == 0))
+
+    qids = pa.concat_tables(
+        ds.map_batches(strided_ids, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None)
+    ).sort_by("vec_id").column("vec_id").to_numpy(
+        zero_copy_only=False)[:n_queries].astype(np.int64)
+    q_ref = ray.put((qids, D.normalize_rows(qm)))
+    PART = pa.schema([("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+                      ("key", pa.int64())])
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return PART.empty_table()
+        qi, qn = ray.get(q_ref)
+        ids = t.column("vec_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(ids) and ids.max() >= (1 << 33):
+            raise ValueError(
+                f"vec_id {int(ids.max())} >= 2^33 breaks the composite "
+                f"top-k ordering key")
+        m = D.normalize_rows(S.embedding_matrix(t)).astype(np.float64)
+        cos = np.round(m @ qn.T, 3)                      # rows x Q
+        key = np.rint(cos * 1000.0).astype(np.int64) * (1 << 33) \
+            - ids[:, None]
+        key[np.isin(ids, qi)[:, None] &
+            (ids[:, None] == qi[None, :])] = np.iinfo(np.int64).min
+        kk = min(k, key.shape[0])
+        part = np.argpartition(-key, kk - 1, axis=0)[:kk]
+        rows = part.reshape(-1)
+        qcol = np.tile(np.arange(len(qi), dtype=np.int64),
+                       (kk, 1)).reshape(-1)
+        return pa.table({
+            "query_id": pa.array(qi[qcol]),
+            "neighbor_id": pa.array(ids[rows]),
+            "key": pa.array(key[rows, qcol]),
+        }, schema=PART)
+
+    parts = pa.concat_tables(
+        ds.map_batches(block_topk, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    if parts.num_rows == 0:
+        return _BATCH_SEARCH.empty_table()
+    qid = parts.column("query_id").to_numpy(zero_copy_only=False)
+    nid = parts.column("neighbor_id").to_numpy(zero_copy_only=False)
+    key = parts.column("key").to_numpy(zero_copy_only=False)
+    drop = key == np.iinfo(np.int64).min
+    qid, nid, key = qid[~drop], nid[~drop], key[~drop]
+    order = np.lexsort((-key, qid))
+    qid, nid, key = qid[order], nid[order], key[order]
+    new = np.ones(len(qid), dtype=bool)
+    new[1:] = qid[1:] != qid[:-1]
+    seg = np.cumsum(new) - 1
+    starts = np.flatnonzero(new)
+    rnk = np.arange(len(qid), dtype=np.int64) - starts[seg] + 1
+    keep = rnk <= k
+    cos = (key[keep] + nid[keep]) / (1 << 33) / 1000.0
+    return pa.table({
+        "query_id": pa.array(qid[keep]),
+        "neighbor_id": pa.array(nid[keep]),
+        "cos": pa.array(np.round(cos, 3)),
+        "rnk": pa.array(rnk[keep]),
+    }, schema=_BATCH_SEARCH)
+
+
 def emb_ann_lsh(sf_dir: str, k: int = 10, n_bits: int = 6,
                 n_tables: int = 4, probe_hamming: int = 2):
     """Multi-table LSH ANN, distributed: ``n_tables`` independent

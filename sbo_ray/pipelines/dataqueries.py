@@ -689,6 +689,30 @@ ORDER BY ROUND(list_cosine_similarity(e.embedding, q.qe), 3) DESC, e.vec_id
 LIMIT 10
 """
 
+# Batch-search mirror: same strided 32-query panel as the codebook
+# pick, DOUBLE[] cosines, rank on (round3 desc, id asc) — the knn-join
+# conventions at Q x k output size.
+SQL_EMB_BATCH_SEARCH = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % (SELECT GREATEST(1, COUNT(*) // 32)
+                        FROM embeddings) = 0
+        ORDER BY vec_id LIMIT 32)
+), c AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qe AS DOUBLE[])), 3) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT)
+    AS rnk
+  FROM c
+) WHERE rnk <= 10
+"""
+
 SQL_MULTIMODAL_PAYLOAD_STATS = """
 SELECT doc_id, CAST(strlen(text) AS BIGINT) AS payload_bytes FROM documents
 """
@@ -2013,6 +2037,7 @@ def data_queries() -> dict:
         "doc_dedup_simhash": P.doc_dedup_simhash,
         "emb_dedup_cosine": P.emb_dedup_cosine,
         "emb_similarity_topk": P.emb_similarity_topk,
+        "emb_batch_search": P.emb_batch_search,
         "emb_ann_lsh": P.emb_ann_lsh,
         "emb_ann_ivf": P.emb_ann_ivf,
         "emb_quantize_sq8": P.emb_quantize_sq8,
@@ -2189,6 +2214,7 @@ def data_oracle_sql() -> dict:
         "emb_covariance": SQL_EMB_COVARIANCE,
         "emb_sample_balanced": SQL_EMB_SAMPLE_BALANCED,
         "emb_similarity_topk": SQL_EMB_SIMILARITY_TOPK,
+        "emb_batch_search": SQL_EMB_BATCH_SEARCH,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_token_stats_jsonl": SQL_DOC_TOKEN_STATS,
         "doc_lang_id": SQL_DOC_LANG_ID,

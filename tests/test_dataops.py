@@ -41,7 +41,7 @@ SQL_NAMES = [
     "emb_kmeans_step", "multimodal_gif_features", "doc_entropy", "doc_quality_linear",
     "doc_dedup_incremental", "doc_bigram_logprob", "events_ab_ttest",
     "events_user_features", "orders_with_returns", "doc_token_stats_jsonl",
-    "multimodal_ulaw_features", "events_running_total",
+    "multimodal_ulaw_features", "events_running_total", "emb_batch_search",
 ]
 
 
