@@ -1722,6 +1722,13 @@ def emb_batch_search(sf_dir: str, n_queries: int = 32, k: int = 10):
     parts = pa.concat_tables(
         ds.map_batches(block_topk, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow", batch_size=None))
+    return _batch_topk_merge(parts, k)
+
+
+def _batch_topk_merge(parts: pa.Table, k: int) -> pa.Table:
+    """Fold blocks x Q x k batch-search partials into per-query
+    (neighbor, cos, rank) rows — block partials were selected under
+    the SAME composite key, so the merge is closed (the knn rule)."""
     if parts.num_rows == 0:
         return _BATCH_SEARCH.empty_table()
     qid = parts.column("query_id").to_numpy(zero_copy_only=False)
@@ -1729,6 +1736,8 @@ def emb_batch_search(sf_dir: str, n_queries: int = 32, k: int = 10):
     key = parts.column("key").to_numpy(zero_copy_only=False)
     drop = key == np.iinfo(np.int64).min
     qid, nid, key = qid[~drop], nid[~drop], key[~drop]
+    if not len(qid):
+        return _BATCH_SEARCH.empty_table()
     order = np.lexsort((-key, qid))
     qid, nid, key = qid[order], nid[order], key[order]
     new = np.ones(len(qid), dtype=bool)
@@ -1744,6 +1753,115 @@ def emb_batch_search(sf_dir: str, n_queries: int = 32, k: int = 10):
         "cos": pa.array(np.round(cos, 3)),
         "rnk": pa.array(rnk[keep]),
     }, schema=_BATCH_SEARCH)
+
+
+def emb_ann_recall(sf_dir: str, n_queries: int = 32, k: int = 10,
+                   n_bits: int = 6, n_tables: int = 4,
+                   probe_hamming: int = 2):
+    """ANN quality EVALUATION — recall@k of the multi-table LSH path
+    against the exact batch search over the same strided query panel:
+    the measure-don't-guess diagnostic you run before trusting an
+    approximate index at 10^12 rows. Two streaming passes over the
+    corpus (exact matmul top-k; LSH-pruned top-k where non-candidates
+    — hamming > probe in EVERY table — are masked to the sentinel),
+    identical composite-key ordering, then a Q x k driver intersect.
+    Output: one row per query (n_hits, recall) + the candidate-pruning
+    rate. No SQL form (the oracle cannot reproduce hyperplane buckets)
+    -> rows-only driver gate; pytest brackets it: exact-vs-exact
+    recall == 1, LSH recall in [0, 1], and recall == 1 when probing
+    every bucket (probe_hamming >= n_bits)."""
+    exact = emb_batch_search(sf_dir, n_queries=n_queries, k=k)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = _parquet_num_rows(sf_dir, "embeddings")
+    qm = _pq_codebook(ds, n, n_queries)
+    OUT = pa.schema([("query_id", pa.int64()), ("n_hits", pa.int64()),
+                     ("recall", pa.float64()),
+                     ("candidate_frac", pa.float64())])
+    if qm is None or exact.num_rows == 0:
+        return OUT.empty_table()
+    qn = D.normalize_rows(qm)
+    dim = qn.shape[1]
+    planes = [S.hyperplanes(dim, n_bits, seed=11 + t)
+              for t in range(n_tables)]
+    qcodes = np.stack([S.lsh_bucket(qn, p) for p in planes])  # T x Q
+    qids = np.unique(exact.column("query_id").to_numpy(
+        zero_copy_only=False))
+    q_ref = ray.put((qids, qn, planes, qcodes))
+    PART = pa.schema([("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+                      ("key", pa.int64()), ("n_cand", pa.int64()),
+                      ("n_rows", pa.int64())])
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return PART.empty_table()
+        qi, qnm, pls, qc = ray.get(q_ref)
+        ids = t.column("vec_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(ids) and ids.max() >= (1 << 33):
+            raise ValueError(
+                f"vec_id {int(ids.max())} >= 2^33 breaks the composite "
+                f"top-k ordering key")
+        m = D.normalize_rows(S.embedding_matrix(t)).astype(np.float64)
+        cand = np.zeros((len(ids), len(qi)), dtype=bool)
+        for ti, p in enumerate(pls):
+            codes = S.lsh_bucket(m, p)
+            x = codes[:, None] ^ qc[ti][None, :]
+            ham = np.zeros_like(x)
+            while True:
+                ham += x & 1
+                x >>= 1
+                if not x.any():
+                    break
+            cand |= ham <= probe_hamming
+        cos = np.round(m @ qnm.T, 3)
+        key = np.rint(cos * 1000.0).astype(np.int64) * (1 << 33) \
+            - ids[:, None]
+        key[~cand] = np.iinfo(np.int64).min
+        key[ids[:, None] == qi[None, :]] = np.iinfo(np.int64).min
+        kk = min(k, key.shape[0])
+        part = np.argpartition(-key, kk - 1, axis=0)[:kk]
+        rows = part.reshape(-1)
+        qcol = np.tile(np.arange(len(qi), dtype=np.int64),
+                       (kk, 1)).reshape(-1)
+        return pa.table({
+            "query_id": pa.array(qi[qcol]),
+            "neighbor_id": pa.array(ids[rows]),
+            "key": pa.array(key[rows, qcol]),
+            # block-level pruning stats ride on the FIRST row only, so
+            # a plain driver sum counts each block exactly once
+            "n_cand": pa.array(np.where(
+                np.arange(len(rows)) == 0, int(cand.sum()), 0)
+                .astype(np.int64)),
+            "n_rows": pa.array(np.where(
+                np.arange(len(rows)) == 0, len(ids) * len(qi), 0)
+                .astype(np.int64)),
+        }, schema=PART)
+
+    parts = pa.concat_tables(
+        ds.map_batches(block_topk, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    approx = _batch_topk_merge(parts.select(
+        ["query_id", "neighbor_id", "key"]), k)
+    tot_rows = int(pc.sum(parts.column("n_rows")).as_py() or 0)
+    tot_cand = int(pc.sum(parts.column("n_cand")).as_py() or 0)
+    frac = round(tot_cand / tot_rows, 6) if tot_rows else 0.0
+    eq = exact.column("query_id").to_numpy(zero_copy_only=False)
+    en = exact.column("neighbor_id").to_numpy(zero_copy_only=False)
+    aq = approx.column("query_id").to_numpy(zero_copy_only=False)
+    an = approx.column("neighbor_id").to_numpy(zero_copy_only=False)
+    hits, recs = [], []
+    for q in qids:
+        want = set(en[eq == q].tolist())
+        got = set(an[aq == q].tolist())
+        h = len(want & got)
+        hits.append(h)
+        recs.append(round(h / max(len(want), 1), 6))
+    return pa.table({
+        "query_id": pa.array(qids),
+        "n_hits": pa.array(np.array(hits, np.int64)),
+        "recall": pa.array(np.array(recs)),
+        "candidate_frac": pa.array(np.full(len(qids), frac)),
+    }, schema=OUT)
 
 
 def emb_ann_lsh(sf_dir: str, k: int = 10, n_bits: int = 6,

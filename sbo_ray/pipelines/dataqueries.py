@@ -2038,6 +2038,7 @@ def data_queries() -> dict:
         "emb_dedup_cosine": P.emb_dedup_cosine,
         "emb_similarity_topk": P.emb_similarity_topk,
         "emb_batch_search": P.emb_batch_search,
+        "emb_ann_recall": P.emb_ann_recall,
         "emb_ann_lsh": P.emb_ann_lsh,
         "emb_ann_ivf": P.emb_ann_ivf,
         "emb_quantize_sq8": P.emb_quantize_sq8,

@@ -2007,3 +2007,21 @@ def test_ulaw_decode_known_vectors_and_container():
     struct.pack_into("<H", bad, 20, 6)
     with _pytest.raises(NotImplementedError, match="format=6"):
         decode_wav(bytes(bad))
+
+
+def test_ann_recall_brackets(ray_session):
+    """The recall evaluator's invariants: per-query recall in [0,1]
+    with n_hits consistent, exact self-agreement when every bucket is
+    probed (probe_hamming >= n_bits -> candidates = everything ->
+    recall 1.0 for all queries), and a sane pruning fraction."""
+    from sbo_ray.pipelines.datapipe import emb_ann_recall
+
+    SF = "/root/testdata/sf0.001"
+    r = emb_ann_recall(SF).to_pandas()
+    assert len(r) > 0
+    assert ((r["recall"] >= 0) & (r["recall"] <= 1)).all()
+    assert (r["n_hits"] == (r["recall"] * 10).round()).all()
+    assert ((r["candidate_frac"] > 0) & (r["candidate_frac"] <= 1)).all()
+    full = emb_ann_recall(SF, probe_hamming=6).to_pandas()
+    assert (full["recall"] == 1.0).all()
+    assert (full["candidate_frac"] == 1.0).all()
