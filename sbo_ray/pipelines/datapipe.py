@@ -143,8 +143,11 @@ def doc_mix_epochs(sf_dir: str):
         if isinstance(src, pa.ChunkedArray):
             src = src.combine_chunks()
         digits = pc.extract_regex(src, r"(?P<d>[0-9]+)")
-        mk = pc.cast(pc.struct_field(digits, "d"), pa.int64()).to_numpy(
-            zero_copy_only=False).astype(np.int64) % 4
+        # digit-less source names fall into weight class 0 (w = 1.0) on
+        # both sides (the oracle's TRY_CAST -> COALESCE 0)
+        mk = pc.fill_null(
+            pc.cast(pc.struct_field(digits, "d"), pa.int64()), 0
+        ).to_numpy(zero_copy_only=False).astype(np.int64) % 4
         h = D.add_text_hash(
             t.append_column("__salted", pc.binary_join_element_wise(
                 t.column("text").cast(pa.string()), "mix", "")),
@@ -5423,9 +5426,13 @@ def events_ab_ttest(sf_dir: str):
                          "sv": pa.array(sv), "svv": pa.array(svv)},
                         schema=PART)
 
+    OUT = pa.schema([("n_a", pa.int64()), ("n_b", pa.int64()),
+                     ("mean_a", pa.float64()), ("mean_b", pa.float64()),
+                     ("t_stat", pa.float64())])
     parts = pa.concat_tables(
-        ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None))
+        [PART.empty_table()]
+        + list(ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None)))
     g = parts.group_by("arm").aggregate(
         [("n", "sum"), ("sv", "sum"), ("svv", "sum")])
     idx = g.column("arm").to_numpy(zero_copy_only=False)
@@ -5435,6 +5442,10 @@ def events_ab_ttest(sf_dir: str):
     n[idx] = g.column("n_sum").to_numpy(zero_copy_only=False)
     sv[idx] = g.column("sv_sum").to_numpy(zero_copy_only=False)
     svv[idx] = g.column("svv_sum").to_numpy(zero_copy_only=False)
+    if (n < 2).any():
+        # an arm with <2 events has no sample variance; the SQL mirror
+        # likewise emits no row (its a JOIN b finds no pair)
+        return OUT.empty_table()
     mean = sv / n
     var = (svv - sv * sv / n) / (n - 1)
     t_stat = (mean[0] - mean[1]) / np.sqrt(var[0] / n[0] + var[1] / n[1])

@@ -36,7 +36,8 @@ WHERE {_H63.format(salt='s1')} < {int(0.1 * (1 << 63))}
 SQL_DOC_MIX_EPOCHS = f"""
 WITH m AS (
   SELECT doc_id, source,
-    CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4 AS mk,
+    COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT),
+             0) % 4 AS mk,
     {_H63.format(salt='mix')} AS h
   FROM documents
 ), r AS (
