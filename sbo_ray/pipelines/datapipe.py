@@ -3026,7 +3026,10 @@ def _ensure_jsonl_docs(sf_dir: str, n_shards: int = 4) -> list[str]:
     ship newline-delimited JSON shards). Cached under /tmp/sbo_jsonl
     keyed by the source dir; rows shard round-robin by doc_id and
     serialize via pandas' C writer. Rewritten atomically (tmp +
-    rename dir marker)."""
+    rename dir marker). FIXTURE-ONLY driver-side conversion: in
+    production the corpus already arrives as JSONL and only the
+    read_json path below is the engine — nothing here scales with a
+    real corpus."""
     import hashlib
     import json
 
