@@ -376,19 +376,57 @@ def _ulaw_lut() -> np.ndarray:
 _ULAW_LUT = _ulaw_lut()
 
 
-def make_wav_ulaw(sample_rate: int, ulaw_bytes: bytes,
+def _alaw_lut() -> np.ndarray:
+    """G.711 A-law byte -> linear PCM16 expansion (Sun alaw2linear:
+    XOR 0x55, 3-bit segment, 4-bit mantissa; seg 0 -> 16m+8, else
+    (16m+264) << (seg-1); sign bit SET means POSITIVE in A-law)."""
+    b = np.arange(256, dtype=np.int64)
+    a = b ^ 0x55
+    seg = (a >> 4) & 7
+    man = a & 0xF
+    mag = np.where(seg == 0, man * 16 + 8,
+                   (man * 16 + 264) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, mag, -mag)
+
+
+_ALAW_LUT = _alaw_lut()
+
+
+def make_wav_g711(sample_rate: int, enc_bytes: bytes, fmt_code: int,
                   n_channels: int = 1) -> bytes:
-    """Render raw G.711 mu-law bytes as a RIFF/WAVE payload (format
-    code 7, 8 bits/sample — the telephony WAV variant)."""
+    """Render raw G.711 companded bytes as a RIFF/WAVE payload
+    (format code 7 = mu-law, 6 = A-law; 8 bits/sample — the telephony
+    WAV variants)."""
     import struct
 
     byte_rate = sample_rate * n_channels
-    hdr = b"RIFF" + struct.pack("<I", 36 + len(ulaw_bytes)) + b"WAVE"
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(enc_bytes)) + b"WAVE"
     fmt = b"fmt " + struct.pack(
-        "<IHHIIHH", 16, 7, n_channels, sample_rate, byte_rate,
+        "<IHHIIHH", 16, fmt_code, n_channels, sample_rate, byte_rate,
         n_channels, 8)
-    return (hdr + fmt + b"data" + struct.pack("<I", len(ulaw_bytes))
-            + ulaw_bytes)
+    return (hdr + fmt + b"data" + struct.pack("<I", len(enc_bytes))
+            + enc_bytes)
+
+
+def make_wav_ulaw(sample_rate: int, ulaw_bytes: bytes,
+                  n_channels: int = 1) -> bytes:
+    return make_wav_g711(sample_rate, ulaw_bytes, 7, n_channels)
+
+
+def make_wav_alaw(sample_rate: int, alaw_bytes: bytes,
+                  n_channels: int = 1) -> bytes:
+    return make_wav_g711(sample_rate, alaw_bytes, 6, n_channels)
+
+
+def synth_wav_alaw(doc_id: int, n_samples: int = 256,
+                   sample_rate: int = 8000) -> bytes:
+    """Deterministic synthetic A-law clip per doc: encoded byte k is
+    ``(doc_id*19 + k*11 + 3) % 256``; the decoded amplitudes are the
+    all-integer A-law closed form the oracle rebuilds."""
+    k = np.arange(n_samples, dtype=np.int64)
+    return make_wav_alaw(
+        sample_rate, ((doc_id * 19 + k * 11 + 3) % 256)
+        .astype(np.uint8).tobytes())
 
 
 def synth_wav_ulaw(doc_id: int, n_samples: int = 256,
@@ -406,8 +444,9 @@ def synth_wav_ulaw(doc_id: int, n_samples: int = 256,
 def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     """Parse a RIFF/WAVE payload: walks the chunk list (word-aligned, so
     unknown chunks like LIST/INFO are skipped correctly), decodes PCM16
-    (format 1) natively and G.711 mu-law (format 7, 8-bit — the
-    telephony variant) through the expansion LUT, and returns
+    (format 1) natively and both G.711 halves — mu-law (format 7) and
+    A-law (format 6), 8-bit telephony variants — through their
+    expansion LUTs, and returns
     ``(sample_rate, n_channels, int16 array of interleaved samples)``.
     Raises ValueError on malformed input and NotImplementedError for
     other encodings (no codec libs in this container)."""
@@ -429,10 +468,10 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
                 raise ValueError("short fmt chunk")
             audio_format, n_channels, sample_rate, _br, _ba, bits = \
                 struct.unpack_from("<HHIIHH", body, 0)
-            if (audio_format, bits) not in ((1, 16), (7, 8)):
+            if (audio_format, bits) not in ((1, 16), (7, 8), (6, 8)):
                 raise NotImplementedError(
-                    f"only PCM16 and G.711 mu-law WAV decode natively "
-                    f"(format={audio_format}, bits={bits})"
+                    f"only PCM16 and G.711 mu-law/A-law WAV decode "
+                    f"natively (format={audio_format}, bits={bits})"
                 )
             if n_channels < 1:
                 raise ValueError("WAV with zero channels")
@@ -443,9 +482,9 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     if fmt is None or pcm is None:
         raise ValueError("WAV missing fmt or data chunk")
     sample_rate, n_channels, audio_format = fmt
-    if audio_format == 7:
-        samples = _ULAW_LUT[np.frombuffer(pcm, dtype=np.uint8)] \
-            .astype(np.int16)
+    if audio_format in (6, 7):
+        lut = _ULAW_LUT if audio_format == 7 else _ALAW_LUT
+        samples = lut[np.frombuffer(pcm, dtype=np.uint8)].astype(np.int16)
         if n_channels > 1 and len(samples) % n_channels:
             samples = samples[: len(samples) // n_channels * n_channels]
         return sample_rate, n_channels, samples

@@ -4360,6 +4360,40 @@ def multimodal_ulaw_features(sf_dir: str):
     )
 
 
+def multimodal_alaw_features(sf_dir: str):
+    """The A-LAW half of G.711 (WAV format code 6, the European
+    telephony companding law — mu-law's ITU sibling with a different
+    segment structure: XOR-0x55 toggling, seg-0 linear region, sign
+    bit SET = positive): same AudioDecoder actor pool, same exact
+    all-integer SQL gate over the closed-form encoded bytes."""
+    from ..functions.multimodal import (
+        PAYLOAD_SCHEMA, WAV_MEDIA_TYPE, AudioDecoder, synth_wav_alaw,
+    )
+
+    def to_clips(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = [synth_wav_alaw(int(i)) for i in ids]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array(payloads, type=pa.binary()),
+                pa.array([WAV_MEDIA_TYPE] * len(ids), type=pa.string()),
+                pa.array([len(p) for p in payloads], type=pa.int64()),
+            ],
+            schema=PAYLOAD_SCHEMA,
+        )
+
+    payload = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        to_clips, batch_format="pyarrow"
+    )
+    return payload.map_batches(
+        AudioDecoder,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(2, max(2, _cpus())),
+    )
+
+
 def multimodal_audio_features(sf_dir: str):
     """REAL audio decode through the actor-pool stage: deterministic
     synthetic RIFF/PCM16 WAV payloads (one clip per doc), decoded by the

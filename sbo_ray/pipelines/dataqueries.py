@@ -856,6 +856,36 @@ SELECT doc_id, 'image/gif' AS media_type,
 FROM px GROUP BY doc_id, w, h
 """
 
+# A-law mirror: same encoded byte closed form, Sun alaw2linear in
+# integers (xor 0x55 via the no-borrow identity on the known bit
+# pattern is NOT safe in SQL -- DuckDB has a real xor()), sign bit
+# SET means POSITIVE (the A-law/mu-law polarity difference).
+SQL_MULTIMODAL_ALAW = """
+WITH px AS (
+  SELECT doc_id,
+         xor((doc_id * 19 + unnest(range(256)) * 11 + 3) % 256, 85) AS a
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    (CASE WHEN a >= 128 THEN 1 ELSE -1 END) *
+    (CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+          ELSE ((a % 16) * 16 + 264) *
+               (CASE (a // 16) % 8 WHEN 1 THEN 1 WHEN 2 THEN 2
+                     WHEN 3 THEN 4 WHEN 4 THEN 8 WHEN 5 THEN 16
+                     WHEN 6 THEN 32 ELSE 64 END) END) AS amp
+  FROM px
+)
+SELECT doc_id, 'audio/wav' AS media_type,
+       CAST(300 AS BIGINT) AS payload_bytes,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(256 AS BIGINT) AS n_samples,
+       CAST(SUM(amp) AS BIGINT) AS sum_amp,
+       CAST(SUM(ABS(amp)) AS BIGINT) AS sum_abs_amp,
+       CAST(MAX(ABS(amp)) AS BIGINT) AS max_abs_amp
+FROM s GROUP BY doc_id
+"""
+
 # mu-law mirror: same encoded byte closed form, same all-integer G.711
 # expansion (complement, 3-bit exponent via integer div, power-of-two
 # CASE, sign from bit 7). Payload = 44-byte header + 256 bytes.
@@ -2110,6 +2140,7 @@ def data_queries() -> dict:
         "multimodal_image_resize": P.multimodal_image_resize,
         "multimodal_audio_features": P.multimodal_audio_features,
         "multimodal_ulaw_features": P.multimodal_ulaw_features,
+        "multimodal_alaw_features": P.multimodal_alaw_features,
         "customer_nation_agg": P.customer_nation_agg,
         "customer_no_orders": P.customer_no_orders,
         "supplier_nation_revenue": P.supplier_nation_revenue,
@@ -2204,6 +2235,7 @@ def data_oracle_sql() -> dict:
         "multimodal_image_resize": SQL_MULTIMODAL_RESIZE,
         "multimodal_audio_features": SQL_MULTIMODAL_AUDIO,
         "multimodal_ulaw_features": SQL_MULTIMODAL_ULAW,
+        "multimodal_alaw_features": SQL_MULTIMODAL_ALAW,
         "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,
         "emb_dedup_cosine": SQL_EMB_DEDUP_COSINE,
         "emb_quantize_sq8": SQL_EMB_QUANTIZE_SQ8,

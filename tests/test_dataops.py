@@ -42,6 +42,7 @@ SQL_NAMES = [
     "doc_dedup_incremental", "doc_bigram_logprob", "events_ab_ttest",
     "events_user_features", "orders_with_returns", "doc_token_stats_jsonl",
     "multimodal_ulaw_features", "events_running_total", "emb_batch_search",
+    "multimodal_alaw_features",
 ]
 
 
@@ -2002,10 +2003,24 @@ def test_ulaw_decode_known_vectors_and_container():
     sr, ch, samples = decode_wav(synth_wav_ulaw(d))
     k = np.arange(256, dtype=np.int64)
     assert (samples == _ULAW_LUT[(d * 13 + k * 7 + 5) % 256]).all()
-    # a-law (format 6) still refuses
+    # A-law decodes too (canonical vectors: 0x55 -> -8, 0xD5 -> +8,
+    # 0x2A -> -32256, sign bit SET = positive — the polarity flip
+    # vs mu-law); ADPCM (format 2) still refuses
+    from sbo_ray.functions.multimodal import (
+        _ALAW_LUT, make_wav_alaw, synth_wav_alaw,
+    )
+
+    assert _ALAW_LUT[0x55] == -8 and _ALAW_LUT[0xD5] == 8
+    assert _ALAW_LUT[0x2A] == -32256 and _ALAW_LUT[0xAA] == 32256
+    sr, ch, samples = decode_wav(make_wav_alaw(8000, bytes([0x55, 0xD5])))
+    assert list(samples) == [-8, 8]
+    d2 = 4
+    _, _, s2 = decode_wav(synth_wav_alaw(d2))
+    k2 = np.arange(256, dtype=np.int64)
+    assert (s2 == _ALAW_LUT[(d2 * 19 + k2 * 11 + 3) % 256]).all()
     bad = bytearray(make_wav_ulaw(8000, bytes(4)))
-    struct.pack_into("<H", bad, 20, 6)
-    with _pytest.raises(NotImplementedError, match="format=6"):
+    struct.pack_into("<H", bad, 20, 2)
+    with _pytest.raises(NotImplementedError, match="format=2"):
         decode_wav(bytes(bad))
 
 
