@@ -1302,6 +1302,199 @@ def q_log_distinct_clients_hll(sf_dir: str):
     })
 
 
+# ---- token-native operators (the north-rule payload: tokens list<int32>) --
+def _token_lists(col) -> tuple["np.ndarray", "np.ndarray"]:
+    """(values int32, offsets int64 rebased to 0) from a list<int32>
+    column — the zero-copy slicing idiom of ``codec.decode_tokens``."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.LargeListArray):
+        arr = arr.cast(pa.list_(pa.int32()))
+    off = arr.offsets.to_numpy().astype(np.int64)
+    start, end = int(off[0]), int(off[-1])
+    vals = arr.values.slice(start, end - start).to_numpy(zero_copy_only=False)
+    return vals, off - start
+
+
+def _read_tokens(sf_dir: str, columns: list[str]):
+    """Column-pruned file-aligned read of the raw token table."""
+    import ray.data as rd
+
+    paths = _input_paths(sf_dir)
+    return rd.read_parquet(paths, columns=columns,
+                           override_num_blocks=max(1, len(paths)))
+
+
+def q_log_token_histogram(sf_dir: str, k: int = 32):
+    """Global token-id frequency top-k over the pre-tokenized payload.
+
+    The vocabulary is bounded (byte codec, ids < 256), so each block
+    emits a <=256-row bincount partial and the driver folds a few KB —
+    the canonical bounded-cardinality aggregate shape. Deterministic
+    boundary: (cnt desc, token asc)."""
+    part_schema = pa.schema([("token", pa.int64()), ("cnt", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        vals, _ = _token_lists(t.column("tokens"))
+        cnt = np.bincount(vals, minlength=256)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"token": nz.astype(np.int64),
+                         "cnt": cnt[nz].astype(np.int64)})
+
+    parts = pa.concat_tables(
+        [part_schema.empty_table()] +
+        list(_read_tokens(sf_dir, ["tokens"])
+             .map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    g = parts.group_by("token").aggregate([("cnt", "sum")])
+    g = g.rename_columns(["token", "cnt"])
+    out = g.sort_by([("cnt", "descending"), ("token", "ascending")]).slice(0, k)
+    return pa.table({"token": out.column("token"),
+                     "cnt": out.column("cnt").cast(pa.int64())})
+
+
+def sql_token_histogram(cache: str, k: int = 32) -> str:
+    return f"""
+SELECT CAST(u.tok AS BIGINT) AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM read_parquet('{cache}/shard-*.parquet') t, UNNEST(t.tokens) AS u(tok)
+GROUP BY token ORDER BY cnt DESC, token LIMIT {k}
+"""
+
+
+def q_log_token_bigrams(sf_dir: str, k: int = 32):
+    """Top-k adjacent token pairs over the token payload (corpus bigram
+    statistics on the token table — the doc-side twin is
+    ``doc_vocab_bigrams``). Pairs never cross row boundaries; each block
+    bincounts packed keys a*256+b into a <=65536-row partial.
+    Deterministic boundary: (cnt desc, a asc, b asc)."""
+    part_schema = pa.schema([("pair", pa.int64()), ("cnt", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        vals, off = _token_lists(t.column("tokens"))
+        if len(vals) < 2:
+            return part_schema.empty_table()
+        key = vals[:-1].astype(np.int64) * 256 + vals[1:].astype(np.int64)
+        valid = np.ones(len(vals) - 1, dtype=bool)
+        ends = off[1:-1] - 1  # last token of each non-final row
+        ends = ends[(ends >= 0) & (ends < len(valid))]
+        valid[ends] = False
+        cnt = np.bincount(key[valid], minlength=65536)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"pair": nz.astype(np.int64),
+                         "cnt": cnt[nz].astype(np.int64)})
+
+    parts = pa.concat_tables(
+        [part_schema.empty_table()] +
+        list(_read_tokens(sf_dir, ["tokens"])
+             .map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    g = parts.group_by("pair").aggregate([("cnt", "sum")])
+    g = g.rename_columns(["pair", "cnt"])
+    pair = g.column("pair").to_numpy(zero_copy_only=False)
+    t = pa.table({"a": pair // 256, "b": pair % 256,
+                  "cnt": g.column("cnt").cast(pa.int64())})
+    return t.sort_by([("cnt", "descending"), ("a", "ascending"),
+                      ("b", "ascending")]).slice(0, k)
+
+
+def sql_token_bigrams(cache: str, k: int = 32) -> str:
+    return f"""
+WITH pairs AS (
+  SELECT UNNEST(list_zip(t.tokens, t.tokens[2:])) AS pr
+  FROM read_parquet('{cache}/shard-*.parquet') t
+)
+SELECT CAST(pr[1] AS BIGINT) AS a, CAST(pr[2] AS BIGINT) AS b,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pairs WHERE pr[2] IS NOT NULL
+GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT {k}
+"""
+
+
+def q_log_seq_dedup(sf_dir: str):
+    """Exact duplicate token *sequences* per source — dedup keyed on the
+    whole tokens array (the sequence-level twin of doc_dedup_exact).
+
+    Block-local: one vectorized polynomial hash per row (reduceat over
+    ragged segments, uint64 wraparound), then block dedup of
+    (source, hash) with a per-block copy count. ONE hash exchange on
+    h % P co-locates every copy of a sequence; each partition counts
+    distinct hashes and total rows per source, and the driver folds
+    P x |sources| tiny rows. Sequences themselves never move."""
+    import ray
+
+    P = max(4, int(ray.cluster_resources().get("CPU", 4)))
+    FNV = np.uint64(1099511628211)
+    part_schema = pa.schema([("source", pa.string()), ("h", pa.int64()),
+                             ("cnt", pa.int64()), ("part", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        vals, off = _token_lists(t.column("tokens"))
+        lens = np.diff(off)
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        if len(vals):
+            pos = (np.arange(len(vals), dtype=np.int64)
+                   - np.repeat(off[:-1], lens))
+            maxlen = int(lens.max())
+            pows = np.ones(maxlen, dtype=np.uint64)
+            if maxlen > 1:
+                np.multiply.accumulate(
+                    np.full(maxlen - 1, FNV, dtype=np.uint64), out=pows[1:])
+            terms = (vals.astype(np.uint64) + np.uint64(1)) * pows[pos]
+            nz = lens > 0
+            h[nz] = np.add.reduceat(terms, off[:-1][nz])
+        h = h * np.uint64(31) + lens.astype(np.uint64)  # length-mixed
+        g = pa.table({
+            "source": t.column("source"),
+            "h": pa.array(h.view(np.int64)),
+        }).group_by(["source", "h"]).aggregate([([], "count_all")])
+        hh = g.column("h").to_numpy(zero_copy_only=False)
+        part = (hh.view(np.uint64) % np.uint64(P)).astype(np.int64)
+        return pa.table({"source": g.column("source"), "h": g.column("h"),
+                         "cnt": g.column("count_all").cast(pa.int64()),
+                         "part": pa.array(part)})
+
+    def fold_part(g: "pd.DataFrame"):
+        import pandas as pd
+
+        per_seq = (g.groupby(["source", "h"], sort=False)["cnt"].sum()
+                   .reset_index())
+        out = per_seq.groupby("source", sort=False).agg(
+            n_rows=("cnt", "sum"), n_uniq=("h", "size")).reset_index()
+        return pd.DataFrame({"source": out["source"],
+                             "n_rows": out["n_rows"].astype("int64"),
+                             "n_uniq": out["n_uniq"].astype("int64")})
+
+    parts = (_read_tokens(sf_dir, ["tokens", "source"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("part").map_groups(fold_part))
+    df = logpipe.to_pandas_with_schema(
+        parts, pa.schema([("source", pa.string()), ("n_rows", pa.int64()),
+                          ("n_uniq", pa.int64())]))
+    out = df.groupby("source", sort=True).agg(
+        n_rows=("n_rows", "sum"), n_uniq_seq=("n_uniq", "sum")).reset_index()
+    return pa.table({
+        "source": pa.array(out["source"], type=pa.string()),
+        "n_rows": pa.array(out["n_rows"], type=pa.int64()),
+        "n_uniq_seq": pa.array(out["n_uniq_seq"], type=pa.int64()),
+        "n_dup_rows": pa.array(out["n_rows"] - out["n_uniq_seq"],
+                               type=pa.int64()),
+    })
+
+
+def sql_seq_dedup(cache: str) -> str:
+    return f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT tokens) AS BIGINT) AS n_uniq_seq,
+       CAST(COUNT(*) - COUNT(DISTINCT tokens) AS BIGINT) AS n_dup_rows
+FROM read_parquet('{cache}/shard-*.parquet') GROUP BY source
+"""
+
+
 def q_log_top_paths_cms(sf_dir: str):
     """Approximate top-K paths via per-partition count-min + merge (the
     north-star sketch mode; exact `log_top_paths` is its oracle). No SQL
@@ -1516,6 +1709,9 @@ def log_queries() -> dict:
         "log_bytes_quantiles_kll": q_log_bytes_quantiles_kll,
         "log_distinct_clients": q_log_distinct_clients,
         "log_distinct_clients_hll": q_log_distinct_clients_hll,
+        "log_token_histogram": q_log_token_histogram,
+        "log_token_bigrams": q_log_token_bigrams,
+        "log_seq_dedup": q_log_seq_dedup,
     }
 
 
@@ -1555,4 +1751,9 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         # only as pytest cross-checks in tests/test_oracle.py)
         "log_routed": sql_routed(cache),
         "log_routed_masked": sql_routed(cache, masked=True),
+        # token-native operators gate directly against the raw shards
+        # (unnest / list equality in DuckDB — fully independent SQL)
+        "log_token_histogram": sql_token_histogram(cache),
+        "log_token_bigrams": sql_token_bigrams(cache),
+        "log_seq_dedup": sql_seq_dedup(cache),
     }

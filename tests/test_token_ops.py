@@ -1,0 +1,125 @@
+"""Token-native operators over the raw pre-tokenized payload
+(north-rule input: tokens list<int32>): global token histogram,
+adjacent-token bigram top-k, and exact duplicate-sequence dedup.
+
+Gated engine-vs-DuckDB at the sf0.001 scale (the same comparison the
+correctness driver runs at sf0.01) plus empty / degenerate edges.
+"""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sbo_ray import synth
+from sbo_ray.oracle import materialize
+from sbo_ray.pipelines import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    return duckdb.connect().execute(sql).df()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def cache(ray_session):
+    return materialize.cache_dir_for(SF)
+
+
+def test_token_histogram_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_token_histogram(SF).to_pandas())
+    want = _norm(_duck(Q.sql_token_histogram(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_token_bigrams_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_token_bigrams(SF).to_pandas())
+    want = _norm(_duck(Q.sql_token_bigrams(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_seq_dedup_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_seq_dedup(SF).to_pandas())
+    want = _norm(_duck(Q.sql_seq_dedup(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the synthesizer reuses lines across rows, so duplicates must exist
+    assert got["n_dup_rows"].sum() > 0
+
+
+@pytest.fixture(scope="module")
+def tiny_dir(tmp_path_factory):
+    """Hand-built shard with empty rows, a single-token row, and exact
+    duplicate sequences split across two shards."""
+    d = tmp_path_factory.mktemp("tiny_tokens")
+    rows1 = [
+        ("a", [], "s1"),          # empty sequence
+        ("b", [65], "s1"),        # single token
+        ("c", [65, 66, 67], "s1"),
+        ("d", [], "s1"),          # duplicate empty
+    ]
+    rows2 = [
+        ("e", [65, 66, 67], "s1"),  # duplicate of c, in the OTHER shard
+        ("f", [66, 65], "s2"),      # reversal — must NOT collide
+        ("g", [65, 66], "s2"),
+    ]
+    for i, rows in enumerate((rows1, rows2)):
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+            "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[1]) for r in rows], type=pa.int32()),
+            "source": pa.array([r[2] for r in rows], type=pa.string()),
+        })
+        pq.write_table(t, str(d / f"shard-{i:05d}.parquet"))
+    return str(d)
+
+
+def _patch_paths(monkeypatch, d):
+    import glob
+    import os
+
+    monkeypatch.setattr(
+        Q, "_input_paths",
+        lambda sf: sorted(glob.glob(os.path.join(d, "shard-*.parquet"))))
+
+
+def test_seq_dedup_edges(ray_session, tiny_dir, monkeypatch):
+    _patch_paths(monkeypatch, tiny_dir)
+    out = Q.q_log_seq_dedup("ignored").to_pandas().set_index("source")
+    # s1: 5 rows (a b c d e), uniques {[], [65], [65,66,67]} -> 3, dups 2
+    assert out.loc["s1", "n_rows"] == 5
+    assert out.loc["s1", "n_uniq_seq"] == 3
+    assert out.loc["s1", "n_dup_rows"] == 2
+    # s2: reversal and prefix are distinct sequences
+    assert out.loc["s2", "n_rows"] == 2
+    assert out.loc["s2", "n_uniq_seq"] == 2
+
+
+def test_token_ops_edges(ray_session, tiny_dir, monkeypatch):
+    _patch_paths(monkeypatch, tiny_dir)
+    hist = Q.q_log_token_histogram("ignored").to_pandas().set_index("token")
+    assert hist.loc[65, "cnt"] == 5  # one each in b, c, e, f, g
+    assert hist.loc[66, "cnt"] == 4
+    assert hist.loc[67, "cnt"] == 2
+    big = Q.q_log_token_bigrams("ignored").to_pandas()
+    got = {(a, b): c for a, b, c in zip(big["a"], big["b"], big["cnt"])}
+    # (65,66) from c, e, g; (66,67) from c, e; (66,65) from f only
+    assert got == {(65, 66): 3, (66, 67): 2, (66, 65): 1}
+
+
+def test_token_ops_empty(ray_session, tmp_path, monkeypatch):
+    pq.write_table(synth.SCHEMA.empty_table(),
+                   str(tmp_path / "shard-00000.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    assert Q.q_log_token_histogram("ignored").num_rows == 0
+    assert Q.q_log_token_bigrams("ignored").num_rows == 0
+    out = Q.q_log_seq_dedup("ignored")
+    assert out.num_rows == 0
+    assert out.schema.names == ["source", "n_rows", "n_uniq_seq",
+                                "n_dup_rows"]
