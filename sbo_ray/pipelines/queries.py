@@ -1495,6 +1495,164 @@ FROM read_parquet('{cache}/shard-*.parquet') GROUP BY source
 """
 
 
+def q_log_pack_tokens(sf_dir: str, seq_len: int = 512,
+                      chunk_docs: int = 4096):
+    """GPT-style sequence packing over the RAW token payload: concatenate
+    every row's ``tokens`` in ingestion order (the numeric suffix of
+    doc_id — the synthesizer's global row index) and split the stream
+    into fixed ``seq_len``-token training sequences; emit one row per
+    (doc, sequence) fragment with its exact boundary + content checksums
+    (count / sum / first / last token).
+
+    Engine shape mirrors ``datapipe.doc_pack_materialize`` (the doc-side
+    twin, datapipe.py): pass 1 computes bounded per-chunk token sums from
+    the precomputed ``n_tok`` column only (column-pruned read), the
+    driver folds a corpus/chunk_docs-row table into exclusive chunk
+    bases broadcast once; pass 2 is the ONE justified payload exchange —
+    rows partition-grouped by chunk so each partition derives exact
+    global offsets and slices fragment stats from a flat value cumsum,
+    all vectorized. Fragment stats are exact integers (tokens < 256,
+    fragments <= seq_len), so the SQL gate is hash-exact."""
+    import ray
+
+    from .datapipe import _n_parts
+
+    P = _n_parts()
+
+    def _idx(col) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return pc.cast(pc.utf8_slice_codeunits(arr, -12),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+
+    chunk_schema = pa.schema([("chunk", pa.int64()), ("tok_sum", pa.int64())])
+
+    def chunk_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return chunk_schema.empty_table()
+        idx = _idx(t.column("doc_id"))
+        nt = t.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, inv = np.unique(idx // chunk_docs, return_inverse=True)
+        sums = np.bincount(inv, weights=nt).astype(np.int64)
+        return pa.table({"chunk": pa.array(uk, pa.int64()),
+                         "tok_sum": pa.array(sums, pa.int64())})
+
+    empty = pa.schema([
+        ("doc_id", pa.string()), ("seq_id", pa.int64()),
+        ("n_frag_tokens", pa.int64()), ("frag_sum", pa.int64()),
+        ("first_tok", pa.int64()), ("last_tok", pa.int64()),
+    ]).empty_table()
+
+    parts = list(_read_tokens(sf_dir, ["doc_id", "n_tok"])
+                 .map_batches(chunk_partials, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return empty
+    merged = pa.concat_tables(parts).group_by("chunk").aggregate(
+        [("tok_sum", "sum")])
+    if merged.num_rows == 0:
+        return empty
+    order = pc.sort_indices(merged.column("chunk"))
+    chunk_ids = merged.column("chunk").take(order).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    sums = merged.column("tok_sum_sum").take(order).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    bases = np.cumsum(sums) - sums
+    base_ref = ray.put((chunk_ids, bases))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        idx = _idx(t.column("doc_id"))
+        return (t.select(["doc_id", "tokens"])
+                .append_column("idx", pa.array(idx, pa.int64()))
+                .append_column("part",
+                               pa.array((idx // chunk_docs) % P, pa.int64())))
+
+    def pack_part(g: "pd.DataFrame"):
+        import pandas as pd
+
+        cids, cbases = ray.get(base_ref)
+        o = np.argsort(g["idx"].to_numpy(), kind="stable")
+        ids = g["idx"].to_numpy()[o]
+        docids = g["doc_id"].to_numpy()[o]
+        toks = g["tokens"].to_numpy()[o]
+        nt = np.fromiter((len(a) for a in toks), dtype=np.int64,
+                         count=len(toks))
+        vals = (np.concatenate(toks).astype(np.int64) if len(toks)
+                else np.empty(0, np.int64))
+        toffs = np.zeros(len(nt) + 1, dtype=np.int64)
+        np.cumsum(nt, out=toffs[1:])
+        ck = ids // chunk_docs
+        csum = np.cumsum(nt) - nt
+        new = np.ones(len(ids), dtype=bool)
+        new[1:] = ck[1:] != ck[:-1]
+        first = np.maximum.accumulate(np.where(new, np.arange(len(ids)), 0))
+        off = csum - csum[first] + cbases[np.searchsorted(cids, ck)]
+        nz = nt > 0  # zero-token rows consume no stream positions
+        seq_first = off[nz] // seq_len
+        seq_last = (off[nz] + nt[nz] - 1) // seq_len
+        k = seq_last - seq_first + 1
+        doc_of = np.repeat(np.flatnonzero(nz), k)
+        fno = (np.arange(int(k.sum()), dtype=np.int64)
+               - np.repeat(np.cumsum(k) - k, k))
+        seq_id = np.repeat(seq_first, k) + fno
+        fs = np.maximum(seq_id * seq_len, off[doc_of])
+        fe = np.minimum((seq_id + 1) * seq_len, off[doc_of] + nt[doc_of])
+        starts_flat = toffs[:-1][doc_of] + (fs - off[doc_of])
+        ends_flat = starts_flat + (fe - fs)
+        C = np.zeros(len(vals) + 1, dtype=np.int64)
+        np.cumsum(vals, out=C[1:])
+        return pd.DataFrame({
+            "doc_id": docids[doc_of],
+            "seq_id": seq_id,
+            "n_frag_tokens": fe - fs,
+            "frag_sum": C[ends_flat] - C[starts_flat],
+            "first_tok": vals[starts_flat] if len(starts_flat)
+            else np.empty(0, np.int64),
+            "last_tok": vals[ends_flat - 1] if len(ends_flat)
+            else np.empty(0, np.int64),
+        })
+
+    out = list(_read_tokens(sf_dir, ["doc_id", "tokens"])
+               .map_batches(add_part, batch_format="pyarrow")
+               .groupby("part").map_groups(pack_part)
+               .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not out:
+        return empty
+    return pa.concat_tables(out).select(empty.schema.names).cast(empty.schema)
+
+
+def sql_pack_tokens(cache: str, seq_len: int = 512) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, tokens, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(right(doc_id, 12) AS BIGINT) AS idx
+  FROM read_parquet('{cache}/shard-*.parquet')
+), o AS (
+  SELECT doc_id, tokens, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_offset
+  FROM t
+), f AS (
+  SELECT doc_id, tokens, n_tok, tok_offset,
+         unnest(generate_series(tok_offset // {seq_len},
+                                (tok_offset + n_tok - 1) // {seq_len}))
+           AS seq_id
+  FROM o WHERE n_tok > 0
+), s AS (
+  SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id, tokens,
+         GREATEST(seq_id * {seq_len}, tok_offset) - tok_offset + 1 AS a,
+         LEAST((seq_id + 1) * {seq_len}, tok_offset + n_tok) - tok_offset AS b
+  FROM f
+)
+SELECT doc_id, seq_id,
+       CAST(b - a + 1 AS BIGINT) AS n_frag_tokens,
+       CAST(list_sum(list_slice(tokens, a, b)) AS BIGINT) AS frag_sum,
+       CAST(tokens[a] AS BIGINT) AS first_tok,
+       CAST(tokens[b] AS BIGINT) AS last_tok
+FROM s
+"""
+
+
 def q_log_top_paths_cms(sf_dir: str):
     """Approximate top-K paths via per-partition count-min + merge (the
     north-star sketch mode; exact `log_top_paths` is its oracle). No SQL
@@ -1712,6 +1870,7 @@ def log_queries() -> dict:
         "log_token_histogram": q_log_token_histogram,
         "log_token_bigrams": q_log_token_bigrams,
         "log_seq_dedup": q_log_seq_dedup,
+        "log_pack_tokens": q_log_pack_tokens,
     }
 
 
@@ -1756,4 +1915,5 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_token_histogram": sql_token_histogram(cache),
         "log_token_bigrams": sql_token_bigrams(cache),
         "log_seq_dedup": sql_seq_dedup(cache),
+        "log_pack_tokens": sql_pack_tokens(cache),
     }

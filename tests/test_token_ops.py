@@ -123,3 +123,63 @@ def test_token_ops_empty(ray_session, tmp_path, monkeypatch):
     assert out.num_rows == 0
     assert out.schema.names == ["source", "n_rows", "n_uniq_seq",
                                 "n_dup_rows"]
+
+
+def test_pack_tokens_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_pack_tokens(SF).to_pandas())
+    want = _norm(_duck(Q.sql_pack_tokens(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # fragment conservation: per-sequence token counts fill every
+    # sequence except the last
+    per_seq = got.groupby("seq_id")["n_frag_tokens"].sum()
+    assert (per_seq.iloc[:-1] == 512).all()
+
+
+@pytest.fixture(scope="module")
+def pack_dir(tmp_path_factory):
+    """Rows with 12-digit ingestion suffix: a doc spanning 3 sequences
+    (L=4), a zero-token row mid-stream, and exact boundary fits."""
+    d = tmp_path_factory.mktemp("pack_tokens")
+    rows = [
+        ("s1-000000000000", [1, 2, 3], "s1"),        # offset 0
+        ("s2-000000000001", [], "s2"),               # consumes nothing
+        ("s1-000000000002", [4, 5, 6, 7, 8, 9, 10, 11, 12], "s1"),
+        ("s2-000000000003", [13, 14, 15, 16], "s2"),  # lands at 12: exact fit
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r[1]) for r in rows], type=pa.int32()),
+        "source": pa.array([r[2] for r in rows], type=pa.string()),
+    })
+    pq.write_table(t.slice(0, 2), str(d / "shard-00000.parquet"))
+    pq.write_table(t.slice(2), str(d / "shard-00001.parquet"))
+    return str(d)
+
+
+def test_pack_tokens_edges(ray_session, pack_dir, monkeypatch):
+    _patch_paths(monkeypatch, pack_dir)
+    out = (Q.q_log_pack_tokens("ignored", seq_len=4)
+           .to_pandas().sort_values(["doc_id", "seq_id"])
+           .reset_index(drop=True))
+    rows = [tuple(r) for r in out.itertuples(index=False)]
+    assert rows == [
+        # doc 0: tokens 1,2,3 -> seq 0 positions 0..2
+        ("s1-000000000000", 0, 3, 6, 1, 3),
+        # doc 2: 9 tokens at offset 3 -> spans seqs 0,1,2
+        ("s1-000000000002", 0, 1, 4, 4, 4),
+        ("s1-000000000002", 1, 4, 5 + 6 + 7 + 8, 5, 8),
+        ("s1-000000000002", 2, 4, 9 + 10 + 11 + 12, 9, 12),
+        # doc 3: exact fit in seq 3; zero-token doc 1 emits nothing
+        ("s2-000000000003", 3, 4, 13 + 14 + 15 + 16, 13, 16),
+    ]
+
+
+def test_pack_tokens_empty(ray_session, tmp_path, monkeypatch):
+    pq.write_table(synth.SCHEMA.empty_table(),
+                   str(tmp_path / "shard-00000.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = Q.q_log_pack_tokens("ignored")
+    assert out.num_rows == 0
+    assert out.schema.names == ["doc_id", "seq_id", "n_frag_tokens",
+                                "frag_sum", "first_tok", "last_tok"]
