@@ -3562,6 +3562,94 @@ def doc_quality_linear(sf_dir: str, n_buckets: int = 1024):
         .map_batches(score, batch_format="pyarrow")
 
 
+def doc_dsir_weights(sf_dir: str, n_buckets: int = 8192,
+                     target_lang: str = "en"):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hashed-unigram
+    bag-of-buckets features; target distribution = the ``target_lang``
+    slice, raw distribution = the whole corpus; per doc the importance
+    log-weight sums ln p_target(b) - ln p_raw(b) over its token
+    buckets (Laplace +1 smoothing over the fixed feature space).
+
+    Engine shape: pass 1 folds block-local B-bounded bucket bincounts
+    (raw + target) into two driver arrays — corpus-independent, the
+    bounded-cardinality partial-agg idiom — and broadcasts the
+    per-bucket log-ratio vector ONCE via ray.put; pass 2 is
+    shuffle-free block-local scoring (per-unique md5 bucket hash,
+    per-doc sums via one bincount). ROUND-6 gate: per-token terms are
+    the same ln() values on both sides, so only summation-order ulp
+    noise remains (the doc_unigram_logprob transcendental-sum rule)."""
+    B = n_buckets
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    empty = pa.schema([
+        ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+        ("logw", pa.float64()),
+    ]).empty_table()
+    hist_schema = pa.schema([("bucket", pa.int64()), ("cnt_r", pa.int64()),
+                             ("cnt_t", pa.int64())])
+
+    def _buckets(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        toks = pc.split_pattern(txt, " ")
+        n_tok = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pa.table({"t": toks.flatten()})
+        h = D.add_text_hash(flat, column="t").column("text_hash").to_numpy(
+            zero_copy_only=False)
+        return h % B, n_tok
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        b, n_tok = _buckets(t)
+        is_t = pc.equal(t.column("lang"), target_lang).to_numpy(
+            zero_copy_only=False)
+        tok_t = np.repeat(is_t, n_tok)
+        cr = np.bincount(b, minlength=B)
+        ct = np.bincount(b[tok_t], minlength=B)
+        nz = np.nonzero(cr)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "cnt_r": pa.array(cr[nz], pa.int64()),
+                         "cnt_t": pa.array(ct[nz], pa.int64())})
+
+    parts = pa.concat_tables(
+        [hist_schema.empty_table()] +
+        list(docs.map_batches(hist_partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    if parts.num_rows == 0:
+        return empty
+    g = parts.group_by("bucket").aggregate([("cnt_r", "sum"),
+                                            ("cnt_t", "sum")])
+    cr = np.zeros(B, dtype=np.int64)
+    ct = np.zeros(B, dtype=np.int64)
+    bk = g.column("bucket").to_numpy(zero_copy_only=False)
+    cr[bk] = g.column("cnt_r_sum").to_numpy(zero_copy_only=False)
+    ct[bk] = g.column("cnt_t_sum").to_numpy(zero_copy_only=False)
+    R, T = int(cr.sum()), int(ct.sum())
+    lam = ((np.log(ct + 1.0) - np.log(float(T + B)))
+           - (np.log(cr + 1.0) - np.log(float(R + B))))
+    lam_ref = ray.put(lam)
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        lam_v = ray.get(lam_ref)
+        b, n_tok = _buckets(t)
+        doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), n_tok)
+        logw = np.bincount(doc_of, weights=lam_v[b], minlength=t.num_rows)
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n_tokens": pa.array(n_tok),
+            "logw": pa.array(np.round(logw, 6)),
+        })
+
+    out = list(docs.map_batches(score, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables(out).cast(empty.schema) if out else empty
+
+
 def doc_entropy(sf_dir: str):
     """Per-doc token-distribution Shannon entropy (plus token/type
     counts) — the lexical-diversity quality signal (low entropy flags

@@ -1039,6 +1039,33 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
 FROM s
 """
 
+# DSIR mirror: same md5 63-bit bucket hash, same Laplace-smoothed
+# log-ratio per bucket; the per-doc SUM of identical ln() terms differs
+# only by summation-order ulp -> ROUND-6 (doc_unigram_logprob rule).
+SQL_DOC_DSIR_WEIGHTS = """
+WITH b AS (
+  SELECT doc_id, lang,
+    CAST((('0x' || substr(md5(t), 1, 16))::UBIGINT >> 1) % 8192
+         AS BIGINT) AS bucket
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+), hist AS (
+  SELECT bucket, COUNT(*) AS cnt_r,
+         COUNT(*) FILTER (WHERE lang = 'en') AS cnt_t
+  FROM b GROUP BY bucket
+), tot AS (
+  SELECT SUM(cnt_r) AS R, SUM(cnt_t) AS T FROM hist
+), lam AS (
+  SELECT bucket,
+         (ln(cnt_t + 1) - ln(T + 8192)) - (ln(cnt_r + 1) - ln(R + 8192))
+           AS lam
+  FROM hist, tot
+)
+SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(lam.lam), 6) AS logw
+FROM b JOIN lam USING (bucket) GROUP BY b.doc_id
+"""
+
 # Entropy mirror: same space-split tokens; p*ln(n/c) form (non-negative
 # terms -> no -0.0 ambiguity) under ROUND-6.
 SQL_DOC_ENTROPY = """
@@ -2099,6 +2126,7 @@ def data_queries() -> dict:
         "doc_mix_epochs": P.doc_mix_epochs,
         "doc_dedup_incremental": P.doc_dedup_incremental,
         "doc_quality_linear": P.doc_quality_linear,
+        "doc_dsir_weights": P.doc_dsir_weights,
         "doc_entropy": P.doc_entropy,
         "doc_vocab_topk": P.doc_vocab_topk,
         "doc_vocab_bigrams": P.doc_vocab_bigrams,
@@ -2194,6 +2222,7 @@ def data_oracle_sql() -> dict:
         "doc_mix_epochs": SQL_DOC_MIX_EPOCHS,
         "doc_dedup_incremental": SQL_DOC_DEDUP_INCREMENTAL,
         "doc_quality_linear": SQL_DOC_QUALITY_LINEAR,
+        "doc_dsir_weights": SQL_DOC_DSIR_WEIGHTS,
         "doc_entropy": SQL_DOC_ENTROPY,
         "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
         "doc_vocab_bigrams": SQL_DOC_VOCAB_BIGRAMS,

@@ -42,7 +42,7 @@ SQL_NAMES = [
     "doc_dedup_incremental", "doc_bigram_logprob", "events_ab_ttest",
     "events_user_features", "orders_with_returns", "doc_token_stats_jsonl",
     "multimodal_ulaw_features", "events_running_total", "emb_batch_search",
-    "multimodal_alaw_features",
+    "multimodal_alaw_features", "doc_dsir_weights",
 ]
 
 
