@@ -1495,6 +1495,88 @@ FROM read_parquet('{cache}/shard-*.parquet') GROUP BY source
 """
 
 
+_PACK_SCHEMA = pa.schema([
+    ("doc_id", pa.string()), ("seq_id", pa.int64()),
+    ("n_frag_tokens", pa.int64()), ("frag_sum", pa.int64()),
+    ("first_tok", pa.int64()), ("last_tok", pa.int64()),
+])
+
+
+def _pack_idx(col) -> np.ndarray:
+    """Ingestion index: the numeric 12-digit suffix of doc_id."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return pc.cast(pc.utf8_slice_codeunits(arr, -12),
+                   pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _pack_chunk_sums(block: pa.Table) -> pa.Table:
+    """Bounded pass-1 partial: per-chunk token sums for one block."""
+    ck = block.column("chunk").to_numpy(zero_copy_only=False)
+    nt = pc.list_value_length(block.column("tokens")).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    uk, inv = np.unique(ck, return_inverse=True)
+    sums = np.bincount(inv, weights=nt).astype(np.int64)
+    return pa.table({"chunk": pa.array(uk, pa.int64()),
+                     "tok_sum": pa.array(sums, pa.int64())})
+
+
+def _pack_combine(base, seq_len: int, *shards) -> pa.Table:
+    """One hash partition of the packing exchange: exact global offsets
+    from the broadcast chunk bases, then vectorized fragment slicing
+    over the partition's flat token values (cumsum checksums)."""
+    cids, cbases = base
+    tabs = [s for s in shards if s.num_rows]
+    if not tabs:
+        return _PACK_SCHEMA.empty_table()
+    g = pa.concat_tables(tabs).combine_chunks()
+    idx_np = g.column("idx").to_numpy(zero_copy_only=False)
+    o = np.argsort(idx_np, kind="stable")
+    g = g.take(pa.array(o))
+    ids = idx_np[o]
+    docids = g.column("doc_id")
+    if isinstance(docids, pa.ChunkedArray):
+        docids = docids.combine_chunks()
+    toks = g.column("tokens")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    toffs0 = toks.offsets.to_numpy().astype(np.int64)
+    start = int(toffs0[0])
+    vals = toks.values.slice(start, int(toffs0[-1]) - start).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    toffs = toffs0 - start
+    nt = np.diff(toffs)
+    ck = g.column("chunk").to_numpy(zero_copy_only=False)
+    csum = np.cumsum(nt) - nt
+    new = np.ones(len(ids), dtype=bool)
+    new[1:] = ck[1:] != ck[:-1]
+    first = np.maximum.accumulate(np.where(new, np.arange(len(ids)), 0))
+    off = csum - csum[first] + cbases[np.searchsorted(cids, ck)]
+    nz = nt > 0  # zero-token rows consume no stream positions
+    seq_first = off[nz] // seq_len
+    seq_last = (off[nz] + nt[nz] - 1) // seq_len
+    k = seq_last - seq_first + 1
+    doc_of = np.repeat(np.flatnonzero(nz), k)
+    fno = (np.arange(int(k.sum()), dtype=np.int64)
+           - np.repeat(np.cumsum(k) - k, k))
+    seq_id = np.repeat(seq_first, k) + fno
+    fs = np.maximum(seq_id * seq_len, off[doc_of])
+    fe = np.minimum((seq_id + 1) * seq_len, off[doc_of] + nt[doc_of])
+    starts_flat = toffs[:-1][doc_of] + (fs - off[doc_of])
+    ends_flat = starts_flat + (fe - fs)
+    C = np.zeros(len(vals) + 1, dtype=np.int64)
+    np.cumsum(vals, out=C[1:])
+    return pa.table({
+        "doc_id": docids.take(pa.array(doc_of)),
+        "seq_id": pa.array(seq_id),
+        "n_frag_tokens": pa.array(fe - fs),
+        "frag_sum": pa.array(C[ends_flat] - C[starts_flat]),
+        "first_tok": pa.array(vals[starts_flat] if len(starts_flat)
+                              else np.empty(0, np.int64)),
+        "last_tok": pa.array(vals[ends_flat - 1] if len(ends_flat)
+                             else np.empty(0, np.int64)),
+    }, schema=_PACK_SCHEMA)
+
+
 def q_log_pack_tokens(sf_dir: str, seq_len: int = 512,
                       chunk_docs: int = 4096):
     """GPT-style sequence packing over the RAW token payload: concatenate
@@ -1504,53 +1586,40 @@ def q_log_pack_tokens(sf_dir: str, seq_len: int = 512,
     (doc, sequence) fragment with its exact boundary + content checksums
     (count / sum / first / last token).
 
-    Engine shape mirrors ``datapipe.doc_pack_materialize`` (the doc-side
-    twin, datapipe.py): pass 1 computes bounded per-chunk token sums from
-    the precomputed ``n_tok`` column only (column-pruned read), the
-    driver folds a corpus/chunk_docs-row table into exclusive chunk
-    bases broadcast once; pass 2 is the ONE justified payload exchange —
-    rows partition-grouped by chunk so each partition derives exact
-    global offsets and slices fragment stats from a flat value cumsum,
-    all vectorized. Fragment stats are exact integers (tokens < 256,
+    Engine shape (the doc_pack_materialize semantics on the raw-task
+    exchange layout): ONE file-aligned read (keys added in the same
+    fused map), block refs captured via ``iter_internal_ref_bundles``;
+    bounded per-chunk token sums fold on the driver into exclusive
+    chunk bases broadcast once; then the ONE justified payload exchange
+    runs as ``_table_shard``/combine raw tasks (Ray Data's sort-based
+    groupby sizes post-shuffle blocks by bytes, capping concurrency for
+    this stage — the compat/semdedup rule) with full P-way combine
+    parallelism. Fragment stats are exact integers (tokens < 256,
     fragments <= seq_len), so the SQL gate is hash-exact."""
     import ray
 
-    from .datapipe import _n_parts
+    from .datapipe import _n_parts, _table_shard
 
-    P = _n_parts()
+    P = max(2, _n_parts())
+    empty = _PACK_SCHEMA.empty_table()
 
-    def _idx(col) -> np.ndarray:
-        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        return pc.cast(pc.utf8_slice_codeunits(arr, -12),
-                       pa.int64()).to_numpy(zero_copy_only=False)
+    def add_keys(t: pa.Table) -> pa.Table:
+        idx = _pack_idx(t.column("doc_id"))
+        return (t.select(["doc_id", "tokens"])
+                .append_column("idx", pa.array(idx, pa.int64()))
+                .append_column("chunk",
+                               pa.array(idx // chunk_docs, pa.int64())))
 
-    chunk_schema = pa.schema([("chunk", pa.int64()), ("tok_sum", pa.int64())])
-
-    def chunk_partials(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return chunk_schema.empty_table()
-        idx = _idx(t.column("doc_id"))
-        nt = t.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
-        uk, inv = np.unique(idx // chunk_docs, return_inverse=True)
-        sums = np.bincount(inv, weights=nt).astype(np.int64)
-        return pa.table({"chunk": pa.array(uk, pa.int64()),
-                         "tok_sum": pa.array(sums, pa.int64())})
-
-    empty = pa.schema([
-        ("doc_id", pa.string()), ("seq_id", pa.int64()),
-        ("n_frag_tokens", pa.int64()), ("frag_sum", pa.int64()),
-        ("first_tok", pa.int64()), ("last_tok", pa.int64()),
-    ]).empty_table()
-
-    parts = list(_read_tokens(sf_dir, ["doc_id", "n_tok"])
-                 .map_batches(chunk_partials, batch_format="pyarrow")
-                 .iter_batches(batch_format="pyarrow", batch_size=None))
-    if not parts:
+    ds = (_read_tokens(sf_dir, ["doc_id", "tokens"])
+          .map_batches(add_keys, batch_format="pyarrow"))
+    refs = [r for b in ds.iter_internal_ref_bundles()
+            for r, md in b.blocks if md.num_rows]
+    if not refs:
         return empty
-    merged = pa.concat_tables(parts).group_by("chunk").aggregate(
-        [("tok_sum", "sum")])
-    if merged.num_rows == 0:
-        return empty
+    sums_task = ray.remote(_pack_chunk_sums)
+    merged = pa.concat_tables(
+        ray.get([sums_task.remote(r) for r in refs])).group_by(
+        "chunk").aggregate([("tok_sum", "sum")])
     order = pc.sort_indices(merged.column("chunk"))
     chunk_ids = merged.column("chunk").take(order).to_numpy(
         zero_copy_only=False).astype(np.int64)
@@ -1559,65 +1628,14 @@ def q_log_pack_tokens(sf_dir: str, seq_len: int = 512,
     bases = np.cumsum(sums) - sums
     base_ref = ray.put((chunk_ids, bases))
 
-    def add_part(t: pa.Table) -> pa.Table:
-        idx = _idx(t.column("doc_id"))
-        return (t.select(["doc_id", "tokens"])
-                .append_column("idx", pa.array(idx, pa.int64()))
-                .append_column("part",
-                               pa.array((idx // chunk_docs) % P, pa.int64())))
-
-    def pack_part(g: "pd.DataFrame"):
-        import pandas as pd
-
-        cids, cbases = ray.get(base_ref)
-        o = np.argsort(g["idx"].to_numpy(), kind="stable")
-        ids = g["idx"].to_numpy()[o]
-        docids = g["doc_id"].to_numpy()[o]
-        toks = g["tokens"].to_numpy()[o]
-        nt = np.fromiter((len(a) for a in toks), dtype=np.int64,
-                         count=len(toks))
-        vals = (np.concatenate(toks).astype(np.int64) if len(toks)
-                else np.empty(0, np.int64))
-        toffs = np.zeros(len(nt) + 1, dtype=np.int64)
-        np.cumsum(nt, out=toffs[1:])
-        ck = ids // chunk_docs
-        csum = np.cumsum(nt) - nt
-        new = np.ones(len(ids), dtype=bool)
-        new[1:] = ck[1:] != ck[:-1]
-        first = np.maximum.accumulate(np.where(new, np.arange(len(ids)), 0))
-        off = csum - csum[first] + cbases[np.searchsorted(cids, ck)]
-        nz = nt > 0  # zero-token rows consume no stream positions
-        seq_first = off[nz] // seq_len
-        seq_last = (off[nz] + nt[nz] - 1) // seq_len
-        k = seq_last - seq_first + 1
-        doc_of = np.repeat(np.flatnonzero(nz), k)
-        fno = (np.arange(int(k.sum()), dtype=np.int64)
-               - np.repeat(np.cumsum(k) - k, k))
-        seq_id = np.repeat(seq_first, k) + fno
-        fs = np.maximum(seq_id * seq_len, off[doc_of])
-        fe = np.minimum((seq_id + 1) * seq_len, off[doc_of] + nt[doc_of])
-        starts_flat = toffs[:-1][doc_of] + (fs - off[doc_of])
-        ends_flat = starts_flat + (fe - fs)
-        C = np.zeros(len(vals) + 1, dtype=np.int64)
-        np.cumsum(vals, out=C[1:])
-        return pd.DataFrame({
-            "doc_id": docids[doc_of],
-            "seq_id": seq_id,
-            "n_frag_tokens": fe - fs,
-            "frag_sum": C[ends_flat] - C[starts_flat],
-            "first_tok": vals[starts_flat] if len(starts_flat)
-            else np.empty(0, np.int64),
-            "last_tok": vals[ends_flat - 1] if len(ends_flat)
-            else np.empty(0, np.int64),
-        })
-
-    out = list(_read_tokens(sf_dir, ["doc_id", "tokens"])
-               .map_batches(add_part, batch_format="pyarrow")
-               .groupby("part").map_groups(pack_part)
-               .iter_batches(batch_format="pyarrow", batch_size=None))
-    if not out:
-        return empty
-    return pa.concat_tables(out).select(empty.schema.names).cast(empty.schema)
+    tshard = ray.remote(_table_shard)
+    slices = [tshard.options(num_returns=P).remote(r, P, "chunk")
+              for r in refs]
+    comb = ray.remote(_pack_combine)
+    outs = ray.get([comb.remote(base_ref, seq_len,
+                                *[s[p] for s in slices])
+                    for p in range(P)])
+    return pa.concat_tables([empty] + outs).cast(_PACK_SCHEMA)
 
 
 def sql_pack_tokens(cache: str, seq_len: int = 512) -> str:
