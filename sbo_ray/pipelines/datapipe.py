@@ -5518,6 +5518,76 @@ def events_running_total(sf_dir: str):
                                          batch_format="pandas")
 
 
+def events_attribution(sf_dir: str,
+                       touch_types: tuple = ("click", "view"),
+                       conv_type: str = "purchase"):
+    """LAST-TOUCH attribution — the marketing-analytics join of a
+    conversion event to the same user's most recent preceding touch
+    event (click/view), under the total (ts, event_id) order; revenue
+    and conversion counts fold per attributed channel, with 'none' for
+    conversions that have no prior touch.
+
+    Partition-grouped by user hash (the sessionize pattern); inside a
+    partition one lexsort, a forward-fill of touch positions
+    (maximum.accumulate) cut at user-run starts, and a shifted lookup —
+    no per-user Python. Partitions emit per-channel sufficient stats
+    (n, sum value); the driver folds |channels|+1 rows. ROUND-2 on the
+    revenue sum (the revenue-query convention)."""
+    P = _n_parts()
+    out_schema = pa.schema([("touch_type", pa.string()),
+                            ("n_purchases", pa.int64()),
+                            ("total_value", pa.float64())])
+
+    def attr_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        val = g["value"].to_numpy()
+        n = len(g)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        run_start = np.maximum.accumulate(
+            np.where(new_user, np.arange(n), 0))
+        touch = np.isin(et, list(touch_types))
+        pos = np.where(touch, np.arange(n), -1)
+        ff = np.maximum.accumulate(pos)
+        prev_ff = np.empty(n, dtype=np.int64)
+        prev_ff[0] = -1
+        prev_ff[1:] = ff[:-1]
+        conv = et == conv_type
+        valid = conv & (prev_ff >= run_start)
+        channel = np.where(valid, et[np.maximum(prev_ff, 0)], "none")
+        channel = np.where(conv, channel, "none")
+        ch, inv = np.unique(channel[conv], return_inverse=True)
+        cnt = np.bincount(inv)
+        sv = np.bincount(inv, weights=val[conv])
+        return pd.DataFrame({"touch_type": ch,
+                             "n_purchases": cnt.astype("int64"),
+                             "total_value": sv})
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "part", pa.array(t.column("user_id").to_numpy() % P)),
+        batch_format="pyarrow",
+    )
+    parts = pa.concat_tables(
+        [out_schema.empty_table()] +
+        [b.select(out_schema.names).cast(out_schema) for b in
+         ds.groupby("part").map_groups(attr_part, batch_format="pandas")
+         .iter_batches(batch_format="pyarrow", batch_size=None)])
+    g = parts.group_by("touch_type").aggregate(
+        [("n_purchases", "sum"), ("total_value", "sum")])
+    return pa.table({
+        "touch_type": g.column("touch_type"),
+        "n_purchases": g.column("n_purchases_sum").cast(pa.int64()),
+        "total_value": pa.array(
+            np.round(g.column("total_value_sum").to_numpy(
+                zero_copy_only=False), 2)),
+    })
+
+
 def events_ab_ttest(sf_dir: str):
     """A/B experiment readout — the experimentation-analytics
     primitive: users hash-split into two arms (md5 of the user id, the

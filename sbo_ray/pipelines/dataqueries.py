@@ -1757,6 +1757,26 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 # A/B-test mirror: same md5 arm split on CAST(user_id AS VARCHAR),
 # variance explicitly from the (n, sum, sumsq) moments (VAR_SAMP uses
 # a different update rule), Welch t in the identical op order.
+# Last-touch attribution mirror: the engine's forward-fill of touch
+# positions cut at user-run starts == last_value(... IGNORE NULLS) over
+# ROWS UNBOUNDED PRECEDING AND 1 PRECEDING under the same total
+# (ts, event_id) order; ROUND-2 on the revenue fold (revenue rule).
+SQL_EVENTS_ATTRIBUTION = """
+WITH o AS (
+  SELECT user_id, event_type, value,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch
+  FROM events
+)
+SELECT COALESCE(touch, 'none') AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       ROUND(SUM(value), 2) AS total_value
+FROM o WHERE event_type = 'purchase' GROUP BY 1
+"""
+
 SQL_EVENTS_AB_TTEST = """
 WITH e AS (
   SELECT CAST((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
@@ -2145,6 +2165,7 @@ def data_queries() -> dict:
         "events_user_value_topk": P.events_user_value_topk,
         "events_running_total": P.events_running_total,
         "events_ab_ttest": P.events_ab_ttest,
+        "events_attribution": P.events_attribution,
         "events_user_features": P.events_user_features,
         "events_transitions": P.events_transitions,
         "events_quantiles": P.events_quantiles,
@@ -2239,6 +2260,7 @@ def data_oracle_sql() -> dict:
         "events_user_value_topk": SQL_EVENTS_USER_VALUE_TOPK,
         "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
         "events_ab_ttest": SQL_EVENTS_AB_TTEST,
+        "events_attribution": SQL_EVENTS_ATTRIBUTION,
         "events_user_features": SQL_EVENTS_USER_FEATURES,
         "events_transitions": SQL_EVENTS_TRANSITIONS,
         "events_quantiles": SQL_EVENTS_QUANTILES,

@@ -42,7 +42,7 @@ SQL_NAMES = [
     "doc_dedup_incremental", "doc_bigram_logprob", "events_ab_ttest",
     "events_user_features", "orders_with_returns", "doc_token_stats_jsonl",
     "multimodal_ulaw_features", "events_running_total", "emb_batch_search",
-    "multimodal_alaw_features", "doc_dsir_weights",
+    "multimodal_alaw_features", "doc_dsir_weights", "events_attribution",
 ]
 
 
@@ -2040,3 +2040,49 @@ def test_ann_recall_brackets(ray_session):
     full = emb_ann_recall(SF, probe_hamming=6).to_pandas()
     assert (full["recall"] == 1.0).all()
     assert (full["candidate_frac"] == 1.0).all()
+
+
+def test_events_attribution_planted(ray_session, tmp_path):
+    """Pin the last-touch semantics on hand-built events: attribution
+    picks the most recent PRECEDING touch under (ts, event_id) order,
+    touches after the conversion don't count, 'none' when no prior
+    touch, and users are isolated."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import events_attribution
+
+    TS = pd.Timestamp("2026-01-01")
+    rows = [
+        # user 1: click -> purchase(10) -> view -> purchase(5)
+        (1, 1, TS, "click", 0.0),
+        (2, 1, TS + pd.Timedelta(minutes=1), "purchase", 10.0),
+        (3, 1, TS + pd.Timedelta(minutes=2), "view", 0.0),
+        (4, 1, TS + pd.Timedelta(minutes=3), "purchase", 5.0),
+        # user 2: purchase with NO prior touch; later click irrelevant
+        (5, 2, TS, "purchase", 7.0),
+        (6, 2, TS + pd.Timedelta(minutes=1), "click", 0.0),
+        # user 3: same-timestamp tie — event_id orders click before
+        # purchase, so it IS a preceding touch
+        (7, 3, TS, "click", 0.0),
+        (8, 3, TS, "purchase", 3.0),
+        # user 4's touch must not leak into user 5
+        (9, 4, TS, "view", 0.0),
+        (10, 5, TS + pd.Timedelta(minutes=1), "purchase", 2.0),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[2] for r in rows],
+                       type=pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+        "value": pa.array([r[4] for r in rows], type=pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = events_attribution(str(tmp_path)).to_pandas().set_index(
+        "touch_type")
+    assert out.loc["click", "n_purchases"] == 2    # users 1 (first), 3
+    assert out.loc["click", "total_value"] == 13.0
+    assert out.loc["view", "n_purchases"] == 1     # user 1 second buy
+    assert out.loc["view", "total_value"] == 5.0
+    assert out.loc["none", "n_purchases"] == 2     # users 2, 5
+    assert out.loc["none", "total_value"] == 9.0
