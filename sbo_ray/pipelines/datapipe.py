@@ -4647,6 +4647,113 @@ def orders_with_returns(sf_dir: str, flag: str = "R"):
     }, schema=_SEMI_ORD)
 
 
+_LV_Q = pa.schema([("l_orderkey", pa.int64()), ("sum_qty", pa.int64())])
+
+
+def _lv_combine(thresh: int, *shards) -> pa.Table:
+    """One hash partition of the large-volume scan: fold (orderkey,
+    qty) pairs, keep keys whose total exceeds ``thresh``."""
+    ks = np.concatenate([s[0] for s in shards])
+    if not len(ks):
+        return _LV_Q.empty_table()
+    qty = np.concatenate([s[1] for s in shards])
+    uk, inv = np.unique(ks, return_inverse=True)
+    sums = np.bincount(inv, weights=qty).astype(np.int64)
+    keep = sums > thresh
+    return pa.table({"l_orderkey": pa.array(uk[keep], pa.int64()),
+                     "sum_qty": pa.array(sums[keep], pa.int64())})
+
+
+def orders_large_volume(sf_dir: str, min_qty: int = 200):
+    """TPC-H Q18's shape (large-volume customers): orders whose total
+    lineitem quantity exceeds ``min_qty``, joined back to the order and
+    its customer name. Distributed shape for a HIGH-CARDINALITY
+    aggregate feeding a selective join: lineitem ships 16-byte
+    (orderkey, qty) pairs through one Fibonacci-hash raw-task exchange
+    (the _anti_shard layout — native groupby over ~distinct orderkeys
+    is the 49-vs-6.4 s trap, CLAUDE.md), each partition folds sums and
+    applies the HAVING locally, and only the OUTPUT-SIZED qualifying
+    key set returns to the driver. That set broadcasts once (sorted +
+    searchsorted, the emit_slots idiom) to filter the orders scan, and
+    the resulting custkeys broadcast once to filter the customer scan —
+    no big-side-vs-big-side shuffle join anywhere. Exact-integer
+    quantities; o_totalprice is a source passthrough (no arithmetic),
+    so the gate is hash-exact."""
+    out_schema = pa.schema([
+        ("o_orderkey", pa.int64()), ("c_custkey", pa.int64()),
+        ("c_name", pa.string()), ("o_totalprice", pa.float64()),
+        ("sum_qty", pa.int64()),
+    ])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    lrefs = [r for b in li.iter_internal_ref_bundles()
+             for r, md in b.blocks if md.num_rows]
+    if not lrefs:
+        return out_schema.empty_table()
+    P = max(2, _n_parts())
+    shard = ray.remote(_anti_shard)
+    sl = [shard.options(num_returns=P).remote(r, P, "l_orderkey",
+                                              "l_quantity")
+          for r in lrefs]
+    comb = ray.remote(_lv_combine)
+    q = pa.concat_tables([_LV_Q.empty_table()] +
+                         ray.get([comb.remote(min_qty, *[s[p] for s in sl])
+                                  for p in range(P)]))
+    if q.num_rows == 0:
+        return out_schema.empty_table()
+    qk = np.sort(q.column("l_orderkey").to_numpy(zero_copy_only=False))
+    qk_ref = ray.put(qk)
+
+    def hit_orders(t: pa.Table) -> pa.Table:
+        k = ray.get(qk_ref)
+        ok = t.column("o_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(k, ok)
+        m = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == ok)
+        return t.filter(pa.array(m))
+
+    hits = pa.concat_tables(
+        [pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                    ("o_totalprice", pa.float64())]).empty_table()] +
+        [b.cast(pa.schema([("o_orderkey", pa.int64()),
+                           ("o_custkey", pa.int64()),
+                           ("o_totalprice", pa.float64())]))
+         for b in _read(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+         .map_batches(hit_orders, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow", batch_size=None)])
+    ck = np.unique(hits.column("o_custkey").to_numpy(zero_copy_only=False))
+    ck_ref = ray.put(ck)
+
+    def hit_cust(t: pa.Table) -> pa.Table:
+        k = ray.get(ck_ref)
+        cc = t.column("c_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(k, cc)
+        m = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == cc)
+        return t.filter(pa.array(m))
+
+    cust = pa.concat_tables(
+        [pa.schema([("c_custkey", pa.int64()),
+                    ("c_name", pa.string())]).empty_table()] +
+        [b.cast(pa.schema([("c_custkey", pa.int64()),
+                           ("c_name", pa.string())]))
+         for b in _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+         .map_batches(hit_cust, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow", batch_size=None)])
+    # output-bounded driver assembly
+    df = (hits.to_pandas()
+          .merge(q.to_pandas(), left_on="o_orderkey", right_on="l_orderkey")
+          .merge(cust.to_pandas(), left_on="o_custkey",
+                 right_on="c_custkey"))
+    return pa.table({
+        "o_orderkey": pa.array(df["o_orderkey"], pa.int64()),
+        "c_custkey": pa.array(df["c_custkey"], pa.int64()),
+        "c_name": pa.array(df["c_name"], pa.string()),
+        "o_totalprice": pa.array(df["o_totalprice"], pa.float64()),
+        "sum_qty": pa.array(df["sum_qty"], pa.int64()),
+    })
+
+
 _INC_DD = pa.schema([("doc_id", pa.int64()), ("n_copies", pa.int64())])
 
 

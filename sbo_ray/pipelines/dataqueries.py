@@ -1757,6 +1757,21 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 # A/B-test mirror: same md5 arm split on CAST(user_id AS VARCHAR),
 # variance explicitly from the (n, sum, sumsq) moments (VAR_SAMP uses
 # a different update rule), Welch t in the identical op order.
+# Q18 mirror: integer quantities make the HAVING exact; o_totalprice
+# is a source passthrough, so no ROUND is needed anywhere.
+SQL_ORDERS_LARGE_VOLUME = """
+WITH q AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 200
+)
+SELECT o.o_orderkey, c.c_custkey, c.c_name, o.o_totalprice, q.sum_qty
+FROM q
+JOIN orders o ON o.o_orderkey = q.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
 # Last-touch attribution mirror: the engine's forward-fill of touch
 # positions cut at user-run starts == last_value(... IGNORE NULLS) over
 # ROWS UNBOUNDED PRECEDING AND 1 PRECEDING under the same total
@@ -2166,6 +2181,7 @@ def data_queries() -> dict:
         "events_running_total": P.events_running_total,
         "events_ab_ttest": P.events_ab_ttest,
         "events_attribution": P.events_attribution,
+        "orders_large_volume": P.orders_large_volume,
         "events_user_features": P.events_user_features,
         "events_transitions": P.events_transitions,
         "events_quantiles": P.events_quantiles,
@@ -2261,6 +2277,7 @@ def data_oracle_sql() -> dict:
         "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
         "events_ab_ttest": SQL_EVENTS_AB_TTEST,
         "events_attribution": SQL_EVENTS_ATTRIBUTION,
+        "orders_large_volume": SQL_ORDERS_LARGE_VOLUME,
         "events_user_features": SQL_EVENTS_USER_FEATURES,
         "events_transitions": SQL_EVENTS_TRANSITIONS,
         "events_quantiles": SQL_EVENTS_QUANTILES,

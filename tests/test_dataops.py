@@ -43,6 +43,7 @@ SQL_NAMES = [
     "events_user_features", "orders_with_returns", "doc_token_stats_jsonl",
     "multimodal_ulaw_features", "events_running_total", "emb_batch_search",
     "multimodal_alaw_features", "doc_dsir_weights", "events_attribution",
+    "orders_large_volume",
 ]
 
 
