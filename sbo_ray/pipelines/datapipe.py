@@ -4370,6 +4370,43 @@ def multimodal_gif_features(sf_dir: str):
     )
 
 
+def multimodal_qoi_features(sf_dir: str):
+    """REAL QOI decode through the actor-pool stage: deterministic
+    synthetic QOI payloads (full spec encoder — RUN/INDEX/DIFF/LUMA/RGB
+    ops all exercised, asserted in tests) decoded by the pure-Python
+    spec decoder inside ``QoiDecoder`` — the fifth real image codec
+    beside PPM, PNG, BMP and GIF, and the only one combining
+    run-length, hash-table and delta coding in one stream. Gated by an
+    exact SQL oracle: dimensions and RGB channel sums are closed forms
+    over doc_id."""
+    from ..functions.multimodal import (
+        PAYLOAD_SCHEMA, QOI_MEDIA_TYPE, QoiDecoder, synth_qoi,
+    )
+
+    def to_images(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = [synth_qoi(int(i)) for i in ids]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array(payloads, type=pa.binary()),
+                pa.array([QOI_MEDIA_TYPE] * len(ids), type=pa.string()),
+                pa.array([len(p) for p in payloads], type=pa.int64()),
+            ],
+            schema=PAYLOAD_SCHEMA,
+        )
+
+    payload = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        to_images, batch_format="pyarrow"
+    )
+    return payload.map_batches(
+        QoiDecoder,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(2, max(2, _cpus())),
+    )
+
+
 def multimodal_image_resize(sf_dir: str):
     """REAL image resize through the actor-pool stage: deterministic
     synthetic PPM payloads decoded by the pure-numpy P6 parser, then a

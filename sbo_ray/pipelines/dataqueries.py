@@ -1757,6 +1757,35 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 # A/B-test mirror: same md5 arm split on CAST(user_id AS VARCHAR),
 # variance explicitly from the (n, sum, sumsq) moments (VAR_SAMP uses
 # a different update rule), Welch t in the identical op order.
+# QOI mirror: the synth pixel generator's closed forms (4-pixel value
+# groups, every-7th anchor color, per-group channel steps, last-pixel
+# blue tick) — all integer-exact.
+SQL_MULTIMODAL_QOI = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, unnest(range(w * h)) AS k FROM dims
+), v AS (
+  SELECT doc_id, w, h, k, k // 4 AS j,
+         (k // 4) % 7 = 0 AS anchor
+  FROM px
+), c AS (
+  SELECT doc_id, w, h,
+    CASE WHEN anchor THEN 10 ELSE (doc_id * 11 + j * 5) % 256 END AS r,
+    CASE WHEN anchor THEN 200 ELSE (doc_id * 23 + j * 3) % 256 END AS g,
+    (CASE WHEN anchor THEN 60 ELSE (doc_id * 5 + j) % 256 END
+     + CASE WHEN k % 4 = 3 THEN 1 ELSE 0 END) % 256 AS b
+  FROM v
+)
+SELECT doc_id, 'image/qoi' AS media_type,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b
+FROM c GROUP BY doc_id, w, h
+"""
+
 # Q18 mirror: integer quantities make the HAVING exact; o_totalprice
 # is a source passthrough, so no ROUND is needed anywhere.
 SQL_ORDERS_LARGE_VOLUME = """
@@ -2182,6 +2211,7 @@ def data_queries() -> dict:
         "events_ab_ttest": P.events_ab_ttest,
         "events_attribution": P.events_attribution,
         "orders_large_volume": P.orders_large_volume,
+        "multimodal_qoi_features": P.multimodal_qoi_features,
         "events_user_features": P.events_user_features,
         "events_transitions": P.events_transitions,
         "events_quantiles": P.events_quantiles,
@@ -2278,6 +2308,7 @@ def data_oracle_sql() -> dict:
         "events_ab_ttest": SQL_EVENTS_AB_TTEST,
         "events_attribution": SQL_EVENTS_ATTRIBUTION,
         "orders_large_volume": SQL_ORDERS_LARGE_VOLUME,
+        "multimodal_qoi_features": SQL_MULTIMODAL_QOI,
         "events_user_features": SQL_EVENTS_USER_FEATURES,
         "events_transitions": SQL_EVENTS_TRANSITIONS,
         "events_quantiles": SQL_EVENTS_QUANTILES,

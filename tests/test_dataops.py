@@ -43,7 +43,7 @@ SQL_NAMES = [
     "events_user_features", "orders_with_returns", "doc_token_stats_jsonl",
     "multimodal_ulaw_features", "events_running_total", "emb_batch_search",
     "multimodal_alaw_features", "doc_dsir_weights", "events_attribution",
-    "orders_large_volume",
+    "orders_large_volume", "multimodal_qoi_features",
 ]
 
 
@@ -2087,3 +2087,55 @@ def test_events_attribution_planted(ray_session, tmp_path):
     assert out.loc["view", "total_value"] == 5.0
     assert out.loc["none", "n_purchases"] == 2     # users 2, 5
     assert out.loc["none", "total_value"] == 9.0
+
+
+def test_qoi_decode_roundtrip_and_malformed():
+    """Full-spec QOI codec: byte-exact roundtrip, every op family
+    exercised by the synthetic generator, and malformed streams fail
+    loudly instead of returning garbage."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sbo_ray.functions.multimodal import decode_qoi, make_qoi, synth_qoi
+
+    ops = set()
+    for d in (0, 1, 7, 13, 29):
+        p = synth_qoi(d)
+        w, h, ch, px = decode_qoi(p)
+        assert (w, h, ch) == (8 + d % 5, 6 + d % 3, 3)
+        k = np.arange(w * h)
+        j = k // 4
+        anchor = (j % 7) == 0
+        assert (px[:, 0] == np.where(anchor, 10, (d * 11 + j * 5) % 256)).all()
+        assert (px[:, 1] == np.where(anchor, 200, (d * 23 + j * 3) % 256)).all()
+        assert (px[:, 2] == (np.where(anchor, 60, (d * 5 + j) % 256)
+                             + (k % 4 == 3)) % 256).all()
+        body, i = p[14:-8], 0
+        while i < len(body):
+            op = body[i]
+            if op == 0xFE:
+                ops.add("RGB"); i += 4
+            elif op == 0xFF:
+                ops.add("RGBA"); i += 5
+            elif op >> 6 == 0:
+                ops.add("INDEX"); i += 1
+            elif op >> 6 == 1:
+                ops.add("DIFF"); i += 1
+            elif op >> 6 == 2:
+                ops.add("LUMA"); i += 2
+            else:
+                ops.add("RUN"); i += 1
+    assert {"RGB", "INDEX", "DIFF", "LUMA", "RUN"} <= ops
+
+    good = synth_qoi(3)
+    with _pytest.raises(ValueError):
+        decode_qoi(b"nope" + good[4:])            # bad magic
+    with _pytest.raises(ValueError):
+        decode_qoi(good[:20])                     # truncated stream
+    with _pytest.raises(ValueError):
+        decode_qoi(good[:-8] + b"\x00" * 8)       # missing end marker
+    # run past image end: an RGB op then a 62-run on a 2x1 image
+    two = make_qoi(2, 1, np.array([[9, 9, 9], [9, 9, 9]]))
+    bad = two[:14] + bytes([0xFE, 9, 9, 9, 0xC0 | 61]) + two[-8:]
+    with _pytest.raises(ValueError):
+        decode_qoi(bad)
