@@ -1302,6 +1302,110 @@ def q_log_distinct_clients_hll(sf_dir: str):
     })
 
 
+def q_log_sessionize(sf_dir: str, gap_sec: int = 600):
+    """Session windows over the PARSED log stream: per (source,
+    client_ip), requests closer than ``gap_sec`` belong to one session
+    — the log-side twin of events_sessionize, run on the flagship
+    payload (web session reconstruction from access logs). One row per
+    session with start/end epoch and request count.
+
+    Distributed shape: the distinct_clients exchange — block batches
+    route by crc32(ip) % P so every request of an ip lands in one
+    partition; inside a partition one lexsort + vectorized gap/key
+    boundaries (no per-session Python). Session boundaries depend only
+    on ts gaps, so equal-timestamp ordering ambiguity cannot move
+    them; epochs are exact integers."""
+    import zlib
+
+    import ray
+
+    P = max(4, int(ray.cluster_resources().get("CPU", 4)))
+    row_schema = pa.schema([("source", pa.string()),
+                            ("client_ip", pa.string()),
+                            ("e", pa.int64()), ("part", pa.int64())])
+    out_schema = pa.schema([("source", pa.string()),
+                            ("client_ip", pa.string()),
+                            ("session_start", pa.int64()),
+                            ("session_end", pa.int64()),
+                            ("n_requests", pa.int64())])
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(t.column("parse_ok"),
+                             pc.is_valid(t.column("ts"))))
+        if t.num_rows == 0:
+            return row_schema.empty_table()
+        ips = t.column("client_ip").combine_chunks()
+        enc = ips.dictionary_encode()
+        uh = np.array([zlib.crc32(u.encode("utf-8")) % P
+                       for u in enc.dictionary.to_pylist()], dtype=np.int64)
+        part = uh[enc.indices.to_numpy(zero_copy_only=False)]
+        return pa.table({
+            "source": t.column("source"),
+            "client_ip": ips,
+            "e": t.column("ts").cast(pa.int64()),
+            "part": pa.array(part),
+        })
+
+    def sessions_part(g: "pd.DataFrame"):
+        import pandas as pd
+
+        g = g.sort_values(["source", "client_ip", "e"], kind="stable")
+        key = (g["source"].astype(str) + "\x00"
+               + g["client_ip"].astype(str)).to_numpy()
+        e = g["e"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (key[1:] != key[:-1]) | (e[1:] - e[:-1] > gap_sec)
+        sid = np.cumsum(new)
+        out = g.groupby(sid).agg(
+            source=("source", "first"), client_ip=("client_ip", "first"),
+            session_start=("e", "min"), session_end=("e", "max"),
+            n_requests=("e", "count"))
+        out["session_start"] = out["session_start"].astype("int64")
+        out["session_end"] = out["session_end"].astype("int64")
+        out["n_requests"] = out["n_requests"].astype("int64")
+        return out.reset_index(drop=True)
+
+    parts = (_enriched(sf_dir)
+             .map_batches(route, batch_format="pyarrow")
+             .groupby("part").map_groups(sessions_part))
+    out = list(parts.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not out:
+        return out_schema.empty_table()
+    return pa.concat_tables(
+        [out_schema.empty_table()] +
+        [b.select(out_schema.names).cast(out_schema) for b in out])
+
+
+def sql_log_sessionize(cache: str, gap_sec: int = 600) -> str:
+    return _pattern_cte(cache) + f"""
+, parsed AS (
+  SELECT doc_id, source, {_extract_case("client_ip")} AS client_ip,
+    CAST(epoch(try_strptime({_extract_case("ts")},
+         '%d/%b/%Y:%H:%M:%S %z')) AS BIGINT) AS e
+  FROM pat WHERE {_matches_case()}
+), w AS (
+  -- doc_id tiebreak: LAG and the cumulative SUM are separate window
+  -- computations; without a TOTAL order, equal-epoch rows can take
+  -- different tie orders in each and split sessions incoherently
+  SELECT doc_id, source, client_ip, e,
+         LAG(e) OVER (PARTITION BY source, client_ip
+                      ORDER BY e, doc_id) AS pe
+  FROM parsed WHERE e IS NOT NULL
+), s AS (
+  SELECT source, client_ip, e,
+    SUM(CASE WHEN pe IS NULL OR e - pe > {gap_sec} THEN 1 ELSE 0 END)
+      OVER (PARTITION BY source, client_ip ORDER BY e, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM w
+)
+SELECT source, client_ip,
+       CAST(MIN(e) AS BIGINT) AS session_start,
+       CAST(MAX(e) AS BIGINT) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_requests
+FROM s GROUP BY source, client_ip, sid
+"""
+
+
 # ---- token-native operators (the north-rule payload: tokens list<int32>) --
 def _token_lists(col) -> tuple["np.ndarray", "np.ndarray"]:
     """(values int32, offsets int64 rebased to 0) from a list<int32>
@@ -1889,6 +1993,7 @@ def log_queries() -> dict:
         "log_token_bigrams": q_log_token_bigrams,
         "log_seq_dedup": q_log_seq_dedup,
         "log_pack_tokens": q_log_pack_tokens,
+        "log_sessionize": q_log_sessionize,
     }
 
 
@@ -1934,4 +2039,5 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_token_bigrams": sql_token_bigrams(cache),
         "log_seq_dedup": sql_seq_dedup(cache),
         "log_pack_tokens": sql_pack_tokens(cache),
+        "log_sessionize": sql_log_sessionize(cache),
     }

@@ -183,3 +183,18 @@ def test_pack_tokens_empty(ray_session, tmp_path, monkeypatch):
     assert out.num_rows == 0
     assert out.schema.names == ["doc_id", "seq_id", "n_frag_tokens",
                                 "frag_sum", "first_tok", "last_tok"]
+
+
+def test_log_sessionize_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_sessionize(SF).to_pandas())
+    want = _norm(_duck(Q.sql_log_sessionize(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # structural invariants: per (source, ip) sessions are disjoint and
+    # separated by more than the gap
+    s = (Q.q_log_sessionize(SF).to_pandas()
+         .sort_values(["source", "client_ip", "session_start"]))
+    assert (s["session_end"] >= s["session_start"]).all()
+    same = (s[["source", "client_ip"]].shift() ==
+            s[["source", "client_ip"]]).all(axis=1)
+    gaps = s["session_start"] - s["session_end"].shift()
+    assert (gaps[same] > 600).all()
