@@ -2139,3 +2139,39 @@ def test_qoi_decode_roundtrip_and_malformed():
     bad = two[:14] + bytes([0xFE, 9, 9, 9, 0xC0 | 61]) + two[-8:]
     with _pytest.raises(ValueError):
         decode_qoi(bad)
+
+
+def test_new_ops_empty_inputs(ray_session, tmp_path):
+    """Typed-empty behavior for the late-r4 ops (the empty-Dataset
+    to_pandas schema-loss soft spot)."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import (
+        doc_dsir_weights, events_attribution, orders_large_volume,
+    )
+
+    pq.write_table(pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()),
+        ("lang", pa.string()), ("source", pa.string()),
+        ("n_chars", pa.int64())]).empty_table(),
+        str(tmp_path / "documents.parquet"))
+    pq.write_table(pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string())]).empty_table(),
+        str(tmp_path / "events.parquet"))
+    pq.write_table(pa.schema([
+        ("l_orderkey", pa.int64()),
+        ("l_quantity", pa.float64())]).empty_table(),
+        str(tmp_path / "lineitem.parquet"))
+
+    out = doc_dsir_weights(str(tmp_path))
+    assert out.num_rows == 0
+    assert out.schema.names == ["doc_id", "n_tokens", "logw"]
+    out = events_attribution(str(tmp_path))
+    assert out.num_rows == 0
+    assert out.schema.names == ["touch_type", "n_purchases", "total_value"]
+    out = orders_large_volume(str(tmp_path))
+    assert out.num_rows == 0
+    assert out.schema.names == ["o_orderkey", "c_custkey", "c_name",
+                                "o_totalprice", "sum_qty"]
