@@ -1517,6 +1517,29 @@ GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT {k}
 """
 
 
+_SEQ_FNV = np.uint64(1099511628211)
+
+
+def _seq_hash64(vals: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """Length-mixed polynomial hash of each ragged int32 row (reduceat
+    over segments, uint64 wraparound). Pure kernel — property-tested
+    for injectivity on samples in tests/test_properties.py."""
+    lens = np.diff(off)
+    h = np.zeros(len(lens), dtype=np.uint64)
+    if len(vals):
+        pos = (np.arange(len(vals), dtype=np.int64)
+               - np.repeat(off[:-1], lens))
+        maxlen = int(lens.max())
+        pows = np.ones(maxlen, dtype=np.uint64)
+        if maxlen > 1:
+            np.multiply.accumulate(
+                np.full(maxlen - 1, _SEQ_FNV, dtype=np.uint64), out=pows[1:])
+        terms = (vals.astype(np.uint64) + np.uint64(1)) * pows[pos]
+        nz = lens > 0
+        h[nz] = np.add.reduceat(terms, off[:-1][nz])
+    return h * np.uint64(31) + lens.astype(np.uint64)
+
+
 def q_log_seq_dedup(sf_dir: str):
     """Exact duplicate token *sequences* per source — dedup keyed on the
     whole tokens array (the sequence-level twin of doc_dedup_exact).
@@ -1530,7 +1553,6 @@ def q_log_seq_dedup(sf_dir: str):
     import ray
 
     P = max(4, int(ray.cluster_resources().get("CPU", 4)))
-    FNV = np.uint64(1099511628211)
     part_schema = pa.schema([("source", pa.string()), ("h", pa.int64()),
                              ("cnt", pa.int64()), ("part", pa.int64())])
 
@@ -1538,20 +1560,7 @@ def q_log_seq_dedup(sf_dir: str):
         if t.num_rows == 0:
             return part_schema.empty_table()
         vals, off = _token_lists(t.column("tokens"))
-        lens = np.diff(off)
-        h = np.zeros(t.num_rows, dtype=np.uint64)
-        if len(vals):
-            pos = (np.arange(len(vals), dtype=np.int64)
-                   - np.repeat(off[:-1], lens))
-            maxlen = int(lens.max())
-            pows = np.ones(maxlen, dtype=np.uint64)
-            if maxlen > 1:
-                np.multiply.accumulate(
-                    np.full(maxlen - 1, FNV, dtype=np.uint64), out=pows[1:])
-            terms = (vals.astype(np.uint64) + np.uint64(1)) * pows[pos]
-            nz = lens > 0
-            h[nz] = np.add.reduceat(terms, off[:-1][nz])
-        h = h * np.uint64(31) + lens.astype(np.uint64)  # length-mixed
+        h = _seq_hash64(vals, off)
         g = pa.table({
             "source": t.column("source"),
             "h": pa.array(h.view(np.int64)),

@@ -350,3 +350,78 @@ def test_anti_combine_matches_set_reference(custs, orders):
         if k not in oset:
             want[n] = want.get(n, 0) + 1
     assert got_map == want
+
+
+# ---- token-native kernels (pure, no Ray) -----------------------------------
+import numpy as np
+import pyarrow as pa
+
+
+def _ragged(rows):
+    vals = np.concatenate([np.asarray(r, dtype=np.int32) for r in rows]) \
+        if any(len(r) for r in rows) else np.zeros(0, np.int32)
+    off = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum([len(r) for r in rows], out=off[1:])
+    return vals, off
+
+
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=255),
+                         max_size=30), min_size=1, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_seq_hash_matches_tuple_equality(rows):
+    """Equal rows hash equal; distinct rows in the sample hash distinct
+    (the polynomial is effectively injective on short byte rows)."""
+    from sbo_ray.pipelines.queries import _seq_hash64
+
+    vals, off = _ragged(rows)
+    h = _seq_hash64(vals, off)
+    tup = [tuple(r) for r in rows]
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            assert (h[i] == h[j]) == (tup[i] == tup[j])
+
+
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=255),
+                         max_size=12), min_size=1, max_size=25),
+       st.integers(min_value=1, max_value=8),
+       st.integers(min_value=1, max_value=6))
+@settings(max_examples=60, deadline=None)
+def test_pack_combine_matches_naive(rows, seq_len, chunk_docs):
+    """_pack_combine == a naive Python packer on arbitrary ragged rows,
+    any seq_len, any chunk granularity (single shard, all chunks)."""
+    from sbo_ray.pipelines.queries import _pack_combine
+
+    n = len(rows)
+    idx = np.arange(n, dtype=np.int64)
+    chunk = idx // chunk_docs
+    # naive reference
+    stream, doc_of_tok = [], []
+    for i, r in enumerate(rows):
+        stream.extend(r)
+        doc_of_tok.extend([i] * len(r))
+    want = {}
+    for t_pos, (tok, d) in enumerate(zip(stream, doc_of_tok)):
+        sid = t_pos // seq_len
+        key = (f"d{d:012d}", sid)
+        agg = want.setdefault(key, [0, 0, None, None])
+        agg[0] += 1
+        agg[1] += tok
+        if agg[2] is None:
+            agg[2] = tok
+        agg[3] = tok
+    # chunk bases = exclusive cumsum of per-chunk token counts
+    lens = np.array([len(r) for r in rows], dtype=np.int64)
+    cids = np.unique(chunk)
+    per_chunk = np.array([lens[chunk == c].sum() for c in cids])
+    bases = np.cumsum(per_chunk) - per_chunk
+    g = pa.table({
+        "doc_id": pa.array([f"d{i:012d}" for i in idx], pa.string()),
+        "tokens": pa.array([list(map(int, r)) for r in rows],
+                           pa.list_(pa.int32())),
+        "idx": pa.array(idx), "chunk": pa.array(chunk),
+    })
+    got = _pack_combine((cids, bases), seq_len, g).to_pandas()
+    got_d = {(r.doc_id, r.seq_id): [r.n_frag_tokens, r.frag_sum,
+                                    r.first_tok, r.last_tok]
+             for r in got.itertuples(index=False)}
+    assert got_d == {k: v for k, v in want.items()}
