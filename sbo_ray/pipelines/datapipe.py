@@ -4859,6 +4859,80 @@ def doc_dedup_incremental(sf_dir: str):
     return rd.from_arrow_refs(outs)
 
 
+_BLOOM_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                      dtype=np.uint64)
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions for 63-bit content hashes: k independent
+    multiplicative mixes of the same hash, top bits, mod m."""
+    hu = h.astype(np.uint64)
+    return np.stack([((hu * _BLOOM_MIX[i]) >> np.uint64(17))
+                     % np.uint64(m_bits) for i in range(k)],
+                    axis=1).astype(np.int64)
+
+
+def _bloom_test(bloom: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Membership test: all k bits set (bloom = packed uint8 bits)."""
+    bits = (bloom[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return bits.all(axis=1)
+
+
+def doc_dedup_bloom(sf_dir: str, m_bits: int = 1 << 22, k: int = 4):
+    """Bloom-filter INCREMENTAL dedup — the sketch-mode twin of
+    ``doc_dedup_incremental`` (the at-scale first-pass filter a rolling
+    crawl pipeline runs before any exact exchange): build a Bloom
+    filter over the EXISTING corpus (even doc_ids), broadcast it once,
+    and keep snapshot docs (odd ids) whose k bits are not all set —
+    "definitely new". One-sided error by construction: NO false
+    negatives (every true duplicate is dropped; pinned in tests), a
+    bounded false-positive rate ((1 - e^(-kn/m))^k, asserted), and the
+    block bitmaps OR-merge associatively (merge law, asserted).
+
+    Distributed shape: per-block packed bitmaps (m/8 bytes, corpus
+    independent) fold on the driver by OR — the bounded-partial idiom;
+    the merged filter broadcasts via ray.put; the filter pass is
+    block-local. No oracle row (approximate by design, like the
+    HLL/CMS/KLL sketch modes); exactness twin: doc_dedup_incremental."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    m_bytes = m_bits // 8
+
+    def block_bloom(t: pa.Table) -> pa.Table:
+        h = D.add_text_hash(t).column("text_hash").to_numpy(
+            zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = h[ids % 2 == 0]  # existing corpus side only
+        bm = np.zeros(m_bits, dtype=np.uint8)
+        if len(h):
+            pos = _bloom_positions(h, m_bits, k).ravel()
+            bm[pos] = 1
+        return pa.table({"bloom": pa.array([np.packbits(
+            bm, bitorder="little").tobytes()], pa.binary())})
+
+    merged = np.zeros(m_bytes, dtype=np.uint8)
+    for b in ds.map_batches(block_bloom, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow", batch_size=None):
+        for blob in b.column("bloom").to_pylist():
+            np.bitwise_or(merged, np.frombuffer(blob, dtype=np.uint8),
+                          out=merged)
+    bloom_ref = ray.put(merged)
+
+    def keep_new(t: pa.Table) -> pa.Table:
+        bloom = ray.get(bloom_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        snap = t.filter(pa.array(ids % 2 == 1))
+        if snap.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
+        h = D.add_text_hash(snap).column("text_hash").to_numpy(
+            zero_copy_only=False)
+        seen = _bloom_test(bloom, _bloom_positions(h, m_bits, k))
+        return pa.table({"doc_id": snap.column("doc_id").cast(
+            pa.int64()).filter(pa.array(~seen))})
+
+    return ds.map_batches(keep_new, batch_format="pyarrow")
+
+
 def _anti_shard(block: pa.Table, P: int, key_col: str,
                 carry_col: str | None) -> list:
     """Route one block's rows by the Fibonacci hash of ``key_col`` into

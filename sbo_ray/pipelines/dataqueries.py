@@ -2212,6 +2212,9 @@ def data_queries() -> dict:
         "events_attribution": P.events_attribution,
         "orders_large_volume": P.orders_large_volume,
         "multimodal_qoi_features": P.multimodal_qoi_features,
+        # sketch mode: approximate by design, no SQL oracle (the
+        # HLL/CMS/KLL convention); exactness twin doc_dedup_incremental
+        "doc_dedup_bloom": P.doc_dedup_bloom,
         "events_user_features": P.events_user_features,
         "events_transitions": P.events_transitions,
         "events_quantiles": P.events_quantiles,

@@ -2175,3 +2175,38 @@ def test_new_ops_empty_inputs(ray_session, tmp_path):
     assert out.num_rows == 0
     assert out.schema.names == ["o_orderkey", "c_custkey", "c_name",
                                 "o_totalprice", "sum_qty"]
+
+
+def test_dedup_bloom_one_sided_error(ray_session):
+    """Bloom incremental dedup: NO false negatives (every snapshot doc
+    whose text exists in the even-id corpus is dropped), bounded false
+    positives vs the exact incremental twin, and the block bitmaps
+    OR-merge associatively."""
+    import numpy as np
+
+    from sbo_ray.pipelines.datapipe import (
+        _bloom_positions, _bloom_test, doc_dedup_bloom,
+        doc_dedup_incremental,
+    )
+
+    kept = set(doc_dedup_bloom(SF).to_pandas()["doc_id"])
+    exact = set(doc_dedup_incremental(SF).to_pandas()["doc_id"])
+    # one-sided: bloom-kept is a SUBSET of exactly-new (no false
+    # negatives: nothing truly duplicated survives)
+    assert kept <= exact
+    # bounded false-positive loss on this corpus (m=2^22, k=4, n~250)
+    assert len(exact) - len(kept) <= max(2, len(exact) // 100)
+    assert len(kept) > 0
+
+    # merge law on the kernel: bits(A ∪ B) == bits(A) | bits(B)
+    m, k = 1 << 12, 4
+    ha = np.array([11, 22, 33], dtype=np.int64)
+    hb = np.array([33, 44], dtype=np.int64)
+    def bits(h):
+        bm = np.zeros(m, dtype=np.uint8)
+        bm[_bloom_positions(h, m, k).ravel()] = 1
+        return np.packbits(bm, bitorder="little")
+    assert (bits(np.concatenate([ha, hb])) == (bits(ha) | bits(hb))).all()
+    # membership: every inserted hash tests positive
+    bm = np.frombuffer(bits(ha).tobytes(), dtype=np.uint8)
+    assert _bloom_test(bm, _bloom_positions(ha, m, k)).all()
