@@ -226,6 +226,90 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """Resumable sequence-PACKING run over token shards — the
+    token-native flagship op in the curate profile's operational shape
+    (one output partition per input shard, two-phase fragments, commit
+    markers, resume skips finished partitions).
+
+    Packing has GLOBAL state (stream offsets), but it is a prefix sum:
+    pass 1 reads ONLY the n_tok column per shard (remote tasks) and
+    folds per-shard token totals into exclusive bases — deterministic
+    for a fixed input list, so a resumed run recomputes IDENTICAL
+    bases and every shard's fragments are exact regardless of which
+    partitions already committed. Ingestion order contract: shards in
+    the given order, rows in file order."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from . import fsio
+    from .pipelines.queries import _pack_fragments
+
+    _init_ray()
+    out = args.out or "/tmp/sbo_ray_out/pack"
+    seq_len = args.seq_len
+
+    @ray.remote
+    def shard_total(path: str) -> int:
+        return int(pq.read_table(path, columns=["n_tok"])
+                   .column("n_tok").to_numpy(zero_copy_only=False)
+                   .astype("int64").sum())
+
+    totals = ray.get([shard_total.remote(p) for p in args.inputs])
+    bases = [0] * len(totals)
+    for i in range(1, len(totals)):
+        bases[i] = bases[i - 1] + totals[i - 1]
+
+    done_before, ran = [], []
+    for p, base in zip(args.inputs, bases):
+        stem = os.path.splitext(os.path.basename(p))[0]
+        pdir = os.path.join(out, f"shard={stem}")
+        marker = os.path.join(pdir, "_SUCCESS")
+        if fsio.exists(marker):
+            if not args.resume:
+                print(f"partition shard={stem} already committed; "
+                      "pass --resume to skip it and continue",
+                      file=sys.stderr)
+                return 2
+            done_before.append(stem)
+            continue
+        fsio.makedirs(pdir)
+        fsio.clear_fragments(pdir)
+        n_rows = 0
+        import numpy as np
+        import pyarrow as pa
+
+        ds = rd.read_parquet(p, columns=["doc_id", "tokens"],
+                             override_num_blocks=1)
+        running = base
+        for i, b in enumerate(ds.iter_batches(batch_format="pyarrow",
+                                              batch_size=None)):
+            toks = b.column("tokens")
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            toffs0 = toks.offsets.to_numpy().astype(np.int64)
+            start = int(toffs0[0])
+            vals = toks.values.slice(
+                start, int(toffs0[-1]) - start).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            toffs = toffs0 - start
+            nt = np.diff(toffs)
+            off = running + np.cumsum(nt) - nt
+            running += int(nt.sum())
+            docids = b.column("doc_id")
+            if isinstance(docids, pa.ChunkedArray):
+                docids = docids.combine_chunks()
+            frag = _pack_fragments(docids, vals, toffs, off, seq_len)
+            fsio.write_fragment(pdir, f"part-{i:05d}.parquet", frag)
+            n_rows += frag.num_rows
+        with fsio.open_file(marker, "wb") as f:
+            f.write(json.dumps({"rows": n_rows, "base": base}).encode())
+        ran.append(stem)
+    print(json.dumps({"out": out, "ran": ran, "skipped": done_before}))
+    return 0
+
+
 def cmd_osmetrics(args) -> int:
     """The reference's periodic host OS-metrics collection (its host
     cron into sbo_os_metrics, db/mysqldb.go:240-269) as a CLI profile —
@@ -259,6 +343,13 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--from-end", action="store_true",
                         help="follow: StartFrom -1 (only new lines)")
         sp.set_defaults(fn=fn)
+    pk = sub.add_parser("pack", help="resumable sequence packing over "
+                        "token shards (one committed partition per shard)")
+    pk.add_argument("inputs", nargs="+")
+    pk.add_argument("--out", default=None)
+    pk.add_argument("--seq-len", type=int, default=512)
+    pk.add_argument("--resume", action="store_true")
+    pk.set_defaults(fn=cmd_pack)
     so = sub.add_parser("osmetrics", help="live host OS-metrics sink "
                         "(S5+K6: sample uptime/free -> Parquet)")
     so.add_argument("--out", required=True)

@@ -1664,6 +1664,15 @@ def _pack_combine(base, seq_len: int, *shards) -> pa.Table:
     new[1:] = ck[1:] != ck[:-1]
     first = np.maximum.accumulate(np.where(new, np.arange(len(ids)), 0))
     off = csum - csum[first] + cbases[np.searchsorted(cids, ck)]
+    return _pack_fragments(docids, vals, toffs, off, seq_len)
+
+
+def _pack_fragments(docids, vals: np.ndarray, toffs: np.ndarray,
+                    off: np.ndarray, seq_len: int) -> pa.Table:
+    """Vectorized fragment slicing given exact global offsets: per-doc
+    sequence spans, flat-value cumsum checksums. Shared by the query's
+    exchange combine and the CLI pack profile."""
+    nt = np.diff(toffs)
     nz = nt > 0  # zero-token rows consume no stream positions
     seq_first = off[nz] // seq_len
     seq_last = (off[nz] + nt[nz] - 1) // seq_len

@@ -273,3 +273,65 @@ def test_cli_curate_partitioned_resume(ray_session, tmp_path, capsys):
     frags = _glob.glob(f"{out}/shard=*/part-*.parquet")
     total = sum(pq.read_table(f).num_rows for f in frags)
     assert total == 4
+
+
+def test_cli_pack_partitioned_resume(ray_session, tmp_path, capsys):
+    """Resumable sequence packing: global offsets stay EXACT across a
+    resume because pass 1's bases are deterministic — a partition
+    recomputed after a kill produces byte-identical fragments, and the
+    union of partitions equals a single-pass naive packer."""
+    import json as _json
+    import os as _os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sbo_ray import cli
+
+    rows = [("a", [1, 2, 3]), ("b", []), ("c", [4, 5, 6, 7, 8]),
+            ("d", [9, 10]), ("e", [11, 12, 13, 14]), ("f", [15])]
+    shards = []
+    for i in range(2):
+        chunk = rows[i * 3:(i + 1) * 3]
+        p = tmp_path / f"tok{i}.parquet"
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in chunk], pa.string()),
+            "tokens": pa.array([r[1] for r in chunk], pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[1]) for r in chunk], pa.int32()),
+            "source": pa.array(["s"] * len(chunk), pa.string()),
+        }), p)
+        shards.append(str(p))
+    out = str(tmp_path / "packed")
+    assert cli.main(["pack", *shards, "--out", out, "--seq-len", "4"]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sorted(res["ran"]) == ["tok0", "tok1"]
+    # rerun refuses without --resume; resume after dropping a marker
+    assert cli.main(["pack", *shards, "--out", out, "--seq-len", "4"]) == 2
+    capsys.readouterr()
+    before = open(f"{out}/shard=tok1/part-00000.parquet", "rb").read()
+    _os.remove(f"{out}/shard=tok1/_SUCCESS")
+    assert cli.main(["pack", *shards, "--out", out, "--seq-len", "4",
+                     "--resume"]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["ran"] == ["tok1"] and res["skipped"] == ["tok0"]
+    after = open(f"{out}/shard=tok1/part-00000.parquet", "rb").read()
+    assert before == after  # deterministic bases -> byte-identical redo
+    # union == naive single-stream packer at L=4
+    import glob as _glob
+
+    frags = pa.concat_tables([pq.read_table(f) for f in sorted(
+        _glob.glob(f"{out}/shard=*/part-*.parquet"))])
+    got = {(r["doc_id"], r["seq_id"]): (r["n_frag_tokens"], r["frag_sum"],
+                                        r["first_tok"], r["last_tok"])
+           for r in frags.to_pylist()}
+    stream, doc_of = [], []
+    for did, toks in rows:
+        stream.extend(toks)
+        doc_of.extend([did] * len(toks))
+    want = {}
+    for pos, (tok, did) in enumerate(zip(stream, doc_of)):
+        key = (did, pos // 4)
+        n, s, ft, lt = want.get(key, (0, 0, tok, tok))
+        want[key] = (n + 1, s + tok, ft, tok)
+    assert got == want
