@@ -5738,19 +5738,22 @@ def events_running_total(sf_dir: str):
 
 def events_attribution(sf_dir: str,
                        touch_types: tuple = ("click", "view"),
-                       conv_type: str = "purchase"):
-    """LAST-TOUCH attribution — the marketing-analytics join of a
-    conversion event to the same user's most recent preceding touch
-    event (click/view), under the total (ts, event_id) order; revenue
-    and conversion counts fold per attributed channel, with 'none' for
-    conversions that have no prior touch.
+                       conv_type: str = "purchase",
+                       mode: str = "last"):
+    """LAST- or FIRST-TOUCH attribution — the marketing-analytics join
+    of a conversion event to the same user's most recent (``last``) or
+    earliest (``first``) preceding touch event (click/view), under the
+    total (ts, event_id) order; revenue and conversion counts fold per
+    attributed channel, with 'none' for conversions with no prior
+    touch.
 
     Partition-grouped by user hash (the sessionize pattern); inside a
-    partition one lexsort, a forward-fill of touch positions
-    (maximum.accumulate) cut at user-run starts, and a shifted lookup —
-    no per-user Python. Partitions emit per-channel sufficient stats
-    (n, sum value); the driver folds |channels|+1 rows. ROUND-2 on the
-    revenue sum (the revenue-query convention)."""
+    partition one lexsort, a fill of touch positions cut at user-run
+    starts (maximum.accumulate of positions for last-touch; the same
+    accumulate over first-touch-run-anchored positions for first), and
+    a shifted lookup — no per-user Python. Partitions emit per-channel
+    sufficient stats (n, sum value); the driver folds |channels|+1
+    rows. ROUND-2 on the revenue sum (the revenue-query convention)."""
     P = _n_parts()
     out_schema = pa.schema([("touch_type", pa.string()),
                             ("n_purchases", pa.int64()),
@@ -5772,6 +5775,15 @@ def events_attribution(sf_dir: str,
         prev_ff = np.empty(n, dtype=np.int64)
         prev_ff[0] = -1
         prev_ff[1:] = ff[:-1]
+        if mode == "first":
+            # a touch is its run's FIRST iff no earlier touch exists in
+            # the run; that lone candidate then forward-fills like last
+            is_first = touch & (prev_ff < run_start)
+            pos_f = np.where(is_first, np.arange(n), -1)
+            fff = np.maximum.accumulate(pos_f)
+            prev_ff = np.empty(n, dtype=np.int64)
+            prev_ff[0] = -1
+            prev_ff[1:] = fff[:-1]
         conv = et == conv_type
         valid = conv & (prev_ff >= run_start)
         channel = np.where(valid, et[np.maximum(prev_ff, 0)], "none")
@@ -5804,6 +5816,14 @@ def events_attribution(sf_dir: str,
             np.round(g.column("total_value_sum").to_numpy(
                 zero_copy_only=False), 2)),
     })
+
+
+def events_attribution_first(sf_dir: str):
+    """FIRST-touch attribution (the other standard model): conversions
+    credit the user's EARLIEST preceding touch. Same engine as
+    events_attribution with mode='first'; gated against a
+    first_value(... IGNORE NULLS) window mirror."""
+    return events_attribution(sf_dir, mode="first")
 
 
 def events_ab_ttest(sf_dir: str):

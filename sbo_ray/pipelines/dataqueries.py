@@ -1821,6 +1821,22 @@ SELECT COALESCE(touch, 'none') AS touch_type,
 FROM o WHERE event_type = 'purchase' GROUP BY 1
 """
 
+SQL_EVENTS_ATTRIBUTION_FIRST = """
+WITH o AS (
+  SELECT user_id, event_type, value,
+         first_value(CASE WHEN event_type IN ('click', 'view')
+                          THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch
+  FROM events
+)
+SELECT COALESCE(touch, 'none') AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       ROUND(SUM(value), 2) AS total_value
+FROM o WHERE event_type = 'purchase' GROUP BY 1
+"""
+
 SQL_EVENTS_AB_TTEST = """
 WITH e AS (
   SELECT CAST((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
@@ -2210,6 +2226,7 @@ def data_queries() -> dict:
         "events_running_total": P.events_running_total,
         "events_ab_ttest": P.events_ab_ttest,
         "events_attribution": P.events_attribution,
+        "events_attribution_first": P.events_attribution_first,
         "orders_large_volume": P.orders_large_volume,
         "multimodal_qoi_features": P.multimodal_qoi_features,
         # sketch mode: approximate by design, no SQL oracle (the
@@ -2310,6 +2327,7 @@ def data_oracle_sql() -> dict:
         "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
         "events_ab_ttest": SQL_EVENTS_AB_TTEST,
         "events_attribution": SQL_EVENTS_ATTRIBUTION,
+        "events_attribution_first": SQL_EVENTS_ATTRIBUTION_FIRST,
         "orders_large_volume": SQL_ORDERS_LARGE_VOLUME,
         "multimodal_qoi_features": SQL_MULTIMODAL_QOI,
         "events_user_features": SQL_EVENTS_USER_FEATURES,

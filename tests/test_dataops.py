@@ -44,6 +44,7 @@ SQL_NAMES = [
     "multimodal_ulaw_features", "events_running_total", "emb_batch_search",
     "multimodal_alaw_features", "doc_dsir_weights", "events_attribution",
     "orders_large_volume", "multimodal_qoi_features",
+    "events_attribution_first",
 ]
 
 
@@ -2210,3 +2211,40 @@ def test_dedup_bloom_one_sided_error(ray_session):
     # membership: every inserted hash tests positive
     bm = np.frombuffer(bits(ha).tobytes(), dtype=np.uint8)
     assert _bloom_test(bm, _bloom_positions(ha, m, k)).all()
+
+
+def test_events_attribution_first_planted(ray_session, tmp_path):
+    """First-touch twin: user 1's second purchase credits the run's
+    FIRST touch (click), where last-touch credits the view."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import events_attribution_first
+
+    TS = pd.Timestamp("2026-01-01")
+    rows = [
+        (1, 1, TS, "click", 0.0),
+        (2, 1, TS + pd.Timedelta(minutes=1), "purchase", 10.0),
+        (3, 1, TS + pd.Timedelta(minutes=2), "view", 0.0),
+        (4, 1, TS + pd.Timedelta(minutes=3), "purchase", 5.0),
+        (5, 2, TS, "purchase", 7.0),
+        (6, 2, TS + pd.Timedelta(minutes=1), "view", 0.0),
+        (7, 2, TS + pd.Timedelta(minutes=2), "purchase", 4.0),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+        "value": pa.array([r[4] for r in rows], type=pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = events_attribution_first(str(tmp_path)).to_pandas().set_index(
+        "touch_type")
+    # user 1: BOTH purchases credit the first touch (click)
+    assert out.loc["click", "n_purchases"] == 2
+    assert out.loc["click", "total_value"] == 15.0
+    # user 2: first purchase has no prior touch; the view that follows
+    # becomes the run's first touch for the SECOND purchase
+    assert out.loc["view", "n_purchases"] == 1
+    assert out.loc["view", "total_value"] == 4.0
+    assert out.loc["none", "n_purchases"] == 1
