@@ -5818,6 +5818,82 @@ def events_attribution(sf_dir: str,
     })
 
 
+def events_cohort_ltv(sf_dir: str):
+    """COHORT LTV table — the classic product-analytics rollup: users
+    cohorted by their first-event week, every event bucketed by weeks
+    since that cohort week, and per (cohort_week, age_weeks) cell the
+    active-user count, event count and purchase revenue. Week indexes
+    are exact integer math on microsecond epochs (no float epoch —
+    DuckDB CAST rounds where // truncates).
+
+    Partition-grouped by user hash: a user's whole history lands in
+    one partition, so per-cell distinct-user counts are exact as
+    plain partial sums; inside a partition one lexsort, segment-start
+    cohort lookup, and composite-key unique folds. The driver merges
+    cells x partitions rows (bounded by the corpus time span)."""
+    P = _n_parts()
+    W_US = 604800 * 1_000_000  # one week of microseconds
+    out_schema = pa.schema([
+        ("cohort_week", pa.int64()), ("age_weeks", pa.int64()),
+        ("n_users", pa.int64()), ("n_events", pa.int64()),
+        ("revenue", pa.float64()),
+    ])
+
+    def cohort_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        # normalize pandas' datetime unit explicitly (ns vs us varies)
+        e_us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        et = g["event_type"].to_numpy()
+        val = g["value"].to_numpy()
+        n = len(g)
+        w = e_us // W_US
+        new = np.ones(n, dtype=bool)
+        new[1:] = uid[1:] != uid[:-1]
+        run_start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        cw = w[run_start]  # first row of the user run = min ts = cohort
+        age = w - cw
+        B = int(age.max()) + 1 if n else 1
+        cell = cw * B + age
+        uc, inv = np.unique(cell, return_inverse=True)
+        n_events = np.bincount(inv)
+        rev = np.bincount(inv, weights=np.where(et == "purchase", val, 0.0))
+        # distinct users per cell: unique (user, cell) pairs
+        pair = np.unique(np.stack([uid, cell], axis=1), axis=0)
+        n_users = np.bincount(
+            np.searchsorted(uc, pair[:, 1]), minlength=len(uc))
+        return pd.DataFrame({
+            "cohort_week": (uc // B).astype("int64"),
+            "age_weeks": (uc % B).astype("int64"),
+            "n_users": n_users.astype("int64"),
+            "n_events": n_events.astype("int64"),
+            "revenue": rev,
+        })
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "part", pa.array(t.column("user_id").to_numpy() % P)),
+        batch_format="pyarrow",
+    )
+    parts = pa.concat_tables(
+        [out_schema.empty_table()] +
+        [b.select(out_schema.names).cast(out_schema) for b in
+         ds.groupby("part").map_groups(cohort_part, batch_format="pandas")
+         .iter_batches(batch_format="pyarrow", batch_size=None)])
+    g = parts.group_by(["cohort_week", "age_weeks"]).aggregate(
+        [("n_users", "sum"), ("n_events", "sum"), ("revenue", "sum")])
+    return pa.table({
+        "cohort_week": g.column("cohort_week"),
+        "age_weeks": g.column("age_weeks"),
+        "n_users": g.column("n_users_sum").cast(pa.int64()),
+        "n_events": g.column("n_events_sum").cast(pa.int64()),
+        "revenue": pa.array(np.round(
+            g.column("revenue_sum").to_numpy(zero_copy_only=False), 2)),
+    })
+
+
 def events_attribution_first(sf_dir: str):
     """FIRST-touch attribution (the other standard model): conversions
     credit the user's EARLIEST preceding touch. Same engine as

@@ -1821,6 +1821,26 @@ SELECT COALESCE(touch, 'none') AS touch_type,
 FROM o WHERE event_type = 'purchase' GROUP BY 1
 """
 
+# Cohort-LTV mirror: integer week math on microsecond epochs (epoch_us
+# // week == the engine's int64 division; float epoch() would ROUND
+# under CAST where // truncates). ROUND-2 on the revenue fold.
+SQL_EVENTS_COHORT_LTV = """
+WITH e AS (
+  SELECT user_id, event_type, value,
+         epoch_us(ts) // 604800000000 AS w,
+         MIN(epoch_us(ts) // 604800000000)
+           OVER (PARTITION BY user_id) AS cw
+  FROM events
+)
+SELECT CAST(cw AS BIGINT) AS cohort_week,
+       CAST(w - cw AS BIGINT) AS age_weeks,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END),
+             2) AS revenue
+FROM e GROUP BY 1, 2
+"""
+
 SQL_EVENTS_ATTRIBUTION_FIRST = """
 WITH o AS (
   SELECT user_id, event_type, value,
@@ -2227,6 +2247,7 @@ def data_queries() -> dict:
         "events_ab_ttest": P.events_ab_ttest,
         "events_attribution": P.events_attribution,
         "events_attribution_first": P.events_attribution_first,
+        "events_cohort_ltv": P.events_cohort_ltv,
         "orders_large_volume": P.orders_large_volume,
         "multimodal_qoi_features": P.multimodal_qoi_features,
         # sketch mode: approximate by design, no SQL oracle (the
@@ -2328,6 +2349,7 @@ def data_oracle_sql() -> dict:
         "events_ab_ttest": SQL_EVENTS_AB_TTEST,
         "events_attribution": SQL_EVENTS_ATTRIBUTION,
         "events_attribution_first": SQL_EVENTS_ATTRIBUTION_FIRST,
+        "events_cohort_ltv": SQL_EVENTS_COHORT_LTV,
         "orders_large_volume": SQL_ORDERS_LARGE_VOLUME,
         "multimodal_qoi_features": SQL_MULTIMODAL_QOI,
         "events_user_features": SQL_EVENTS_USER_FEATURES,

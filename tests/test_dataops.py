@@ -44,7 +44,7 @@ SQL_NAMES = [
     "multimodal_ulaw_features", "events_running_total", "emb_batch_search",
     "multimodal_alaw_features", "doc_dsir_weights", "events_attribution",
     "orders_large_volume", "multimodal_qoi_features",
-    "events_attribution_first",
+    "events_attribution_first", "events_cohort_ltv",
 ]
 
 
