@@ -1668,10 +1668,12 @@ def _pack_combine(base, seq_len: int, *shards) -> pa.Table:
 
 
 def _pack_fragments(docids, vals: np.ndarray, toffs: np.ndarray,
-                    off: np.ndarray, seq_len: int) -> pa.Table:
+                    off: np.ndarray, seq_len: int,
+                    sources=None) -> pa.Table:
     """Vectorized fragment slicing given exact global offsets: per-doc
     sequence spans, flat-value cumsum checksums. Shared by the query's
-    exchange combine and the CLI pack profile."""
+    exchange combine, the by-source variant (``sources`` adds the
+    stream-key column) and the CLI pack profile."""
     nt = np.diff(toffs)
     nz = nt > 0  # zero-token rows consume no stream positions
     seq_first = off[nz] // seq_len
@@ -1687,7 +1689,7 @@ def _pack_fragments(docids, vals: np.ndarray, toffs: np.ndarray,
     ends_flat = starts_flat + (fe - fs)
     C = np.zeros(len(vals) + 1, dtype=np.int64)
     np.cumsum(vals, out=C[1:])
-    return pa.table({
+    cols = {
         "doc_id": docids.take(pa.array(doc_of)),
         "seq_id": pa.array(seq_id),
         "n_frag_tokens": pa.array(fe - fs),
@@ -1696,7 +1698,170 @@ def _pack_fragments(docids, vals: np.ndarray, toffs: np.ndarray,
                               else np.empty(0, np.int64)),
         "last_tok": pa.array(vals[ends_flat - 1] if len(ends_flat)
                              else np.empty(0, np.int64)),
-    }, schema=_PACK_SCHEMA)
+    }
+    if sources is not None:
+        return pa.table({"source": sources.take(pa.array(doc_of)), **cols},
+                        schema=_PACK_SRC_SCHEMA)
+    return pa.table(cols, schema=_PACK_SCHEMA)
+
+
+_PACK_SRC_SCHEMA = pa.schema([
+    ("source", pa.string()), ("doc_id", pa.string()),
+    ("seq_id", pa.int64()), ("n_frag_tokens", pa.int64()),
+    ("frag_sum", pa.int64()),
+    ("first_tok", pa.int64()), ("last_tok", pa.int64()),
+])
+
+
+def _pack_src_chunk_sums(block: pa.Table) -> pa.Table:
+    """Per-(source, chunk) token sums for one block (bounded pass 1 of
+    the by-source packing)."""
+    nt = pc.list_value_length(block.column("tokens"))
+    g = pa.table({
+        "source": block.column("source"),
+        "chunk": block.column("chunk"),
+        "nt": nt.cast(pa.int64()),
+    }).group_by(["source", "chunk"]).aggregate([("nt", "sum")])
+    return g.rename_columns(["source", "chunk", "tok_sum"])
+
+
+def _pack_src_combine(base, seq_len: int, *shards) -> pa.Table:
+    """One hash partition of the by-source packing exchange: rows sort
+    by (source, chunk, idx); per-(source, chunk) run cumsums plus the
+    broadcast composite-key bases give exact PER-SOURCE stream offsets;
+    fragment slicing is the shared kernel."""
+    srcs_sorted, comp_keys, cbases, C = base
+    tabs = [s for s in shards if s.num_rows]
+    if not tabs:
+        return _PACK_SRC_SCHEMA.empty_table()
+    g = pa.concat_tables(tabs).combine_chunks()
+    enc = pc.dictionary_encode(g.column("source").combine_chunks())
+    dic = np.asarray(enc.dictionary.to_pylist())
+    src_idx = np.searchsorted(srcs_sorted, dic)[
+        enc.indices.to_numpy(zero_copy_only=False)]
+    idx_np = g.column("idx").to_numpy(zero_copy_only=False)
+    ck = g.column("chunk").to_numpy(zero_copy_only=False)
+    comp = src_idx * C + ck
+    o = np.lexsort((idx_np, comp))  # == (source, idx): chunk is
+    g = g.take(pa.array(o))         # monotone in idx within a source
+    comp = comp[o]
+    docids = g.column("doc_id")
+    if isinstance(docids, pa.ChunkedArray):
+        docids = docids.combine_chunks()
+    srcs = g.column("source")
+    if isinstance(srcs, pa.ChunkedArray):
+        srcs = srcs.combine_chunks()
+    toks = g.column("tokens")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    toffs0 = toks.offsets.to_numpy().astype(np.int64)
+    start = int(toffs0[0])
+    vals = toks.values.slice(start, int(toffs0[-1]) - start).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    toffs = toffs0 - start
+    nt = np.diff(toffs)
+    csum = np.cumsum(nt) - nt
+    new = np.ones(len(comp), dtype=bool)
+    new[1:] = comp[1:] != comp[:-1]
+    first = np.maximum.accumulate(np.where(new, np.arange(len(comp)), 0))
+    off = csum - csum[first] + cbases[np.searchsorted(comp_keys, comp)]
+    return _pack_fragments(docids, vals, toffs, off, seq_len,
+                           sources=srcs)
+
+
+def q_log_pack_tokens_by_source(sf_dir: str, seq_len: int = 512,
+                                chunk_docs: int = 4096):
+    """SOURCE-SEPARATED sequence packing: each source's tokens form
+    their OWN stream, packed independently into fixed seq_len-token
+    training rows (domain-pure sequences — the curriculum/domain-mixing
+    layout, vs q_log_pack_tokens' single global stream). Same ingestion
+    order within a source.
+
+    Engine shape: the chunk exchange already co-locates every
+    (source, chunk) group (group ⊆ chunk), so only pass 1 changes —
+    bounded per-(source, chunk) sums, driver cumsum RESET per source,
+    composite-key bases broadcast once. SQL mirror: the same window
+    cumsum PARTITIONed BY source."""
+    import ray
+
+    from .datapipe import _n_parts, _table_shard
+
+    P = max(2, _n_parts())
+    empty = _PACK_SRC_SCHEMA.empty_table()
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        idx = _pack_idx(t.column("doc_id"))
+        return (t.select(["doc_id", "tokens", "source"])
+                .append_column("idx", pa.array(idx, pa.int64()))
+                .append_column("chunk",
+                               pa.array(idx // chunk_docs, pa.int64())))
+
+    ds = (_read_tokens(sf_dir, ["doc_id", "tokens", "source"])
+          .map_batches(add_keys, batch_format="pyarrow"))
+    refs = [r for b in ds.iter_internal_ref_bundles()
+            for r, md in b.blocks if md.num_rows]
+    if not refs:
+        return empty
+    sums_task = ray.remote(_pack_src_chunk_sums)
+    merged = pa.concat_tables(
+        ray.get([sums_task.remote(r) for r in refs])).group_by(
+        ["source", "chunk"]).aggregate([("tok_sum", "sum")])
+    df = merged.to_pandas().sort_values(["source", "chunk"])
+    srcs_sorted = np.asarray(sorted(df["source"].unique()))
+    C = int(df["chunk"].max()) + 1
+    src_idx = np.searchsorted(srcs_sorted, df["source"].to_numpy())
+    comp_keys = src_idx * C + df["chunk"].to_numpy()
+    sums = df["tok_sum_sum"].to_numpy().astype(np.int64)
+    run = np.cumsum(sums) - sums
+    # reset the exclusive cumsum at each source boundary
+    new_src = np.ones(len(df), dtype=bool)
+    new_src[1:] = src_idx[1:] != src_idx[:-1]
+    firsts = np.maximum.accumulate(np.where(new_src,
+                                            np.arange(len(df)), 0))
+    bases = run - run[firsts]
+    base_ref = ray.put((srcs_sorted, comp_keys, bases, C))
+
+    tshard = ray.remote(_table_shard)
+    slices = [tshard.options(num_returns=P).remote(r, P, "chunk")
+              for r in refs]
+    comb = ray.remote(_pack_src_combine)
+    outs = ray.get([comb.remote(base_ref, seq_len,
+                                *[s[p] for s in slices])
+                    for p in range(P)])
+    return pa.concat_tables([empty] + outs).cast(_PACK_SRC_SCHEMA)
+
+
+def sql_pack_tokens_by_source(cache: str, seq_len: int = 512) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, tokens, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(right(doc_id, 12) AS BIGINT) AS idx
+  FROM read_parquet('{cache}/shard-*.parquet')
+), o AS (
+  SELECT doc_id, source, tokens, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_offset
+  FROM t
+), f AS (
+  SELECT doc_id, source, tokens, n_tok, tok_offset,
+         unnest(generate_series(tok_offset // {seq_len},
+                                (tok_offset + n_tok - 1) // {seq_len}))
+           AS seq_id
+  FROM o WHERE n_tok > 0
+), s AS (
+  SELECT doc_id, source, CAST(seq_id AS BIGINT) AS seq_id, tokens,
+         GREATEST(seq_id * {seq_len}, tok_offset) - tok_offset + 1 AS a,
+         LEAST((seq_id + 1) * {seq_len}, tok_offset + n_tok) - tok_offset AS b
+  FROM f
+)
+SELECT source, doc_id, seq_id,
+       CAST(b - a + 1 AS BIGINT) AS n_frag_tokens,
+       CAST(list_sum(list_slice(tokens, a, b)) AS BIGINT) AS frag_sum,
+       CAST(tokens[a] AS BIGINT) AS first_tok,
+       CAST(tokens[b] AS BIGINT) AS last_tok
+FROM s
+"""
 
 
 def q_log_pack_tokens(sf_dir: str, seq_len: int = 512,
@@ -2011,6 +2176,7 @@ def log_queries() -> dict:
         "log_token_bigrams": q_log_token_bigrams,
         "log_seq_dedup": q_log_seq_dedup,
         "log_pack_tokens": q_log_pack_tokens,
+        "log_pack_tokens_by_source": q_log_pack_tokens_by_source,
         "log_sessionize": q_log_sessionize,
     }
 
@@ -2057,5 +2223,6 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_token_bigrams": sql_token_bigrams(cache),
         "log_seq_dedup": sql_seq_dedup(cache),
         "log_pack_tokens": sql_pack_tokens(cache),
+        "log_pack_tokens_by_source": sql_pack_tokens_by_source(cache),
         "log_sessionize": sql_log_sessionize(cache),
     }

@@ -198,3 +198,34 @@ def test_log_sessionize_vs_duckdb(ray_session, cache):
             s[["source", "client_ip"]]).all(axis=1)
     gaps = s["session_start"] - s["session_end"].shift()
     assert (gaps[same] > 600).all()
+
+
+def test_pack_tokens_by_source_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_pack_tokens_by_source(SF).to_pandas())
+    want = _norm(_duck(Q.sql_pack_tokens_by_source(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # per-source streams: every (source, sequence) fills to 512 except
+    # each source's LAST sequence
+    s = Q.q_log_pack_tokens_by_source(SF).to_pandas()
+    per = s.groupby(["source", "seq_id"])["n_frag_tokens"].sum()
+    for src, grp in per.groupby(level=0):
+        assert (grp.iloc[:-1] == 512).all()
+
+
+def test_pack_tokens_by_source_edges(ray_session, pack_dir, monkeypatch):
+    """Two interleaved sources pack as INDEPENDENT streams."""
+    _patch_paths(monkeypatch, pack_dir)
+    out = (Q.q_log_pack_tokens_by_source("ignored", seq_len=4)
+           .to_pandas().sort_values(["source", "doc_id", "seq_id"])
+           .reset_index(drop=True))
+    rows = [tuple(r) for r in out.itertuples(index=False)]
+    assert rows == [
+        # s1 stream: docs 0 (3 tokens) and 2 (9 tokens) -> offsets 0, 3
+        ("s1", "s1-000000000000", 0, 3, 6, 1, 3),
+        ("s1", "s1-000000000002", 0, 1, 4, 4, 4),
+        ("s1", "s1-000000000002", 1, 4, 5 + 6 + 7 + 8, 5, 8),
+        ("s1", "s1-000000000002", 2, 4, 9 + 10 + 11 + 12, 9, 12),
+        # s2 stream: zero-token doc 1, then doc 3 starts its OWN
+        # stream at offset 0 (not the global 12)
+        ("s2", "s2-000000000003", 0, 4, 13 + 14 + 15 + 16, 13, 16),
+    ]
