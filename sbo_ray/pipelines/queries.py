@@ -1540,6 +1540,103 @@ def _seq_hash64(vals: np.ndarray, off: np.ndarray) -> np.ndarray:
     return h * np.uint64(31) + lens.astype(np.uint64)
 
 
+def q_log_source_ce(sf_dir: str):
+    """Per-source cross-entropy of the token stream under the CORPUS
+    bigram LM (MLE, no smoothing — every observed bigram has mass) —
+    the domain-shift / divergence signal over the raw payload: sources
+    whose byte statistics deviate from the corpus score high.
+
+    ONE streaming pass: each block bincounts (source, packed-pair)
+    into bounded partials (|sources| x 65536 worst case, KBs real);
+    the driver folds them, derives per-pair log-probs from the global
+    counts, and computes each source's count-weighted mean -ln p(b|a).
+    Both engines weight by COUNTS (sum c*lp, not per-occurrence adds),
+    so only summation-order ulp remains — ROUND-6 (the transcendental-
+    sum rule)."""
+    part_schema = pa.schema([("source", pa.string()), ("pair", pa.int64()),
+                             ("cnt", pa.int64())])
+    out_schema = pa.schema([("source", pa.string()),
+                            ("n_bigrams", pa.int64()),
+                            ("ce", pa.float64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        vals, off = _token_lists(t.column("tokens"))
+        if len(vals) < 2:
+            return part_schema.empty_table()
+        key = vals[:-1].astype(np.int64) * 256 + vals[1:].astype(np.int64)
+        valid = np.ones(len(vals) - 1, dtype=bool)
+        ends = off[1:-1] - 1
+        ends = ends[(ends >= 0) & (ends < len(valid))]
+        valid[ends] = False
+        enc = pc.dictionary_encode(t.column("source").combine_chunks())
+        row_src = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(off)
+        tok_src = np.repeat(row_src, lens)[:-1][valid]
+        nsrc = len(enc.dictionary)
+        cnt = np.bincount(tok_src * 65536 + key[valid],
+                          minlength=nsrc * 65536)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({
+            "source": enc.dictionary.take(pa.array(nz // 65536)),
+            "pair": pa.array(nz % 65536, pa.int64()),
+            "cnt": pa.array(cnt[nz], pa.int64()),
+        })
+
+    parts = pa.concat_tables(
+        [part_schema.empty_table()] +
+        list(_read_tokens(sf_dir, ["tokens", "source"])
+             .map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    g = parts.group_by(["source", "pair"]).aggregate([("cnt", "sum")])
+    if g.num_rows == 0:
+        return out_schema.empty_table()
+    src = g.column("source").to_numpy(zero_copy_only=False)
+    pair = g.column("pair").to_numpy(zero_copy_only=False)
+    cnt = g.column("cnt_sum").to_numpy(zero_copy_only=False)
+    glob = np.bincount(pair, weights=cnt, minlength=65536)
+    ca = np.zeros(256)
+    np.add.at(ca, pair // 256, cnt)
+    lp = np.log(glob[pair] / ca[pair // 256])
+    import pandas as pd
+
+    df = pd.DataFrame({"source": src, "w": cnt.astype(np.float64),
+                       "t": -cnt.astype(np.float64) * lp})
+    agg = df.groupby("source", sort=True).sum()
+    return pa.table({
+        "source": pa.array(agg.index, pa.string()),
+        "n_bigrams": pa.array(agg["w"].astype(np.int64)),
+        "ce": pa.array(np.round(agg["t"] / agg["w"], 6)),
+    })
+
+
+def sql_source_ce(cache: str) -> str:
+    return f"""
+WITH pairs AS (
+  SELECT t.source, UNNEST(list_zip(t.tokens, t.tokens[2:])) AS pr
+  FROM read_parquet('{cache}/shard-*.parquet') t
+), p2 AS (
+  SELECT source, CAST(pr[1] AS BIGINT) AS a, CAST(pr[2] AS BIGINT) AS b
+  FROM pairs WHERE pr[2] IS NOT NULL
+), sc AS (
+  SELECT source, a, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM p2 GROUP BY 1, 2, 3
+), cnt AS (
+  SELECT a, b, SUM(c) AS c FROM sc GROUP BY a, b
+), ca AS (
+  SELECT a, SUM(c) AS ca FROM cnt GROUP BY a
+), lp AS (
+  SELECT cnt.a, cnt.b, ln(CAST(cnt.c AS DOUBLE) / ca.ca) AS lp
+  FROM cnt JOIN ca USING (a)
+)
+SELECT sc.source, CAST(SUM(sc.c) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(-sc.c * lp.lp) / SUM(sc.c), 6) AS ce
+FROM sc JOIN lp ON sc.a = lp.a AND sc.b = lp.b
+GROUP BY sc.source
+"""
+
+
 def q_log_seq_dedup(sf_dir: str):
     """Exact duplicate token *sequences* per source — dedup keyed on the
     whole tokens array (the sequence-level twin of doc_dedup_exact).
@@ -2178,6 +2275,7 @@ def log_queries() -> dict:
         "log_pack_tokens": q_log_pack_tokens,
         "log_pack_tokens_by_source": q_log_pack_tokens_by_source,
         "log_sessionize": q_log_sessionize,
+        "log_source_ce": q_log_source_ce,
     }
 
 
@@ -2225,4 +2323,5 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_pack_tokens": sql_pack_tokens(cache),
         "log_pack_tokens_by_source": sql_pack_tokens_by_source(cache),
         "log_sessionize": sql_log_sessionize(cache),
+        "log_source_ce": sql_source_ce(cache),
     }

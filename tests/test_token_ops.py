@@ -229,3 +229,13 @@ def test_pack_tokens_by_source_edges(ray_session, pack_dir, monkeypatch):
         # stream at offset 0 (not the global 12)
         ("s2", "s2-000000000003", 0, 4, 13 + 14 + 15 + 16, 13, 16),
     ]
+
+
+def test_source_ce_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_source_ce(SF).to_pandas())
+    want = _norm(_duck(Q.sql_source_ce(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # cross-entropy of any source under the corpus LM is >= the
+    # corpus entropy floor: positive, finite
+    s = Q.q_log_source_ce(SF).to_pandas()
+    assert (s["ce"] > 0).all() and s["ce"].notna().all()
