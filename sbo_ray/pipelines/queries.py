@@ -1540,6 +1540,90 @@ def _seq_hash64(vals: np.ndarray, off: np.ndarray) -> np.ndarray:
     return h * np.uint64(31) + lens.astype(np.uint64)
 
 
+def q_log_ip_entropy(sf_dir: str):
+    """Per-source Shannon entropy of the client-IP distribution — the
+    traffic-diversity / bot-concentration signal (low entropy = a few
+    IPs dominate). Exact even with unbounded distinct IPs: the
+    distinct_clients exchange co-locates every copy of an ip, so each
+    partition owns its ips' GLOBAL counts and emits two bounded
+    sufficient-stat rows per source (sum c*ln c, sum c); the driver
+    folds H = ln N - (sum c ln c)/N. ROUND-6 (transcendental sums)."""
+    import zlib
+
+    import ray
+
+    P = max(4, int(ray.cluster_resources().get("CPU", 4)))
+    pair_schema = pa.schema([("source", pa.string()),
+                             ("client_ip", pa.string()),
+                             ("cnt", pa.int64()), ("part", pa.int64())])
+    out_schema = pa.schema([("source", pa.string()),
+                            ("n_requests", pa.int64()),
+                            ("ip_entropy", pa.float64())])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("parse_ok"))
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        pairs = (t.select(["source", "client_ip"])
+                 .group_by(["source", "client_ip"])
+                 .aggregate([([], "count_all")]))
+        ips = pairs.column("client_ip").combine_chunks()
+        enc = ips.dictionary_encode()
+        uh = np.array([zlib.crc32(u.encode("utf-8")) % P
+                       for u in enc.dictionary.to_pylist()], dtype=np.int64)
+        part = uh[enc.indices.to_numpy(zero_copy_only=False)]
+        return pa.table({"source": pairs.column("source"),
+                         "client_ip": ips,
+                         "cnt": pairs.column("count_all").cast(pa.int64()),
+                         "part": pa.array(part)})
+
+    def fold_part(g: "pd.DataFrame"):
+        import pandas as pd
+
+        per_ip = (g.groupby(["source", "client_ip"], sort=False)["cnt"]
+                  .sum().reset_index())
+        c = per_ip["cnt"].to_numpy().astype(np.float64)
+        per_ip["clnc"] = c * np.log(c)
+        out = per_ip.groupby("source", sort=False).agg(
+            n=("cnt", "sum"), clnc=("clnc", "sum")).reset_index()
+        return pd.DataFrame({"source": out["source"],
+                             "n": out["n"].astype("int64"),
+                             "clnc": out["clnc"]})
+
+    parts = (_enriched(sf_dir)
+             .map_batches(pair_partial, batch_format="pyarrow")
+             .groupby("part").map_groups(fold_part))
+    df = logpipe.to_pandas_with_schema(
+        parts, pa.schema([("source", pa.string()), ("n", pa.int64()),
+                          ("clnc", pa.float64())]))
+    if df.empty:
+        return out_schema.empty_table()
+    agg = df.groupby("source", sort=True).agg(
+        n=("n", "sum"), clnc=("clnc", "sum")).reset_index()
+    n = agg["n"].to_numpy().astype(np.float64)
+    ent = np.log(n) - agg["clnc"].to_numpy() / n
+    return pa.table({
+        "source": pa.array(agg["source"], pa.string()),
+        "n_requests": pa.array(agg["n"].astype("int64")),
+        "ip_entropy": pa.array(np.round(ent, 6)),
+    })
+
+
+def sql_ip_entropy(cache: str) -> str:
+    return _pattern_cte(cache) + f"""
+, parsed AS (
+  SELECT source, {_extract_case("client_ip")} AS ip
+  FROM pat WHERE {_matches_case()}
+), c AS (
+  SELECT source, ip, CAST(COUNT(*) AS BIGINT) AS c
+  FROM parsed GROUP BY source, ip
+)
+SELECT source, CAST(SUM(c) AS BIGINT) AS n_requests,
+       ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS ip_entropy
+FROM c GROUP BY source
+"""
+
+
 def q_log_source_ce(sf_dir: str):
     """Per-source cross-entropy of the token stream under the CORPUS
     bigram LM (MLE, no smoothing — every observed bigram has mass) —
@@ -2276,6 +2360,7 @@ def log_queries() -> dict:
         "log_pack_tokens_by_source": q_log_pack_tokens_by_source,
         "log_sessionize": q_log_sessionize,
         "log_source_ce": q_log_source_ce,
+        "log_ip_entropy": q_log_ip_entropy,
     }
 
 
@@ -2324,4 +2409,5 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_pack_tokens_by_source": sql_pack_tokens_by_source(cache),
         "log_sessionize": sql_log_sessionize(cache),
         "log_source_ce": sql_source_ce(cache),
+        "log_ip_entropy": sql_ip_entropy(cache),
     }

@@ -239,3 +239,14 @@ def test_source_ce_vs_duckdb(ray_session, cache):
     # corpus entropy floor: positive, finite
     s = Q.q_log_source_ce(SF).to_pandas()
     assert (s["ce"] > 0).all() and s["ce"].notna().all()
+
+
+def test_ip_entropy_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_ip_entropy(SF).to_pandas())
+    want = _norm(_duck(Q.sql_ip_entropy(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    s = Q.q_log_ip_entropy(SF).to_pandas()
+    # 0 <= H <= ln(n_requests); strictly positive with >1 distinct ip
+    import numpy as np
+    assert (s["ip_entropy"] >= 0).all()
+    assert (s["ip_entropy"] <= np.log(s["n_requests"]) + 1e-9).all()
