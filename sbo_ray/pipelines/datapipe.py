@@ -6112,6 +6112,98 @@ def doc_chunk(sf_dir: str, chunk_tokens: int = 32):
     )
 
 
+def emb_triplet_mining(sf_dir: str, n_anchors: int = 10):
+    """HARD-NEGATIVE triplet mining — the metric-learning data op: for
+    each anchor (the ``n_anchors`` lowest vec_ids), find the nearest
+    SAME-label vector (the retrieval positive) and the nearest
+    DIFFERENT-label vector (the hard negative — the pair that makes
+    triplet losses informative). Broadcast the anchor matrix once;
+    each block emits one
+    (anchor, class) -> best-key partial (blocks x 2k rows); the driver
+    max-folds. Selection routes through the FLOORED integer composite
+    key (floor(cos*1e6)+offset)*2^33 + (2^33-1-vec_id) on BOTH sides —
+    the emb_pq_codes argmax idiom (f64 ulp noise cannot flip an
+    integer key off measure-zero boundaries), so the gate is
+    hash-exact on ids."""
+    B33 = 1 << 33
+    OFF = 2_000_000  # makes the floored cos term non-negative
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    head = pa.concat_tables(
+        ds.map_batches(
+            lambda t: t.sort_by("vec_id").slice(0, n_anchors),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("vec_id").slice(0, n_anchors)
+    a_ids = head.column("vec_id").to_numpy(zero_copy_only=False)
+    a_lab = head.column("label").to_numpy(zero_copy_only=False)
+    a_m = D.normalize_rows(S.embedding_matrix(head))
+    a_ref = ray.put((a_ids.astype(np.int64), a_lab.astype(np.int64), a_m))
+
+    part_schema = pa.schema([("aid", pa.int64()), ("same", pa.int64()),
+                             ("key", pa.int64())])
+
+    def block_best(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        aid, alab, am = ray.get(a_ref)
+        ids = t.column("vec_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(ids) and ids.max() >= B33 - 1:
+            raise ValueError("vec_id exceeds the 2^33 key range")
+        lab = t.column("label").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = D.normalize_rows(S.embedding_matrix(t))
+        cos = m @ am.T  # n x n_anchors
+        key = ((np.floor(cos * 1e6).astype(np.int64) + OFF) * B33
+               + (B33 - 1 - ids)[:, None])
+        rows = []
+        for j in range(len(aid)):
+            kj = key[:, j]
+            notself = ids != aid[j]
+            for same in (1, 0):
+                mask = notself & ((lab == alab[j]) == bool(same))
+                if mask.any():
+                    rows.append((int(aid[j]), same, int(kj[mask].max())))
+        if not rows:
+            return part_schema.empty_table()
+        return pa.table({
+            "aid": pa.array([r[0] for r in rows], pa.int64()),
+            "same": pa.array([r[1] for r in rows], pa.int64()),
+            "key": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    parts = pa.concat_tables(
+        [part_schema.empty_table()] +
+        list(ds.map_batches(block_best, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    out_schema = pa.schema([
+        ("anchor_id", pa.int64()), ("anchor_label", pa.int64()),
+        ("pos_id", pa.int64()), ("neg_id", pa.int64()),
+    ])
+    if parts.num_rows == 0:
+        return out_schema.empty_table()
+    g = parts.group_by(["aid", "same"]).aggregate([("key", "max")])
+    best = {(a, s): k for a, s, k in zip(
+        g.column("aid").to_pylist(), g.column("same").to_pylist(),
+        g.column("key_max").to_pylist())}
+    rows = []
+    for j in range(len(a_ids)):
+        pk = best.get((int(a_ids[j]), 1))
+        nk = best.get((int(a_ids[j]), 0))
+        rows.append((
+            int(a_ids[j]), int(a_lab[j]),
+            (B33 - 1 - pk % B33) if pk is not None else -1,
+            (B33 - 1 - nk % B33) if nk is not None else -1,
+        ))
+    return pa.table({
+        "anchor_id": pa.array([r[0] for r in rows], pa.int64()),
+        "anchor_label": pa.array([r[1] for r in rows], pa.int64()),
+        "pos_id": pa.array([r[2] for r in rows], pa.int64()),
+        "neg_id": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
 def emb_label_centroids(sf_dir: str):
     """Per-label embedding centroid (the vector-mean aggregate behind
     IVF training / cluster profiling), exploded to (label, dim,

@@ -1821,6 +1821,35 @@ SELECT COALESCE(touch, 'none') AS touch_type,
 FROM o WHERE event_type = 'purchase' GROUP BY 1
 """
 
+# Triplet-mining mirror: argmax through the floored composite key
+# (emb_pq_codes idiom) with the +2e6 offset keeping keys non-negative
+# (negative % would take the dividend's sign); DOUBLE[] cast per the
+# float32-accumulation rule; COALESCE(-1) mirrors an absent class.
+SQL_EMB_TRIPLET_MINING = """
+WITH a AS (
+  SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS av,
+         CAST(label AS BIGINT) AS al
+  FROM embeddings ORDER BY vec_id LIMIT 10
+), c AS (
+  SELECT a.aid, a.al, e.vec_id AS vid, CAST(e.label AS BIGINT) AS vl,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av) AS cos
+  FROM embeddings e, a WHERE e.vec_id <> a.aid
+), k AS (
+  SELECT aid, al, vid, vl,
+         (CAST(FLOOR(cos * 1000000) AS BIGINT) + 2000000) * 8589934592
+           + (8589934591 - vid) AS key
+  FROM c
+)
+SELECT aid AS anchor_id, al AS anchor_label,
+       CAST(COALESCE(8589934591 -
+         (MAX(CASE WHEN vl = al THEN key END) % 8589934592), -1)
+         AS BIGINT) AS pos_id,
+       CAST(COALESCE(8589934591 -
+         (MAX(CASE WHEN vl <> al THEN key END) % 8589934592), -1)
+         AS BIGINT) AS neg_id
+FROM k GROUP BY aid, al
+"""
+
 # Cohort-LTV mirror: integer week math on microsecond epochs (epoch_us
 # // week == the engine's int64 division; float epoch() would ROUND
 # under CAST where // truncates). ROUND-2 on the revenue fold.
@@ -2248,6 +2277,7 @@ def data_queries() -> dict:
         "events_attribution": P.events_attribution,
         "events_attribution_first": P.events_attribution_first,
         "events_cohort_ltv": P.events_cohort_ltv,
+        "emb_triplet_mining": P.emb_triplet_mining,
         "orders_large_volume": P.orders_large_volume,
         "multimodal_qoi_features": P.multimodal_qoi_features,
         # sketch mode: approximate by design, no SQL oracle (the
@@ -2350,6 +2380,7 @@ def data_oracle_sql() -> dict:
         "events_attribution": SQL_EVENTS_ATTRIBUTION,
         "events_attribution_first": SQL_EVENTS_ATTRIBUTION_FIRST,
         "events_cohort_ltv": SQL_EVENTS_COHORT_LTV,
+        "emb_triplet_mining": SQL_EMB_TRIPLET_MINING,
         "orders_large_volume": SQL_ORDERS_LARGE_VOLUME,
         "multimodal_qoi_features": SQL_MULTIMODAL_QOI,
         "events_user_features": SQL_EVENTS_USER_FEATURES,

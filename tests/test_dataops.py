@@ -44,7 +44,7 @@ SQL_NAMES = [
     "multimodal_ulaw_features", "events_running_total", "emb_batch_search",
     "multimodal_alaw_features", "doc_dsir_weights", "events_attribution",
     "orders_large_volume", "multimodal_qoi_features",
-    "events_attribution_first", "events_cohort_ltv",
+    "events_attribution_first", "events_cohort_ltv", "emb_triplet_mining",
 ]
 
 
@@ -2248,3 +2248,38 @@ def test_events_attribution_first_planted(ray_session, tmp_path):
     assert out.loc["view", "n_purchases"] == 1
     assert out.loc["view", "total_value"] == 4.0
     assert out.loc["none", "n_purchases"] == 1
+
+
+def test_triplet_mining_semantics(ray_session):
+    """Triplets: positive shares the anchor's label, negative doesn't,
+    neither is the anchor, and a brute-force numpy check agrees on the
+    composite-key ordering."""
+    import numpy as np
+
+    from sbo_ray.functions import dedup as D
+    from sbo_ray.functions import similarity as S
+    from sbo_ray.pipelines.datapipe import _read, emb_triplet_mining
+
+    out = emb_triplet_mining(SF).to_pandas()
+    assert len(out) == 10
+    emb = pa.concat_tables(
+        _read(SF, "embeddings").iter_batches(batch_format="pyarrow",
+                                             batch_size=None))
+    ids = emb.column("vec_id").to_numpy(zero_copy_only=False)
+    lab = emb.column("label").to_numpy(zero_copy_only=False)
+    m = D.normalize_rows(S.embedding_matrix(emb))
+    by_id = {int(i): j for j, i in enumerate(ids)}
+    B33, OFF = 1 << 33, 2_000_000
+    for r in out.itertuples(index=False):
+        assert r.pos_id != r.anchor_id and r.neg_id != r.anchor_id
+        assert lab[by_id[r.pos_id]] == r.anchor_label
+        assert lab[by_id[r.neg_id]] != r.anchor_label
+        # brute-force key argmax agrees
+        aj = by_id[r.anchor_id]
+        cos = m @ m[aj]
+        key = (np.floor(cos * 1e6).astype(np.int64) + OFF) * B33 \
+            + (B33 - 1 - ids)
+        same = (lab == r.anchor_label) & (ids != r.anchor_id)
+        diff = (lab != r.anchor_label)
+        assert ids[same][np.argmax(key[same])] == r.pos_id
+        assert ids[diff][np.argmax(key[diff])] == r.neg_id
