@@ -4791,6 +4791,84 @@ def orders_large_volume(sf_dir: str, min_qty: int = 200):
     })
 
 
+_RFM = pa.schema([("c_custkey", pa.int64()), ("recency_days", pa.int64()),
+                  ("frequency", pa.int64()), ("monetary", pa.float64())])
+
+
+def _rfm_combine(asof_us: int, *shards) -> pa.Table:
+    """One hash partition of the RFM fold: per-customer last-order
+    timestamp (maximum.at), order count (bincount) and revenue sum
+    (weighted bincount) over the co-located order rows. Recency rides
+    an INTEGER day division ((asof - last) // 86400e6 us) — numpy and
+    DuckDB `//` agree exactly on positive int64, no float gate needed
+    (the emb_pq_codes idiom)."""
+    ts = [s for s in shards if s.num_rows]
+    if not ts:
+        return _RFM.empty_table()
+    t = pa.concat_tables(ts)
+    ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    od = t.column("o_orderdate").to_numpy(zero_copy_only=False) \
+        .astype("datetime64[us]").astype(np.int64)
+    tp = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+    uk, inv = np.unique(ck, return_inverse=True)
+    freq = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+    mon = np.bincount(inv, weights=tp, minlength=len(uk))
+    last = np.full(len(uk), np.iinfo(np.int64).min)
+    np.maximum.at(last, inv, od)
+    rec = (asof_us - last) // 86_400_000_000
+    return pa.table({"c_custkey": pa.array(uk, pa.int64()),
+                     "recency_days": pa.array(rec, pa.int64()),
+                     "frequency": pa.array(freq, pa.int64()),
+                     "monetary": pa.array(np.round(mon, 2), pa.float64())},
+                    schema=_RFM)
+
+
+def customer_rfm(sf_dir: str):
+    """Per-customer RFM feature table (recency / frequency / monetary —
+    the classic CRM segmentation input, here the customer-level feature
+    build a ranking job would run): recency in whole days from the
+    customer's last order to the corpus max order date, order count,
+    and revenue sum. HIGH-CARDINALITY key (customers ~ corpus-sized),
+    so the shape is the raw-task Fibonacci-hash exchange
+    (CLAUDE.md: native groupby over ~distinct keys is the 49-vs-6.4 s
+    trap): orders ship their three needed columns via ``_table_shard``,
+    each partition folds its customers with bincount/maximum.at, and
+    the customer-sized OUTPUT becomes a Dataset straight from the
+    combine-task refs (``from_arrow_refs``) — it never concats on the
+    driver. The as-of date is a separate column-pruned scan folding one
+    int64 per block (mirrors the oracle's scalar subquery).
+
+    Analog of the reference's keyed-counter rollup over a persistent
+    key space (metrics/SBOMetrics.go keyed counters), applied to the
+    orders table."""
+    asof = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def block_max(t: pa.Table) -> pa.Table:
+        m = pc.max(t.column("o_orderdate"))
+        v = [] if m.value is None else \
+            [np.datetime64(m.value, "us").astype(np.int64)]
+        return pa.table({"m": pa.array(v, pa.int64())})
+
+    maxes = [v for b in asof.map_batches(
+        block_max, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None)
+        for v in b.column("m").to_pylist()]
+    if not maxes:
+        return rd.from_arrow(_RFM.empty_table())
+    asof_us = max(maxes)
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    refs = [r for b in ds.iter_internal_ref_bundles()
+            for r, md in b.blocks if md.num_rows]
+    P = max(2, _n_parts())
+    tshard = ray.remote(_table_shard)
+    sl = [tshard.options(num_returns=P).remote(r, P, "o_custkey")
+          for r in refs]
+    comb = ray.remote(_rfm_combine)
+    outs = [comb.remote(asof_us, *[s[p] for s in sl]) for p in range(P)]
+    return rd.from_arrow_refs(outs)
+
+
 _INC_DD = pa.schema([("doc_id", pa.int64()), ("n_copies", pa.int64())])
 
 

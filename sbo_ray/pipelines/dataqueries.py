@@ -1917,6 +1917,20 @@ SELECT user_id,
 FROM events GROUP BY user_id
 """
 
+# RFM mirror: scalar-subquery as-of date; recency rides DuckDB's `//`
+# (BIGINT floor division) over epoch_us — exact-integer parity with the
+# engine's numpy int64 division, no float gate.
+SQL_CUSTOMER_RFM = """
+WITH g AS (SELECT MAX(o_orderdate) AS mx FROM orders)
+SELECT o_custkey AS c_custkey,
+       (epoch_us(g.mx) - epoch_us(MAX(o_orderdate))) // 86400000000
+         AS recency_days,
+       COUNT(*) AS frequency,
+       ROUND(SUM(o_totalprice), 2) AS monetary
+FROM orders, g
+GROUP BY o_custkey, g.mx
+"""
+
 # Semi-join mirror: EXISTS via IN; membership, not multiplicity.
 SQL_ORDERS_WITH_RETURNS = """
 SELECT o_orderpriority, COUNT(*) AS n_orders,
@@ -2316,6 +2330,7 @@ def data_queries() -> dict:
         "orders_mktsegment_revenue": P.orders_mktsegment_revenue,
         "orders_shipping_priority": P.orders_shipping_priority,
         "orders_with_returns": P.orders_with_returns,
+        "customer_rfm": P.customer_rfm,
         "lineitem_pricing_summary": P.lineitem_pricing_summary,
         "orders_by_month": P.orders_by_month,
         "events_hourly": P.events_hourly,
@@ -2435,6 +2450,7 @@ def data_oracle_sql() -> dict:
         "orders_mktsegment_revenue": SQL_ORDERS_MKTSEGMENT_REVENUE,
         "orders_shipping_priority": SQL_ORDERS_SHIPPING_PRIORITY,
         "orders_with_returns": SQL_ORDERS_WITH_RETURNS,
+        "customer_rfm": SQL_CUSTOMER_RFM,
         "lineitem_pricing_summary": SQL_LINEITEM_PRICING,
         "orders_by_month": SQL_ORDERS_BY_MONTH,
         "events_hourly": SQL_EVENTS_HOURLY,

@@ -45,6 +45,7 @@ SQL_NAMES = [
     "multimodal_alaw_features", "doc_dsir_weights", "events_attribution",
     "orders_large_volume", "multimodal_qoi_features",
     "events_attribution_first", "events_cohort_ltv", "emb_triplet_mining",
+    "customer_rfm",
 ]
 
 
@@ -2176,6 +2177,44 @@ def test_new_ops_empty_inputs(ray_session, tmp_path):
     assert out.num_rows == 0
     assert out.schema.names == ["o_orderkey", "c_custkey", "c_name",
                                 "o_totalprice", "sum_qty"]
+
+
+def test_customer_rfm_empty_and_semantics(ray_session, tmp_path):
+    """customer_rfm: typed-empty passthrough, and recency/frequency/
+    monetary semantics on a hand-computed 2-customer fixture."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import customer_rfm
+
+    sch = pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+        ("o_totalprice", pa.float64()),
+        ("o_orderdate", pa.timestamp("us"))])
+    pq.write_table(sch.empty_table(), str(tmp_path / "orders.parquet"))
+    out = customer_rfm(str(tmp_path))
+    assert out.count() == 0
+    # empty-Dataset to_pandas loses columns (CLAUDE.md); check ds schema
+    assert out.schema().names == ["c_custkey", "recency_days",
+                                  "frequency", "monetary"]
+
+    d = np.datetime64("2024-01-01", "us")
+    day = np.timedelta64(1, "D").astype("timedelta64[us]")
+    t = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([7, 7, 7, 9], pa.int64()),
+        "o_totalprice": pa.array([10.25, 4.75, 1.0, 2.5], pa.float64()),
+        "o_orderdate": pa.array(
+            [d, d + 3 * day, d + 5 * day, d + 9 * day],
+            pa.timestamp("us")),
+    })
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    got = customer_rfm(str(tmp_path)).to_pandas() \
+        .sort_values("c_custkey").reset_index(drop=True)
+    # as-of = 2024-01-10; cust 7 last orders on day 5 -> recency 4
+    assert got["c_custkey"].tolist() == [7, 9]
+    assert got["recency_days"].tolist() == [4, 0]
+    assert got["frequency"].tolist() == [3, 1]
+    assert got["monetary"].tolist() == [16.0, 2.5]
 
 
 def test_dedup_bloom_one_sided_error(ray_session):
