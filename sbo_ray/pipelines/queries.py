@@ -1789,6 +1789,239 @@ FROM read_parquet('{cache}/shard-*.parquet') GROUP BY source
 """
 
 
+def q_log_token_entropy(sf_dir: str):
+    """Per-source Shannon entropy of the token-id distribution — the
+    token-stream twin of ``log_ip_entropy`` (low entropy = a source
+    emitting near-constant payloads, the stuck-sensor / bot signal).
+    Vocabulary is bounded (byte codec), so each block emits a
+    |sources| x <=256 bincount partial and the driver folds KBs:
+    H = ln N - (sum c ln c)/N. ROUND-6 (transcendental sums)."""
+    part_schema = pa.schema([("source", pa.string()), ("token", pa.int64()),
+                             ("cnt", pa.int64())])
+    out_schema = pa.schema([("source", pa.string()),
+                            ("n_tokens", pa.int64()),
+                            ("token_entropy", pa.float64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        vals, off = _token_lists(t.column("tokens"))
+        if not len(vals):
+            return part_schema.empty_table()
+        enc = pc.dictionary_encode(t.column("source").combine_chunks())
+        row_src = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_src = np.repeat(row_src, np.diff(off))
+        nsrc = len(enc.dictionary)
+        cnt = np.bincount(tok_src * 256 + vals, minlength=nsrc * 256)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({
+            "source": enc.dictionary.take(pa.array(nz // 256)),
+            "token": pa.array(nz % 256, pa.int64()),
+            "cnt": pa.array(cnt[nz], pa.int64()),
+        })
+
+    parts = pa.concat_tables(
+        [part_schema.empty_table()] +
+        list(_read_tokens(sf_dir, ["tokens", "source"])
+             .map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    g = parts.group_by(["source", "token"]).aggregate([("cnt", "sum")])
+    if g.num_rows == 0:
+        return out_schema.empty_table()
+    import pandas as pd
+
+    c = g.column("cnt_sum").to_numpy(zero_copy_only=False).astype(np.float64)
+    df = pd.DataFrame({"source": g.column("source").to_numpy(
+        zero_copy_only=False), "n": c, "clnc": c * np.log(c)})
+    agg = df.groupby("source", sort=True).sum()
+    n = agg["n"].to_numpy()
+    ent = np.log(n) - agg["clnc"].to_numpy() / n
+    return pa.table({
+        "source": pa.array(agg.index, pa.string()),
+        "n_tokens": pa.array(agg["n"].astype(np.int64)),
+        "token_entropy": pa.array(np.round(ent, 6)),
+    }, schema=out_schema)
+
+
+def sql_token_entropy(cache: str) -> str:
+    return f"""
+WITH tok AS (
+  SELECT source, UNNEST(tokens) AS t
+  FROM read_parquet('{cache}/shard-*.parquet')
+), c AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+)
+SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS token_entropy
+FROM c GROUP BY source
+"""
+
+
+def q_log_oov_rate(sf_dir: str, v: int = 64):
+    """Per-source out-of-vocabulary rate against the corpus top-``v``
+    token vocabulary — the domain-shift screen a tokenizer-refresh job
+    runs (a source whose traffic falls outside the head vocabulary is
+    drifting). ONE bounded pass: the same |sources| x <=256 per-block
+    bincount partial yields BOTH the global histogram (top-v under the
+    deterministic cnt-desc, token-asc boundary) and the per-source
+    counts; the rate ships as a FLOORED integer ppm ((oov * 1e6) // n —
+    the doc_quality_linear rule: count quotients land on exact .5e-6
+    boundaries, ROUND-6 is a coin flip)."""
+    part_schema = pa.schema([("source", pa.string()), ("token", pa.int64()),
+                             ("cnt", pa.int64())])
+    out_schema = pa.schema([("source", pa.string()),
+                            ("n_tokens", pa.int64()),
+                            ("n_oov", pa.int64()),
+                            ("oov_ppm", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        vals, off = _token_lists(t.column("tokens"))
+        if not len(vals):
+            return part_schema.empty_table()
+        enc = pc.dictionary_encode(t.column("source").combine_chunks())
+        row_src = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_src = np.repeat(row_src, np.diff(off))
+        nsrc = len(enc.dictionary)
+        cnt = np.bincount(tok_src * 256 + vals, minlength=nsrc * 256)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({
+            "source": enc.dictionary.take(pa.array(nz // 256)),
+            "token": pa.array(nz % 256, pa.int64()),
+            "cnt": pa.array(cnt[nz], pa.int64()),
+        })
+
+    parts = pa.concat_tables(
+        [part_schema.empty_table()] +
+        list(_read_tokens(sf_dir, ["tokens", "source"])
+             .map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    g = parts.group_by(["source", "token"]).aggregate([("cnt", "sum")])
+    if g.num_rows == 0:
+        return out_schema.empty_table()
+    tok = g.column("token").to_numpy(zero_copy_only=False)
+    cnt = g.column("cnt_sum").to_numpy(zero_copy_only=False)
+    glob = np.zeros(256, dtype=np.int64)
+    np.add.at(glob, tok, cnt)
+    # top-v under (cnt desc, token asc): lexsort on (-cnt, token)
+    order = np.lexsort((np.arange(256), -glob))
+    vocab = np.zeros(256, dtype=bool)
+    vocab[order[:v][glob[order[:v]] > 0]] = True
+    import pandas as pd
+
+    df = pd.DataFrame({"source": g.column("source").to_numpy(
+        zero_copy_only=False), "n": cnt,
+        "oov": np.where(vocab[tok], 0, cnt)})
+    agg = df.groupby("source", sort=True).sum()
+    n = agg["n"].to_numpy().astype(np.int64)
+    oov = agg["oov"].to_numpy().astype(np.int64)
+    return pa.table({
+        "source": pa.array(agg.index, pa.string()),
+        "n_tokens": pa.array(n),
+        "n_oov": pa.array(oov),
+        "oov_ppm": pa.array(oov * 1_000_000 // n),
+    }, schema=out_schema)
+
+
+def sql_oov_rate(cache: str, v: int = 64) -> str:
+    return f"""
+WITH tok AS (
+  SELECT source, UNNEST(tokens) AS t
+  FROM read_parquet('{cache}/shard-*.parquet')
+), g AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t
+), voc AS (
+  SELECT t FROM g ORDER BY c DESC, t LIMIT {v}
+), sc AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN t IN (SELECT t FROM voc) THEN 0 ELSE 1 END)
+              AS BIGINT) AS oov
+  FROM tok GROUP BY source
+)
+SELECT source, n AS n_tokens, oov AS n_oov,
+       CAST((oov * 1000000) // n AS BIGINT) AS oov_ppm
+FROM sc
+"""
+
+
+def q_log_seq_len_buckets(sf_dir: str, width: int = 128):
+    """Per-(source, length-bucket) sequence histogram with padding
+    efficiency — the batch-shape audit a packing/padding training job
+    runs before choosing seq_len: bucket = n_tok // width, padded cap =
+    (bucket+1)*width, and pad_ppm = the FLOORED ppm of wasted slots if
+    each sequence padded to its bucket cap. Reads only (source, n_tok)
+    — the payload never leaves storage. Bounded partials:
+    |sources| x (max_len/width) rows per block. All-integer outputs
+    (the floored-micro-score rule)."""
+    part_schema = pa.schema([("source", pa.string()), ("bucket", pa.int64()),
+                             ("n_seqs", pa.int64()),
+                             ("sum_tokens", pa.int64())])
+    out_schema = pa.schema([("source", pa.string()), ("bucket", pa.int64()),
+                            ("n_seqs", pa.int64()),
+                            ("sum_tokens", pa.int64()),
+                            ("pad_ppm", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        nt = t.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = pc.dictionary_encode(t.column("source").combine_chunks())
+        src = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        b = nt // width
+        nb = int(b.max()) + 1
+        key = src * nb + b
+        cnt = np.bincount(key, minlength=len(enc.dictionary) * nb)
+        tot = np.bincount(key, weights=nt,
+                          minlength=len(enc.dictionary) * nb)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({
+            "source": enc.dictionary.take(pa.array(nz // nb)),
+            "bucket": pa.array(nz % nb, pa.int64()),
+            "n_seqs": pa.array(cnt[nz], pa.int64()),
+            "sum_tokens": pa.array(tot[nz].astype(np.int64)),
+        })
+
+    parts = pa.concat_tables(
+        [part_schema.empty_table()] +
+        list(_read_tokens(sf_dir, ["n_tok", "source"])
+             .map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    g = parts.group_by(["source", "bucket"]).aggregate(
+        [("n_seqs", "sum"), ("sum_tokens", "sum")])
+    if g.num_rows == 0:
+        return out_schema.empty_table()
+    b = g.column("bucket").to_numpy(zero_copy_only=False)
+    n = g.column("n_seqs_sum").to_numpy(zero_copy_only=False)
+    s = g.column("sum_tokens_sum").to_numpy(zero_copy_only=False)
+    cap = (b + 1) * width * n
+    return pa.table({
+        "source": g.column("source"),
+        "bucket": pa.array(b, pa.int64()),
+        "n_seqs": pa.array(n, pa.int64()),
+        "sum_tokens": pa.array(s, pa.int64()),
+        "pad_ppm": pa.array((cap - s) * 1_000_000 // cap, pa.int64()),
+    }, schema=out_schema)
+
+
+def sql_seq_len_buckets(cache: str, width: int = 128) -> str:
+    return f"""
+WITH b AS (
+  SELECT source, CAST(n_tok // {width} AS BIGINT) AS bucket,
+         CAST(n_tok AS BIGINT) AS n_tok
+  FROM read_parquet('{cache}/shard-*.parquet')
+), g AS (
+  SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+         CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+  FROM b GROUP BY 1, 2
+)
+SELECT source, bucket, n_seqs, sum_tokens,
+       CAST(((bucket + 1) * {width} * n_seqs - sum_tokens) * 1000000
+            // ((bucket + 1) * {width} * n_seqs) AS BIGINT) AS pad_ppm
+FROM g
+"""
+
+
 _PACK_SCHEMA = pa.schema([
     ("doc_id", pa.string()), ("seq_id", pa.int64()),
     ("n_frag_tokens", pa.int64()), ("frag_sum", pa.int64()),
@@ -2361,6 +2594,9 @@ def log_queries() -> dict:
         "log_sessionize": q_log_sessionize,
         "log_source_ce": q_log_source_ce,
         "log_ip_entropy": q_log_ip_entropy,
+        "log_token_entropy": q_log_token_entropy,
+        "log_oov_rate": q_log_oov_rate,
+        "log_seq_len_buckets": q_log_seq_len_buckets,
     }
 
 
@@ -2410,4 +2646,7 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_sessionize": sql_log_sessionize(cache),
         "log_source_ce": sql_source_ce(cache),
         "log_ip_entropy": sql_ip_entropy(cache),
+        "log_token_entropy": sql_token_entropy(cache),
+        "log_oov_rate": sql_oov_rate(cache),
+        "log_seq_len_buckets": sql_seq_len_buckets(cache),
     }

@@ -241,6 +241,58 @@ def test_source_ce_vs_duckdb(ray_session, cache):
     assert (s["ce"] > 0).all() and s["ce"].notna().all()
 
 
+def test_token_entropy_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_token_entropy(SF).to_pandas())
+    want = _norm(_duck(Q.sql_token_entropy(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    import numpy as np
+
+    s = Q.q_log_token_entropy(SF).to_pandas()
+    # 0 <= H <= ln(vocab) (byte codec: vocab <= 256)
+    assert (s["token_entropy"] >= 0).all()
+    assert (s["token_entropy"] <= np.log(256)).all()
+
+
+def test_oov_rate_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_oov_rate(SF).to_pandas())
+    want = _norm(_duck(Q.sql_oov_rate(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    s = Q.q_log_oov_rate(SF).to_pandas()
+    assert (s["n_oov"] <= s["n_tokens"]).all()
+    assert (s["oov_ppm"] <= 1_000_000).all()
+    # with v covering the whole byte vocab, nothing is OOV
+    full = Q.q_log_oov_rate(SF, v=256).to_pandas()
+    assert (full["n_oov"] == 0).all() and (full["oov_ppm"] == 0).all()
+
+
+def test_seq_len_buckets_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_seq_len_buckets(SF).to_pandas())
+    want = _norm(_duck(Q.sql_seq_len_buckets(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    s = Q.q_log_seq_len_buckets(SF).to_pandas()
+    # every sequence fits under its bucket cap: 0 <= pad < 1e6 ppm, and
+    # sum_tokens lies within [bucket*w*n, (bucket+1)*w*n]
+    assert (s["pad_ppm"] >= 0).all() and (s["pad_ppm"] < 1_000_000).all()
+    assert (s["sum_tokens"] >= s["bucket"] * 128 * s["n_seqs"]).all()
+    assert (s["sum_tokens"] <= (s["bucket"] + 1) * 128 * s["n_seqs"]).all()
+
+
+def test_token_stat_ops_empty(ray_session, tmp_path, monkeypatch):
+    pq.write_table(synth.SCHEMA.empty_table(),
+                   str(tmp_path / "shard-00000.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = Q.q_log_token_entropy("ignored")
+    assert out.num_rows == 0
+    assert out.schema.names == ["source", "n_tokens", "token_entropy"]
+    out = Q.q_log_oov_rate("ignored")
+    assert out.num_rows == 0
+    assert out.schema.names == ["source", "n_tokens", "n_oov", "oov_ppm"]
+    out = Q.q_log_seq_len_buckets("ignored")
+    assert out.num_rows == 0
+    assert out.schema.names == ["source", "bucket", "n_seqs",
+                                "sum_tokens", "pad_ppm"]
+
+
 def test_ip_entropy_vs_duckdb(ray_session, cache):
     got = _norm(Q.q_log_ip_entropy(SF).to_pandas())
     want = _norm(_duck(Q.sql_ip_entropy(cache)))
