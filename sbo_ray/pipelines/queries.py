@@ -2022,6 +2022,168 @@ FROM g
 """
 
 
+_NGRAM_OUT = pa.schema([("source", pa.string()), ("n_docs", pa.int64()),
+                        ("n_flagged", pa.int64())])
+
+
+def q_log_token_ngram_dedup(sf_dir: str, n: int = 8, mod: int = 8):
+    """Cross-sequence token n-gram duplication per source — the
+    Rao-style contamination / near-dup screen at the TOKEN level: a
+    sequence is FLAGGED when it shares an n-token window with a
+    DIFFERENT sequence (exact duplicates share all windows; partial
+    copies share their overlap). Byte codec means an 8-token window
+    packs EXACTLY into 64 bits — window identity is collision-free, no
+    probabilistic hashing. MOD-sampling (keep keys with key % mod == 0)
+    bounds the exchange to ~1/mod of the token volume; it is a
+    DETERMINISTIC fingerprint subset the SQL gate reproduces from the
+    same integer packing (``mod=1`` is the exhaustive variant).
+
+    Two raw-task exchanges, payload never moves:
+      A (per read block, ``num_returns=2P``): pack windows, validity =
+        window start and end share a row, distinct (key, doc) pairs
+        route by the key's Fibonacci hash (first P slots); distinct
+        (doc, source) rows route by doc hash (last P slots).
+      B (per key partition): flag docs whose key carries >=2 distinct
+        docs; re-route flagged ids by doc hash (``num_returns=P``).
+      C (per doc partition): fold flagged ids against the (doc, source)
+        rows — searchsorted membership — and emit bounded per-source
+        (n_docs, n_flagged) partials; the driver sums P x |sources|.
+    """
+    import ray
+
+    from .datapipe import _lp_split, _n_parts
+
+    P = max(2, _n_parts())
+
+    def window_partial(t: pa.Table) -> list:
+        idx = _pack_idx(t.column("doc_id"))
+        dtab = pa.table({"idx": pa.array(idx, pa.int64()),
+                         "source": t.column("source")})
+        dparts = [dtab.take(pa.array(ix)) for ix in _ngram_doc_slots(idx, P)]
+        vals, off = _token_lists(t.column("tokens"))
+        lens = np.diff(off)
+        m = len(vals) - n + 1
+        if m <= 0:
+            pairs = [(np.zeros(0, np.int64), np.zeros(0, np.int64))] * P
+        else:
+            v = vals.astype(np.uint64)
+            k = np.zeros(m, np.uint64)
+            for j in range(n):
+                k += v[j:j + m] << np.uint64(8 * j)
+            rowid = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            valid = rowid[:m] == rowid[n - 1:]
+            if mod > 1:
+                valid &= (k % np.uint64(mod)) == 0
+            wk = k[valid].astype(np.int64)
+            wd = idx[rowid[:m][valid]]
+            o = np.lexsort((wd, wk))
+            wk, wd = wk[o], wd[o]
+            first = np.ones(len(wk), dtype=bool)
+            first[1:] = (wk[1:] != wk[:-1]) | (wd[1:] != wd[:-1])
+            wk, wd = wk[first], wd[first]
+            shards = _lp_split(wk, P, wk, wd)
+            pairs = [(s[0], s[1]) for s in shards]
+        return list(pairs) + dparts
+
+    def flag_part(*shards) -> list:
+        ks = np.concatenate([s[0] for s in shards])
+        if not len(ks):
+            return [np.zeros(0, np.int64)] * P
+        ds_ = np.concatenate([s[1] for s in shards])
+        o = np.lexsort((ds_, ks))
+        ks, ds_ = ks[o], ds_[o]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = (ks[1:] != ks[:-1]) | (ds_[1:] != ds_[:-1])
+        ks, ds_ = ks[first], ds_[first]
+        newk = np.ones(len(ks), dtype=bool)
+        newk[1:] = ks[1:] != ks[:-1]
+        kid = np.cumsum(newk) - 1
+        ndoc = np.bincount(kid)
+        flagged = np.unique(ds_[ndoc[kid] >= 2])
+        return [s[0] for s in _lp_split(flagged, P, flagged)]
+
+    def count_part(nb: int, *args) -> pa.Table:
+        flagged = np.unique(np.concatenate(args[:nb])) \
+            if nb else np.zeros(0, np.int64)
+        tabs = [t for t in args[nb:] if t.num_rows]
+        if not tabs:
+            return _NGRAM_OUT.empty_table()
+        t = pa.concat_tables(tabs)
+        di = t.column("idx").to_numpy(zero_copy_only=False)
+        if len(flagged):
+            pos = np.searchsorted(flagged, di)
+            fl = (pos < len(flagged)) & \
+                (flagged[np.minimum(pos, len(flagged) - 1)] == di)
+        else:
+            fl = np.zeros(len(di), dtype=bool)
+        g = pa.table({"source": t.column("source"),
+                      "fl": pa.array(fl.astype(np.int64))}) \
+            .group_by("source").aggregate([("fl", "sum"), ("fl", "count")])
+        return pa.table({"source": g.column("source"),
+                         "n_docs": g.column("fl_count").cast(pa.int64()),
+                         "n_flagged": g.column("fl_sum").cast(pa.int64())},
+                        schema=_NGRAM_OUT)
+
+    ds = _read_tokens(sf_dir, ["doc_id", "tokens", "source"])
+    refs = [r for b in ds.iter_internal_ref_bundles()
+            for r, md in b.blocks if md.num_rows]
+    if not refs:
+        return _NGRAM_OUT.empty_table()
+    wtask = ray.remote(window_partial)
+    sl = [wtask.options(num_returns=2 * P).remote(r) for r in refs]
+    ftask = ray.remote(flag_part)
+    fl = [ftask.options(num_returns=P).remote(*[s[p] for s in sl])
+          for p in range(P)]
+    ctask = ray.remote(count_part)
+    outs = ray.get([ctask.remote(P, *[f[p] for f in fl],
+                                 *[s[P + p] for s in sl])
+                    for p in range(P)])
+    merged = pa.concat_tables([_NGRAM_OUT.empty_table()] + outs)
+    g = merged.group_by("source").aggregate(
+        [("n_docs", "sum"), ("n_flagged", "sum")])
+    g = g.sort_by("source")
+    return pa.table({"source": g.column("source"),
+                     "n_docs": g.column("n_docs_sum"),
+                     "n_flagged": g.column("n_flagged_sum")},
+                    schema=_NGRAM_OUT)
+
+
+def _ngram_doc_slots(idx: np.ndarray, P: int) -> list:
+    """Per-partition row-index lists for the doc-hash routing of one
+    block's (doc, source) rows."""
+    from .datapipe import _lp_partition
+
+    part = _lp_partition(idx, P)
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(P + 1))
+    return [order[s:e] for s, e in zip(bounds[:-1], bounds[1:])]
+
+
+def sql_token_ngram_dedup(cache: str, n: int = 8, mod: int = 8) -> str:
+    key_expr = " + ".join(
+        f"CAST(tokens[i + {j}] AS BIGINT) * {256 ** j}" for j in range(n))
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, tokens
+  FROM read_parquet('{cache}/shard-*.parquet')
+), w AS (
+  SELECT doc_id, UNNEST(range(1, len(tokens) - {n - 2})) AS i, tokens
+  FROM t WHERE len(tokens) >= {n}
+), k AS (
+  SELECT DISTINCT doc_id, ({key_expr}) AS key
+  FROM w WHERE ({key_expr}) % {mod} = 0
+), dup AS (
+  SELECT key FROM k GROUP BY key HAVING COUNT(*) >= 2
+), f AS (
+  SELECT DISTINCT doc_id FROM k JOIN dup USING (key)
+)
+SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN t.doc_id IN (SELECT doc_id FROM f)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM t GROUP BY t.source
+"""
+
+
 _PACK_SCHEMA = pa.schema([
     ("doc_id", pa.string()), ("seq_id", pa.int64()),
     ("n_frag_tokens", pa.int64()), ("frag_sum", pa.int64()),
@@ -2597,6 +2759,7 @@ def log_queries() -> dict:
         "log_token_entropy": q_log_token_entropy,
         "log_oov_rate": q_log_oov_rate,
         "log_seq_len_buckets": q_log_seq_len_buckets,
+        "log_token_ngram_dedup": q_log_token_ngram_dedup,
     }
 
 
@@ -2649,4 +2812,5 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_token_entropy": sql_token_entropy(cache),
         "log_oov_rate": sql_oov_rate(cache),
         "log_seq_len_buckets": sql_seq_len_buckets(cache),
+        "log_token_ngram_dedup": sql_token_ngram_dedup(cache),
     }

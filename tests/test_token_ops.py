@@ -277,6 +277,80 @@ def test_seq_len_buckets_vs_duckdb(ray_session, cache):
     assert (s["sum_tokens"] <= (s["bucket"] + 1) * 128 * s["n_seqs"]).all()
 
 
+def test_token_ngram_dedup_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_token_ngram_dedup(SF).to_pandas())
+    want = _norm(_duck(Q.sql_token_ngram_dedup(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    s = Q.q_log_token_ngram_dedup(SF).to_pandas()
+    assert (s["n_flagged"] <= s["n_docs"]).all()
+    # the synthesizer reuses lines across rows (seq_dedup proves exact
+    # duplicates exist), so SOME sequence must share a sampled window
+    assert s["n_flagged"].sum() > 0
+    # the exhaustive variant (mod=1) flags a superset of the sampled one
+    full = _norm(Q.q_log_token_ngram_dedup(SF, mod=1).to_pandas())
+    wantf = _norm(_duck(Q.sql_token_ngram_dedup(cache, mod=1)))
+    pd.testing.assert_frame_equal(full, wantf, check_dtype=False)
+    assert (full["n_flagged"] >= got["n_flagged"]).all()
+
+
+@pytest.fixture(scope="module")
+def ngram_dir(tmp_path_factory):
+    """Planted window-sharing fixture split across two shards: a shared
+    8-window between a and b, an internal-repeat-only doc c, a
+    too-short doc d, and a cross-shard match e for c."""
+    d = tmp_path_factory.mktemp("ngram_tokens")
+    rows1 = [
+        ("s1-000000000000", [1, 2, 3, 4, 5, 6, 7, 8, 50, 60], "s1"),
+        ("s1-000000000001", [99, 1, 2, 3, 4, 5, 6, 7, 8], "s1"),
+        ("s1-000000000002", [9] * 20, "s1"),   # self-repeats only
+        ("s2-000000000003", [1, 2, 3, 4, 5, 6, 7], "s2"),  # len < n
+    ]
+    rows2 = [
+        ("s2-000000000004", [9] * 8, "s2"),    # shares [9]*8 with c
+    ]
+    for i, rows in enumerate((rows1, rows2)):
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+            "tokens": pa.array([r[1] for r in rows],
+                               type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[1]) for r in rows], type=pa.int32()),
+            "source": pa.array([r[2] for r in rows], type=pa.string()),
+        })
+        pq.write_table(t, str(d / f"shard-{i:05d}.parquet"))
+    return str(d)
+
+
+def test_token_ngram_dedup_edges(ray_session, ngram_dir, monkeypatch):
+    _patch_paths(monkeypatch, ngram_dir)
+    out = (Q.q_log_token_ngram_dedup("ignored", mod=1)
+           .to_pandas().set_index("source"))
+    # s1: a+b share window [1..8]; c's repeats are all its OWN -> c not
+    # flagged without its cross-shard partner... but e IS present, so c
+    # and e share [9]*8 across shards
+    assert out.loc["s1", "n_docs"] == 3
+    assert out.loc["s1", "n_flagged"] == 3  # a, b, c
+    assert out.loc["s2", "n_docs"] == 2
+    assert out.loc["s2", "n_flagged"] == 1  # e (d too short)
+
+
+def test_token_ngram_dedup_self_repeat_not_flagged(
+        ray_session, tmp_path, monkeypatch):
+    """A window repeated WITHIN one sequence only never flags it."""
+    t = pa.table({
+        "doc_id": pa.array(["s1-000000000000", "s1-000000000001"],
+                           type=pa.string()),
+        "tokens": pa.array([[7] * 30, [1, 2, 3, 4, 5, 6, 7, 8]],
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([30, 8], type=pa.int32()),
+        "source": pa.array(["s1", "s1"], type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "shard-00000.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = Q.q_log_token_ngram_dedup("ignored", mod=1).to_pandas()
+    assert out["n_docs"].tolist() == [2]
+    assert out["n_flagged"].tolist() == [0]
+
+
 def test_token_stat_ops_empty(ray_session, tmp_path, monkeypatch):
     pq.write_table(synth.SCHEMA.empty_table(),
                    str(tmp_path / "shard-00000.parquet"))
@@ -291,6 +365,9 @@ def test_token_stat_ops_empty(ray_session, tmp_path, monkeypatch):
     assert out.num_rows == 0
     assert out.schema.names == ["source", "bucket", "n_seqs",
                                 "sum_tokens", "pad_ppm"]
+    out = Q.q_log_token_ngram_dedup("ignored")
+    assert out.num_rows == 0
+    assert out.schema.names == ["source", "n_docs", "n_flagged"]
 
 
 def test_ip_entropy_vs_duckdb(ray_session, cache):
