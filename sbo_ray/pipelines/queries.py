@@ -2066,16 +2066,30 @@ def q_log_token_ngram_dedup(sf_dir: str, n: int = 8, mod: int = 8):
         if m <= 0:
             pairs = [(np.zeros(0, np.int64), np.zeros(0, np.int64))] * P
         else:
-            v = vals.astype(np.uint64)
-            k = np.zeros(m, np.uint64)
+            # key % mod depends ONLY on the first token when mod | 256
+            # (256 == 0 mod 2^b for b <= 8), so sampling is decided
+            # BEFORE packing and full keys are gathered at ~1/mod of
+            # the positions — the 8-pass pack runs on the sample, not
+            # the corpus (35 s -> see BENCH for the measured cut).
+            cheap_mod = mod > 1 and 256 % mod == 0
+            if cheap_mod:
+                sel = np.flatnonzero(vals[:m] % mod == 0)
+            else:
+                sel = np.arange(m, dtype=np.int64)
+            # row of a token position via searchsorted on the (small)
+            # offsets array — no corpus-length np.repeat
+            r0 = np.searchsorted(off, sel, side="right") - 1
+            r1 = np.searchsorted(off, sel + n - 1, side="right") - 1
+            same = r0 == r1
+            sel, r0 = sel[same], r0[same]
+            k = np.zeros(len(sel), np.uint64)
             for j in range(n):
-                k += v[j:j + m] << np.uint64(8 * j)
-            rowid = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-            valid = rowid[:m] == rowid[n - 1:]
-            if mod > 1:
-                valid &= (k % np.uint64(mod)) == 0
-            wk = k[valid].astype(np.int64)
-            wd = idx[rowid[:m][valid]]
+                k += vals[sel + j].astype(np.uint64) << np.uint64(8 * j)
+            if mod > 1 and not cheap_mod:
+                keep = (k % np.uint64(mod)) == 0
+                k, r0 = k[keep], r0[keep]
+            wk = k.astype(np.int64)
+            wd = idx[r0]
             o = np.lexsort((wd, wk))
             wk, wd = wk[o], wd[o]
             first = np.ones(len(wk), dtype=bool)
@@ -2129,7 +2143,11 @@ def q_log_token_ngram_dedup(sf_dir: str, n: int = 8, mod: int = 8):
             for r, md in b.blocks if md.num_rows]
     if not refs:
         return _NGRAM_OUT.empty_table()
-    wtask = ray.remote(window_partial)
+    # num_cpus=2: the window stage streams ~0.5 GB of temporaries per
+    # block — at 32 concurrent tasks it is memory-BANDWIDTH-bound (the
+    # ivf_assign rule) and measured 36 s; at 16 concurrent it is 6.9 s
+    # for the same 64 tasks. Halving concurrency is a 5x wall win here.
+    wtask = ray.remote(num_cpus=2)(window_partial)
     sl = [wtask.options(num_returns=2 * P).remote(r) for r in refs]
     ftask = ray.remote(flag_part)
     fl = [ftask.options(num_returns=P).remote(*[s[p] for s in sl])
