@@ -2552,6 +2552,168 @@ FROM s
 """
 
 
+def _pack_dedup_combine(base, seq_len: int, ndrop: int, *args) -> pa.Table:
+    """One hash partition of the dedup-then-pack exchange: drop the
+    partition's duplicate rows (sorted dropped-idx membership via
+    searchsorted), then delegate to the plain pack combine — within-
+    chunk offsets are rebuilt over KEPT rows only, matching the
+    kept-only chunk bases."""
+    dropped = np.unique(np.concatenate(args[:ndrop])) \
+        if ndrop else np.zeros(0, np.int64)
+    tabs = []
+    for t in args[ndrop:]:
+        if t.num_rows == 0:
+            continue
+        if len(dropped):
+            idx = t.column("idx").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(dropped, idx)
+            hit = (pos < len(dropped)) & \
+                (dropped[np.minimum(pos, len(dropped) - 1)] == idx)
+            t = t.filter(pa.array(~hit))
+        if t.num_rows:
+            tabs.append(t)
+    return _pack_combine(base, seq_len, *tabs)
+
+
+def q_log_pack_tokens_dedup(sf_dir: str, seq_len: int = 512,
+                            chunk_docs: int = 4096):
+    """The token-axis CURATION COMPOSITION: exact sequence dedup (keep
+    the min-ingestion-index copy of each distinct tokens array) fused
+    into GPT-style packing of the SURVIVING stream — what a training-
+    data job actually runs (dedup feeding the packer), in one pipeline
+    with no intermediate materialization.
+
+    Three raw-task waves over ONE read:
+      1. (h, idx, n_tok) triples route by the sequence hash — each hash
+         partition keeps the min idx per h, emits (a) bounded per-chunk
+         KEPT-token sums and (b) the dropped ids PRE-SHARDED by their
+         chunk's Fibonacci hash (``num_returns=P+1`` — dropped ids
+         never concat on the driver, the clusters_lp rule).
+      2. The driver folds chunk sums into exclusive bases (the pack
+         prefix-sum contract: O(corpus/chunk_docs) ints) broadcast once.
+      3. The payload exchange (`_table_shard` by chunk) lands each
+         chunk's rows WITH its dropped-id shard in one combine task,
+         which filters and delegates to the plain pack combine.
+
+    Sequence identity rides the property-tested 64-bit polynomial row
+    hash (the log_seq_dedup contract: collisions ~ n^2/2^64); the SQL
+    gate dedups on the exact tokens array."""
+    import ray
+
+    from .datapipe import _lp_split, _n_parts, _table_shard
+
+    P = max(2, _n_parts())
+    empty = _PACK_SCHEMA.empty_table()
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        idx = _pack_idx(t.column("doc_id"))
+        vals, off = _token_lists(t.column("tokens"))
+        h = _seq_hash64(vals, off).astype(np.int64)
+        return (t.select(["doc_id", "tokens"])
+                .append_column("idx", pa.array(idx, pa.int64()))
+                .append_column("chunk",
+                               pa.array(idx // chunk_docs, pa.int64()))
+                .append_column("h", pa.array(h)))
+
+    def hshard(t: pa.Table) -> list:
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        idx = t.column("idx").to_numpy(zero_copy_only=False)
+        nt = pc.list_value_length(t.column("tokens")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return _lp_split(h, P, h, idx, nt)
+
+    _SUMS = pa.schema([("chunk", pa.int64()), ("tok_sum", pa.int64())])
+
+    def flag(*shards) -> list:
+        h = np.concatenate([s[0] for s in shards])
+        if not len(h):
+            return [_SUMS.empty_table()] + [np.zeros(0, np.int64)] * P
+        idx = np.concatenate([s[1] for s in shards])
+        nt = np.concatenate([s[2] for s in shards])
+        o = np.lexsort((idx, h))
+        h, idx, nt = h[o], idx[o], nt[o]
+        first = np.ones(len(h), dtype=bool)
+        first[1:] = h[1:] != h[:-1]
+        kidx, knt = idx[first], nt[first]
+        ck = kidx // chunk_docs
+        uk, inv = np.unique(ck, return_inverse=True)
+        sums = pa.table({
+            "chunk": pa.array(uk, pa.int64()),
+            "tok_sum": pa.array(
+                np.bincount(inv, weights=knt).astype(np.int64)),
+        }, schema=_SUMS)
+        dropped = idx[~first]
+        dsh = [s[0] for s in _lp_split(dropped // chunk_docs, P, dropped)]
+        return [sums] + dsh
+
+    ds = (_read_tokens(sf_dir, ["doc_id", "tokens"])
+          .map_batches(add_keys, batch_format="pyarrow"))
+    refs = [r for b in ds.iter_internal_ref_bundles()
+            for r, md in b.blocks if md.num_rows]
+    if not refs:
+        return empty
+    htask = ray.remote(hshard)
+    hs = [htask.options(num_returns=P).remote(r) for r in refs]
+    ftask = ray.remote(flag)
+    fl = [ftask.options(num_returns=P + 1).remote(*[s[p] for s in hs])
+          for p in range(P)]
+    merged = pa.concat_tables(
+        [_SUMS.empty_table()] + ray.get([f[0] for f in fl])).group_by(
+        "chunk").aggregate([("tok_sum", "sum")])
+    order = pc.sort_indices(merged.column("chunk"))
+    chunk_ids = merged.column("chunk").take(order).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    sums = merged.column("tok_sum_sum").take(order).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    bases = np.cumsum(sums) - sums
+    base_ref = ray.put((chunk_ids, bases))
+    tshard = ray.remote(_table_shard)
+    slices = [tshard.options(num_returns=P).remote(r, P, "chunk")
+              for r in refs]
+    comb = ray.remote(_pack_dedup_combine)
+    outs = ray.get([comb.remote(base_ref, seq_len, len(fl),
+                                *[f[1 + p] for f in fl],
+                                *[s[p] for s in slices])
+                    for p in range(P)])
+    return pa.concat_tables([empty] + outs).cast(_PACK_SCHEMA)
+
+
+def sql_pack_tokens_dedup(cache: str, seq_len: int = 512) -> str:
+    return f"""
+WITH raw AS (
+  SELECT doc_id, tokens, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(right(doc_id, 12) AS BIGINT) AS idx
+  FROM read_parquet('{cache}/shard-*.parquet')
+), t AS (
+  SELECT doc_id, tokens, n_tok, idx FROM raw
+  QUALIFY idx = MIN(idx) OVER (PARTITION BY tokens)
+), o AS (
+  SELECT doc_id, tokens, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_offset
+  FROM t
+), f AS (
+  SELECT doc_id, tokens, n_tok, tok_offset,
+         unnest(generate_series(tok_offset // {seq_len},
+                                (tok_offset + n_tok - 1) // {seq_len}))
+           AS seq_id
+  FROM o WHERE n_tok > 0
+), s AS (
+  SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id, tokens,
+         GREATEST(seq_id * {seq_len}, tok_offset) - tok_offset + 1 AS a,
+         LEAST((seq_id + 1) * {seq_len}, tok_offset + n_tok) - tok_offset AS b
+  FROM f
+)
+SELECT doc_id, seq_id,
+       CAST(b - a + 1 AS BIGINT) AS n_frag_tokens,
+       CAST(list_sum(list_slice(tokens, a, b)) AS BIGINT) AS frag_sum,
+       CAST(tokens[a] AS BIGINT) AS first_tok,
+       CAST(tokens[b] AS BIGINT) AS last_tok
+FROM s
+"""
+
+
 def q_log_top_paths_cms(sf_dir: str):
     """Approximate top-K paths via per-partition count-min + merge (the
     north-star sketch mode; exact `log_top_paths` is its oracle). No SQL
@@ -2778,6 +2940,7 @@ def log_queries() -> dict:
         "log_oov_rate": q_log_oov_rate,
         "log_seq_len_buckets": q_log_seq_len_buckets,
         "log_token_ngram_dedup": q_log_token_ngram_dedup,
+        "log_pack_tokens_dedup": q_log_pack_tokens_dedup,
     }
 
 
@@ -2831,4 +2994,5 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_oov_rate": sql_oov_rate(cache),
         "log_seq_len_buckets": sql_seq_len_buckets(cache),
         "log_token_ngram_dedup": sql_token_ngram_dedup(cache),
+        "log_pack_tokens_dedup": sql_pack_tokens_dedup(cache),
     }

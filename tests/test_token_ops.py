@@ -231,6 +231,66 @@ def test_pack_tokens_by_source_edges(ray_session, pack_dir, monkeypatch):
     ]
 
 
+def test_pack_tokens_dedup_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_pack_tokens_dedup(SF).to_pandas())
+    want = _norm(_duck(Q.sql_pack_tokens_dedup(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # survivors pack to full sequences except the last, and dedup must
+    # strictly shrink the stream (the synthesizer plants exact dups)
+    s = Q.q_log_pack_tokens_dedup(SF).to_pandas()
+    per_seq = s.groupby("seq_id")["n_frag_tokens"].sum()
+    assert (per_seq.iloc[:-1] == 512).all()
+    plain = Q.q_log_pack_tokens(SF).to_pandas()
+    assert s["n_frag_tokens"].sum() < plain["n_frag_tokens"].sum()
+    assert s["seq_id"].max() <= plain["seq_id"].max()
+
+
+@pytest.fixture(scope="module")
+def dedup_pack_dir(tmp_path_factory):
+    """Duplicate mid-stream row: doc 2 repeats doc 0's tokens, so the
+    packed stream must skip it and close up the offsets."""
+    d = tmp_path_factory.mktemp("dedup_pack")
+    rows = [
+        ("s1-000000000000", [1, 2, 3], "s1"),
+        ("s1-000000000001", [4, 5, 6, 7, 8], "s1"),
+        ("s1-000000000002", [1, 2, 3], "s1"),   # dup of doc 0 — dropped
+        ("s1-000000000003", [9, 10, 11, 12], "s1"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r[1]) for r in rows], type=pa.int32()),
+        "source": pa.array([r[2] for r in rows], type=pa.string()),
+    })
+    pq.write_table(t.slice(0, 2), str(d / "shard-00000.parquet"))
+    pq.write_table(t.slice(2), str(d / "shard-00001.parquet"))
+    return str(d)
+
+
+def test_pack_tokens_dedup_edges(ray_session, dedup_pack_dir, monkeypatch):
+    _patch_paths(monkeypatch, dedup_pack_dir)
+    out = (Q.q_log_pack_tokens_dedup("ignored", seq_len=4)
+           .to_pandas().sort_values(["doc_id", "seq_id"])
+           .reset_index(drop=True))
+    rows = [tuple(r) for r in out.itertuples(index=False)]
+    # kept stream: [1,2,3] [4,5,6,7,8] [9,10,11,12] -> offsets 0, 3, 8
+    assert rows == [
+        ("s1-000000000000", 0, 3, 6, 1, 3),
+        ("s1-000000000001", 0, 1, 4, 4, 4),
+        ("s1-000000000001", 1, 4, 5 + 6 + 7 + 8, 5, 8),
+        ("s1-000000000003", 2, 4, 9 + 10 + 11 + 12, 9, 12),
+    ]
+
+
+def test_pack_tokens_dedup_empty(ray_session, tmp_path, monkeypatch):
+    pq.write_table(synth.SCHEMA.empty_table(),
+                   str(tmp_path / "shard-00000.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = Q.q_log_pack_tokens_dedup("ignored")
+    assert out.num_rows == 0
+    assert out.schema.names == list(Q._PACK_SCHEMA.names)
+
+
 def test_source_ce_vs_duckdb(ray_session, cache):
     got = _norm(Q.q_log_source_ce(SF).to_pandas())
     want = _norm(_duck(Q.sql_source_ce(cache)))
