@@ -40,7 +40,7 @@ _PRIORITY = [
     "log_pack_tokens_by_source", "log_source_ce", "log_ip_entropy",
     "customer_rfm", "log_token_entropy", "log_oov_rate",
     "log_seq_len_buckets", "log_token_ngram_dedup",
-    "log_pack_tokens_dedup",
+    "log_pack_tokens_dedup", "log_source_token_tfidf",
     "emb_triplet_mining",
     "multimodal_alaw_features", "emb_ann_recall", "emb_batch_search", "events_running_total", "multimodal_ulaw_features", "doc_token_stats_jsonl", "orders_with_returns", "events_ab_ttest", "events_user_features", "doc_bigram_logprob", "doc_dedup_incremental", "doc_quality_linear", "doc_entropy", "multimodal_gif_features", "emb_kmeans_step", "doc_mix_epochs", "doc_paragraph_dedup", "doc_emb_curation", "doc_quality_c4", "doc_ccnet_buckets",
     # never driver-checked through r3 (judge-verified only)

@@ -1857,6 +1857,103 @@ FROM c GROUP BY source
 """
 
 
+def q_log_source_token_tfidf(sf_dir: str, k: int = 5):
+    """Top-``k`` DISTINCTIVE tokens per source by tf-idf over the token
+    stream — the per-domain vocabulary signature (which byte values
+    characterize a source against the corpus). Same bounded
+    |sources| x 256 partial as the entropy/OOV family; the driver
+    derives df (distinct sources per token) and score = c * ln(S/df)
+    (unnormalized tf — a count QUOTIENT tf would hit the .5e-6
+    boundary trap; c * ln(...) is a transcendental product, ROUND-6
+    safe). Rank selection rides the integer composite key
+    (round6(score) desc, token asc) on BOTH sides (the doc_tfidf
+    rule)."""
+    part_schema = pa.schema([("source", pa.string()), ("token", pa.int64()),
+                             ("cnt", pa.int64())])
+    out_schema = pa.schema([("source", pa.string()), ("token", pa.int64()),
+                            ("cnt", pa.int64()), ("tfidf", pa.float64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        vals, off = _token_lists(t.column("tokens"))
+        if not len(vals):
+            return part_schema.empty_table()
+        enc = pc.dictionary_encode(t.column("source").combine_chunks())
+        row_src = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_src = np.repeat(row_src, np.diff(off))
+        nsrc = len(enc.dictionary)
+        cnt = np.bincount(tok_src * 256 + vals, minlength=nsrc * 256)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({
+            "source": enc.dictionary.take(pa.array(nz // 256)),
+            "token": pa.array(nz % 256, pa.int64()),
+            "cnt": pa.array(cnt[nz], pa.int64()),
+        })
+
+    parts = pa.concat_tables(
+        [part_schema.empty_table()] +
+        list(_read_tokens(sf_dir, ["tokens", "source"])
+             .map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    g = parts.group_by(["source", "token"]).aggregate([("cnt", "sum")])
+    if g.num_rows == 0:
+        return out_schema.empty_table()
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "source": g.column("source").to_numpy(zero_copy_only=False),
+        "token": g.column("token").to_numpy(zero_copy_only=False),
+        "cnt": g.column("cnt_sum").to_numpy(zero_copy_only=False),
+    })
+    nsrc = df["source"].nunique()
+    dfreq = df.groupby("token")["source"].nunique()
+    score = np.round(
+        df["cnt"].to_numpy().astype(np.float64)
+        * np.log(nsrc / dfreq.loc[df["token"]].to_numpy()), 6)
+    df["tfidf"] = score
+    # integer composite rank key: (round6 desc, token asc)
+    df["_key"] = (np.rint(score * 1e6).astype(np.int64) * 256
+                  - df["token"].to_numpy())
+    df = (df.sort_values("_key", ascending=False, kind="stable")
+          .groupby("source", sort=True).head(k)
+          .sort_values(["source", "_key"],
+                       ascending=[True, False], kind="stable"))
+    return pa.table({
+        "source": pa.array(df["source"], pa.string()),
+        "token": pa.array(df["token"], pa.int64()),
+        "cnt": pa.array(df["cnt"], pa.int64()),
+        "tfidf": pa.array(df["tfidf"], pa.float64()),
+    }, schema=out_schema)
+
+
+def sql_source_token_tfidf(cache: str, k: int = 5) -> str:
+    return f"""
+WITH tok AS (
+  SELECT source, UNNEST(tokens) AS t
+  FROM read_parquet('{cache}/shard-*.parquet')
+), c AS (
+  SELECT source, CAST(t AS BIGINT) AS token,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY 1, 2
+), d AS (
+  SELECT token, COUNT(*) AS df FROM c GROUP BY token
+), s AS (SELECT COUNT(DISTINCT source) AS n FROM c
+), sc AS (
+  SELECT c.source, c.token, c.cnt,
+         ROUND(c.cnt * ln(CAST(s.n AS DOUBLE) / d.df), 6) AS tfidf
+  FROM c JOIN d USING (token) CROSS JOIN s
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source
+    ORDER BY CAST(ROUND(tfidf * 1000000) AS BIGINT) * 256 - token DESC
+  ) AS rk
+  FROM sc
+)
+SELECT source, token, cnt, tfidf FROM r WHERE rk <= {k}
+"""
+
+
 def q_log_oov_rate(sf_dir: str, v: int = 64):
     """Per-source out-of-vocabulary rate against the corpus top-``v``
     token vocabulary — the domain-shift screen a tokenizer-refresh job
@@ -2941,6 +3038,7 @@ def log_queries() -> dict:
         "log_seq_len_buckets": q_log_seq_len_buckets,
         "log_token_ngram_dedup": q_log_token_ngram_dedup,
         "log_pack_tokens_dedup": q_log_pack_tokens_dedup,
+        "log_source_token_tfidf": q_log_source_token_tfidf,
     }
 
 
@@ -2995,4 +3093,5 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_seq_len_buckets": sql_seq_len_buckets(cache),
         "log_token_ngram_dedup": sql_token_ngram_dedup(cache),
         "log_pack_tokens_dedup": sql_pack_tokens_dedup(cache),
+        "log_source_token_tfidf": sql_source_token_tfidf(cache),
     }

@@ -411,6 +411,18 @@ def test_token_ngram_dedup_self_repeat_not_flagged(
     assert out["n_flagged"].tolist() == [0]
 
 
+def test_source_token_tfidf_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_source_token_tfidf(SF).to_pandas())
+    want = _norm(_duck(Q.sql_source_token_tfidf(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    s = Q.q_log_source_token_tfidf(SF).to_pandas()
+    # exactly k rows per source; corpus-wide tokens (df == S) score 0,
+    # so a top entry with positive score marks a genuinely distinctive
+    # token
+    assert (s.groupby("source").size() == 5).all()
+    assert (s["tfidf"] >= 0).all()
+
+
 def test_token_stat_ops_empty(ray_session, tmp_path, monkeypatch):
     pq.write_table(synth.SCHEMA.empty_table(),
                    str(tmp_path / "shard-00000.parquet"))
@@ -428,6 +440,9 @@ def test_token_stat_ops_empty(ray_session, tmp_path, monkeypatch):
     out = Q.q_log_token_ngram_dedup("ignored")
     assert out.num_rows == 0
     assert out.schema.names == ["source", "n_docs", "n_flagged"]
+    out = Q.q_log_source_token_tfidf("ignored")
+    assert out.num_rows == 0
+    assert out.schema.names == ["source", "token", "cnt", "tfidf"]
 
 
 def test_ip_entropy_vs_duckdb(ray_session, cache):
