@@ -28,26 +28,12 @@ def entry() -> Any:
 
 
 # The correctness driver records at most ~50 rows per round, in dict
-# order. Queries without a green driver row yet (new this round, or
-# absent from CORRECTNESS_r03/r02) go FIRST so every operator earns a
-# row across rounds; the 50 r3-green gates follow.
+# order. The 43 queries that never earned a driver row through r1-r4
+# (all judge-verified green in the r4 session) lead r5 so the union of
+# CORRECTNESS_r1..r5 covers >=150/153; previously-green gates follow.
 _PRIORITY = [
-    # newest (added after the round-4 driver-order freeze)
-    "log_token_histogram", "log_token_bigrams", "log_seq_dedup",
-    "log_pack_tokens", "doc_dsir_weights", "events_attribution",
-    "orders_large_volume", "multimodal_qoi_features", "log_sessionize",
-    "doc_dedup_bloom", "events_attribution_first", "events_cohort_ltv",
-    "log_pack_tokens_by_source", "log_source_ce", "log_ip_entropy",
-    "customer_rfm", "log_token_entropy", "log_oov_rate",
-    "log_seq_len_buckets", "log_token_ngram_dedup",
-    "log_pack_tokens_dedup", "log_source_token_tfidf",
-    "emb_triplet_mining",
-    "multimodal_alaw_features", "emb_ann_recall", "emb_batch_search", "events_running_total", "multimodal_ulaw_features", "doc_token_stats_jsonl", "orders_with_returns", "events_ab_ttest", "events_user_features", "doc_bigram_logprob", "doc_dedup_incremental", "doc_quality_linear", "doc_entropy", "multimodal_gif_features", "emb_kmeans_step", "doc_mix_epochs", "doc_paragraph_dedup", "doc_emb_curation", "doc_quality_c4", "doc_ccnet_buckets",
-    # never driver-checked through r3 (judge-verified only)
-    "events_funnel", "doc_tfidf", "emb_knn_join", "doc_unigram_logprob",
-    "multimodal_audio_features", "supplier_nation_revenue",
-    "part_brand_revenue", "region_revenue_by_year", "events_retention",
-    # new in round 4
+    # never driver-checked through r1-r4 (judge-replica green only)
+    "region_revenue_by_year", "events_retention",
     "multimodal_png_features", "doc_dedup_substring",
     "doc_dedup_near_keep", "emb_kmeans", "doc_tokenize_ids",
     "doc_quality_gopher", "doc_sample_reservoir", "emb_quantize_sq8",
@@ -62,7 +48,28 @@ _PRIORITY = [
     "events_sliding_distinct", "doc_winnow", "orders_shipping_priority",
     "emb_pq_error", "doc_compression_ratio", "doc_dedup_containment",
     "events_quantiles_kll", "events_user_value_topk",
-    # checked in r02 but rotated out of r03
+    # new this round (if any) slot here, ahead of the re-check rotation
+    "emb_ann_recall", "doc_dedup_bloom",
+    # previously green; rotate the oldest rows back under the cap
+    "log_token_histogram", "log_token_bigrams", "log_seq_dedup",
+    "log_pack_tokens", "doc_dsir_weights", "events_attribution",
+    "orders_large_volume", "multimodal_qoi_features", "log_sessionize",
+    "events_attribution_first", "events_cohort_ltv",
+    "log_pack_tokens_by_source", "log_source_ce", "log_ip_entropy",
+    "customer_rfm", "log_token_entropy", "log_oov_rate",
+    "log_seq_len_buckets", "log_token_ngram_dedup",
+    "log_pack_tokens_dedup", "log_source_token_tfidf",
+    "emb_triplet_mining",
+    "multimodal_alaw_features", "emb_batch_search", "events_running_total",
+    "multimodal_ulaw_features", "doc_token_stats_jsonl",
+    "orders_with_returns", "events_ab_ttest", "events_user_features",
+    "doc_bigram_logprob", "doc_dedup_incremental", "doc_quality_linear",
+    "doc_entropy", "multimodal_gif_features", "emb_kmeans_step",
+    "doc_mix_epochs", "doc_paragraph_dedup", "doc_emb_curation",
+    "doc_quality_c4", "doc_ccnet_buckets",
+    "events_funnel", "doc_tfidf", "emb_knn_join", "doc_unigram_logprob",
+    "multimodal_audio_features", "supplier_nation_revenue",
+    "part_brand_revenue",
     "multimodal_payload_stats", "multimodal_frame_sample",
     "multimodal_features", "customer_nation_agg",
     "orders_mktsegment_revenue", "lineitem_pricing_summary",
@@ -87,11 +94,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return ordered
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """DuckDB SQL per query.
+
+    ``sf_dir`` binds the log-family oracles (which materialize a
+    per-scale cache) to a specific testdata scale; ``None`` keeps the
+    driver default (sf0.01, the correctness scale). Tools that compare
+    at other scales (``tools/verify_queries.py --sf ...``) MUST pass it,
+    or every log query silently gates against sf0.01 data.
+    """
     from sbo_ray.pipelines.queries import log_oracle_sql
 
     sql = {}
-    sql.update(log_oracle_sql())
+    if sf_dir is None:
+        sql.update(log_oracle_sql())
+    else:
+        sql.update(log_oracle_sql(sf_dir))
     try:
         from sbo_ray.pipelines.dataqueries import data_oracle_sql
 

@@ -3324,7 +3324,7 @@ def doc_pack_materialize(sf_dir: str, seq_len: int = 512,
         ("n_frag_tokens", pa.int64()), ("frag_text", pa.string()),
     ]).empty_table()
     if not parts:
-        return empty
+        return rd.from_arrow(empty)
     merged = pa.concat_tables(parts).group_by("chunk").aggregate(
         [("tok_sum", "sum")])
     order = pc.sort_indices(merged.column("chunk"))
@@ -3380,12 +3380,17 @@ def doc_pack_materialize(sf_dir: str, seq_len: int = 512,
             "frag_text": frag_text.to_pandas(),
         })
 
-    out = list(ds.map_batches(add_part, batch_format="pyarrow")
-               .groupby("part").map_groups(mat_part)
-               .iter_batches(batch_format="pyarrow", batch_size=None))
-    if not out:
-        return empty
-    return pa.concat_tables(out).select(empty.schema.names).cast(empty.schema)
+    out_schema = empty.schema
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(out_schema.names).cast(out_schema)
+
+    # the materialized fragment table is O(corpus) text: keep it a
+    # streaming Dataset (the caller writes or folds it) — never a
+    # driver concat of every partition's payload
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(mat_part)
+            .map_batches(project, batch_format="pyarrow"))
 
 
 def doc_paragraph_dedup(sf_dir: str, shared_mod: int = 7):

@@ -2275,8 +2275,18 @@ def _ngram_doc_slots(idx: np.ndarray, P: int) -> list:
 
 
 def sql_token_ngram_dedup(cache: str, n: int = 8, mod: int = 8) -> str:
+    # Key packing assumes byte-alphabet tokens (the synth emits ASCII,
+    # < 128). The top token contributes only its low 7 bits so the max
+    # key is 127*2^56 + (2^56 - 1) = 2^63 - 1: exactly BIGINT's ceiling
+    # (the full 8-byte pack overflows DuckDB BIGINT whenever
+    # tokens[i+7] >= 128, and a wrapped-negative key would also flip
+    # the sign of `%` vs the engine's uint64 arithmetic). Under
+    # tokens < 128 this equals the engine's uint64 pack exactly; the
+    # `% mod` sample gate only reads the LOW byte either way (mod | 256).
     key_expr = " + ".join(
-        f"CAST(tokens[i + {j}] AS BIGINT) * {256 ** j}" for j in range(n))
+        [f"CAST(tokens[i + {j}] AS BIGINT) * {256 ** j}"
+         for j in range(n - 1)]
+        + [f"(CAST(tokens[i + {n - 1}] AS BIGINT) % 128) * {256 ** (n - 1)}"])
     return f"""
 WITH t AS (
   SELECT doc_id, source, tokens
@@ -2492,7 +2502,9 @@ def q_log_pack_tokens_by_source(sf_dir: str, seq_len: int = 512,
     refs = [r for b in ds.iter_internal_ref_bundles()
             for r, md in b.blocks if md.num_rows]
     if not refs:
-        return empty
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
     sums_task = ray.remote(_pack_src_chunk_sums)
     merged = pa.concat_tables(
         ray.get([sums_task.remote(r) for r in refs])).group_by(
@@ -2516,10 +2528,14 @@ def q_log_pack_tokens_by_source(sf_dir: str, seq_len: int = 512,
     slices = [tshard.options(num_returns=P).remote(r, P, "chunk")
               for r in refs]
     comb = ray.remote(_pack_src_combine)
-    outs = ray.get([comb.remote(base_ref, seq_len,
-                                *[s[p] for s in slices])
-                    for p in range(P)])
-    return pa.concat_tables([empty] + outs).cast(_PACK_SRC_SCHEMA)
+    # combine outputs stay in the object store: the packed corpus is
+    # O(input) rows, so the result ships as a Dataset of per-partition
+    # blocks (the customer_rfm idiom), never a driver concat
+    outs = [comb.remote(base_ref, seq_len, *[s[p] for s in slices])
+            for p in range(P)]
+    import ray.data as rd
+
+    return rd.from_arrow_refs(outs)
 
 
 def sql_pack_tokens_by_source(cache: str, seq_len: int = 512) -> str:
@@ -2593,7 +2609,9 @@ def q_log_pack_tokens(sf_dir: str, seq_len: int = 512,
     refs = [r for b in ds.iter_internal_ref_bundles()
             for r, md in b.blocks if md.num_rows]
     if not refs:
-        return empty
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
     sums_task = ray.remote(_pack_chunk_sums)
     merged = pa.concat_tables(
         ray.get([sums_task.remote(r) for r in refs])).group_by(
@@ -2610,10 +2628,13 @@ def q_log_pack_tokens(sf_dir: str, seq_len: int = 512,
     slices = [tshard.options(num_returns=P).remote(r, P, "chunk")
               for r in refs]
     comb = ray.remote(_pack_combine)
-    outs = ray.get([comb.remote(base_ref, seq_len,
-                                *[s[p] for s in slices])
-                    for p in range(P)])
-    return pa.concat_tables([empty] + outs).cast(_PACK_SCHEMA)
+    # packed output is O(corpus): return per-partition blocks as a
+    # Dataset (customer_rfm idiom), never a driver concat
+    outs = [comb.remote(base_ref, seq_len, *[s[p] for s in slices])
+            for p in range(P)]
+    import ray.data as rd
+
+    return rd.from_arrow_refs(outs)
 
 
 def sql_pack_tokens(cache: str, seq_len: int = 512) -> str:
@@ -2705,7 +2726,10 @@ def q_log_pack_tokens_dedup(sf_dir: str, seq_len: int = 512,
     def add_keys(t: pa.Table) -> pa.Table:
         idx = _pack_idx(t.column("doc_id"))
         vals, off = _token_lists(t.column("tokens"))
-        h = _seq_hash64(vals, off).astype(np.int64)
+        # .view, not .astype: bit-exact uint64->int64 reinterpretation
+        # (the log_seq_dedup idiom; astype of out-of-range uint64 is a
+        # platform-defined C cast)
+        h = _seq_hash64(vals, off).view(np.int64)
         return (t.select(["doc_id", "tokens"])
                 .append_column("idx", pa.array(idx, pa.int64()))
                 .append_column("chunk",
@@ -2748,7 +2772,9 @@ def q_log_pack_tokens_dedup(sf_dir: str, seq_len: int = 512,
     refs = [r for b in ds.iter_internal_ref_bundles()
             for r, md in b.blocks if md.num_rows]
     if not refs:
-        return empty
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
     htask = ray.remote(hshard)
     hs = [htask.options(num_returns=P).remote(r) for r in refs]
     ftask = ray.remote(flag)
@@ -2768,11 +2794,15 @@ def q_log_pack_tokens_dedup(sf_dir: str, seq_len: int = 512,
     slices = [tshard.options(num_returns=P).remote(r, P, "chunk")
               for r in refs]
     comb = ray.remote(_pack_dedup_combine)
-    outs = ray.get([comb.remote(base_ref, seq_len, len(fl),
-                                *[f[1 + p] for f in fl],
-                                *[s[p] for s in slices])
-                    for p in range(P)])
-    return pa.concat_tables([empty] + outs).cast(_PACK_SCHEMA)
+    # packed survivor stream is O(corpus): ship it as a Dataset of
+    # per-partition blocks (customer_rfm idiom), never a driver concat
+    outs = [comb.remote(base_ref, seq_len, len(fl),
+                        *[f[1 + p] for f in fl],
+                        *[s[p] for s in slices])
+            for p in range(P)]
+    import ray.data as rd
+
+    return rd.from_arrow_refs(outs)
 
 
 def sql_pack_tokens_dedup(cache: str, seq_len: int = 512) -> str:

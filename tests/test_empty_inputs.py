@@ -93,8 +93,12 @@ def test_dedup_family_empty_documents(ray_session, empty_doc_dir):
                                    "frag_text"]),
     ):
         out = fn(empty_doc_dir)
-        assert out.num_rows == 0, fn.__name__
-        assert out.schema.names == cols, fn.__name__
+        if hasattr(out, "count"):  # Dataset-returning ops (r5 pack)
+            assert out.count() == 0, fn.__name__
+            assert out.schema().names == cols, fn.__name__
+        else:
+            assert out.num_rows == 0, fn.__name__
+            assert out.schema.names == cols, fn.__name__
     # streaming scan ops return a Dataset; empty input -> zero rows
     assert DP.doc_decontaminate_ngram(empty_doc_dir).count() == 0
 

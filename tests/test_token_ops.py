@@ -179,10 +179,10 @@ def test_pack_tokens_empty(ray_session, tmp_path, monkeypatch):
     pq.write_table(synth.SCHEMA.empty_table(),
                    str(tmp_path / "shard-00000.parquet"))
     _patch_paths(monkeypatch, str(tmp_path))
-    out = Q.q_log_pack_tokens("ignored")
-    assert out.num_rows == 0
-    assert out.schema.names == ["doc_id", "seq_id", "n_frag_tokens",
-                                "frag_sum", "first_tok", "last_tok"]
+    out = Q.q_log_pack_tokens("ignored")  # Dataset since r5
+    assert out.count() == 0
+    assert out.schema().names == ["doc_id", "seq_id", "n_frag_tokens",
+                                  "frag_sum", "first_tok", "last_tok"]
 
 
 def test_log_sessionize_vs_duckdb(ray_session, cache):
@@ -282,13 +282,52 @@ def test_pack_tokens_dedup_edges(ray_session, dedup_pack_dir, monkeypatch):
     ]
 
 
+def test_pack_family_no_driver_corpus_table(ray_session, monkeypatch):
+    """r5 contract: the pack family returns Datasets of per-partition
+    combine blocks — the driver may ray.get only bounded partials
+    (chunk sums, bases), never the packed corpus. Spy every ray.get
+    during query CONSTRUCTION and bound the Arrow bytes that reach the
+    driver; the packed sf0.001 output alone is ~0.5 MB, so a 256 KB
+    ceiling fails if any variant reintroduces the driver concat."""
+    import ray as ray_mod
+    import ray.data as rd
+
+    got_bytes = []
+    real_get = ray_mod.get
+
+    def table_bytes(o):
+        if isinstance(o, pa.Table):
+            return o.nbytes
+        if isinstance(o, (list, tuple)):
+            return sum(table_bytes(x) for x in o)
+        return 0
+
+    def spy_get(refs, **kw):
+        out = real_get(refs, **kw)
+        b = table_bytes(out)
+        if b:
+            got_bytes.append(b)
+        return out
+
+    monkeypatch.setattr(ray_mod, "get", spy_get)
+    outs = [Q.q_log_pack_tokens(SF), Q.q_log_pack_tokens_by_source(SF),
+            Q.q_log_pack_tokens_dedup(SF)]
+    monkeypatch.setattr(ray_mod, "get", real_get)
+
+    big = [b for b in got_bytes if b > 256 * 1024]
+    assert not big, f"driver ray.get pulled corpus-sized tables: {big}"
+    for out in outs:
+        assert isinstance(out, rd.Dataset)
+    assert outs[0].count() > 0
+
+
 def test_pack_tokens_dedup_empty(ray_session, tmp_path, monkeypatch):
     pq.write_table(synth.SCHEMA.empty_table(),
                    str(tmp_path / "shard-00000.parquet"))
     _patch_paths(monkeypatch, str(tmp_path))
-    out = Q.q_log_pack_tokens_dedup("ignored")
-    assert out.num_rows == 0
-    assert out.schema.names == list(Q._PACK_SCHEMA.names)
+    out = Q.q_log_pack_tokens_dedup("ignored")  # Dataset since r5
+    assert out.count() == 0
+    assert out.schema().names == list(Q._PACK_SCHEMA.names)
 
 
 def test_source_ce_vs_duckdb(ray_session, cache):

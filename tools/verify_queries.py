@@ -69,7 +69,10 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{args.sf}/{t}.parquet')")
 
-    qs, sqls = E.queries(), E.oracle_sql()
+    # Bind the log-family oracle cache to the SAME scale the engine
+    # reads (r4 verdict: calling oracle_sql() bare always gated log
+    # queries against the sf0.01 cache regardless of --sf).
+    qs, sqls = E.queries(), E.oracle_sql(args.sf)
     names = args.names or [n for n in qs if n in sqls]
     bad = []
     for name in names:
