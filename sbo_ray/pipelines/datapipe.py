@@ -1712,7 +1712,12 @@ def emb_batch_search(sf_dir: str, n_queries: int = 32, k: int = 10):
         key[np.isin(ids, qi)[:, None] &
             (ids[:, None] == qi[None, :])] = np.iinfo(np.int64).min
         kk = min(k, key.shape[0])
-        part = np.argpartition(-key, kk - 1, axis=0)[:kk]
+        # top-kk WITHOUT negating: -int64.min overflows back to
+        # int64.min, which made sentinel rows sort as the LARGEST keys
+        # and crowd real candidates out of the block partial (caught by
+        # the r5 emb_ann_recall SQL gate)
+        part = np.argpartition(key, key.shape[0] - kk,
+                               axis=0)[key.shape[0] - kk:]
         rows = part.reshape(-1)
         qcol = np.tile(np.arange(len(qi), dtype=np.int64),
                        (kk, 1)).reshape(-1)
@@ -1768,18 +1773,23 @@ def emb_ann_recall(sf_dir: str, n_queries: int = 32, k: int = 10,
     corpus (exact matmul top-k; LSH-pruned top-k where non-candidates
     — hamming > probe in EVERY table — are masked to the sentinel),
     identical composite-key ordering, then a Q x k driver intersect.
-    Output: one row per query (n_hits, recall) + the candidate-pruning
-    rate. No SQL form (the oracle cannot reproduce hyperplane buckets)
-    -> rows-only driver gate; pytest brackets it: exact-vs-exact
-    recall == 1, LSH recall in [0, 1], and recall == 1 when probing
-    every bucket (probe_hamming >= n_bits)."""
+    Output: one row per query (n_hits, recall) + the exact candidate
+    pair counts (integers, not a ratio: n_cand_pairs/n_pairs quotients
+    sit on .5e-6 rounding boundaries — the doc_quality_linear rule).
+    SQL-gated since r5: the hyperplane matrix is a deterministic
+    seeded constant, so the oracle inlines it as literals and
+    re-derives bucketing, multiprobe candidacy, both top-k passes and
+    the intersect in SQL (sign-of-dot gates are measure-zero float
+    boundaries, the emb_pq_codes idiom). pytest brackets remain:
+    recall in [0, 1], recall == 1 when probing every bucket
+    (probe_hamming >= n_bits)."""
     exact = emb_batch_search(sf_dir, n_queries=n_queries, k=k)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     n = _parquet_num_rows(sf_dir, "embeddings")
     qm = _pq_codebook(ds, n, n_queries)
     OUT = pa.schema([("query_id", pa.int64()), ("n_hits", pa.int64()),
                      ("recall", pa.float64()),
-                     ("candidate_frac", pa.float64())])
+                     ("n_cand_pairs", pa.int64()), ("n_pairs", pa.int64())])
     if qm is None or exact.num_rows == 0:
         return OUT.empty_table()
     qn = D.normalize_rows(qm)
@@ -1822,7 +1832,12 @@ def emb_ann_recall(sf_dir: str, n_queries: int = 32, k: int = 10,
         key[~cand] = np.iinfo(np.int64).min
         key[ids[:, None] == qi[None, :]] = np.iinfo(np.int64).min
         kk = min(k, key.shape[0])
-        part = np.argpartition(-key, kk - 1, axis=0)[:kk]
+        # top-kk WITHOUT negating (-int64.min wraps to int64.min: the
+        # sentinel-crowding bug the r5 SQL gate caught — masked rows
+        # displaced true candidates from every block partial and
+        # systematically underestimated recall)
+        part = np.argpartition(key, key.shape[0] - kk,
+                               axis=0)[key.shape[0] - kk:]
         rows = part.reshape(-1)
         qcol = np.tile(np.arange(len(qi), dtype=np.int64),
                        (kk, 1)).reshape(-1)
@@ -1847,7 +1862,6 @@ def emb_ann_recall(sf_dir: str, n_queries: int = 32, k: int = 10,
         ["query_id", "neighbor_id", "key"]), k)
     tot_rows = int(pc.sum(parts.column("n_rows")).as_py() or 0)
     tot_cand = int(pc.sum(parts.column("n_cand")).as_py() or 0)
-    frac = round(tot_cand / tot_rows, 6) if tot_rows else 0.0
     eq = exact.column("query_id").to_numpy(zero_copy_only=False)
     en = exact.column("neighbor_id").to_numpy(zero_copy_only=False)
     aq = approx.column("query_id").to_numpy(zero_copy_only=False)
@@ -1863,7 +1877,8 @@ def emb_ann_recall(sf_dir: str, n_queries: int = 32, k: int = 10,
         "query_id": pa.array(qids),
         "n_hits": pa.array(np.array(hits, np.int64)),
         "recall": pa.array(np.array(recs)),
-        "candidate_frac": pa.array(np.full(len(qids), frac)),
+        "n_cand_pairs": pa.array(np.full(len(qids), tot_cand, np.int64)),
+        "n_pairs": pa.array(np.full(len(qids), tot_rows, np.int64)),
     }, schema=OUT)
 
 
@@ -4976,8 +4991,10 @@ def doc_dedup_bloom(sf_dir: str, m_bits: int = 1 << 22, k: int = 4):
     Distributed shape: per-block packed bitmaps (m/8 bytes, corpus
     independent) fold on the driver by OR — the bounded-partial idiom;
     the merged filter broadcasts via ray.put; the filter pass is
-    block-local. No oracle row (approximate by design, like the
-    HLL/CMS/KLL sketch modes); exactness twin: doc_dedup_incremental."""
+    block-local. SQL-gated since r5 (SQL_DOC_DEDUP_BLOOM): the sketch
+    is deterministic integer arithmetic, so its false positives
+    reproduce bit-for-bit in DuckDB (HUGEINT mod-2^64 mixes).
+    Exactness twin: doc_dedup_incremental."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     m_bytes = m_bits // 8
 

@@ -556,6 +556,39 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
+# Exact mirror of the Bloom incremental dedup (datapipe._bloom_positions
+# with m=2^22, k=4): the sketch is deterministic integer arithmetic, so
+# even its false positives reproduce bit-for-bit. Same md5-first-8-bytes
+# >> 1 content hash; the four multiplicative mixes run mod 2^64 in
+# HUGEINT (the _FP_POWERS wraparound idiom — UBIGINT multiply would
+# overflow-error, not wrap), then >> 17 (// 131072) % 4194304. A
+# snapshot (odd-id) doc survives iff ANY of its 4 bit positions is
+# unset by the existing (even-id) side.
+SQL_DOC_DEDUP_BLOOM = """
+WITH h AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(text), 1, 16))::UBIGINT >> 1)::HUGEINT AS th
+  FROM documents
+), pos AS (
+  SELECT doc_id,
+         CAST(((th * m.mix) % 18446744073709551616) // 131072
+              % 4194304 AS BIGINT) AS p
+  FROM h CROSS JOIN (VALUES (11400714819323198485::HUGEINT),
+                            (14029467366897019727::HUGEINT),
+                            (1609587929392839161::HUGEINT),
+                            (2870177450012600261::HUGEINT)) m(mix)
+), epos AS (
+  SELECT DISTINCT p FROM pos WHERE doc_id % 2 = 0
+)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id
+FROM (SELECT pos.doc_id,
+             SUM(CASE WHEN e.p IS NULL THEN 1 ELSE 0 END) AS missing
+      FROM pos LEFT JOIN epos e ON e.p = pos.p
+      WHERE pos.doc_id % 2 = 1
+      GROUP BY pos.doc_id) s
+WHERE s.missing > 0
+"""
+
 # Exact SQL mirror of the Karp-Rabin rolling fingerprint: byte-level
 # polynomial hashes with uint64 wraparound (power constants precomputed
 # mod 2^64 and inlined), distinct, 8 smallest per doc in UNSIGNED order,
@@ -712,6 +745,102 @@ SELECT query_id, neighbor_id, cos, rnk FROM (
     AS rnk
   FROM c
 ) WHERE rnk <= 10
+"""
+
+
+def sql_emb_ann_recall(n_queries: int = 32, k: int = 10, n_bits: int = 6,
+                       n_tables: int = 4, probe_hamming: int = 2,
+                       dim: int = 64) -> str:
+    """Exact SQL mirror of the LSH recall evaluator. The hyperplanes
+    are deterministic seeded constants (similarity.hyperplanes), so the
+    oracle inlines them as literals (full %.17g precision: exact f64
+    round-trip) and re-derives everything else: sign-of-dot bucket
+    bits (normalization is a positive scale, so raw dots carry the
+    same signs; sign flips are measure-zero float boundaries — the
+    emb_pq_codes idiom), per-table Hamming multiprobe candidacy, the
+    exact and candidate-masked top-k under the shared
+    (ROUND(cos,3) DESC, id) key, the Q x k intersect, and the integer
+    candidate-pair counts. ``dim`` pins the testdata embedding width
+    (asserted by the i-join: a width change yields NULL dots and a
+    loud mismatch, not silence)."""
+    from ..functions import similarity as S
+
+    rows = []
+    for t in range(n_tables):
+        pl = S.hyperplanes(dim, n_bits, seed=11 + t)
+        for b in range(n_bits):
+            ws = ", ".join("%.17g" % w for w in pl[b])
+            rows.append(f"({t}, {b}, [{ws}])")
+    planes_values = ",\n    ".join(rows)
+    return f"""
+WITH planes AS (
+  SELECT tbl, bit, unnest(ws) AS w,
+         unnest(range(1, {dim + 1})) AS i
+  FROM (VALUES
+    {planes_values}) p(tbl, bit, ws)
+), q AS (
+  SELECT vec_id AS query_id FROM embeddings
+  WHERE vec_id % (SELECT GREATEST(1, COUNT(*) // {n_queries})
+                  FROM embeddings) = 0
+  ORDER BY vec_id LIMIT {n_queries}
+), eu AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+), code AS (
+  SELECT eu.vec_id, p.tbl, p.bit,
+         CASE WHEN SUM(eu.x * p.w) > 0 THEN 1 ELSE 0 END AS b
+  FROM eu JOIN planes p USING (i)
+  GROUP BY eu.vec_id, p.tbl, p.bit
+), ham AS (
+  SELECT c.vec_id, qc.query_id, c.tbl,
+         SUM(CASE WHEN c.b <> qc.b THEN 1 ELSE 0 END) AS hdist
+  FROM code c
+  JOIN (SELECT q.query_id, k2.tbl, k2.bit, k2.b
+        FROM q JOIN code k2 ON k2.vec_id = q.query_id) qc
+    ON qc.tbl = c.tbl AND qc.bit = c.bit
+  GROUP BY c.vec_id, qc.query_id, c.tbl
+), cand AS (
+  SELECT vec_id, query_id FROM ham GROUP BY vec_id, query_id
+  HAVING MIN(hdist) <= {probe_hamming}
+), cs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(qe.embedding AS DOUBLE[])),
+               3) AS cos
+  FROM embeddings e
+  CROSS JOIN q
+  JOIN embeddings qe ON qe.vec_id = q.query_id
+  WHERE e.vec_id <> q.query_id
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM cs) WHERE rnk <= {k}
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id
+                              ORDER BY c.cos DESC, c.neighbor_id) AS rnk
+    FROM cs c JOIN cand ON cand.vec_id = c.neighbor_id
+                       AND cand.query_id = c.query_id) WHERE rnk <= {k}
+), hits AS (
+  SELECT e.query_id, COUNT(*) AS h
+  FROM exact e JOIN approx a USING (query_id, neighbor_id)
+  GROUP BY e.query_id
+), stats AS (
+  SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand_pairs,
+         CAST((SELECT COUNT(*) FROM embeddings)
+              * (SELECT COUNT(*) FROM q) AS BIGINT) AS n_pairs
+)
+SELECT CAST(q.query_id AS BIGINT) AS query_id,
+       CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(h.h, 0) AS DOUBLE)
+             / GREATEST((SELECT COUNT(*) FROM exact e
+                         WHERE e.query_id = q.query_id), 1), 6) AS recall,
+       s.n_cand_pairs, s.n_pairs
+FROM q LEFT JOIN hits h USING (query_id) CROSS JOIN stats s
 """
 
 SQL_MULTIMODAL_PAYLOAD_STATS = """
@@ -2294,8 +2423,6 @@ def data_queries() -> dict:
         "emb_triplet_mining": P.emb_triplet_mining,
         "orders_large_volume": P.orders_large_volume,
         "multimodal_qoi_features": P.multimodal_qoi_features,
-        # sketch mode: approximate by design, no SQL oracle (the
-        # HLL/CMS/KLL convention); exactness twin doc_dedup_incremental
         "doc_dedup_bloom": P.doc_dedup_bloom,
         "events_user_features": P.events_user_features,
         "events_transitions": P.events_transitions,
@@ -2363,6 +2490,11 @@ def data_oracle_sql() -> dict:
         "doc_dedup_clusters_lp": SQL_DOC_DEDUP_CLUSTERS,
         "doc_dedup_near_keep": SQL_DOC_DEDUP_NEAR_KEEP,
         "doc_dedup_simhash": SQL_DOC_DEDUP_SIMHASH,
+        # r5: the Bloom sketch and the LSH recall evaluator are
+        # deterministic integer/seeded-constant pipelines, so even
+        # their "approximate" outputs gate exactly
+        "doc_dedup_bloom": SQL_DOC_DEDUP_BLOOM,
+        "emb_ann_recall": sql_emb_ann_recall(),
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "doc_winnow": SQL_DOC_WINNOW,
         "doc_pii_redact": SQL_DOC_PII_REDACT,

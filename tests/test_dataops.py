@@ -2039,10 +2039,11 @@ def test_ann_recall_brackets(ray_session):
     assert len(r) > 0
     assert ((r["recall"] >= 0) & (r["recall"] <= 1)).all()
     assert (r["n_hits"] == (r["recall"] * 10).round()).all()
-    assert ((r["candidate_frac"] > 0) & (r["candidate_frac"] <= 1)).all()
+    assert ((r["n_cand_pairs"] > 0) &
+            (r["n_cand_pairs"] <= r["n_pairs"])).all()
     full = emb_ann_recall(SF, probe_hamming=6).to_pandas()
     assert (full["recall"] == 1.0).all()
-    assert (full["candidate_frac"] == 1.0).all()
+    assert (full["n_cand_pairs"] == full["n_pairs"]).all()
 
 
 def test_events_attribution_planted(ray_session, tmp_path):
