@@ -53,6 +53,29 @@ def _n_parts() -> int:
     return max(16, _cpus() * 4)
 
 
+def _bw_task_cpus(target_concurrency: int) -> int:
+    """CPU reservation for memory-BANDWIDTH-bound tasks (dense-matmul /
+    large-temp stages: the ivf_assign rule). Memory bandwidth is a
+    per-NODE resource that does NOT grow with core count, so the right
+    invariant is "at most ``target_concurrency`` such tasks per node",
+    expressed to Ray as num_cpus = node_cpus / target. Measured bands
+    on the 32-cpu dev box: ~0.5 GB-temp-churn tasks peak at 16
+    concurrent (36 s -> 6.9 s for the token window stage; 94 -> 7.9 s
+    semdedup), heavier dense-count tasks at 8 (40-68 s -> 21-31 s for
+    ngram pairs) — hence targets 16 and 8 at the call sites. Override
+    per cluster with SBO_BW_TASK_CPUS (hardware bandwidth/core ratios
+    differ; re-measure with `python bench.py --tokens`)."""
+    env = os.environ.get("SBO_BW_TASK_CPUS")
+    if env:
+        return max(1, int(env))
+    try:
+        n_nodes = max(1, sum(1 for nd in ray.nodes() if nd.get("Alive")))
+    except Exception:
+        n_nodes = 1
+    node_cpus = max(1, _cpus() // n_nodes)
+    return max(1, round(node_cpus / target_concurrency))
+
+
 # ---- dedup -----------------------------------------------------------------
 
 
@@ -1205,12 +1228,12 @@ def doc_dedup_ngram(sf_dir: str, threshold: float = 0.4, n: int = 5,
     slice_task = ray.remote(_ngram_slice)
     sl = [slice_task.options(num_returns=max(2, B)).remote(r, B)
           for r in refs]
-    # num_cpus=4: each pair task churns dense (n/B)^2 count matrices
-    # (bandwidth-bound, ~0.5 GB allocation traffic) — at 32-way
+    # bandwidth cap (target 8/node): each pair task churns dense
+    # (n/B)^2 count matrices (~0.5 GB allocation traffic) — at 32-way
     # concurrency they thrash (measured 40-68 s); 8 concurrent tasks
     # run the same 36 pairs in 21-31 s. Also honest accounting on a
     # shared cluster: these are not 1-cpu-sized tasks.
-    pair_task = ray.remote(_ngram_pair).options(num_cpus=4)
+    pair_task = ray.remote(_ngram_pair).options(num_cpus=_bw_task_cpus(8))
     outs = []
     for c_a in range(B):
         a_parts = [s[c_a] for s in sl]
@@ -1613,8 +1636,9 @@ def emb_dedup_cosine(sf_dir: str, threshold: float = 0.35,
     slice_task = ray.remote(_cos_slice)
     sl = [slice_task.options(num_returns=max(2, B)).remote(r, B)
           for r in refs]
-    # num_cpus=2: big-matmul tasks; see doc_dedup_ngram's sizing note
-    pair_task = ray.remote(_cos_pair).options(num_cpus=2)
+    # bandwidth cap: big-matmul tasks; see doc_dedup_ngram's sizing
+    # note and _bw_task_cpus for the per-node-concurrency rule
+    pair_task = ray.remote(_cos_pair).options(num_cpus=_bw_task_cpus(16))
     outs = []
     for c_a in range(B):
         a_parts = [s[c_a] for s in sl]

@@ -2240,11 +2240,15 @@ def q_log_token_ngram_dedup(sf_dir: str, n: int = 8, mod: int = 8):
             for r, md in b.blocks if md.num_rows]
     if not refs:
         return _NGRAM_OUT.empty_table()
-    # num_cpus=2: the window stage streams ~0.5 GB of temporaries per
-    # block — at 32 concurrent tasks it is memory-BANDWIDTH-bound (the
-    # ivf_assign rule) and measured 36 s; at 16 concurrent it is 6.9 s
-    # for the same 64 tasks. Halving concurrency is a 5x wall win here.
-    wtask = ray.remote(num_cpus=2)(window_partial)
+    # bandwidth cap (target 16/node): the window stage streams ~0.5 GB
+    # of temporaries per block — at 32 concurrent tasks it is
+    # memory-BANDWIDTH-bound (the ivf_assign rule) and measured 36 s;
+    # at 16 concurrent it is 6.9 s for the same 64 tasks. The cap
+    # derives from per-node cpus (datapipe._bw_task_cpus), overridable
+    # via SBO_BW_TASK_CPUS.
+    from .datapipe import _bw_task_cpus
+
+    wtask = ray.remote(num_cpus=_bw_task_cpus(16))(window_partial)
     sl = [wtask.options(num_returns=2 * P).remote(r) for r in refs]
     ftask = ray.remote(flag_part)
     fl = [ftask.options(num_returns=P).remote(*[s[p] for s in sl])
