@@ -181,15 +181,75 @@ def cmd_run(args) -> int:
     return 0
 
 
+def _curation_shard_parts(path: str, P: int, shard_idx: int, lang: str,
+                          min_tokens: int, max_tokens: int,
+                          thr: int) -> list:
+    """Pass-1 partial for one input shard of the FULL curation profile:
+    gate-passing (text_hash, doc_id, shard_idx) triples hash-routed
+    into P partitions (``num_returns=P``); each return is a (3, n)
+    int64 array. Gate semantics are the pipeline's own
+    ``_curation_kept`` — identical by construction."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .pipelines.datapipe import _curation_kept
+
+    t = pq.read_table(path, columns=["doc_id", "text"])
+    kept = _curation_kept(t, lang, min_tokens, max_tokens, thr)
+    h = kept.column("text_hash").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    d = kept.column("doc_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    part = h % P  # text_hash is a 63-bit non-negative md5 prefix
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(P + 1))
+    return [np.stack([h[order[s:e]], d[order[s:e]],
+                      np.full(e - s, shard_idx, np.int64)])
+            for s, e in zip(bounds[:-1], bounds[1:])]
+
+
+def _curation_combine(S: int, *parts) -> list:
+    """One hash partition of the curation dedup exchange: the
+    min-doc_id winner survives per distinct hash; every OTHER doc_id is
+    dropped, routed back to its input shard (``num_returns=S``, sorted
+    per shard) so each writer filters with one searchsorted — the
+    exchange-routed-filter idiom; the driver holds only refs."""
+    import numpy as np
+
+    a = np.concatenate([p for p in parts if p.shape[1]], axis=1) \
+        if any(p.shape[1] for p in parts) else np.zeros((3, 0), np.int64)
+    h, d, si = a
+    order = np.lexsort((d, h))
+    h, d, si = h[order], d[order], si[order]
+    first = np.ones(len(h), dtype=bool)
+    first[1:] = h[1:] != h[:-1]
+    dd, dsi = d[~first], si[~first]
+    outs = [np.sort(dd[dsi == s]) for s in range(S)]
+    # Ray's num_returns=1 convention: the value itself IS the single
+    # return, so a one-shard run must not wrap it in a list
+    return outs[0] if S == 1 else outs
+
+
 def cmd_curate(args) -> int:
     """Resumable DATA-side run — the 100-TB operational shape for the
-    embarrassingly-parallel curation stages (quality stats here; any
-    shard-local op slots in): one output PARTITION per input shard
+    curation stages: one output PARTITION per input shard
     (``out/shard=<stem>/``), each written as an idempotent two-phase
     fragment (fsio) and committed with a marker, so a killed run
     resumes by SKIPPING finished partitions — never one giant file,
-    never recomputing finished work. Shard-local ops make per-shard
-    resume exact by construction (no cross-shard state)."""
+    never recomputing finished work.
+
+    ``--pipeline stats`` (default): shard-local quality stats — resume
+    exact by construction (no cross-shard state).
+
+    ``--pipeline full``: the checkpointed ``doc_curation_pipeline``
+    (exact dedup + lang/quality gate). Cross-shard state is the dedup
+    winner set; pass 1 recomputes it DETERMINISTICALLY from the full
+    input list on every invocation (the pack-bases precedent), as a
+    distributed hash exchange whose dropped-id outputs come back
+    pre-routed per input shard — so a partition recomputed after a
+    kill is byte-identical, regardless of which partitions already
+    committed. Output columns match doc_curation_pipeline
+    (doc_id, n_tokens, n_stop_en)."""
     import ray.data as rd
 
     from . import fsio
@@ -197,6 +257,8 @@ def cmd_curate(args) -> int:
 
     _init_ray()
     out = args.out or "/tmp/sbo_ray_out/curate"
+    if getattr(args, "pipeline", "stats") == "full":
+        return _cmd_curate_full(args, out)
     done_before, ran = [], []
     for p in args.inputs:
         stem = os.path.splitext(os.path.basename(p))[0]
@@ -222,6 +284,78 @@ def cmd_curate(args) -> int:
         with fsio.open_file(marker, "wb") as f:
             f.write(json.dumps({"rows": n_rows}).encode())
         ran.append(stem)
+    print(json.dumps({"out": out, "ran": ran, "skipped": done_before}))
+    return 0
+
+
+def _cmd_curate_full(args, out: str) -> int:
+    """``curate --pipeline full`` body: see cmd_curate's docstring."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from . import fsio
+    from .pipelines.datapipe import (_CURATION_SCALE, _curation_kept,
+                                     _n_parts)
+
+    lang, mn, mx = "en", 20, 1000
+    thr = int(round(0.015 * _CURATION_SCALE))
+    S = len(args.inputs)
+    todo, done_before = [], []
+    for si, p in enumerate(args.inputs):
+        stem = os.path.splitext(os.path.basename(p))[0]
+        pdir = os.path.join(out, f"shard={stem}")
+        if fsio.exists(os.path.join(pdir, "_SUCCESS")):
+            if not args.resume:
+                print(f"partition shard={stem} already committed; "
+                      "pass --resume to skip it and continue",
+                      file=sys.stderr)
+                return 2
+            done_before.append(stem)
+        else:
+            todo.append((si, p, stem, pdir))
+    ran = []
+    if todo:
+        # pass 1: deterministic global dedup exchange over ALL shards
+        # (committed ones included — winners must not depend on resume
+        # state); dropped ids come back pre-routed per input shard
+        P = _n_parts()
+        stask = ray.remote(_curation_shard_parts)
+        sl = [stask.options(num_returns=P).remote(p, P, si, lang, mn,
+                                                  mx, thr)
+              for si, p in enumerate(args.inputs)]
+        ctask = ray.remote(_curation_combine)
+        cl = [ctask.options(num_returns=S).remote(
+            S, *[s[pt] for s in sl]) for pt in range(P)]
+        for si, p, stem, pdir in todo:
+            dropped = np.sort(np.concatenate(
+                ray.get([c if S == 1 else c[si] for c in cl])
+                or [np.zeros(0, np.int64)]))
+            fsio.makedirs(pdir)
+            fsio.clear_fragments(pdir)
+            n_rows = 0
+            ds = rd.read_parquet(p, columns=["doc_id", "text"],
+                                 override_num_blocks=1)
+            for i, b in enumerate(ds.iter_batches(
+                    batch_format="pyarrow", batch_size=None)):
+                kept = _curation_kept(b, lang, mn, mx, thr)
+                ids = kept.column("doc_id").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                if len(dropped):
+                    pos = np.searchsorted(dropped, ids)
+                    hit = (pos < len(dropped)) & \
+                        (dropped[np.minimum(pos, len(dropped) - 1)] == ids)
+                else:
+                    hit = np.zeros(len(ids), dtype=bool)
+                frag = kept.select(
+                    ["doc_id", "n_tokens", "n_stop_en"]).filter(
+                    pa.array(~hit))
+                fsio.write_fragment(pdir, f"part-{i:05d}.parquet", frag)
+                n_rows += frag.num_rows
+            with fsio.open_file(os.path.join(pdir, "_SUCCESS"), "wb") as f:
+                f.write(json.dumps({"rows": n_rows}).encode())
+            ran.append(stem)
     print(json.dumps({"out": out, "ran": ran, "skipped": done_before}))
     return 0
 
@@ -342,6 +476,10 @@ def main(argv: list[str] | None = None) -> int:
                         help="follow: poll interval seconds")
         sp.add_argument("--from-end", action="store_true",
                         help="follow: StartFrom -1 (only new lines)")
+        sp.add_argument("--pipeline", choices=("stats", "full"),
+                        default="stats",
+                        help="curate: shard-local quality stats, or the"
+                             " checkpointed full curation (dedup + gate)")
         sp.set_defaults(fn=fn)
     pk = sub.add_parser("pack", help="resumable sequence packing over "
                         "token shards (one committed partition per shard)")

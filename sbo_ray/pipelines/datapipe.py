@@ -4145,6 +4145,45 @@ def doc_winnow(sf_dir: str, w: int = 8):
     )
 
 
+# integer-exact stopword-ratio gate scale (n_stop/max(1,n_alpha) >= r
+# as n_stop*SCALE >= r*SCALE*max(1,n_alpha)) — no float rounding drift
+# between engine, CLI profile, and SQL oracle
+_CURATION_SCALE = 10000
+
+
+def _curation_kept(batch: pa.Table, lang: str, min_tokens: int,
+                   max_tokens: int, thr: int) -> pa.Table:
+    """Gate + hash columns for the curation flow, shared by the Dataset
+    pipeline and the resumable CLI profile (identical semantics by
+    construction): the block's gate-passing rows as
+    (doc_id, text_hash, n_tokens, n_stop_en)."""
+    hashed = D.add_text_hash(batch)
+    # fused single-pass stats (T.annotate_stats): token_stats +
+    # lang_id separately ran the alpha-token extract twice and two
+    # unread regex scans — ~2.4x the scan cost per batch
+    stats = T.annotate_stats(batch)
+    alpha = pc.max_element_wise(stats.column("n_alpha_tokens"), 1)
+    ratio_ok = pc.greater_equal(
+        pc.multiply(pc.cast(stats.column("n_stop_en"), pa.int64()),
+                    pa.scalar(_CURATION_SCALE, pa.int64())),
+        pc.multiply(pc.cast(alpha, pa.int64()), pa.scalar(thr, pa.int64())),
+    )
+    m = pc.and_(
+        pc.equal(stats.column("pred_lang"), lang),
+        pc.and_(
+            pc.and_(pc.greater_equal(stats.column("n_tokens"), min_tokens),
+                    pc.less_equal(stats.column("n_tokens"), max_tokens)),
+            ratio_ok,
+        ),
+    )
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "text_hash": hashed.column("text_hash"),
+        "n_tokens": stats.column("n_tokens"),
+        "n_stop_en": stats.column("n_stop_en"),
+    }).filter(m)
+
+
 def doc_curation_pipeline(sf_dir: str, lang: str = "en",
                           min_tokens: int = 20, max_tokens: int = 1000,
                           min_stop_ratio: float = 0.015):
@@ -4170,39 +4209,11 @@ def doc_curation_pipeline(sf_dir: str, lang: str = "en",
     carries only (doc_id, hash, 2 small ints) for gate-passing rows."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     P = _n_parts()
-    # integer-exact stopword-ratio gate (n_stop/max(1,n_alpha) >= r as
-    # n_stop*SCALE >= r*SCALE*max(1,n_alpha)) — no float rounding drift
-    # between engine and SQL oracle
-    SCALE = 10000
-    thr = int(round(min_stop_ratio * SCALE))
+    thr = int(round(min_stop_ratio * _CURATION_SCALE))
 
     def annotate(batch: pa.Table) -> pa.Table:
-        hashed = D.add_text_hash(batch)
-        # fused single-pass stats (T.annotate_stats): token_stats +
-        # lang_id separately ran the alpha-token extract twice and two
-        # unread regex scans — ~2.4x the scan cost per batch
-        stats = T.annotate_stats(batch)
-        alpha = pc.max_element_wise(stats.column("n_alpha_tokens"), 1)
-        ratio_ok = pc.greater_equal(
-            pc.multiply(pc.cast(stats.column("n_stop_en"), pa.int64()),
-                        pa.scalar(SCALE, pa.int64())),
-            pc.multiply(pc.cast(alpha, pa.int64()), pa.scalar(thr, pa.int64())),
-        )
-        m = pc.and_(
-            pc.equal(stats.column("pred_lang"), lang),
-            pc.and_(
-                pc.and_(pc.greater_equal(stats.column("n_tokens"), min_tokens),
-                        pc.less_equal(stats.column("n_tokens"), max_tokens)),
-                ratio_ok,
-            ),
-        )
-        kept = pa.table({
-            "doc_id": batch.column("doc_id"),
-            "text_hash": hashed.column("text_hash"),
-            "n_tokens": stats.column("n_tokens"),
-            "n_stop_en": stats.column("n_stop_en"),
-        }).filter(m)
-        return _hash_part_col(kept, P)
+        return _hash_part_col(
+            _curation_kept(batch, lang, min_tokens, max_tokens, thr), P)
 
     def rep_pick(g: pd.DataFrame) -> pd.DataFrame:
         # min doc_id per distinct text_hash, stats carried through (they

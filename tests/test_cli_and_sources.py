@@ -335,3 +335,78 @@ def test_cli_pack_partitioned_resume(ray_session, tmp_path, capsys):
         n, s, ft, lt = want.get(key, (0, 0, tok, tok))
         want[key] = (n + 1, s + tok, ft, tok)
     assert got == want
+
+
+def test_cli_curate_full_resume_byte_identical(ray_session, tmp_path,
+                                               capsys):
+    """curate --pipeline full: the checkpointed doc_curation_pipeline.
+    Cross-shard dedup winners recompute deterministically from the full
+    input list on every invocation, so a partition redone after a kill
+    is BYTE-identical, committed partitions are skipped, and the union
+    matches the hand-computed curation (cross-shard dups dropped to the
+    min-doc_id winner, gate-failing docs gone)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sbo_ray import cli
+
+    good = ("the cat and the dog are in the house with a mouse and "
+            "they all see it of course over there")          # gate-pass
+    other = ("a bird in the hand is worth two of them in the bush "
+             "so the saying goes and we all know it is true")  # gate-pass
+    third = ("it was the best of times and it was the worst of times "
+             "for all of us in the city by the sea")           # gate-pass
+    shards = []
+    data = [
+        [(0, good), (1, "tiny")],          # 1 fails the token gate
+        [(2, other), (3, good)],           # 3 dups shard 0's winner
+        [(4, good), (5, third)],           # 4 dups it again
+    ]
+    for i, chunk in enumerate(data):
+        p = tmp_path / f"cdocs{i}.parquet"
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in chunk], pa.int64()),
+            "text": pa.array([r[1] for r in chunk], pa.string()),
+        }), p)
+        shards.append(str(p))
+    out = str(tmp_path / "curated_full")
+    assert cli.main(["curate", *shards, "--out", out,
+                     "--pipeline", "full"]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sorted(res["ran"]) == ["cdocs0", "cdocs1", "cdocs2"]
+    # rerun refuses without --resume
+    assert cli.main(["curate", *shards, "--out", out,
+                     "--pipeline", "full"]) == 2
+    capsys.readouterr()
+    # kill-and-resume: drop shard 2's marker; the redo must be
+    # byte-identical (winners don't depend on which shards committed)
+    before = open(f"{out}/shard=cdocs2/part-00000.parquet", "rb").read()
+    _os.remove(f"{out}/shard=cdocs2/_SUCCESS")
+    assert cli.main(["curate", *shards, "--out", out,
+                     "--pipeline", "full", "--resume"]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["ran"] == ["cdocs2"]
+    assert sorted(res["skipped"]) == ["cdocs0", "cdocs1"]
+    after = open(f"{out}/shard=cdocs2/part-00000.parquet", "rb").read()
+    assert before == after
+    # union == hand-computed curation: dups 3 and 4 lose to winner 0,
+    # doc 1 fails the gate
+    frags = pa.concat_tables([pq.read_table(f) for f in sorted(
+        _glob.glob(f"{out}/shard=*/part-*.parquet"))])
+    assert sorted(frags.column("doc_id").to_pylist()) == [0, 2, 5]
+    assert frags.schema.names == ["doc_id", "n_tokens", "n_stop_en"]
+    # and it agrees with the Dataset pipeline over the same corpus
+    from sbo_ray.pipelines.datapipe import doc_curation_pipeline
+
+    merged_dir = tmp_path / "merged"
+    merged_dir.mkdir()
+    pq.write_table(pa.concat_tables(
+        [pq.read_table(s) for s in shards]),
+        str(merged_dir / "documents.parquet"))
+    pipe = doc_curation_pipeline(str(merged_dir)).to_pandas()
+    assert sorted(pipe["doc_id"]) == sorted(frags.column(
+        "doc_id").to_pylist())
