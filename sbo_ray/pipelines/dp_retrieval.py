@@ -1,0 +1,1476 @@
+"""Retrieval + LM-scoring family: chunking, triplet mining, label centroids, as-of/window joins, funnels, retention, BM25, TF-IDF, kNN join, regional rollups, unigram/bigram log-prob, CCNet buckets.
+
+Mechanical r5 split of pipelines/datapipe.py (the facade re-exports
+everything; import from ``datapipe`` unless you need this module's
+namespace specifically, e.g. to monkeypatch a helper its functions
+actually resolve). ``__all__`` lists underscore helpers on purpose:
+the chained star-imports and the facade must see them.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..functions import dedup as D
+from ..functions import similarity as S
+from ..functions import text as T
+from ..functions.multimodal import DecoderStub, to_payload_table
+from .logpipe import _cpus, tune_context
+
+from .dp_common import *  # noqa: F401,F403
+from .dp_dedup import *  # noqa: F401,F403
+from .dp_emb import *  # noqa: F401,F403
+from .dp_text import *  # noqa: F401,F403
+from .dp_multimodal import *  # noqa: F401,F403
+from .dp_rel_events import *  # noqa: F401,F403
+
+def doc_chunk(sf_dir: str, chunk_tokens: int = 32):
+    """Fixed-window document chunking (sequence-length prep): each doc
+    fans out to one row per ``chunk_tokens``-token window via the
+    zero-copy re-slice + binary_join kernel in functions/text.chunk_docs
+    — a pure map_batches fan-out, no shuffle. The SQL oracle rebuilds
+    the same chunks with positional unnest + ordered string_agg."""
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda b: T.chunk_docs(b, chunk_tokens), batch_format="pyarrow"
+    )
+
+
+def emb_triplet_mining(sf_dir: str, n_anchors: int = 10):
+    """HARD-NEGATIVE triplet mining — the metric-learning data op: for
+    each anchor (the ``n_anchors`` lowest vec_ids), find the nearest
+    SAME-label vector (the retrieval positive) and the nearest
+    DIFFERENT-label vector (the hard negative — the pair that makes
+    triplet losses informative). Broadcast the anchor matrix once;
+    each block emits one
+    (anchor, class) -> best-key partial (blocks x 2k rows); the driver
+    max-folds. Selection routes through the FLOORED integer composite
+    key (floor(cos*1e6)+offset)*2^33 + (2^33-1-vec_id) on BOTH sides —
+    the emb_pq_codes argmax idiom (f64 ulp noise cannot flip an
+    integer key off measure-zero boundaries), so the gate is
+    hash-exact on ids."""
+    B33 = 1 << 33
+    OFF = 2_000_000  # makes the floored cos term non-negative
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    head = pa.concat_tables(
+        ds.map_batches(
+            lambda t: t.sort_by("vec_id").slice(0, n_anchors),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("vec_id").slice(0, n_anchors)
+    a_ids = head.column("vec_id").to_numpy(zero_copy_only=False)
+    a_lab = head.column("label").to_numpy(zero_copy_only=False)
+    a_m = D.normalize_rows(S.embedding_matrix(head))
+    a_ref = ray.put((a_ids.astype(np.int64), a_lab.astype(np.int64), a_m))
+
+    part_schema = pa.schema([("aid", pa.int64()), ("same", pa.int64()),
+                             ("key", pa.int64())])
+
+    def block_best(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        aid, alab, am = ray.get(a_ref)
+        ids = t.column("vec_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(ids) and ids.max() >= B33 - 1:
+            raise ValueError("vec_id exceeds the 2^33 key range")
+        lab = t.column("label").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = D.normalize_rows(S.embedding_matrix(t))
+        cos = m @ am.T  # n x n_anchors
+        key = ((np.floor(cos * 1e6).astype(np.int64) + OFF) * B33
+               + (B33 - 1 - ids)[:, None])
+        rows = []
+        for j in range(len(aid)):
+            kj = key[:, j]
+            notself = ids != aid[j]
+            for same in (1, 0):
+                mask = notself & ((lab == alab[j]) == bool(same))
+                if mask.any():
+                    rows.append((int(aid[j]), same, int(kj[mask].max())))
+        if not rows:
+            return part_schema.empty_table()
+        return pa.table({
+            "aid": pa.array([r[0] for r in rows], pa.int64()),
+            "same": pa.array([r[1] for r in rows], pa.int64()),
+            "key": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    parts = pa.concat_tables(
+        [part_schema.empty_table()] +
+        list(ds.map_batches(block_best, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    out_schema = pa.schema([
+        ("anchor_id", pa.int64()), ("anchor_label", pa.int64()),
+        ("pos_id", pa.int64()), ("neg_id", pa.int64()),
+    ])
+    if parts.num_rows == 0:
+        return out_schema.empty_table()
+    g = parts.group_by(["aid", "same"]).aggregate([("key", "max")])
+    best = {(a, s): k for a, s, k in zip(
+        g.column("aid").to_pylist(), g.column("same").to_pylist(),
+        g.column("key_max").to_pylist())}
+    rows = []
+    for j in range(len(a_ids)):
+        pk = best.get((int(a_ids[j]), 1))
+        nk = best.get((int(a_ids[j]), 0))
+        rows.append((
+            int(a_ids[j]), int(a_lab[j]),
+            (B33 - 1 - pk % B33) if pk is not None else -1,
+            (B33 - 1 - nk % B33) if nk is not None else -1,
+        ))
+    return pa.table({
+        "anchor_id": pa.array([r[0] for r in rows], pa.int64()),
+        "anchor_label": pa.array([r[1] for r in rows], pa.int64()),
+        "pos_id": pa.array([r[2] for r in rows], pa.int64()),
+        "neg_id": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def emb_label_centroids(sf_dir: str):
+    """Per-label embedding centroid (the vector-mean aggregate behind
+    IVF training / cluster profiling), exploded to (label, dim,
+    centroid) rows so the SQL oracle can gate it exactly. Block-local
+    float64 sum+count partials per label (one np.add.at per block — the
+    payload never shuffles), tiny driver merge over labels x dims."""
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        n = len(emb)
+        if n == 0:
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "dim": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        offs = emb.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        d = int(widths[0])
+        if not (widths == d).all():
+            raise ValueError("ragged embedding dims in block")
+        m = emb.values.to_numpy(zero_copy_only=False).reshape(n, d).astype(np.float64)
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), d), dtype=np.float64)
+        np.add.at(sums, codes, m)
+        cnts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq.astype(np.int64), d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq))),
+            "s": pa.array(sums.reshape(-1)),
+            "cnt": pa.array(np.repeat(cnts, d)),
+        })
+
+    parts = pa.concat_tables(
+        _read(sf_dir, "embeddings", columns=["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    g = parts.group_by(["label", "dim"]).aggregate([("s", "sum"), ("cnt", "sum")])
+    centroid = pc.round(pc.divide(g.column("s_sum"),
+                                  g.column("cnt_sum").cast(pa.float64())), 4)
+    return pa.table({
+        "label": g.column("label"),
+        "dim": g.column("dim"),
+        "centroid": centroid,
+    })
+
+
+def events_props_extract(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the JSON ``props`` column with one vectorized RE2 kernel
+    (extract_regex), then a bounded-cardinality grouped sum per
+    event_type (block partials + tiny driver merge). The SQL oracle
+    goes through DuckDB's real JSON parser — agreement shows the regex
+    fast path extracts exactly what a JSON parser would."""
+    def partial(batch: pa.Table) -> pa.Table:
+        props = batch.column("props")
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        ex = pc.extract_regex(props, r'"k": (?P<k>[0-9]+)')
+        k = pc.struct_field(ex, "k").cast(pa.int64())
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "k": k,
+        }).group_by("event_type").aggregate([("k", "sum"), ("k", "count")])
+
+    parts = pa.concat_tables(
+        _read(sf_dir, "events", columns=["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    g = parts.group_by("event_type").aggregate(
+        [("k_sum", "sum"), ("k_count", "sum")])
+    return pa.table({
+        "event_type": g.column("event_type"),
+        "n_events": g.column("k_count_sum").cast(pa.int64()),
+        "sum_k": g.column("k_sum_sum").cast(pa.int64()),
+    })
+
+
+def events_asof_join(sf_dir: str, left_type: str = "purchase",
+                     right_type: str = "view"):
+    """As-of join — a stream-enrichment operator Ray Data lacks
+    natively: each ``left_type`` event joins the same user's most
+    recent ``right_type`` event at-or-before its timestamp. Expressed
+    Ray-Data-first as a partition-grouped transform: row-filter to the
+    two types in the first map pass, hash-partition by user (part =
+    user % P) so each partition holds complete user histories, then
+    one vectorized merge per partition (sort + forward-filled
+    last-right-index, no per-row Python). Tie rule matches SQL
+    ``v.ts <= p.ts``: right rows sort BEFORE left rows at equal
+    (user, ts), and among equal-(user, ts) right rows the max event_id
+    wins (the forward fill keeps the last; the oracle CTE dedupes the
+    same way). Output: one row per left event with the matched right
+    event_id (-1 = none) and the gap in microseconds.
+    Partitioning assumption: one hash partition of users fits a worker
+    (same contract as events_sessionize)."""
+    P = _n_parts()
+
+    def keep_and_part(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        mask = pc.is_in(et, value_set=pa.array([left_type, right_type]))
+        t = t.filter(mask)
+        return t.append_column(
+            "part", pa.array(t.column("user_id").to_numpy(zero_copy_only=False) % P))
+
+    def asof_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_is_left=(g["event_type"] == left_type).astype(np.int8))
+        g = g.sort_values(["user_id", "ts", "_is_left", "event_id"],
+                          kind="stable")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        is_left = g["_is_left"].to_numpy().astype(bool)
+        idx = np.arange(len(g))
+        fill = np.maximum.accumulate(np.where(~is_left, idx, -1))
+        lpos = idx[is_left]
+        lf = fill[lpos]
+        # a filled index from a previous user points at a smaller uid —
+        # sorted by user, so uid equality is the validity test
+        valid = (lf >= 0) & (uid[np.maximum(lf, 0)] == uid[lpos])
+        matched = np.where(valid, eid[np.maximum(lf, 0)], -1)
+        gap = np.where(
+            valid,
+            (ts[lpos] - ts[np.maximum(lf, 0)]) // np.timedelta64(1, "us"),
+            -1,
+        )
+        return pd.DataFrame({
+            "event_id": eid[lpos],
+            "user_id": uid[lpos],
+            "ts": ts[lpos],
+            "matched_event_id": matched.astype(np.int64),
+            "gap_us": gap.astype(np.int64),
+        })
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    return (
+        ds.map_batches(keep_and_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(asof_part, batch_format="pandas")
+    )
+
+
+def events_window_join(sf_dir: str, left_type: str = "purchase",
+                       right_type: str = "view", window_minutes: int = 60):
+    """Range join — the second stream-enrichment operator Ray Data
+    lacks natively (the brief names as-of join, range join, windowed
+    aggregate): each ``left_type`` event is joined to ALL of the same
+    user's ``right_type`` events in the half-open window
+    ``[l.ts - window, l.ts)`` and aggregated (count + value sum).
+    Ray-Data-first shape: filter to the two types in a map pass,
+    hash-partition by user, then ONE vectorized sweep per partition —
+    right rows and the two window endpoints of every left row are
+    lexsorted together (user, ts, rank) and per-user exclusive prefix
+    counts/sums turn each window into two prefix lookups; no per-row
+    Python and no pairwise blow-up even when a window holds thousands
+    of right rows. Endpoint tie rank (lo=0, view=1, hi=2) encodes the
+    half-open interval exactly.
+    Partitioning assumption: one hash partition of users fits a worker
+    (same contract as events_sessionize)."""
+    P = _n_parts()
+    win_us = np.int64(window_minutes) * 60 * 1_000_000
+
+    def keep_and_part(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        mask = pc.is_in(et, value_set=pa.array([left_type, right_type]))
+        t = t.filter(mask)
+        return t.append_column(
+            "part", pa.array(t.column("user_id").to_numpy(zero_copy_only=False) % P))
+
+    def window_part(g: pd.DataFrame) -> pd.DataFrame:
+        is_left = (g["event_type"] == left_type).to_numpy()
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        val = g["value"].to_numpy()
+        lu, lt, le = uid[is_left], ts[is_left], eid[is_left]
+        ru, rt, rv = uid[~is_left], ts[~is_left], val[~is_left]
+        nl, nr = len(lu), len(ru)
+        # combined point set: right rows (rank 2) + per-left lo (rank 0)
+        # and hi (rank 1) endpoints, lexsorted by (user, ts, rank).
+        # Both endpoints sort BEFORE right rows at equal ts, so the
+        # exclusive prefixes realize the half-open [lo, hi) exactly:
+        # a right row at ts == lo is counted, at ts == hi it is not.
+        cu = np.concatenate([lu, ru, lu])
+        ct = np.concatenate([lt - win_us, rt, lt])
+        rank = np.concatenate([
+            np.zeros(nl, np.int8), np.full(nr, 2, np.int8),
+            np.ones(nl, np.int8)])
+        order = np.lexsort((rank, ct, cu))
+        su, sr = cu[order], rank[order]
+        is_right = sr == 2
+        sv = np.zeros(len(order))
+        sv[is_right] = np.concatenate([np.zeros(nl), rv, np.zeros(nl)])[order][is_right]
+        # exclusive prefix count/sum of right rows; per-user segment
+        # starts make prefixes user-local
+        cumn = np.concatenate([[0], np.cumsum(is_right)])[:-1]
+        cums = np.concatenate([[0.0], np.cumsum(sv)])[:-1]
+        pos_in_sorted = np.empty(len(order), np.int64)
+        pos_in_sorted[order] = np.arange(len(order))
+        lo_pos = pos_in_sorted[:nl]
+        hi_pos = pos_in_sorted[nl + nr:]
+        n_in = cumn[hi_pos] - cumn[lo_pos]
+        s_in = cums[hi_pos] - cums[lo_pos]
+        # endpoints straddling a user boundary can't happen: both
+        # endpoints carry the left row's own user and sort inside its
+        # segment (any position between them shares that user)
+        assert np.array_equal(su[lo_pos], lu) and np.array_equal(su[hi_pos], lu)
+        return pd.DataFrame({
+            "event_id": le,
+            "user_id": lu,
+            "ts": g["ts"].to_numpy()[is_left],
+            "n_right": n_in.astype(np.int64),
+            "sum_right_value": np.where(n_in > 0, s_in, 0.0).round(2),
+        })
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type", "value"])
+    return (
+        ds.map_batches(keep_and_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(window_part, batch_format="pandas")
+    )
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the events stream table."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        g = pa.table({
+            "event_type": t["event_type"],
+            "hour": hour,
+            "value": t["value"],
+        }).group_by(["event_type", "hour"]).aggregate([("value", "sum"), ("value", "count")])
+        return g.rename_columns(["event_type", "hour", "sum_value", "n_events"])
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    parts = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    g = parts.group_by(["event_type", "hour"]).aggregate(
+        [("sum_value", "sum"), ("n_events", "sum")]
+    )
+    g = g.rename_columns(["event_type", "hour", "sum_value", "n_events"])
+    return pa.table({
+        "event_type": g.column("event_type"),
+        "hour": g.column("hour"),
+        "n_events": g.column("n_events").cast(pa.int64()),
+        "sum_value": pc.round(g.column("sum_value"), 2),
+    })
+
+def events_daily_active(sf_dir: str):
+    """Exact daily-active-users (DAU) — the canonical distinct-count
+    over an event stream, distributed the same way as the log side's
+    ``log_distinct_clients``: each block dedupes its own (day, user)
+    pairs (volume drops from events to block-distinct pairs before
+    anything leaves the worker), ONE Fibonacci-hash exchange on
+    user_id co-locates every copy of a user (``num_returns=P``), each
+    partition dedupes and counts per day, and the driver folds
+    P x |days| tiny partials. Distinct users are unbounded at scale —
+    nothing user-sized ever lands on the driver."""
+    P = max(2, _n_parts())
+
+    def pair_shard(block: pa.Table) -> list:
+        day = pc.floor_temporal(block.column("ts"), unit="day")
+        pairs = pa.table({
+            "day": day, "user_id": block.column("user_id"),
+        }).group_by(["day", "user_id"]).aggregate([])
+        u = pairs.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if not len(u):
+            return [pairs for _ in range(P)]
+        part = _lp_partition(u, P)
+        order = np.argsort(part, kind="stable")
+        sorted_tbl = pairs.take(pa.array(order))
+        bounds = np.searchsorted(part[order], np.arange(P + 1))
+        return [sorted_tbl.slice(s, e - s)
+                for s, e in zip(bounds[:-1], bounds[1:])]
+
+    PARTIAL = pa.schema([("day", pa.timestamp("us")), ("n", pa.int64())])
+
+    def dau_combine(*tables) -> pa.Table:
+        t = pa.concat_tables([x for x in tables if x.num_rows])
+        if t.num_rows == 0:
+            return PARTIAL.empty_table()
+        dd = t.group_by(["day", "user_id"]).aggregate([])
+        g = dd.group_by("day").aggregate([([], "count_all")])
+        return g.rename_columns(["day", "n"]).cast(PARTIAL)
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    OUT = pa.schema([("day", pa.timestamp("us")), ("n_users", pa.int64())])
+    refs = [block_ref for bundle in ds.iter_internal_ref_bundles()
+            for block_ref, _md in bundle.blocks if _md.num_rows]
+    if not refs:
+        return OUT.empty_table()
+    shard = ray.remote(pair_shard)
+    sl = [shard.options(num_returns=P).remote(r) for r in refs]
+    combine = ray.remote(dau_combine)
+    outs = ray.get([combine.remote(*[s[p] for s in sl])
+                    for p in range(P)])
+    merged = pa.concat_tables([PARTIAL.empty_table()] + outs)
+    g = merged.group_by("day").aggregate([("n", "sum")])
+    order = pc.sort_indices(g.column("day"))
+    return pa.table({
+        "day": g.column("day").take(order),
+        "n_users": g.column("n_sum").take(order).cast(pa.int64()),
+    })
+
+
+def events_funnel(sf_dir: str,
+                  stages: tuple = ("view", "click", "purchase")):
+    """Ordered funnel attainment per user: the first ``stages[0]`` event,
+    the first ``stages[1]`` at-or-after it, the first ``stages[2]``
+    at-or-after that (ts comparisons; the >= endpoint rule is pinned by
+    the SQL mirror's join predicate). Output: one row per distinct user
+    with max_stage 0..3 and the three stage timestamps as epoch-us
+    (-1 = not reached).
+
+    Engine shape: hash-partition by user (partition-grouped,
+    ``_n_parts``) so every user's history is co-located, then one fully
+    vectorized pass per partition — per-user first-event times via
+    lexsort + segment-first, the at-or-after gate via a searchsorted
+    lookup of the previous stage's time. No per-user Python, no
+    whole-stream sort; the only shuffle is the user-hash partition.
+    Funnel analysis over event streams is the reference's metric-window
+    family generalized to ordered multi-step conversion
+    (metrics/SBOMetrics.go:64-90 holds per-key time windows; this holds
+    per-user stage fronts)."""
+    P = _n_parts()
+    SENT = np.iinfo(np.int64).max
+
+    def funnel_part(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        users = np.unique(u)
+
+        def first_at_or_after(mask, gate):
+            uu, tt = u[mask], t[mask]
+            if gate is not None:
+                idx = np.searchsorted(users, uu)
+                ok = tt >= gate[idx]  # gate==SENT (unreached) keeps none
+                uu, tt = uu[ok], tt[ok]
+            out = np.full(len(users), SENT, dtype=np.int64)
+            if len(uu):
+                order = np.lexsort((tt, uu))
+                uu, tt = uu[order], tt[order]
+                first = np.ones(len(uu), dtype=bool)
+                first[1:] = uu[1:] != uu[:-1]
+                out[np.searchsorted(users, uu[first])] = tt[first]
+            return out
+
+        t1 = first_at_or_after(et == stages[0], None)
+        t2 = first_at_or_after(et == stages[1], t1)
+        t3 = first_at_or_after(et == stages[2], t2)
+        reached = ((t1 < SENT).astype(np.int64) + (t2 < SENT)
+                   + (t3 < SENT))
+        return pd.DataFrame({
+            "user_id": users,
+            "max_stage": reached.astype(np.int64),
+            "t_stage1_us": np.where(t1 < SENT, t1, -1),
+            "t_stage2_us": np.where(t2 < SENT, t2, -1),
+            "t_stage3_us": np.where(t3 < SENT, t3, -1),
+        })
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    out_ds = (
+        ds.map_batches(
+            lambda t: t.append_column(
+                "part", pa.array(
+                    t.column("user_id").to_numpy(zero_copy_only=False) % P)),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(funnel_part, batch_format="pandas")
+    )
+    batches = list(out_ds.iter_batches(batch_format="pyarrow",
+                                       batch_size=None))
+    schema = pa.schema([
+        ("user_id", pa.int64()), ("max_stage", pa.int64()),
+        ("t_stage1_us", pa.int64()), ("t_stage2_us", pa.int64()),
+        ("t_stage3_us", pa.int64()),
+    ])
+    if not batches:
+        return schema.empty_table()
+    return pa.concat_tables(
+        [b.select(schema.names).cast(schema) for b in batches])
+
+
+_BM25 = pa.schema([("doc_id", pa.int64()), ("score", pa.float64())])
+_BM25_STAT = pa.schema([("term", pa.string()), ("df", pa.int64()),
+                        ("dl_sum", pa.int64()), ("n_docs", pa.int64())])
+
+
+def doc_bm25_topk(sf_dir: str, k: int = 100, n_terms: int = 3,
+                  k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 retrieval over the corpus (Robertson et al.; the
+    lexical-relevance scorer retrieval-augmented pipelines pair with
+    the embedding ANN ops): score every document against the corpus'
+    top-``n_terms`` tokens (a deterministic query both sides can
+    rebuild) and emit the global top-k docs. Three streaming passes,
+    all bounded:
+
+      vocab  doc_vocab_topk(n_terms) -> the query terms (broadcast);
+      stats  per-block partials of df per term (distinct docs
+             containing it), total token count and doc count — one
+             (n_terms + 2)-int row per block;
+      score  broadcast (terms, idf, avgdl) once; each block computes
+             per-doc tf for the query terms via dictionary codes +
+             bincount (no per-row Python), scores docs with >= 1 hit,
+             and keeps its local top-k under the FINAL
+             (round6(score) desc, doc_id asc) key — merge-closed.
+
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1) (the +1 keeps common terms
+    positive). Exact SQL mirror: same tokenization, same f64 formula;
+    ROUND-6 + id tie-break absorbs libm's last-ulp ln differences."""
+    terms = doc_vocab_topk(sf_dir, k=n_terms).column("token").to_pylist()
+    if not terms:
+        return _BM25.empty_table()
+    terms_sorted = np.array(sorted(terms), dtype=object)
+    tref = ray.put(terms_sorted)
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        col = t.column("text")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ts = ray.get(tref)
+        if len(col) == 0:
+            return _BM25_STAT.empty_table()
+        toks = pc.split_pattern(col.cast(pa.string()), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(col), dtype=np.int64), lens)
+        enc = toks.values.dictionary_encode()
+        uniq = np.array(enc.dictionary.to_pylist(), dtype=object)
+        pos = np.searchsorted(ts, uniq)
+        slot = np.where((pos < len(ts)) & (ts[np.minimum(pos, len(ts) - 1)]
+                                           == uniq), pos, len(ts))
+        tok_slot = slot[enc.indices.to_numpy(zero_copy_only=False)]
+        hit = tok_slot < len(ts)
+        # distinct (doc, term) pairs -> df per term
+        pairs = np.unique(doc_idx[hit] * len(ts) + tok_slot[hit])
+        df = np.bincount(pairs % len(ts), minlength=len(ts))
+        return pa.table({
+            "term": pa.array(list(ts), pa.string()),
+            "df": pa.array(df.astype(np.int64)),
+            "dl_sum": pa.array([int(lens.sum())] * len(ts), pa.int64()),
+            "n_docs": pa.array([len(col)] * len(ts), pa.int64()),
+        }, schema=_BM25_STAT)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df_tot = np.zeros(len(terms_sorted), dtype=np.int64)
+    dl_sum = 0
+    n_docs = 0
+    for bt in ds.map_batches(stat_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        if bt.num_rows == 0:
+            continue
+        tarr = np.array(bt.column("term").to_pylist(), dtype=object)
+        order = np.argsort(tarr)
+        df_tot += bt.column("df").to_numpy(zero_copy_only=False)[order]
+        dl_sum += int(bt.column("dl_sum")[0].as_py())
+        n_docs += int(bt.column("n_docs")[0].as_py())
+    if n_docs == 0:
+        return _BM25.empty_table()
+    avgdl = dl_sum / n_docs
+    idf = np.log((n_docs - df_tot + 0.5) / (df_tot + 0.5) + 1.0)
+    sref = ray.put((terms_sorted, idf, avgdl))
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        col = t.column("text")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if len(col) == 0:
+            return _BM25.empty_table()
+        ts, idf_b, avg_b = ray.get(sref)
+        nt = len(ts)
+        toks = pc.split_pattern(col.cast(pa.string()), " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        doc_idx = np.repeat(np.arange(len(col), dtype=np.int64),
+                            lens.astype(np.int64))
+        enc = toks.values.dictionary_encode()
+        uniq = np.array(enc.dictionary.to_pylist(), dtype=object)
+        pos = np.searchsorted(ts, uniq)
+        slot = np.where((pos < nt) & (ts[np.minimum(pos, nt - 1)] == uniq),
+                        pos, nt)
+        tok_slot = slot[enc.indices.to_numpy(zero_copy_only=False)]
+        hit = tok_slot < nt
+        tf = np.bincount(doc_idx[hit] * nt + tok_slot[hit],
+                         minlength=len(col) * nt).reshape(len(col), nt) \
+            .astype(np.float64)
+        denom = tf + k1 * (1.0 - b + b * lens[:, None] / avg_b)
+        score = (idf_b * tf * (k1 + 1.0) / denom * (tf > 0)).sum(axis=1)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        has = tf.sum(axis=1) > 0
+        ids, score = ids[has], score[has]
+        take = min(k, len(ids))
+        order = np.lexsort((ids, -np.round(score, 6)))[:take]
+        return pa.table({"doc_id": pa.array(ids[order].astype(np.int64)),
+                         "score": pa.array(np.round(score[order], 6))},
+                        schema=_BM25)
+
+    parts = [x for x in ds.map_batches(score_topk, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)
+             if x.num_rows]
+    if not parts:
+        return _BM25.empty_table()
+    merged = pa.concat_tables(parts)
+    ids = merged.column("doc_id").to_numpy(zero_copy_only=False)
+    sc = merged.column("score").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -sc))[:k]
+    return pa.table({"doc_id": pa.array(ids[order]),
+                     "score": pa.array(sc[order])}, schema=_BM25)
+
+
+def doc_tfidf(sf_dir: str, k: int = 3):
+    """Top-k TF-IDF terms per document (space-split tokens,
+    idf = ln(N/df), score = tf*idf) — the classic relevance/keyword
+    extraction primitive for a training-data corpus.
+
+    Engine shape: two streaming passes. Pass 1 computes block-local
+    (token, df) partials (per-doc DISTINCT inside the block, so volume
+    drops to block-unique tokens before anything leaves the worker) and
+    the driver merges the vocabulary-bounded histogram (Heaps' law —
+    same contract as doc_vocab_topk). The df map is broadcast ONCE with
+    ray.put. Pass 2 is embarrassingly parallel: each doc lives wholly
+    in one row/block, so per-doc tf, score and exact top-k are computed
+    block-locally (vectorized unique/lexsort/segment-rank; no shuffle at
+    all). Ranking uses ROUND(score, 6) then token ASC on BOTH engine
+    and oracle sides: mathematically-tied scores (e.g. 2*ln(10) vs
+    ln(100)) land on the same rounded value regardless of last-ulp libm
+    differences, so the tie-break is deterministic across engines."""
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(col, " ")
+        doc_idx = np.repeat(
+            np.arange(len(batch), dtype=np.int64),
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False))
+        # per-doc DISTINCT via int composite keys over batch-local
+        # dictionary codes — string group_by here was ~6x the cost
+        enc = toks.values.dictionary_encode()
+        nv = len(enc.dictionary)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(doc_idx * max(nv, 1) + codes)
+        df_n = np.bincount(uniq % max(nv, 1), minlength=nv)
+        g = pa.table({"token": enc.dictionary,
+                      "df_n": pa.array(df_n[:nv], pa.int64())})
+        return g.append_column(
+            "n_docs", pa.array([len(batch)] + [0] * (g.num_rows - 1)
+                               if g.num_rows else [], pa.int64()))
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    parts = list(docs.map_batches(
+        df_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    empty = pa.schema([
+        ("doc_id", pa.int64()), ("token", pa.string()),
+        ("score", pa.float64()), ("rnk", pa.int64()),
+    ]).empty_table()
+    if not parts:
+        return empty
+    merged = pa.concat_tables(parts)
+    n_docs = int(pc.sum(merged.column("n_docs")).as_py() or 0)
+    if n_docs == 0:
+        return empty
+    dfa = merged.group_by("token").aggregate([("df_n", "sum")])
+    # broadcast the vocabulary SORTED: index_in positions then double as
+    # the alphabetical tie-break codes (token ASC), globally consistent
+    order = pc.sort_indices(dfa.column("token"))
+    vocab = dfa.column("token").take(order).combine_chunks()
+    df_arr = dfa.column("df_n_sum").take(order).to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    df_ref = ray.put((vocab, df_arr))
+
+    def topk_scores(batch: pa.Table) -> pa.Table:
+        vocab_a, df_v = ray.get(df_ref)
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(col, " ")
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(
+            np.arange(len(batch), dtype=np.int64),
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False))
+        # tf per (doc, token) via int composite keys over global vocab
+        # positions — no Python strings anywhere in the hot path (the
+        # string-group_by + to_pylist + dict-lookup version was ~10x)
+        nv = len(vocab_a)
+        tcode = pc.index_in(toks.values, value_set=vocab_a).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uk, c = np.unique(doc_idx * nv + tcode, return_counts=True)
+        d, tc = uk // nv, uk % nv
+        score = np.round(c * np.log(n_docs / df_v[tc]), 6)
+        order = np.lexsort((tc, -score, d))
+        sd = d[order]
+        new_grp = np.ones(len(sd), dtype=bool)
+        new_grp[1:] = sd[1:] != sd[:-1]
+        starts = np.maximum.accumulate(
+            np.where(new_grp, np.arange(len(sd)), 0))
+        rank = np.arange(len(sd)) - starts
+        keep = order[rank < k]
+        return pa.table({
+            "doc_id": pa.array(doc_ids[d[keep]], pa.int64()),
+            "token": vocab_a.take(pa.array(tc[keep])),
+            "score": pa.array(score[keep], pa.float64()),
+            "rnk": pa.array(rank[rank < k] + 1, pa.int64()),
+        })
+
+    out = list(docs.map_batches(
+        topk_scores, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables(out) if out else empty
+
+
+def emb_knn_join(sf_dir: str, k: int = 5, n_chunks: int | None = None):
+    """Exact k-NN SELF-join: for EVERY vector, its k nearest neighbors
+    by cosine (the retrieval-evaluation / hard-negative-mining
+    primitive — emb_similarity_topk generalized from one query to all
+    rows). Same replicated chunk-pair triangle layout as
+    ``emb_dedup_cosine``: B chunks, one cross-matmul per chunk-pair
+    group, but each group emits a PARTIAL top-k per vector instead of
+    threshold pairs, so shuffle volume drops from O(n^2) pair rows to
+    n x B x k partial rows. The final per-vector merge is
+    partition-grouped (hash of vec_id), so no stage ever holds more
+    than a partition of partials; the driver sees the n x k output
+    only.
+
+    Ranking is (ROUND(cos, 3) DESC, neighbor_id ASC) at BOTH the
+    partial and final stage — the partial ordering must equal the
+    final ordering or boundary ties could drop a would-be winner. The
+    SQL oracle casts embeddings to DOUBLE[] before
+    list_cosine_similarity: at 2500 output values, float32
+    accumulation error (~1e-6) flips 3rd-decimal roundings with
+    near-certainty, while float64-vs-float64 disagreement
+    probability is ~1e-13."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if n_chunks:
+        B = n_chunks
+    else:
+        # size chunks to ~1k vectors: the emb_dedup_cosine default
+        # (B ~ sqrt(2*cpus), i.e. n/8 per chunk) makes each group
+        # allocate O((n/B)^2) cos/key matrices — measured 235 s at 50k
+        # vectors from 36 concurrent ~1 GB-temporary groups thrashing
+        # memory vs ~10 s with ~1k-row chunks. Capped at 128: past
+        # that, B^2/2 group count + n*B replication rows dominate
+        # (exact all-pairs is O(n^2); cap the candidates, see bench).
+        # Row count from the Parquet footer — ds.count() would execute
+        # the whole read an extra time just to size B (VERDICT r3 #7).
+        n = _parquet_num_rows(sf_dir, "embeddings")
+        B = int(min(128, max(4, np.sqrt(2 * _cpus()), -(-n // 1000))))
+    P = _n_parts()
+
+    def _rank_topk(flat_cos, rows, cols, row_ids):
+        """top-k rows per `rows` group under (cos desc, col asc)."""
+        order = np.lexsort((cols, -flat_cos, rows))
+        rr = rows[order]
+        new_grp = np.ones(len(rr), dtype=bool)
+        new_grp[1:] = rr[1:] != rr[:-1]
+        starts = np.maximum.accumulate(
+            np.where(new_grp, np.arange(len(rr)), 0))
+        rank = np.arange(len(rr)) - starts
+        keep = order[rank < k]
+        return (row_ids[rows[keep]], cols[keep], flat_cos[keep],
+                rank[rank < k])
+
+    def _side_topk(cm, rid, cid):
+        """Per-ROW top-k of the cos matrix under (cos desc, col-id asc)
+        in O(na*nb) via argpartition on ONE composite int64 key
+        (1000*cos then -id; cos is already rounded to 3 so the int
+        encoding is lossless) — the flattened-lexsort formulation costs
+        O(na*nb*log) plus 3x the allocations and measured ~25x slower
+        at 6k x 6k chunk pairs. Ordering is identical, so partial
+        top-k selection stays consistent with the final merge."""
+        na, nb = cm.shape
+        key = (np.rint(cm * 1000.0).astype(np.int64) * (1 << 33)
+               - cid[None, :])
+        kk = min(k, nb)
+        if kk < nb:
+            part = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+        else:
+            part = np.broadcast_to(np.arange(nb), (na, nb)).copy()
+        pk = np.take_along_axis(key, part, axis=1)
+        order = np.argsort(-pk, axis=1, kind="stable")
+        sel = np.take_along_axis(part, order, axis=1)
+        cosv = np.take_along_axis(cm, sel, axis=1).ravel()
+        ok = cosv >= -1.5  # drop the -2.0 self sentinel
+        return (np.repeat(rid, kk)[ok], cid[sel.ravel()][ok], cosv[ok])
+
+    def pair_block(g: pa.Table) -> pa.Table:
+        pair_id = g.column("pair_id")[0].as_py()
+        c_a, c_b = pair_id // B, pair_id % B
+        chunk = g.column("chunk").to_numpy(zero_copy_only=False)
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(ids) and ids.max() >= (1 << 33):
+            # _side_topk packs (round3(cos) * 2^33 - neighbor_id) into
+            # one int64: an id >= 2^33 bleeds into the cos term and the
+            # partial ordering silently diverges from the final merge —
+            # fail loudly instead (ADVICE r3); widen the encoding if a
+            # corpus ever legitimately exceeds ~8.6e9 vec_ids
+            raise ValueError(
+                f"vec_id {int(ids.max())} >= 2^33 breaks the composite "
+                f"top-k ordering key")
+        m = D.normalize_rows(S.embedding_matrix(g))
+        a_mask = chunk == c_a
+        outs = []
+        if c_a == c_b:
+            ma, ia = m[a_mask], ids[a_mask]
+            cos = np.round(ma @ ma.T, 3)
+            np.fill_diagonal(cos, -2.0)  # finite self sentinel
+            sides = [(cos, ia, ia)]
+        else:
+            ma, ia = m[a_mask], ids[a_mask]
+            mb, ib = m[~a_mask], ids[~a_mask]
+            cos = np.round(ma @ mb.T, 3)
+            sides = [(cos, ia, ib), (np.ascontiguousarray(cos.T), ib, ia)]
+        for cm, rid, cid in sides:
+            if cm.size == 0:
+                continue
+            vid, nid, cc = _side_topk(cm, rid, cid)
+            outs.append(pa.table({
+                "vec_id": pa.array(vid, pa.int64()),
+                "neighbor_id": pa.array(nid, pa.int64()),
+                "cos": pa.array(cc, pa.float64()),
+            }))
+        if not outs:
+            return pa.schema([("vec_id", pa.int64()),
+                              ("neighbor_id", pa.int64()),
+                              ("cos", pa.float64())]).empty_table()
+        return pa.concat_tables(outs)
+
+    def final_part(g: pd.DataFrame) -> pd.DataFrame:
+        vid = g["vec_id"].to_numpy()
+        nid = g["neighbor_id"].to_numpy()
+        cc = g["cos"].to_numpy()
+        # group rows by vec_id via unique codes (code -> vec_id map)
+        uniq, vcode = np.unique(vid, return_inverse=True)
+        v, n, c, r = _rank_topk(cc, vcode, nid, uniq)
+        return pd.DataFrame({
+            "vec_id": v,
+            "neighbor_id": n,
+            "cos": c,
+            "rnk": (r + 1).astype(np.int64),
+        })
+
+    partials = (
+        ds.map_batches(_chunk_pair_replicate("vec_id", B),
+                       batch_format="pyarrow")
+        .groupby("pair_id")
+        .map_groups(pair_block, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column(
+                "part", pa.array(
+                    t.column("vec_id").to_numpy(zero_copy_only=False) % P)),
+            batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(final_part, batch_format="pandas")
+    )
+    out = list(partials.iter_batches(batch_format="pyarrow",
+                                     batch_size=None))
+    schema = pa.schema([
+        ("vec_id", pa.int64()), ("neighbor_id", pa.int64()),
+        ("cos", pa.float64()), ("rnk", pa.int64()),
+    ])
+    if not out:
+        return schema.empty_table()
+    return pa.concat_tables([b.select(schema.names).cast(schema)
+                             for b in out])
+
+
+def supplier_nation_revenue(sf_dir: str):
+    """Three-table star-schema aggregate (lineitem x supplier x nation
+    -> revenue per nation) in ONE fact-table scan: both dimension
+    tables are tiny (the classic star shape), so they are pre-joined
+    DRIVER-side into a single suppkey -> nation-name map and broadcast
+    once with ray.put; each lineitem block resolves the composed map
+    and emits a per-nation partial (count + discounted revenue), and
+    the driver merges |nations| rows. No shuffle at all — the 100-TB
+    shape for dimension-join aggregation (two chained Dataset.joins
+    would pay two all-to-all exchanges for the same answer)."""
+    supplier = pa.concat_tables(
+        _read(sf_dir, "supplier",
+              columns=["s_suppkey", "s_nationkey"]).iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    nation = pa.concat_tables(
+        _read(sf_dir, "nation",
+              columns=["n_nationkey", "n_name"]).iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    n_name = dict(zip(nation.column("n_nationkey").to_pylist(),
+                      nation.column("n_name").to_pylist()))
+    lookup = {
+        int(sk): n_name.get(int(nk), "")
+        for sk, nk in zip(supplier.column("s_suppkey").to_pylist(),
+                          supplier.column("s_nationkey").to_pylist())
+    }
+    lookup_ref = ray.put(lookup)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        keys = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        names = pa.array([lk.get(int(k), "") for k in keys],
+                         type=pa.string())
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        g = pa.table({
+            "n_name": names, "revenue": rev,
+        }).group_by("n_name").aggregate([("revenue", "sum"),
+                                         ("revenue", "count")])
+        return g.rename_columns(["n_name", "revenue", "n_items"])
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    parts = list(ds.map_batches(partial, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return pa.schema([("n_name", pa.string()),
+                          ("n_items", pa.int64()),
+                          ("revenue", pa.float64())]).empty_table()
+    g = pa.concat_tables(parts).group_by("n_name").aggregate(
+        [("revenue", "sum"), ("n_items", "sum")])
+    g = g.rename_columns(["n_name", "revenue", "n_items"])
+    return pa.table({
+        "n_name": g.column("n_name"),
+        "n_items": g.column("n_items").cast(pa.int64()),
+        "revenue": pc.round(g.column("revenue"), 2),
+    })
+
+
+def events_retention(sf_dir: str):
+    """Cohort retention matrix over the events stream: cohort = a
+    user's first active DAY; one output row per (cohort_day,
+    offset_days) with the number of cohort users active that day — the
+    standard DAU-retention triangle. Partition-grouped by user (every
+    user's history co-located), fully vectorized per partition: one
+    lexsort gives distinct (user, day) pairs AND each user's first day
+    by segment-first forward-fill; per-partition (cohort, offset)
+    partial counts add across partitions because users never span
+    partitions. Driver merges the tiny |days|^2/2-bounded matrix."""
+    P = _n_parts()
+
+    def retention_part(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        day = g["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        order = np.lexsort((day, u))
+        u, day = u[order], day[order]
+        new_pair = np.ones(len(u), dtype=bool)
+        new_pair[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1])
+        du, dday = u[new_pair], day[new_pair]
+        seg_first = np.ones(len(du), dtype=bool)
+        seg_first[1:] = du[1:] != du[:-1]
+        cohort = dday[np.maximum.accumulate(
+            np.where(seg_first, np.arange(len(du)), 0))]
+        out = pd.DataFrame({
+            "cohort_day_i": cohort,
+            "offset_days": dday - cohort,
+        })
+        return (out.groupby(["cohort_day_i", "offset_days"],
+                            as_index=False)
+                .size().rename(columns={"size": "n_users"}))
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    parts_ds = (
+        ds.map_batches(
+            lambda t: t.append_column(
+                "part", pa.array(
+                    t.column("user_id").to_numpy(zero_copy_only=False) % P)),
+            batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(retention_part, batch_format="pandas")
+    )
+    parts = list(parts_ds.iter_batches(batch_format="pyarrow",
+                                       batch_size=None))
+    schema = pa.schema([
+        ("cohort_day", pa.timestamp("us")), ("offset_days", pa.int64()),
+        ("n_users", pa.int64()),
+    ])
+    if not parts:
+        return schema.empty_table()
+    g = pa.concat_tables(parts).group_by(
+        ["cohort_day_i", "offset_days"]).aggregate([("n_users", "sum")])
+    cohort_us = g.column("cohort_day_i").to_numpy(
+        zero_copy_only=False).astype("datetime64[D]").astype(
+        "datetime64[us]")
+    return pa.table({
+        "cohort_day": pa.array(cohort_us, type=pa.timestamp("us")),
+        "offset_days": g.column("offset_days").cast(pa.int64()),
+        "n_users": g.column("n_users_sum").cast(pa.int64()),
+    })
+
+
+def part_brand_revenue(sf_dir: str):
+    """Fact x mid-size dimension (lineitem x part) via the native
+    hash-partitioned ``Dataset.join``, then brand rollup. At TPC-H
+    proportions ``part`` is ~1/30 of lineitem — too big to broadcast
+    comfortably at the 100-TB tier, so this is deliberately the
+    SHUFFLE-join primitive (contrast supplier_nation_revenue, where
+    both dims are tiny and a composed broadcast map wins). The
+    post-join aggregate is a block-local partial per brand, so only
+    |brands| rows per block follow the join."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    joined = li.join(part, join_type="inner",
+                     num_partitions=max(4, _cpus()),
+                     on=("l_partkey",), right_on=("p_partkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        g = pa.table({
+            "p_brand": t.column("p_brand"),
+            "sum_qty": t.column("l_quantity"),
+            "revenue": rev,
+        }).group_by("p_brand").aggregate(
+            [("sum_qty", "sum"), ("revenue", "sum"), ("revenue", "count")])
+        return g.rename_columns(["p_brand", "sum_qty", "revenue",
+                                 "n_items"])
+
+    parts = list(joined.map_batches(partial, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return pa.schema([("p_brand", pa.string()),
+                          ("n_items", pa.int64()),
+                          ("sum_qty", pa.float64()),
+                          ("revenue", pa.float64())]).empty_table()
+    g = pa.concat_tables(parts).group_by("p_brand").aggregate(
+        [("sum_qty", "sum"), ("revenue", "sum"), ("n_items", "sum")])
+    g = g.rename_columns(["p_brand", "sum_qty", "revenue", "n_items"])
+    return pa.table({
+        "p_brand": g.column("p_brand"),
+        "n_items": g.column("n_items").cast(pa.int64()),
+        "sum_qty": pc.round(g.column("sum_qty"), 2),
+        "revenue": pc.round(g.column("revenue"), 2),
+    })
+
+
+def region_revenue_by_year(sf_dir: str):
+    """Revenue per (region, order year): the shuffle join (orders x
+    customer, both fact-sized) CHAINED with the composed broadcast dim
+    map (nationkey -> region name through nation x region, both tiny) —
+    one exchange total for a four-table query. The dim composition
+    happens driver-side on 25+5 rows; the year is extracted
+    vectorized; per-block partials keep post-join traffic at
+    |regions x years| rows per block."""
+    nation = pa.concat_tables(
+        _read(sf_dir, "nation",
+              columns=["n_nationkey", "n_regionkey"]).iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    region = pa.concat_tables(
+        _read(sf_dir, "region",
+              columns=["r_regionkey", "r_name"]).iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    r_name = dict(zip(region.column("r_regionkey").to_pylist(),
+                      region.column("r_name").to_pylist()))
+    lookup = {
+        int(nk): r_name.get(int(rk), "")
+        for nk, rk in zip(nation.column("n_nationkey").to_pylist(),
+                          nation.column("n_regionkey").to_pylist())
+    }
+    lookup_ref = ray.put(lookup)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice", "o_orderdate"])
+    customer = _read(sf_dir, "customer",
+                     columns=["c_custkey", "c_nationkey"])
+    joined = orders.join(customer, join_type="inner",
+                         num_partitions=max(4, _cpus()),
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        names = pa.array([lk.get(int(k), "") for k in nk],
+                         type=pa.string())
+        year = pc.year(t.column("o_orderdate")).cast(pa.int64())
+        g = pa.table({
+            "r_name": names, "year": year,
+            "revenue": t.column("o_totalprice"),
+        }).group_by(["r_name", "year"]).aggregate(
+            [("revenue", "sum"), ("revenue", "count")])
+        return g.rename_columns(["r_name", "year", "revenue", "n_orders"])
+
+    parts = list(joined.map_batches(partial, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return pa.schema([("r_name", pa.string()), ("year", pa.int64()),
+                          ("n_orders", pa.int64()),
+                          ("revenue", pa.float64())]).empty_table()
+    g = pa.concat_tables(parts).group_by(["r_name", "year"]).aggregate(
+        [("revenue", "sum"), ("n_orders", "sum")])
+    g = g.rename_columns(["r_name", "year", "revenue", "n_orders"])
+    return pa.table({
+        "r_name": g.column("r_name"),
+        "year": g.column("year").cast(pa.int64()),
+        "n_orders": g.column("n_orders").cast(pa.int64()),
+        "revenue": pc.round(g.column("revenue"), 2),
+    })
+
+
+def _unigram_vocab_ref(docs):
+    """Pass 1 of the unigram-LM scorers (doc_unigram_logprob,
+    doc_ccnet_buckets): vocabulary-bounded driver merge of block token
+    histograms (Heaps' law contract — same as doc_tfidf), vocabulary
+    broadcast ONCE sorted with its count array so scoring passes work
+    entirely in index_in positions. Returns (object ref to
+    (sorted_vocab, counts_f64), total_tokens) or (None, 0) on empty."""
+    parts = list(docs.map_batches(
+        T.vocab_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return None, 0
+    agg = pa.concat_tables(parts).group_by("token").aggregate(
+        [("n", "sum")])
+    total = int(pc.sum(agg.column("n_sum")).as_py() or 0)
+    if total == 0:
+        return None, 0
+    order = pc.sort_indices(agg.column("token"))
+    vocab = agg.column("token").take(order).combine_chunks()
+    cnt_arr = agg.column("n_sum").take(order).to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    return ray.put((vocab, cnt_arr)), total
+
+
+def doc_unigram_logprob(sf_dir: str):
+    """Corpus-unigram-LM quality score per document: the mean negative
+    log-probability of the doc's tokens under the corpus unigram
+    distribution — the classic perplexity-proxy quality filter for
+    training-data curation (high value = rare/garbled text). Same
+    two-pass shape as ``doc_tfidf``: pass 1 reuses the vocab_partial
+    block histograms (vocabulary-bounded driver merge, Heaps' law
+    contract) and broadcasts the count map ONCE; pass 2 is
+    shuffle-free — per-doc token counts and the weighted mean are
+    block-local (docs never span blocks), with the per-doc sum done by
+    one bincount over per-unique-token terms, not a token loop."""
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    empty = pa.schema([
+        ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+        ("avg_neg_logprob", pa.float64()),
+    ]).empty_table()
+    cnt_ref, total = _unigram_vocab_ref(docs)
+    if cnt_ref is None:
+        return empty
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab_a, gc_arr = ray.get(cnt_ref)
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(col, " ")
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(
+            np.arange(len(batch), dtype=np.int64),
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False))
+        nv = len(vocab_a)
+        tcode = pc.index_in(toks.values, value_set=vocab_a).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uk, c = np.unique(doc_idx * nv + tcode, return_counts=True)
+        d, tc = uk // nv, uk % nv
+        neg_lp = -np.log(gc_arr[tc] / total)
+        n_tok = np.bincount(d, weights=c, minlength=len(batch))
+        lp_sum = np.bincount(d, weights=c * neg_lp, minlength=len(batch))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_tokens": pa.array(n_tok.astype(np.int64)),
+            "avg_neg_logprob": pa.array(
+                np.round(lp_sum / np.maximum(n_tok, 1), 6)),
+        })
+
+    out = list(docs.map_batches(score, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables(out) if out else empty
+
+
+def doc_bigram_logprob(sf_dir: str, k_big: int = 2000,
+                       backoff: float = 0.4):
+    """Bigram-LM quality score with unigram BACKOFF — the next-order
+    perplexity proxy after doc_unigram_logprob: each adjacent token
+    pair scores -ln(c12/c1) if the bigram is in the corpus TOP-K
+    bigram table, else -ln(backoff * c(w2)/total) (the Katz-style
+    escape). The bigram model is truncated to top-K BY CONSTRUCTION
+    because full bigram vocabularies run ~10x unigram (the
+    doc_vocab_bigrams driver-memory cliff): the top-K table comes from
+    that op's distributed hash exchange and is broadcast once, bounded
+    and corpus-independent, alongside the unigram vocab ref. Scoring
+    is one shuffle-free block-local pass (pairs never leave their
+    block; index_in + where, no token loop). Docs with < 2 tokens have
+    no bigrams and drop on both sides.
+
+    Complement of ``doc_perplexity_bigram``, which is the OTHER
+    standard smoothing family: add-one over a dense truncated-id
+    (V+1)^2 table (every transition gets mass from the prior). This op
+    keeps exact counts for the head (top-K bigram TABLE, raw tokens,
+    no id truncation) and handles the tail by Katz-style backoff to
+    the unigram model — the two disagree exactly where smoothing
+    choices matter."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    empty = pa.schema([
+        ("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+        ("avg_neg_logprob", pa.float64()),
+    ]).empty_table()
+    cnt_ref, total = _unigram_vocab_ref(docs)
+    if cnt_ref is None:
+        return empty
+    top = doc_vocab_bigrams(sf_dir, k=k_big)
+    bo = pc.sort_indices(top.column("bigram"))
+    big_ref = ray.put((
+        top.column("bigram").take(bo).combine_chunks(),
+        top.column("n").take(bo).to_numpy(
+            zero_copy_only=False).astype(np.float64),
+    ))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab_a, gc = ray.get(cnt_ref)
+        bgv, bgc = ray.get(big_ref)
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(col, " ")
+        n_tok = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        doc_of = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        mask = np.ones(len(flat), dtype=bool)
+        ends = np.cumsum(n_tok) - 1
+        mask[ends[n_tok > 0]] = False
+        left_pos = np.flatnonzero(mask)
+        if not len(left_pos):
+            return empty.schema.empty_table()
+        lefts = flat.take(pa.array(left_pos))
+        rights = flat.take(pa.array(left_pos + 1))
+        bg = pc.binary_join_element_wise(lefts, rights, " ")
+        c1 = gc[pc.index_in(lefts, value_set=vocab_a).to_numpy(
+            zero_copy_only=False).astype(np.int64)]
+        c2 = gc[pc.index_in(rights, value_set=vocab_a).to_numpy(
+            zero_copy_only=False).astype(np.int64)]
+        bix = pc.fill_null(pc.index_in(bg, value_set=bgv), -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        in_top = bix >= 0
+        lp = np.where(in_top,
+                      -np.log(bgc[np.maximum(bix, 0)] / c1),
+                      -np.log(backoff * c2 / total))
+        dpair = doc_of[left_pos]
+        n_pairs = np.maximum(n_tok - 1, 0)
+        lp_sum = np.bincount(dpair, weights=lp, minlength=len(n_tok))
+        keep = n_pairs > 0
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_bigrams": pa.array(n_pairs[keep]),
+            "avg_neg_logprob": pa.array(
+                np.round(lp_sum[keep] / n_pairs[keep], 6)),
+        })
+
+    out = list(docs.map_batches(score, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables(out) if out else empty
+
+
+_CCNET_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("score", pa.float64()),
+    ("ccnet_rank", pa.int64()), ("bucket", pa.int64()),
+])
+
+
+def _ccnet_sample(block: pa.Table, per_block: int) -> np.ndarray:
+    k = block.column("key").to_numpy(zero_copy_only=False)
+    if len(k) <= per_block:
+        return k.astype(np.int64)
+    idx = np.linspace(0, len(k) - 1, per_block).astype(np.int64)
+    return k[idx].astype(np.int64)
+
+
+def _ccnet_slice(block: pa.Table, splits: np.ndarray) -> list:
+    """Route one scored block into len(splits)+1 key RANGES
+    (searchsorted side='right': equal keys always land in one range,
+    so cross-range order == key order regardless of split quality).
+    16 bytes/row leave the scan."""
+    P = len(splits) + 1
+    ids = block.column("doc_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    keys = block.column("key").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    if not len(ids):
+        return [(ids, keys) for _ in range(P)]
+    part = np.searchsorted(splits, keys, side="right")
+    order = np.argsort(part, kind="stable")
+    ids, keys = ids[order], keys[order]
+    bounds = np.searchsorted(part[order], np.arange(P + 1))
+    return [(ids[s:e], keys[s:e]) for s, e in zip(bounds[:-1], bounds[1:])]
+
+
+def _ccnet_rank(base: int, n_total: int, *shards) -> pa.Table:
+    """One key range: local (key, doc_id) sort; global rank = prefix-sum
+    base + local rank; tertile bucket = 3*rank // n."""
+    ids = np.concatenate([s[0] for s in shards])
+    if not len(ids):
+        return _CCNET_SCHEMA.empty_table()
+    keys = np.concatenate([s[1] for s in shards])
+    order = np.lexsort((ids, keys))
+    rank = np.empty(len(ids), dtype=np.int64)
+    rank[order] = base + np.arange(len(ids), dtype=np.int64)
+    return pa.Table.from_arrays([
+        pa.array(ids), pa.array(np.round(keys / 1e6, 6)),
+        pa.array(rank), pa.array(3 * rank // n_total)],
+        schema=_CCNET_SCHEMA)
+
+
+def doc_ccnet_buckets(sf_dir: str, sample_per_block: int = 64):
+    """CCNet-style corpus bucketing (Wenzek et al. 2020): rank every
+    document by its unigram-LM quality score (doc_unigram_logprob's
+    mean -ln p) and split the corpus into equal-count head / middle /
+    tail tertiles — the standard quality-stratified pretraining layout
+    (head = most fluent). Output: (doc_id, score, ccnet_rank, bucket),
+    rank 0-based under (round6-int score key asc, doc_id asc),
+    bucket = 3*rank // n in {0, 1, 2}.
+
+    Engine shape — exact global RANK BY A DERIVED, NON-UNIFORM key
+    (doc_shuffle_order's md5 key was uniform, so equal-width ranges
+    balanced with no extra step; a score key is skewed, so this adds
+    the one missing piece):
+
+      pass 1  token-histogram partials -> vocabulary-bounded driver
+              merge, count map broadcast once (shared with
+              doc_unigram_logprob via _unigram_vocab_ref);
+      pass 2  block-local scoring emits (doc_id, int64 round6-score
+              key) — 16 bytes/row, text never leaves the scan;
+      splits  a bounded per-block key SAMPLE (sample_per_block rows)
+              picks P-1 range splits on the driver — sample quality
+              affects only balance, never correctness, because ranges
+              partition the key space and equal keys cannot straddle
+              a boundary (side='right' routing);
+      rank    P range tasks sort locally; prefix sum of range counts
+              (P ints) gives global ranks and tertile buckets.
+
+    The float score is gated through the round6-int composite key on
+    both sides (the doc_sample_weighted idiom: libm last-ulp noise
+    cannot flip an integer key off a measure-zero boundary). Exact SQL
+    mirror: ROW_NUMBER under the same CAST(ROUND(score,6)*1e6 AS
+    BIGINT), doc_id order."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cnt_ref, total = _unigram_vocab_ref(docs)
+    if cnt_ref is None:
+        return rd.from_arrow(_CCNET_SCHEMA.empty_table())
+
+    def score_keys(batch: pa.Table) -> pa.Table:
+        vocab_a, gc_arr = ray.get(cnt_ref)
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(col, " ")
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(
+            np.arange(len(batch), dtype=np.int64),
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False))
+        nv = len(vocab_a)
+        tcode = pc.index_in(toks.values, value_set=vocab_a).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uk, c = np.unique(doc_idx * nv + tcode, return_counts=True)
+        d, tc = uk // nv, uk % nv
+        neg_lp = -np.log(gc_arr[tc] / total)
+        n_tok = np.bincount(d, weights=c, minlength=len(batch))
+        lp_sum = np.bincount(d, weights=c * neg_lp, minlength=len(batch))
+        key = np.rint(
+            np.round(lp_sum / np.maximum(n_tok, 1), 6) * 1e6
+        ).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "key": pa.array(key),
+        })
+
+    scored = docs.map_batches(score_keys, batch_format="pyarrow")
+    refs = [block_ref for bundle in scored.iter_internal_ref_bundles()
+            for block_ref, _md in bundle.blocks if _md.num_rows]
+    if not refs:
+        return rd.from_arrow(_CCNET_SCHEMA.empty_table())
+    P = max(2, _n_parts())
+    sample_task = ray.remote(_ccnet_sample)
+    sample = np.sort(np.concatenate(ray.get(
+        [sample_task.remote(r, sample_per_block) for r in refs])))
+    splits = np.unique(
+        sample[(np.arange(1, P) * len(sample)) // P]) \
+        if len(sample) else np.array([], dtype=np.int64)
+    P_eff = len(splits) + 1
+    slice_task = ray.remote(_ccnet_slice)
+    sl = [slice_task.options(num_returns=P_eff).remote(r, splits)
+          for r in refs]
+    if P_eff == 1:
+        sl = [[s] for s in sl]
+    count_task = ray.remote(_shuf_count)
+    counts = ray.get([count_task.remote(*[s[p] for s in sl])
+                      for p in range(P_eff)])
+    n_total = int(sum(counts))
+    bases = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank_task = ray.remote(_ccnet_rank)
+    outs = [rank_task.remote(int(bases[p]), n_total, *[s[p] for s in sl])
+            for p in range(P_eff)]
+    return rd.from_arrow_refs(outs)
+
+
+__all__ = [
+    "doc_chunk",
+    "emb_triplet_mining",
+    "emb_label_centroids",
+    "events_props_extract",
+    "events_asof_join",
+    "events_window_join",
+    "events_hourly",
+    "events_daily_active",
+    "events_funnel",
+    "_BM25",
+    "_BM25_STAT",
+    "doc_bm25_topk",
+    "doc_tfidf",
+    "emb_knn_join",
+    "supplier_nation_revenue",
+    "events_retention",
+    "part_brand_revenue",
+    "region_revenue_by_year",
+    "_unigram_vocab_ref",
+    "doc_unigram_logprob",
+    "doc_bigram_logprob",
+    "_CCNET_SCHEMA",
+    "_ccnet_sample",
+    "_ccnet_slice",
+    "_ccnet_rank",
+    "doc_ccnet_buckets",
+]

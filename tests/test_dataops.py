@@ -2031,15 +2031,17 @@ def test_bw_task_cpus_scales(ray_session, monkeypatch):
     """The bandwidth cap must track per-node cpus (constant per-node
     concurrency), not encode the dev box: num_cpus doubles with node
     width, floors at 1 on small sessions, and the env override wins."""
-    from sbo_ray.pipelines import datapipe as DP
+    # patch the DEFINING module (dp_common), not the datapipe facade:
+    # _bw_task_cpus resolves _cpus in its own module's globals
+    from sbo_ray.pipelines import dp_common as DPC
 
     monkeypatch.delenv("SBO_BW_TASK_CPUS", raising=False)
     for cpus, target, want in [(32, 16, 2), (32, 8, 4), (64, 16, 4),
                                (128, 16, 8), (8, 16, 1), (4, 8, 1)]:
-        monkeypatch.setattr(DP, "_cpus", lambda c=cpus: c)
-        assert DP._bw_task_cpus(target) == want, (cpus, target)
+        monkeypatch.setattr(DPC, "_cpus", lambda c=cpus: c)
+        assert DPC._bw_task_cpus(target) == want, (cpus, target)
     monkeypatch.setenv("SBO_BW_TASK_CPUS", "7")
-    assert DP._bw_task_cpus(16) == 7
+    assert DPC._bw_task_cpus(16) == 7
 
 
 def test_ann_recall_brackets(ray_session):
