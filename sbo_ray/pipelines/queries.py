@@ -2674,6 +2674,162 @@ FROM s
 """
 
 
+def _pack_sep_chunk_sums(block: pa.Table) -> pa.Table:
+    """Bounded pass-1 partial for separator packing: every row occupies
+    n_tok + 1 stream positions (its tokens plus one EOS)."""
+    ck = block.column("chunk").to_numpy(zero_copy_only=False)
+    nt = pc.list_value_length(block.column("tokens")).to_numpy(
+        zero_copy_only=False).astype(np.int64) + 1
+    uk, inv = np.unique(ck, return_inverse=True)
+    sums = np.bincount(inv, weights=nt).astype(np.int64)
+    return pa.table({"chunk": pa.array(uk, pa.int64()),
+                     "tok_sum": pa.array(sums, pa.int64())})
+
+
+def _pack_sep_combine(base, seq_len: int, sep: int, *shards) -> pa.Table:
+    """One hash partition of the EOS-separated packing exchange: like
+    _pack_combine, but each doc's span is its tokens followed by ONE
+    ``sep`` token — the flat value array is re-laid with a vectorized
+    scatter (value at local position p of doc d moves to p + d; the
+    separator lands on each doc's last position), so zero-token docs
+    still occupy one stream position and every fragment checksum
+    includes the separators it covers."""
+    cids, cbases = base
+    tabs = [s for s in shards if s.num_rows]
+    if not tabs:
+        return _PACK_SCHEMA.empty_table()
+    g = pa.concat_tables(tabs).combine_chunks()
+    idx_np = g.column("idx").to_numpy(zero_copy_only=False)
+    o = np.argsort(idx_np, kind="stable")
+    g = g.take(pa.array(o))
+    ids = idx_np[o]
+    docids = g.column("doc_id")
+    if isinstance(docids, pa.ChunkedArray):
+        docids = docids.combine_chunks()
+    toks = g.column("tokens")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    toffs0 = toks.offsets.to_numpy().astype(np.int64)
+    start = int(toffs0[0])
+    vals0 = toks.values.slice(start, int(toffs0[-1]) - start).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    toffs_raw = toffs0 - start
+    nt0 = np.diff(toffs_raw)
+    n = len(ids)
+    # extended layout: doc d's values shift right by d, separator at
+    # each doc's new last position
+    toffs = np.empty(n + 1, dtype=np.int64)
+    toffs[0] = 0
+    np.cumsum(nt0 + 1, out=toffs[1:])
+    vals = np.empty(len(vals0) + n, dtype=np.int64)
+    if len(vals0):
+        doc_of_val = np.repeat(np.arange(n), nt0)
+        vals[np.arange(len(vals0)) + doc_of_val] = vals0
+    vals[toffs[1:] - 1] = sep
+    nt = nt0 + 1
+    ck = g.column("chunk").to_numpy(zero_copy_only=False)
+    csum = np.cumsum(nt) - nt
+    new = np.ones(n, dtype=bool)
+    new[1:] = ck[1:] != ck[:-1]
+    first = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+    off = csum - csum[first] + cbases[np.searchsorted(cids, ck)]
+    return _pack_fragments(docids, vals, toffs, off, seq_len)
+
+
+def q_log_pack_tokens_sep(sf_dir: str, seq_len: int = 512,
+                          chunk_docs: int = 4096, sep: int = 256):
+    """EOS-SEPARATED sequence packing — the standard LLM training
+    layout: each row's tokens are followed by one document-separator
+    token (``sep``, outside the byte alphabet) before the stream is cut
+    into fixed seq_len-token sequences, so a model can learn document
+    boundaries and attention masks can be rebuilt from the separators.
+    Zero-token rows still contribute their separator (a boundary
+    marker). Same engine shape as q_log_pack_tokens: one file-aligned
+    read, bounded (n_tok+1) chunk sums -> broadcast bases, ONE
+    ``_table_shard`` payload exchange, Dataset-of-blocks return. The
+    fragment checksums are exact integers including covered separators,
+    so the SQL gate (list_concat(tokens, [sep]) + the same window
+    cumsum) is hash-exact."""
+    import ray
+
+    from .datapipe import _n_parts, _table_shard
+
+    P = max(2, _n_parts())
+    empty = _PACK_SCHEMA.empty_table()
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        idx = _pack_idx(t.column("doc_id"))
+        return (t.select(["doc_id", "tokens"])
+                .append_column("idx", pa.array(idx, pa.int64()))
+                .append_column("chunk",
+                               pa.array(idx // chunk_docs, pa.int64())))
+
+    ds = (_read_tokens(sf_dir, ["doc_id", "tokens"])
+          .map_batches(add_keys, batch_format="pyarrow"))
+    refs = [r for b in ds.iter_internal_ref_bundles()
+            for r, md in b.blocks if md.num_rows]
+    if not refs:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    sums_task = ray.remote(_pack_sep_chunk_sums)
+    merged = pa.concat_tables(
+        ray.get([sums_task.remote(r) for r in refs])).group_by(
+        "chunk").aggregate([("tok_sum", "sum")])
+    order = pc.sort_indices(merged.column("chunk"))
+    chunk_ids = merged.column("chunk").take(order).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    sums = merged.column("tok_sum_sum").take(order).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    bases = np.cumsum(sums) - sums
+    base_ref = ray.put((chunk_ids, bases))
+
+    tshard = ray.remote(_table_shard)
+    slices = [tshard.options(num_returns=P).remote(r, P, "chunk")
+              for r in refs]
+    comb = ray.remote(_pack_sep_combine)
+    outs = [comb.remote(base_ref, seq_len, sep, *[s[p] for s in slices])
+            for p in range(P)]
+    import ray.data as rd
+
+    return rd.from_arrow_refs(outs)
+
+
+def sql_pack_tokens_sep(cache: str, seq_len: int = 512,
+                        sep: int = 256) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_concat(tokens, [{sep}]) AS toks,
+         CAST(n_tok + 1 AS BIGINT) AS n_tok,
+         CAST(right(doc_id, 12) AS BIGINT) AS idx
+  FROM read_parquet('{cache}/shard-*.parquet')
+), o AS (
+  SELECT doc_id, toks, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_offset
+  FROM t
+), f AS (
+  SELECT doc_id, toks, n_tok, tok_offset,
+         unnest(generate_series(tok_offset // {seq_len},
+                                (tok_offset + n_tok - 1) // {seq_len}))
+           AS seq_id
+  FROM o
+), s AS (
+  SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id, toks,
+         GREATEST(seq_id * {seq_len}, tok_offset) - tok_offset + 1 AS a,
+         LEAST((seq_id + 1) * {seq_len}, tok_offset + n_tok) - tok_offset AS b
+  FROM f
+)
+SELECT doc_id, seq_id,
+       CAST(b - a + 1 AS BIGINT) AS n_frag_tokens,
+       CAST(list_sum(list_slice(toks, a, b)) AS BIGINT) AS frag_sum,
+       CAST(toks[a] AS BIGINT) AS first_tok,
+       CAST(toks[b] AS BIGINT) AS last_tok
+FROM s
+"""
+
+
 def _pack_dedup_combine(base, seq_len: int, ndrop: int, *args) -> pa.Table:
     """One hash partition of the dedup-then-pack exchange: drop the
     partition's duplicate rows (sorted dropped-idx membership via
@@ -3063,6 +3219,7 @@ def log_queries() -> dict:
         "log_token_bigrams": q_log_token_bigrams,
         "log_seq_dedup": q_log_seq_dedup,
         "log_pack_tokens": q_log_pack_tokens,
+        "log_pack_tokens_sep": q_log_pack_tokens_sep,
         "log_pack_tokens_by_source": q_log_pack_tokens_by_source,
         "log_sessionize": q_log_sessionize,
         "log_source_ce": q_log_source_ce,
@@ -3118,6 +3275,7 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_token_bigrams": sql_token_bigrams(cache),
         "log_seq_dedup": sql_seq_dedup(cache),
         "log_pack_tokens": sql_pack_tokens(cache),
+        "log_pack_tokens_sep": sql_pack_tokens_sep(cache),
         "log_pack_tokens_by_source": sql_pack_tokens_by_source(cache),
         "log_sessionize": sql_log_sessionize(cache),
         "log_source_ce": sql_source_ce(cache),

@@ -185,6 +185,44 @@ def test_pack_tokens_empty(ray_session, tmp_path, monkeypatch):
                                   "frag_sum", "first_tok", "last_tok"]
 
 
+def test_pack_tokens_sep_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_pack_tokens_sep(SF).to_pandas())
+    want = _norm(_duck(Q.sql_pack_tokens_sep(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every sequence except the last is exactly full, and the stream
+    # grew by exactly one separator per input row vs the plain pack
+    per_seq = got.groupby("seq_id")["n_frag_tokens"].sum()
+    assert (per_seq.iloc[:-1] == 512).all()
+    plain = Q.q_log_pack_tokens(SF).to_pandas()
+    n_rows_in = len(set(got["doc_id"]))
+    assert got["n_frag_tokens"].sum() >= \
+        plain["n_frag_tokens"].sum() + n_rows_in - 1
+
+
+def test_pack_tokens_sep_edges(ray_session, pack_dir, monkeypatch):
+    """Separator packing at L=4, sep=99: zero-token doc 1 still emits
+    its boundary marker; fragments straddling a separator include it
+    in count/sum/last."""
+    _patch_paths(monkeypatch, pack_dir)
+    out = (Q.q_log_pack_tokens_sep("ignored", seq_len=4, sep=99)
+           .to_pandas().sort_values(["doc_id", "seq_id"])
+           .reset_index(drop=True))
+    rows = [tuple(r) for r in out.itertuples(index=False)]
+    assert rows == [
+        # doc 0: [1,2,3,SEP] fills seq 0 exactly
+        ("s1-000000000000", 0, 4, 1 + 2 + 3 + 99, 1, 99),
+        # doc 2: 9 tokens + SEP at offsets 5..14 -> seqs 1,2,3
+        ("s1-000000000002", 1, 3, 4 + 5 + 6, 4, 6),
+        ("s1-000000000002", 2, 4, 7 + 8 + 9 + 10, 7, 10),
+        ("s1-000000000002", 3, 3, 11 + 12 + 99, 11, 99),
+        # zero-token doc 1 emits ONLY its separator at offset 4
+        ("s2-000000000001", 1, 1, 99, 99, 99),
+        # doc 3: [13,14,15,16,SEP] at offsets 15..19 straddles seqs 3,4
+        ("s2-000000000003", 3, 1, 13, 13, 13),
+        ("s2-000000000003", 4, 4, 14 + 15 + 16 + 99, 14, 99),
+    ]
+
+
 def test_log_sessionize_vs_duckdb(ray_session, cache):
     got = _norm(Q.q_log_sessionize(SF).to_pandas())
     want = _norm(_duck(Q.sql_log_sessionize(cache)))
