@@ -702,6 +702,54 @@ WHERE l.pred_lang = 'en'
   AND l.n_stop_en * 10000 >= GREATEST(1, l.n_alpha) * 150
 """
 
+# Funnel mirror: the SQL_DOC_CURATION lang/ratio CTEs, counted per
+# cumulative stage; the dedup stage is COUNT(DISTINCT text) over
+# gate-passers (the engine counts distinct 63-bit md5 hashes — equal
+# short of an md5 collision, the same equivalence the pipeline gate
+# already rests on).
+SQL_DOC_CURATION_REPORT = f"""
+WITH c AS (
+  SELECT doc_id, text,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        x -> x IN ({_sql_list(LANG_STOPWORDS["de"])}))) AS c_de,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        x -> x IN ({_sql_list(LANG_STOPWORDS["en"])}))) AS c_en,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        x -> x IN ({_sql_list(LANG_STOPWORDS["es"])}))) AS c_es,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        x -> x IN ({_sql_list(LANG_STOPWORDS["fr"])}))) AS c_fr,
+    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+    len(regexp_extract_all(lower(text), '[a-z]+')) AS n_alpha
+  FROM documents
+), g AS (
+  SELECT doc_id, text, n_tokens,
+    CASE
+      WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+      WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+      WHEN c_es >= c_fr THEN 'es'
+      ELSE 'fr' END = 'en' AS ok_lang,
+    n_tokens BETWEEN 20 AND 1000 AS ok_tok,
+    CAST(c_en AS BIGINT) * 10000 >= GREATEST(1, n_alpha) * 150 AS ok_ratio
+  FROM c
+)
+SELECT '1_total' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM g
+UNION ALL
+SELECT '2_lang', CAST(SUM(CASE WHEN ok_lang THEN 1 ELSE 0 END) AS BIGINT)
+FROM g
+UNION ALL
+SELECT '3_token_range',
+       CAST(SUM(CASE WHEN ok_lang AND ok_tok THEN 1 ELSE 0 END) AS BIGINT)
+FROM g
+UNION ALL
+SELECT '4_stop_ratio',
+       CAST(SUM(CASE WHEN ok_lang AND ok_tok AND ok_ratio
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM g
+UNION ALL
+SELECT '5_dedup_kept', CAST(COUNT(DISTINCT text) AS BIGINT)
+FROM g WHERE ok_lang AND ok_tok AND ok_ratio
+"""
+
 SQL_EMB_DEDUP_COSINE = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) AS cos
@@ -2355,6 +2403,7 @@ def data_queries() -> dict:
         "doc_dedup_ngram": P.doc_dedup_ngram,
         "doc_dedup_containment": P.doc_dedup_containment,
         "doc_curation_pipeline": P.doc_curation_pipeline,
+        "doc_curation_report": P.doc_curation_report,
         "doc_dedup_clusters": P.doc_dedup_clusters,
         "doc_dedup_clusters_lp": P.doc_dedup_clusters_lp,
         "doc_dedup_near_keep": P.doc_dedup_near_keep,
@@ -2486,6 +2535,7 @@ def data_oracle_sql() -> dict:
         "doc_dedup_ngram": SQL_DOC_DEDUP_NGRAM,
         "doc_dedup_containment": SQL_DOC_DEDUP_CONTAINMENT,
         "doc_curation_pipeline": SQL_DOC_CURATION,
+        "doc_curation_report": SQL_DOC_CURATION_REPORT,
         "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
         "doc_dedup_clusters_lp": SQL_DOC_DEDUP_CLUSTERS,
         "doc_dedup_near_keep": SQL_DOC_DEDUP_NEAR_KEEP,

@@ -1213,7 +1213,89 @@ def doc_curation_pipeline(sf_dir: str, lang: str = "en",
         .groupby("part").map_groups(rep_pick)
 
 
+_CUR_REPORT = pa.schema([("stage", pa.string()), ("n_docs", pa.int64())])
+
+
+def _cur_report_block(t: pa.Table, P: int, lang: str, mn: int, mx: int,
+                      thr: int) -> list:
+    """One block of the curation funnel: four bounded stage counts plus
+    the gate-passing text hashes pre-sharded by hash % P
+    (``num_returns=P+1``). md5 runs only on gate-passers."""
+    stats = T.annotate_stats(t)
+    lang_ok = pc.equal(stats.column("pred_lang"), lang).to_numpy(
+        zero_copy_only=False)
+    n_tok = stats.column("n_tokens").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    alpha = np.maximum(stats.column("n_alpha_tokens").to_numpy(
+        zero_copy_only=False).astype(np.int64), 1)
+    stop = stats.column("n_stop_en").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    tok_ok = lang_ok & (n_tok >= mn) & (n_tok <= mx)
+    gate_ok = tok_ok & (stop * _CURATION_SCALE >= alpha * thr)
+    counts = np.array([t.num_rows, int(lang_ok.sum()),
+                       int(tok_ok.sum()), int(gate_ok.sum())], np.int64)
+    h = D.add_text_hash(t.filter(pa.array(gate_ok))).column(
+        "text_hash").to_numpy(zero_copy_only=False).astype(np.int64)
+    part = h % P
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(P + 1))
+    return [counts] + [h[order[s:e]]
+                       for s, e in zip(bounds[:-1], bounds[1:])]
+
+
+def _cur_report_uniq(*shards) -> int:
+    """Distinct gate-passing hashes within one hash partition."""
+    return int(len(np.unique(np.concatenate(shards)))) if shards else 0
+
+
+def doc_curation_report(sf_dir: str, lang: str = "en",
+                        min_tokens: int = 20, max_tokens: int = 1000,
+                        min_stop_ratio: float = 0.015):
+    """Funnel OBSERVABILITY for the curation flow — per-stage survivor
+    counts (the numbers an operator watches before trusting a 100-TB
+    curation run): total docs -> language gate -> token-count gate ->
+    stop-ratio gate -> post-dedup kept (distinct surviving texts, ==
+    doc_curation_pipeline's output row count by construction). Stages
+    apply CUMULATIVELY, matching the pipeline's single fused gate.
+
+    Engine shape: one raw-task pass per block emits 4 bounded ints +
+    gate-passing hashes pre-sharded by hash % P (``num_returns=P+1``,
+    the exchange-routed idiom); P combine tasks count distinct hashes
+    per partition (partitions are disjoint, so the counts just add);
+    the driver folds blocks x 4 ints + P ints — nothing corpus-sized.
+    SQL gate: the SQL_DOC_CURATION lang/ratio CTEs + COUNT(DISTINCT
+    text) over gate-passers."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    thr = int(round(min_stop_ratio * _CURATION_SCALE))
+    P = max(2, _n_parts())
+    refs = [r for b in ds.iter_internal_ref_bundles()
+            for r, md in b.blocks if md.num_rows]
+    stages = ["1_total", "2_lang", "3_token_range", "4_stop_ratio",
+              "5_dedup_kept"]
+    if not refs:
+        return pa.table({"stage": pa.array(stages),
+                         "n_docs": pa.array([0] * 5, pa.int64())},
+                        schema=_CUR_REPORT)
+    btask = ray.remote(_cur_report_block)
+    parts = [btask.options(num_returns=P + 1).remote(
+        r, P, lang, min_tokens, max_tokens, thr) for r in refs]
+    utask = ray.remote(_cur_report_uniq)
+    uniq = [utask.remote(*[p[1 + j] for p in parts]) for j in range(P)]
+    counts = np.sum(ray.get([p[0] for p in parts]), axis=0)
+    n_kept = int(sum(ray.get(uniq)))
+    return pa.table({
+        "stage": pa.array(stages),
+        "n_docs": pa.array([int(counts[0]), int(counts[1]),
+                            int(counts[2]), int(counts[3]), n_kept],
+                           pa.int64()),
+    }, schema=_CUR_REPORT)
+
+
 __all__ = [
+    "_CUR_REPORT",
+    "_cur_report_block",
+    "_cur_report_uniq",
+    "doc_curation_report",
     "doc_token_stats",
     "_ensure_jsonl_docs",
     "doc_token_stats_jsonl",

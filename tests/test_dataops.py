@@ -2027,6 +2027,43 @@ def test_ulaw_decode_known_vectors_and_container():
         decode_wav(bytes(bad))
 
 
+def test_curation_report_planted(ray_session, tmp_path):
+    """Pin the funnel semantics on a hand-built corpus: stages apply
+    cumulatively (counts monotonically non-increasing), each gate drops
+    exactly the planted offenders, and the dedup stage equals the
+    pipeline's kept-row count."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import (doc_curation_pipeline,
+                                            doc_curation_report)
+
+    good = ("the cat and the dog are in the house with a mouse and "
+            "they all see it of course over there")
+    texts = [
+        good,                                     # 0 passes
+        good,                                     # 1 dup of 0
+        "el perro y el gato en la casa con un " +
+        "raton y todos los vemos alli por supuesto",   # 2 fails lang
+        "the doc is tiny",                        # 3 en, fails token count
+        good + " extra words",                    # 4 passes (distinct)
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    rep = doc_curation_report(str(tmp_path)).to_pandas().set_index(
+        "stage")["n_docs"]
+    assert rep["1_total"] == 5
+    assert rep["2_lang"] == 4          # doc 2 out
+    assert rep["3_token_range"] == 3   # doc 3 out
+    assert rep["4_stop_ratio"] == 3    # planted docs all stopword-rich
+    assert rep["5_dedup_kept"] == 2    # dup 1 collapses into 0
+    assert (rep.values[:-1][1:] <= rep.values[:-1][:-1]).all()
+    pipe = doc_curation_pipeline(str(tmp_path)).to_pandas()
+    assert len(pipe) == rep["5_dedup_kept"]
+
+
 def test_bw_task_cpus_scales(ray_session, monkeypatch):
     """The bandwidth cap must track per-node cpus (constant per-node
     concurrency), not encode the dev box: num_cpus doubles with node
