@@ -1789,6 +1789,88 @@ FROM read_parquet('{cache}/shard-*.parquet') GROUP BY source
 """
 
 
+def q_log_seq_dedup_prefix(sf_dir: str, k: int = 32):
+    """PREFIX-keyed duplicate screen per source — sequences identical in
+    their first ``k`` tokens count as copies (the truncation-near-dup a
+    crawl produces when the same content is cut at different lengths;
+    exact dedup misses these, full near-dup is overkill for them).
+    Same engine shape as log_seq_dedup — block-local polynomial hash
+    (over the CLAMPED prefix slice of the flat value array), one
+    h % P exchange, bounded per-source fold — sequences never move."""
+    import ray
+
+    P = max(4, int(ray.cluster_resources().get("CPU", 4)))
+    part_schema = pa.schema([("source", pa.string()), ("h", pa.int64()),
+                             ("cnt", pa.int64()), ("part", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        vals, off = _token_lists(t.column("tokens"))
+        nt = np.diff(off)
+        # clamp every row to its first min(k, n) tokens: keep flat
+        # positions whose in-row index is < k, rebuild offsets
+        if len(vals):
+            in_row = (np.arange(len(vals), dtype=np.int64)
+                      - np.repeat(off[:-1], nt))
+            keep = in_row < k
+            pvals = vals[keep]
+        else:
+            pvals = vals
+        pnt = np.minimum(nt, k)
+        poff = np.empty(len(nt) + 1, dtype=np.int64)
+        poff[0] = 0
+        np.cumsum(pnt, out=poff[1:])
+        h = _seq_hash64(pvals, poff)
+        g = pa.table({
+            "source": t.column("source"),
+            "h": pa.array(h.view(np.int64)),
+        }).group_by(["source", "h"]).aggregate([([], "count_all")])
+        hh = g.column("h").to_numpy(zero_copy_only=False)
+        part = (hh.view(np.uint64) % np.uint64(P)).astype(np.int64)
+        return pa.table({"source": g.column("source"), "h": g.column("h"),
+                         "cnt": g.column("count_all").cast(pa.int64()),
+                         "part": pa.array(part)})
+
+    def fold_part(g: "pd.DataFrame"):
+        import pandas as pd
+
+        per_seq = (g.groupby(["source", "h"], sort=False)["cnt"].sum()
+                   .reset_index())
+        out = per_seq.groupby("source", sort=False).agg(
+            n_rows=("cnt", "sum"), n_uniq=("h", "size")).reset_index()
+        return pd.DataFrame({"source": out["source"],
+                             "n_rows": out["n_rows"].astype("int64"),
+                             "n_uniq": out["n_uniq"].astype("int64")})
+
+    parts = (_read_tokens(sf_dir, ["tokens", "source"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("part").map_groups(fold_part))
+    df = logpipe.to_pandas_with_schema(
+        parts, pa.schema([("source", pa.string()), ("n_rows", pa.int64()),
+                          ("n_uniq", pa.int64())]))
+    out = df.groupby("source", sort=True).agg(
+        n_rows=("n_rows", "sum"), n_uniq=("n_uniq", "sum")).reset_index()
+    return pa.table({
+        "source": pa.array(out["source"], type=pa.string()),
+        "n_rows": pa.array(out["n_rows"], type=pa.int64()),
+        "n_uniq_prefix": pa.array(out["n_uniq"], type=pa.int64()),
+        "n_dup_rows": pa.array(out["n_rows"] - out["n_uniq"],
+                               type=pa.int64()),
+    })
+
+
+def sql_seq_dedup_prefix(cache: str, k: int = 32) -> str:
+    return f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT list_slice(tokens, 1, {k})) AS BIGINT)
+         AS n_uniq_prefix,
+       CAST(COUNT(*) - COUNT(DISTINCT list_slice(tokens, 1, {k}))
+         AS BIGINT) AS n_dup_rows
+FROM read_parquet('{cache}/shard-*.parquet') GROUP BY source
+"""
+
+
 def q_log_token_entropy(sf_dir: str):
     """Per-source Shannon entropy of the token-id distribution — the
     token-stream twin of ``log_ip_entropy`` (low entropy = a source
@@ -3220,6 +3302,7 @@ def log_queries() -> dict:
         "log_seq_dedup": q_log_seq_dedup,
         "log_pack_tokens": q_log_pack_tokens,
         "log_pack_tokens_sep": q_log_pack_tokens_sep,
+        "log_seq_dedup_prefix": q_log_seq_dedup_prefix,
         "log_pack_tokens_by_source": q_log_pack_tokens_by_source,
         "log_sessionize": q_log_sessionize,
         "log_source_ce": q_log_source_ce,
@@ -3276,6 +3359,7 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_seq_dedup": sql_seq_dedup(cache),
         "log_pack_tokens": sql_pack_tokens(cache),
         "log_pack_tokens_sep": sql_pack_tokens_sep(cache),
+        "log_seq_dedup_prefix": sql_seq_dedup_prefix(cache),
         "log_pack_tokens_by_source": sql_pack_tokens_by_source(cache),
         "log_sessionize": sql_log_sessionize(cache),
         "log_source_ce": sql_source_ce(cache),

@@ -185,6 +185,44 @@ def test_pack_tokens_empty(ray_session, tmp_path, monkeypatch):
                                   "frag_sum", "first_tok", "last_tok"]
 
 
+def test_seq_dedup_prefix_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_seq_dedup_prefix(SF).to_pandas())
+    want = _norm(_duck(Q.sql_seq_dedup_prefix(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # prefix identity is coarser than full-sequence identity
+    full = Q.q_log_seq_dedup(SF).to_pandas().set_index("source")
+    pre = Q.q_log_seq_dedup_prefix(SF).to_pandas().set_index("source")
+    assert (pre["n_uniq_prefix"] <= full["n_uniq_seq"]).all()
+    assert (pre["n_dup_rows"] >= full["n_dup_rows"]).all()
+
+
+def test_seq_dedup_prefix_planted(ray_session, tmp_path, monkeypatch):
+    """k=3: rows sharing their first 3 tokens collapse regardless of
+    tail; shorter-than-k rows key on their whole (padded-by-length)
+    sequence — [1,2] and [1,2,9] must NOT collide."""
+    rows = [
+        ("s1-000000000000", [1, 2, 3, 4, 5], "s1"),
+        ("s1-000000000001", [1, 2, 3, 9, 9, 9], "s1"),  # same 3-prefix
+        ("s1-000000000002", [1, 2], "s1"),              # short
+        ("s1-000000000003", [1, 2, 9], "s1"),           # != [1,2]
+        ("s2-000000000004", [7, 7, 7], "s2"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r[1]) for r in rows], type=pa.int32()),
+        "source": pa.array([r[2] for r in rows], type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "shard-00000.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = (Q.q_log_seq_dedup_prefix("ignored", k=3).to_pandas()
+           .set_index("source"))
+    assert out.loc["s1", "n_rows"] == 4
+    assert out.loc["s1", "n_uniq_prefix"] == 3  # {123*, 12, 129}
+    assert out.loc["s1", "n_dup_rows"] == 1
+    assert out.loc["s2", "n_uniq_prefix"] == 1
+
+
 def test_pack_tokens_sep_vs_duckdb(ray_session, cache):
     got = _norm(Q.q_log_pack_tokens_sep(SF).to_pandas())
     want = _norm(_duck(Q.sql_pack_tokens_sep(cache)))
