@@ -50,7 +50,7 @@ _PRIORITY = [
     "events_quantiles_kll", "events_user_value_topk",
     # new this round (if any) slot here, ahead of the re-check rotation
     "emb_ann_recall", "doc_dedup_bloom", "log_pack_tokens_sep",
-    "doc_curation_report", "log_seq_dedup_prefix",
+    "doc_curation_report", "log_seq_dedup_prefix", "events_anomaly_mad",
     # previously green; rotate the oldest rows back under the cap
     "log_token_histogram", "log_token_bigrams", "log_seq_dedup",
     "log_pack_tokens", "doc_dsir_weights", "events_attribution",

@@ -2380,6 +2380,28 @@ SELECT date_trunc('day', ts) AS day,
 FROM events GROUP BY 1 ORDER BY 1
 """
 
+# MAD anomaly mirror: integer daily counts -> medians are exact binary
+# fractions (.5 grain, MAD .25), so the > threshold*MAD gate compares
+# identical f64 values on both sides (no rounding boundary; ROUND-6 is
+# a no-op on the emitted med/mad).
+SQL_EVENTS_ANOMALY_MAD = """
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, MEDIAN(n_events) AS med FROM d GROUP BY 1
+), v AS (
+  SELECT d.event_type, MEDIAN(ABS(d.n_events - m.med)) AS mad
+  FROM d JOIN m USING (event_type) GROUP BY 1
+)
+SELECT d.event_type, d.day, d.n_events,
+       CAST(m.med AS DOUBLE) AS med, CAST(v.mad AS DOUBLE) AS mad,
+       CAST(CASE WHEN ABS(d.n_events - m.med) > 3.0 * v.mad
+            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM d JOIN m USING (event_type) JOIN v USING (event_type)
+"""
+
 SQL_EVENTS_HOURLY = """
 SELECT event_type, date_trunc('hour', ts) AS hour,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -2511,6 +2533,7 @@ def data_queries() -> dict:
         "orders_by_month": P.orders_by_month,
         "events_hourly": P.events_hourly,
         "events_daily_active": P.events_daily_active,
+        "events_anomaly_mad": P.events_anomaly_mad,
         "events_sessionize": P.events_sessionize,
         "events_sessionize_salted": P.events_sessionize_salted,
     }
@@ -2637,6 +2660,7 @@ def data_oracle_sql() -> dict:
         "orders_by_month": SQL_ORDERS_BY_MONTH,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_daily_active": SQL_EVENTS_DAILY_ACTIVE,
+        "events_anomaly_mad": SQL_EVENTS_ANOMALY_MAD,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_sessionize_salted": SQL_EVENTS_SESSIONIZE,
     }

@@ -452,6 +452,67 @@ def events_daily_active(sf_dir: str):
     })
 
 
+_ANOM_MAD = pa.schema([
+    ("event_type", pa.string()), ("day", pa.timestamp("us")),
+    ("n_events", pa.int64()), ("med", pa.float64()),
+    ("mad", pa.float64()), ("is_anomaly", pa.int64()),
+])
+
+
+def events_anomaly_mad(sf_dir: str, threshold: float = 3.0):
+    """Per-type daily-volume ANOMALY screen via median absolute
+    deviation — the robust outlier detector an ops pipeline runs over
+    event telemetry (MAD ignores the outliers it is hunting, unlike a
+    z-score whose mean/stddev they contaminate). A day is anomalous
+    for a type when |count - median| > threshold * MAD of that type's
+    daily counts.
+
+    Engine shape: per-block (type, day) count partials — bounded
+    cardinality (enum types x the fixed time span), the A1 idiom — fold
+    on the driver; medians are numpy over the tiny folded table. The
+    gate stays EXACT across engine and SQL: daily counts are integers,
+    medians of integers are binary fractions (.5 grain; MAD .25), so
+    both sides compare identical f64 values — no rounding boundary."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column("ts"), unit="day")
+        g = pa.table({
+            "event_type": t.column("event_type"), "day": day,
+        }).group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "day", "n"])
+
+    parts = [b for b in ds.map_batches(
+        partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None) if b.num_rows]
+    if not parts:
+        return _ANOM_MAD.empty_table()
+    g = pa.concat_tables(parts).group_by(
+        ["event_type", "day"]).aggregate([("n", "sum")])
+    df = g.to_pandas().rename(columns={"n_sum": "n"}).sort_values(
+        ["event_type", "day"]).reset_index(drop=True)
+    ets, days, ns, meds, mads, flags = [], [], [], [], [], []
+    for et, sub in df.groupby("event_type", sort=True):
+        c = sub["n"].to_numpy(np.float64)
+        med = float(np.median(c))
+        mad = float(np.median(np.abs(c - med)))
+        fl = (np.abs(c - med) > threshold * mad).astype(np.int64)
+        ets.extend([et] * len(sub))
+        days.extend(sub["day"].tolist())
+        ns.extend(sub["n"].astype("int64").tolist())
+        meds.extend([med] * len(sub))
+        mads.extend([mad] * len(sub))
+        flags.extend(fl.tolist())
+    return pa.table({
+        "event_type": pa.array(ets, pa.string()),
+        "day": pa.array(days, pa.timestamp("us")),
+        "n_events": pa.array(ns, pa.int64()),
+        "med": pa.array(meds, pa.float64()),
+        "mad": pa.array(mads, pa.float64()),
+        "is_anomaly": pa.array(flags, pa.int64()),
+    }, schema=_ANOM_MAD)
+
+
 def events_funnel(sf_dir: str,
                   stages: tuple = ("view", "click", "purchase")):
     """Ordered funnel attainment per user: the first ``stages[0]`` event,
@@ -1447,6 +1508,8 @@ def doc_ccnet_buckets(sf_dir: str, sample_per_block: int = 64):
 
 
 __all__ = [
+    "_ANOM_MAD",
+    "events_anomaly_mad",
     "doc_chunk",
     "emb_triplet_mining",
     "emb_label_centroids",

@@ -2027,6 +2027,50 @@ def test_ulaw_decode_known_vectors_and_container():
         decode_wav(bytes(bad))
 
 
+def test_events_anomaly_mad_planted(ray_session, tmp_path):
+    """Pin the MAD screen: a constant-volume type never flags (MAD 0,
+    deviation 0), a single spiked day flags (deviation > 3*0), and a
+    mildly varying type stays under the 3*MAD fence."""
+    import pyarrow.parquet as pq
+
+    from sbo_ray.pipelines.datapipe import events_anomaly_mad
+
+    rows = []
+    eid = 0
+
+    def day_events(et, day, n):
+        nonlocal eid
+        for i in range(n):
+            rows.append((eid, f"2024-03-{day:02d} 10:{i % 60:02d}:00",
+                         100 + i, et, 1.0, "{}"))
+            eid += 1
+
+    for d in range(1, 6):
+        day_events("steady", d, 4)
+    for d, n in zip(range(1, 6), [4, 4, 40, 4, 4]):   # spike on day 3
+        day_events("spiky", d, n)
+    for d, n in zip(range(1, 6), [3, 4, 5, 4, 3]):    # mild variation
+        day_events("wobbly", d, n)
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([pd.Timestamp(r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = events_anomaly_mad(str(tmp_path)).to_pandas()
+    st = out[out.event_type == "steady"]
+    assert (st["is_anomaly"] == 0).all() and (st["mad"] == 0).all()
+    sp = out[out.event_type == "spiky"].sort_values("day")
+    assert sp["is_anomaly"].tolist() == [0, 0, 1, 0, 0]
+    wb = out[out.event_type == "wobbly"]
+    assert (wb["is_anomaly"] == 0).all()
+    assert wb["med"].iloc[0] == 4.0 and wb["mad"].iloc[0] == 1.0
+
+
 def test_curation_report_planted(ray_session, tmp_path):
     """Pin the funnel semantics on a hand-built corpus: stages apply
     cumulatively (counts monotonically non-increasing), each gate drops
