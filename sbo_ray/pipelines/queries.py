@@ -1860,6 +1860,141 @@ def q_log_seq_dedup_prefix(sf_dir: str, k: int = 32):
     })
 
 
+def q_log_source_drift(sf_dir: str):
+    """Per-source token-distribution DRIFT between the early and late
+    half of the stream — the data-shift monitor a training pipeline
+    runs before mixing a new crawl snapshot (a source whose token
+    distribution moved is re-weighted or quarantined). "Early" is
+    idx <= (min+max)/2 of the source's ingestion-index RANGE (the synth
+    is chronological per source, so the range midpoint is the time
+    midpoint; bounded pass-1 partials, no order statistic needed).
+
+    Drift ships as the EXACT INTEGER numerator of total variation
+    distance: tvd_num = sum_t |c_early[t]*n_late - c_late[t]*n_early|,
+    with TVD = tvd_num / (2*n_early*n_late) — quotients of arbitrary
+    denominators sit on rounding boundaries (the doc_quality_linear
+    rule), integers gate exactly. int64 holds c*n up to n ~ 3e9 tokens
+    per source; beyond that, compute per-shard drift or normalize
+    first.
+
+    Engine shape: pass 1 folds |sources| (min,max) idx partials; pass 2
+    folds |sources| x 2 x 256 bincount partials (byte vocab). Nothing
+    unbounded leaves the workers."""
+    p1 = pa.schema([("source", pa.string()), ("mn", pa.int64()),
+                    ("mx", pa.int64())])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return p1.empty_table()
+        idx = _pack_idx(t.column("doc_id"))
+        g = pa.table({"source": t.column("source"),
+                      "idx": pa.array(idx, pa.int64())}).group_by(
+            "source").aggregate([("idx", "min"), ("idx", "max")])
+        return g.rename_columns(["source", "mn", "mx"])
+
+    parts = [b for b in _read_tokens(sf_dir, ["doc_id", "source"])
+             .map_batches(minmax, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)
+             if b.num_rows]
+    OUT = pa.schema([("source", pa.string()),
+                     ("n_early_tokens", pa.int64()),
+                     ("n_late_tokens", pa.int64()),
+                     ("tvd_num", pa.int64())])
+    if not parts:
+        return OUT.empty_table()
+    mm = pa.concat_tables(parts).group_by("source").aggregate(
+        [("mn", "min"), ("mx", "max")])
+    srcs_sorted = np.sort(np.asarray(mm.column("source").to_pylist()))
+    mid_of = {}
+    for s, mn, mx in zip(mm.column("source").to_pylist(),
+                         mm.column("mn_min").to_pylist(),
+                         mm.column("mx_max").to_pylist()):
+        mid_of[s] = (mn + mx) // 2
+    import ray
+
+    mid_ref = ray.put(mid_of)
+    p2 = pa.schema([("source", pa.string()), ("early", pa.int64()),
+                    ("token", pa.int64()), ("cnt", pa.int64())])
+
+    def counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return p2.empty_table()
+        mids = ray.get(mid_ref)
+        idx = _pack_idx(t.column("doc_id"))
+        src = np.asarray(t.column("source").to_pylist())
+        mid = np.asarray([mids[s] for s in src], np.int64)
+        early = (idx <= mid).astype(np.int64)
+        vals, off = _token_lists(t.column("tokens"))
+        nt = np.diff(off)
+        # composite key: (source_idx, early, token) -> one bincount
+        su = np.searchsorted(srcs_sorted, src)
+        key_row = su * 2 + early
+        key = (np.repeat(key_row, nt) * 256
+               + vals.astype(np.int64))
+        bc = np.bincount(key, minlength=len(srcs_sorted) * 2 * 256)
+        nz = np.flatnonzero(bc)
+        return pa.table({
+            "source": pa.array(srcs_sorted[nz // 512]),
+            "early": pa.array((nz // 256) % 2, pa.int64()),
+            "token": pa.array(nz % 256, pa.int64()),
+            "cnt": pa.array(bc[nz], pa.int64()),
+        }, schema=p2)
+
+    cparts = [b for b in _read_tokens(sf_dir,
+                                      ["doc_id", "tokens", "source"])
+              .map_batches(counts, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=None)
+              if b.num_rows]
+    if not cparts:
+        return OUT.empty_table()
+    g = pa.concat_tables(cparts).group_by(
+        ["source", "early", "token"]).aggregate([("cnt", "sum")])
+    df = g.to_pandas().rename(columns={"cnt_sum": "cnt"})
+    rows = []
+    for s, sub in df.groupby("source", sort=True):
+        c = np.zeros((2, 256), np.int64)
+        c[sub["early"].to_numpy(), sub["token"].to_numpy()] = \
+            sub["cnt"].to_numpy()
+        n_late, n_early = int(c[0].sum()), int(c[1].sum())
+        tvd = int(np.abs(c[1] * n_late - c[0] * n_early).sum())
+        rows.append((s, n_early, n_late, tvd))
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "n_early_tokens": pa.array([r[1] for r in rows], pa.int64()),
+        "n_late_tokens": pa.array([r[2] for r in rows], pa.int64()),
+        "tvd_num": pa.array([r[3] for r in rows], pa.int64()),
+    }, schema=OUT)
+
+
+def sql_source_drift(cache: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT source, CAST(right(doc_id, 12) AS BIGINT) AS idx, tokens
+  FROM read_parquet('{cache}/shard-*.parquet')
+), mm AS (
+  SELECT source, (MIN(idx) + MAX(idx)) // 2 AS mid FROM t GROUP BY source
+), u AS (
+  SELECT t.source, CAST(t.idx <= mm.mid AS BIGINT) AS early,
+         CAST(unnest(t.tokens) AS BIGINT) AS tok
+  FROM t JOIN mm USING (source)
+), c AS (
+  SELECT source, tok,
+         SUM(CASE WHEN early = 1 THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN early = 0 THEN 1 ELSE 0 END) AS c2
+  FROM u GROUP BY source, tok
+), n AS (
+  SELECT source, CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c2) AS BIGINT) AS n2
+  FROM c GROUP BY source
+)
+SELECT c.source,
+       CAST(MAX(n.n1) AS BIGINT) AS n_early_tokens,
+       CAST(MAX(n.n2) AS BIGINT) AS n_late_tokens,
+       CAST(SUM(ABS(c.c1 * n.n2 - c.c2 * n.n1)) AS BIGINT) AS tvd_num
+FROM c JOIN n USING (source) GROUP BY c.source
+"""
+
+
 def sql_seq_dedup_prefix(cache: str, k: int = 32) -> str:
     return f"""
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -3303,6 +3438,7 @@ def log_queries() -> dict:
         "log_pack_tokens": q_log_pack_tokens,
         "log_pack_tokens_sep": q_log_pack_tokens_sep,
         "log_seq_dedup_prefix": q_log_seq_dedup_prefix,
+        "log_source_drift": q_log_source_drift,
         "log_pack_tokens_by_source": q_log_pack_tokens_by_source,
         "log_sessionize": q_log_sessionize,
         "log_source_ce": q_log_source_ce,
@@ -3360,6 +3496,7 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_pack_tokens": sql_pack_tokens(cache),
         "log_pack_tokens_sep": sql_pack_tokens_sep(cache),
         "log_seq_dedup_prefix": sql_seq_dedup_prefix(cache),
+        "log_source_drift": sql_source_drift(cache),
         "log_pack_tokens_by_source": sql_pack_tokens_by_source(cache),
         "log_sessionize": sql_log_sessionize(cache),
         "log_source_ce": sql_source_ce(cache),

@@ -223,6 +223,45 @@ def test_seq_dedup_prefix_planted(ray_session, tmp_path, monkeypatch):
     assert out.loc["s2", "n_uniq_prefix"] == 1
 
 
+def test_source_drift_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_source_drift(SF).to_pandas())
+    want = _norm(_duck(Q.sql_source_drift(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # TVD numerator is bounded by 2*n1*n2 (TVD <= 1)
+    s = Q.q_log_source_drift(SF).to_pandas()
+    assert (s["tvd_num"] <=
+            2 * s["n_early_tokens"] * s["n_late_tokens"]).all()
+
+
+def test_source_drift_planted(ray_session, tmp_path, monkeypatch):
+    """Identical halves -> zero drift; disjoint token alphabets ->
+    maximal drift (tvd_num == 2*n1*n2, i.e. TVD 1)."""
+    rows = [
+        # s1: same distribution early (idx 0,1) and late (idx 8,9)
+        ("s1-000000000000", [1, 2], "s1"),
+        ("s1-000000000001", [3], "s1"),
+        ("s1-000000000008", [1, 2], "s1"),
+        ("s1-000000000009", [3], "s1"),
+        # s2: early all 5s, late all 7s
+        ("s2-000000000000", [5, 5], "s2"),
+        ("s2-000000000009", [7, 7, 7], "s2"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r[1]) for r in rows], type=pa.int32()),
+        "source": pa.array([r[2] for r in rows], type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "shard-00000.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = Q.q_log_source_drift("ignored").to_pandas().set_index("source")
+    assert out.loc["s1", "tvd_num"] == 0
+    assert out.loc["s1", "n_early_tokens"] == 3
+    assert out.loc["s2", "tvd_num"] == 2 * 2 * 3
+    assert out.loc["s2", "n_early_tokens"] == 2
+    assert out.loc["s2", "n_late_tokens"] == 3
+
+
 def test_pack_tokens_sep_vs_duckdb(ray_session, cache):
     got = _norm(Q.q_log_pack_tokens_sep(SF).to_pandas())
     want = _norm(_duck(Q.sql_pack_tokens_sep(cache)))
