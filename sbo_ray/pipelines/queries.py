@@ -2530,6 +2530,389 @@ FROM t GROUP BY t.source
 """
 
 
+# MinHash permutations for the sequence-level LSH screen: fixed
+# splitmix64-derived literals (seed 0x5B0D15EA5E) inlined IDENTICALLY
+# in engine and SQL so both sides share even the measure-zero bucket
+# collisions (the SQL_DOC_DEDUP_BLOOM idiom). `a` odd and < 2^63 keeps
+# the HUGEINT product key*a under 2^126; multiplication is a bijection
+# mod 2^64, so MIN over mixed values is a true random-permutation
+# minhash over the shingle set.
+_MH_PERMS = [
+    (6698740489981662329, 3961510563213103532),
+    (9122142385165379629, 15575342289356118037),
+    (4981005850455499555, 2032176840757408894),
+    (8044840983104390915, 13583538345556976089),
+    (7003095758439198859, 14421731125339708525),
+    (3006245995960931799, 16635559838824503520),
+    (5831616574936867065, 10851766758036684565),
+    (6838381415049370237, 13593236666999549439),
+]
+# band-bucket composite constants (odd, < 2^63: see the >>1 note below)
+_MH_C1 = 360839617768999383
+_MH_C2 = 6902168378812320377
+
+_MH_OUT = pa.schema([("source", pa.string()), ("n_rows", pa.int64()),
+                     ("n_sig", pa.int64()), ("n_flagged", pa.int64())])
+
+
+def q_log_seq_dedup_minhash(sf_dir: str, n: int = 8, mod: int = 8):
+    """MinHash-LSH NEAR-duplicate screen over token sequences — the
+    probabilistic sibling of log_token_ngram_dedup (which flags on ONE
+    shared window, catching any overlap): here a sequence is flagged
+    only when a whole LSH band collides, i.e. estimated shingle-Jaccard
+    is high (4 bands x 2 rows -> ~50% threshold), the Broder-style
+    near-dup filter a crawl-curation pipeline runs between exact dedup
+    and O(n^2) verification.
+
+    Shingles are the mod-sampled 8-token windows (byte codec: the
+    window packs exactly into 64 bits, and `key % mod` for mod | 256
+    depends only on the first token, so sampling decides BEFORE
+    packing). Minhash = min over sampled shingles of (key*a + b) mod
+    2^64 per fixed permutation; bands pair consecutive mins; the band
+    bucket is a shared-literal composite mod 2^64, so the SQL mirror
+    reproduces the ENGINE's buckets bit-for-bit (including its
+    vanishing collision probability) — the gate is exact, not
+    approximate.
+
+    Engine shape: the log_token_ngram_dedup three-wave raw-task
+    exchange, with per-row signatures instead of per-window keys —
+    (bucket, doc) pairs route by bucket hash, flagged ids re-route by
+    doc hash, bounded per-source partials fold on the driver. Payload
+    tokens never move; the exchange carries 4 x 16 bytes per row."""
+    import ray
+
+    from .datapipe import _bw_task_cpus, _lp_split, _n_parts
+
+    P = max(2, _n_parts())
+    nbands = len(_MH_PERMS) // 2
+
+    def window_partial(t: pa.Table) -> list:
+        idx = _pack_idx(t.column("doc_id"))
+        vals, off = _token_lists(t.column("tokens"))
+        sig = np.zeros(t.num_rows, dtype=bool)
+        bks = np.zeros(0, np.int64)
+        bds = np.zeros(0, np.int64)
+        m = len(vals) - n + 1
+        if m > 0:
+            sel = np.flatnonzero(vals[:m] % mod == 0)
+            r0 = np.searchsorted(off, sel, side="right") - 1
+            r1 = np.searchsorted(off, sel + n - 1, side="right") - 1
+            same = r0 == r1
+            sel, r0 = sel[same], r0[same]
+            if len(sel):
+                k = np.zeros(len(sel), np.uint64)
+                for j in range(n):
+                    k += vals[sel + j].astype(np.uint64) << np.uint64(8 * j)
+                # sel ascending => r0 non-decreasing: contiguous segments
+                seg_starts = np.r_[0, np.flatnonzero(np.diff(r0)) + 1]
+                seg_rows = r0[seg_starts]
+                sig[seg_rows] = True
+                mins = np.empty((len(_MH_PERMS), len(seg_starts)), np.uint64)
+                for j, (a, b) in enumerate(_MH_PERMS):
+                    mixed = k * np.uint64(a) + np.uint64(b)
+                    mins[j] = np.minimum.reduceat(mixed, seg_starts)
+                bands = []
+                for band in range(nbands):
+                    # >>1 before the composite so the SQL twin's
+                    # HUGEINT products stay under 2^126 (the bloom
+                    # th >> 1 trick); uint64 wraparound == mod 2^64
+                    b0 = mins[2 * band] >> np.uint64(1)
+                    b1 = mins[2 * band + 1] >> np.uint64(1)
+                    bk = (b0 * np.uint64(_MH_C1) + b1 * np.uint64(_MH_C2)
+                          + np.uint64(band + 1))
+                    bands.append(bk.view(np.int64))
+                bks = np.concatenate(bands)
+                bds = np.tile(idx[seg_rows], nbands)
+                o = np.lexsort((bds, bks))
+                bks, bds = bks[o], bds[o]
+                first = np.ones(len(bks), dtype=bool)
+                first[1:] = (bks[1:] != bks[:-1]) | (bds[1:] != bds[:-1])
+                bks, bds = bks[first], bds[first]
+        dtab = pa.table({"idx": pa.array(idx, pa.int64()),
+                         "source": t.column("source"),
+                         "sig": pa.array(sig)})
+        dparts = [dtab.take(pa.array(ix)) for ix in _ngram_doc_slots(idx, P)]
+        shards = _lp_split(bks, P, bks, bds)
+        return [(s[0], s[1]) for s in shards] + dparts
+
+    def flag_part(*shards) -> list:
+        ks = np.concatenate([s[0] for s in shards])
+        if not len(ks):
+            return [np.zeros(0, np.int64)] * P
+        ds_ = np.concatenate([s[1] for s in shards])
+        o = np.lexsort((ds_, ks))
+        ks, ds_ = ks[o], ds_[o]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = (ks[1:] != ks[:-1]) | (ds_[1:] != ds_[:-1])
+        ks, ds_ = ks[first], ds_[first]
+        newk = np.ones(len(ks), dtype=bool)
+        newk[1:] = ks[1:] != ks[:-1]
+        kid = np.cumsum(newk) - 1
+        ndoc = np.bincount(kid)
+        flagged = np.unique(ds_[ndoc[kid] >= 2])
+        return [s[0] for s in _lp_split(flagged, P, flagged)]
+
+    def count_part(nb: int, *args) -> pa.Table:
+        flagged = np.unique(np.concatenate(args[:nb])) \
+            if nb else np.zeros(0, np.int64)
+        tabs = [t for t in args[nb:] if t.num_rows]
+        if not tabs:
+            return _MH_OUT.empty_table()
+        t = pa.concat_tables(tabs)
+        di = t.column("idx").to_numpy(zero_copy_only=False)
+        if len(flagged):
+            pos = np.searchsorted(flagged, di)
+            fl = (pos < len(flagged)) & \
+                (flagged[np.minimum(pos, len(flagged) - 1)] == di)
+        else:
+            fl = np.zeros(len(di), dtype=bool)
+        g = pa.table({
+            "source": t.column("source"),
+            "fl": pa.array(fl.astype(np.int64)),
+            "sig": t.column("sig").cast(pa.int64()),
+        }).group_by("source").aggregate(
+            [("fl", "sum"), ("fl", "count"), ("sig", "sum")])
+        return pa.table({"source": g.column("source"),
+                         "n_rows": g.column("fl_count").cast(pa.int64()),
+                         "n_sig": g.column("sig_sum").cast(pa.int64()),
+                         "n_flagged": g.column("fl_sum").cast(pa.int64())},
+                        schema=_MH_OUT)
+
+    ds = _read_tokens(sf_dir, ["doc_id", "tokens", "source"])
+    refs = [r for b in ds.iter_internal_ref_bundles()
+            for r, md in b.blocks if md.num_rows]
+    if not refs:
+        return _MH_OUT.empty_table()
+    # same ~0.5 GB-of-temps-per-block profile as the ngram window
+    # stage -> same bandwidth cap (target 16/node)
+    wtask = ray.remote(num_cpus=_bw_task_cpus(16))(window_partial)
+    sl = [wtask.options(num_returns=2 * P).remote(r) for r in refs]
+    ftask = ray.remote(flag_part)
+    fl = [ftask.options(num_returns=P).remote(*[s[p] for s in sl])
+          for p in range(P)]
+    ctask = ray.remote(count_part)
+    outs = ray.get([ctask.remote(P, *[f[p] for f in fl],
+                                 *[s[P + p] for s in sl])
+                    for p in range(P)])
+    merged = pa.concat_tables([_MH_OUT.empty_table()] + outs)
+    g = merged.group_by("source").aggregate(
+        [("n_rows", "sum"), ("n_sig", "sum"), ("n_flagged", "sum")])
+    g = g.sort_by("source")
+    return pa.table({"source": g.column("source"),
+                     "n_rows": g.column("n_rows_sum"),
+                     "n_sig": g.column("n_sig_sum"),
+                     "n_flagged": g.column("n_flagged_sum")},
+                    schema=_MH_OUT)
+
+
+def sql_seq_dedup_minhash(cache: str, n: int = 8, mod: int = 8) -> str:
+    # Same capped byte-alphabet window pack as sql_token_ngram_dedup
+    # (max key 2^63 - 1, equal to the engine's uint64 pack while
+    # tokens < 128 — the documented synth alphabet). All mod-2^64
+    # arithmetic runs in HUGEINT: key*a < 2^126, and the band
+    # composite uses mv // 2 so each product stays < 2^126 (their sum
+    # < 2^127 - 1, HUGEINT's ceiling) — the bloom-gate wraparound
+    # idiom. MIN over HUGEINT values in [0, 2^64) equals uint64 MIN.
+    key_expr = " + ".join(
+        [f"CAST(tokens[i + {j}] AS BIGINT) * {256 ** j}"
+         for j in range(n - 1)]
+        + [f"(CAST(tokens[i + {n - 1}] AS BIGINT) % 128) * {256 ** (n - 1)}"])
+    perms = ", ".join(f"({j}, {a}::HUGEINT, {b}::HUGEINT)"
+                      for j, (a, b) in enumerate(_MH_PERMS))
+    m64 = "18446744073709551616::HUGEINT"
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, tokens
+  FROM read_parquet('{cache}/shard-*.parquet')
+), w AS (
+  SELECT doc_id, UNNEST(range(1, len(tokens) - {n - 2})) AS i, tokens
+  FROM t WHERE len(tokens) >= {n}
+), k AS (
+  SELECT DISTINCT doc_id, ({key_expr})::HUGEINT AS key
+  FROM w WHERE ({key_expr}) % {mod} = 0
+), mh AS (
+  SELECT doc_id, p.j, MIN((k.key * p.a + p.b) % {m64}) AS mv
+  FROM k CROSS JOIN (VALUES {perms}) p(j, a, b)
+  GROUP BY doc_id, p.j
+), sig AS (
+  SELECT doc_id, j // 2 AS band,
+         MIN(CASE WHEN j % 2 = 0 THEN mv END) AS mv0,
+         MIN(CASE WHEN j % 2 = 1 THEN mv END) AS mv1
+  FROM mh GROUP BY doc_id, j // 2
+), bk AS (
+  SELECT doc_id,
+         ((mv0 // 2) * {_MH_C1}::HUGEINT + (mv1 // 2) * {_MH_C2}::HUGEINT
+          + band + 1) % {m64} AS bucket
+  FROM sig
+), dup AS (
+  SELECT bucket FROM bk GROUP BY bucket HAVING COUNT(*) >= 2
+), f AS (
+  SELECT DISTINCT doc_id FROM bk JOIN dup USING (bucket)
+), s AS (
+  SELECT DISTINCT doc_id FROM k
+)
+SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN t.doc_id IN (SELECT doc_id FROM s)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sig,
+       CAST(SUM(CASE WHEN t.doc_id IN (SELECT doc_id FROM f)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM t GROUP BY t.source
+"""
+
+
+_NOV_OUT = pa.schema([("source", pa.string()), ("quartile", pa.int64()),
+                      ("n_new", pa.int64())])
+
+
+def q_log_ngram_novelty(sf_dir: str, n: int = 8, mod: int = 8):
+    """Content-novelty curve per source — for each quartile of the
+    source's ingestion-index range, how many DISTINCT (mod-sampled)
+    8-token windows appear there for the FIRST time. The
+    crawl-freshness audit a data-mixing job runs before re-ingesting a
+    source: a snapshot whose late quartiles add no new n-grams is
+    stale (re-crawl overlap), one that keeps minting them is fresh.
+    The distinct-ngram growth curve is the high-cardinality analogue
+    of Heaps' law (the raw token vocabulary is bytes — saturated by
+    the first block).
+
+    Engine shape: bounded pass-1 (min,max) idx partials per source
+    (the log_source_drift pass); pass 2 packs sampled window keys and
+    reduces each block to distinct (key, source) with the block-min
+    idx, routes by key hash (``num_returns=P``), and each combine task
+    re-mins per (key, source), maps first-idx -> quartile via the
+    broadcast ranges ON INTEGER arithmetic (q = min(3, (fi - mn) * 4
+    // (mx - mn + 1)) — no float boundary crosses the gate), and
+    emits <= |sources| x 4 rows. Tokens never move; the exchange
+    carries distinct-per-block (key, src, idx) triples."""
+    import ray
+
+    from .datapipe import _bw_task_cpus, _lp_split, _n_parts
+
+    P = max(2, _n_parts())
+    p1 = pa.schema([("source", pa.string()), ("mn", pa.int64()),
+                    ("mx", pa.int64())])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return p1.empty_table()
+        idx = _pack_idx(t.column("doc_id"))
+        g = pa.table({"source": t.column("source"),
+                      "idx": pa.array(idx, pa.int64())}).group_by(
+            "source").aggregate([("idx", "min"), ("idx", "max")])
+        return g.rename_columns(["source", "mn", "mx"])
+
+    parts = [b for b in _read_tokens(sf_dir, ["doc_id", "source"])
+             .map_batches(minmax, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)
+             if b.num_rows]
+    if not parts:
+        return _NOV_OUT.empty_table()
+    mm = pa.concat_tables(parts).group_by("source").aggregate(
+        [("mn", "min"), ("mx", "max")])
+    srcs = np.sort(np.asarray(mm.column("source").to_pylist()))
+    mn_of = np.empty(len(srcs), np.int64)
+    mx_of = np.empty(len(srcs), np.int64)
+    for s, mn, mx in zip(mm.column("source").to_pylist(),
+                         mm.column("mn_min").to_pylist(),
+                         mm.column("mx_max").to_pylist()):
+        i = int(np.searchsorted(srcs, s))
+        mn_of[i], mx_of[i] = mn, mx
+
+    def window_partial(t: pa.Table) -> list:
+        empty = (np.zeros(0, np.int64),) * 3
+        idx = _pack_idx(t.column("doc_id"))
+        vals, off = _token_lists(t.column("tokens"))
+        m = len(vals) - n + 1
+        if m <= 0:
+            return [empty] * P
+        sel = np.flatnonzero(vals[:m] % mod == 0)
+        r0 = np.searchsorted(off, sel, side="right") - 1
+        r1 = np.searchsorted(off, sel + n - 1, side="right") - 1
+        same = r0 == r1
+        sel, r0 = sel[same], r0[same]
+        if not len(sel):
+            return [empty] * P
+        k = np.zeros(len(sel), np.uint64)
+        for j in range(n):
+            k += vals[sel + j].astype(np.uint64) << np.uint64(8 * j)
+        kk = k.view(np.int64)
+        su = np.searchsorted(
+            srcs, np.asarray(t.column("source").to_pylist()))[r0]
+        fi = idx[r0]
+        # block-local first occurrence per (key, source): sort by
+        # (key, src, idx), keep the first of each (key, src) run
+        o = np.lexsort((fi, su, kk))
+        kk, su, fi = kk[o], su[o], fi[o]
+        first = np.ones(len(kk), dtype=bool)
+        first[1:] = (kk[1:] != kk[:-1]) | (su[1:] != su[:-1])
+        kk, su, fi = kk[first], su[first], fi[first]
+        return [tuple(s) for s in _lp_split(kk, P, kk, su, fi)]
+
+    def combine(*shards) -> pa.Table:
+        kk = np.concatenate([s[0] for s in shards])
+        if not len(kk):
+            return _NOV_OUT.empty_table()
+        su = np.concatenate([s[1] for s in shards])
+        fi = np.concatenate([s[2] for s in shards])
+        o = np.lexsort((fi, su, kk))
+        kk, su, fi = kk[o], su[o], fi[o]
+        first = np.ones(len(kk), dtype=bool)
+        first[1:] = (kk[1:] != kk[:-1]) | (su[1:] != su[:-1])
+        su, fi = su[first], fi[first]
+        width = np.maximum(mx_of[su] - mn_of[su] + 1, 1)
+        q = np.minimum(3, (fi - mn_of[su]) * 4 // width)
+        cnt = np.bincount(su * 4 + q, minlength=len(srcs) * 4)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"source": pa.array(srcs[nz // 4]),
+                         "quartile": pa.array(nz % 4, pa.int64()),
+                         "n_new": pa.array(cnt[nz], pa.int64())},
+                        schema=_NOV_OUT)
+
+    ds = _read_tokens(sf_dir, ["doc_id", "tokens", "source"])
+    refs = [r for b in ds.iter_internal_ref_bundles()
+            for r, md in b.blocks if md.num_rows]
+    if not refs:
+        return _NOV_OUT.empty_table()
+    wtask = ray.remote(num_cpus=_bw_task_cpus(16))(window_partial)
+    sl = [wtask.options(num_returns=P).remote(r) for r in refs]
+    ctask = ray.remote(combine)
+    outs = ray.get([ctask.remote(*[s[p] for s in sl]) for p in range(P)])
+    merged = pa.concat_tables([_NOV_OUT.empty_table()] + outs)
+    g = merged.group_by(["source", "quartile"]).aggregate([("n_new", "sum")])
+    g = g.sort_by([("source", "ascending"), ("quartile", "ascending")])
+    return pa.table({"source": g.column("source"),
+                     "quartile": g.column("quartile"),
+                     "n_new": g.column("n_new_sum")}, schema=_NOV_OUT)
+
+
+def sql_ngram_novelty(cache: str, n: int = 8, mod: int = 8) -> str:
+    key_expr = " + ".join(
+        [f"CAST(tokens[i + {j}] AS BIGINT) * {256 ** j}"
+         for j in range(n - 1)]
+        + [f"(CAST(tokens[i + {n - 1}] AS BIGINT) % 128) * {256 ** (n - 1)}"])
+    return f"""
+WITH t AS (
+  SELECT source, CAST(right(doc_id, 12) AS BIGINT) AS idx, tokens
+  FROM read_parquet('{cache}/shard-*.parquet')
+), mm AS (
+  SELECT source, MIN(idx) AS mn, MAX(idx) AS mx FROM t GROUP BY source
+), w AS (
+  SELECT source, idx, UNNEST(range(1, len(tokens) - {n - 2})) AS i, tokens
+  FROM t WHERE len(tokens) >= {n}
+), k AS (
+  SELECT source, ({key_expr}) AS key, MIN(idx) AS fi
+  FROM w WHERE ({key_expr}) % {mod} = 0
+  GROUP BY source, key
+)
+SELECT k.source,
+       CAST(LEAST(3, (k.fi - mm.mn) * 4 // (mm.mx - mm.mn + 1))
+            AS BIGINT) AS quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_new
+FROM k JOIN mm USING (source)
+GROUP BY 1, 2
+"""
+
+
 _PACK_SCHEMA = pa.schema([
     ("doc_id", pa.string()), ("seq_id", pa.int64()),
     ("n_frag_tokens", pa.int64()), ("frag_sum", pa.int64()),
@@ -3435,6 +3818,8 @@ def log_queries() -> dict:
         "log_token_histogram": q_log_token_histogram,
         "log_token_bigrams": q_log_token_bigrams,
         "log_seq_dedup": q_log_seq_dedup,
+        "log_seq_dedup_minhash": q_log_seq_dedup_minhash,
+        "log_ngram_novelty": q_log_ngram_novelty,
         "log_pack_tokens": q_log_pack_tokens,
         "log_pack_tokens_sep": q_log_pack_tokens_sep,
         "log_seq_dedup_prefix": q_log_seq_dedup_prefix,
@@ -3493,6 +3878,8 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_token_histogram": sql_token_histogram(cache),
         "log_token_bigrams": sql_token_bigrams(cache),
         "log_seq_dedup": sql_seq_dedup(cache),
+        "log_seq_dedup_minhash": sql_seq_dedup_minhash(cache),
+        "log_ngram_novelty": sql_ngram_novelty(cache),
         "log_pack_tokens": sql_pack_tokens(cache),
         "log_pack_tokens_sep": sql_pack_tokens_sep(cache),
         "log_seq_dedup_prefix": sql_seq_dedup_prefix(cache),

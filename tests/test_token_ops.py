@@ -608,3 +608,96 @@ def test_ip_entropy_vs_duckdb(ray_session, cache):
     import numpy as np
     assert (s["ip_entropy"] >= 0).all()
     assert (s["ip_entropy"] <= np.log(s["n_requests"]) + 1e-9).all()
+
+
+def test_seq_dedup_minhash_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_seq_dedup_minhash(SF).to_pandas())
+    want = _norm(_duck(Q.sql_seq_dedup_minhash(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    s = Q.q_log_seq_dedup_minhash(SF).to_pandas()
+    assert (s["n_flagged"] <= s["n_sig"]).all()
+    assert (s["n_sig"] <= s["n_rows"]).all()
+    # exact duplicates exist in the synth (seq_dedup proves it) and
+    # identical sequences share identical signatures -> some flags
+    assert s["n_flagged"].sum() > 0
+    # a band collision implies a shared min shingle (up to 64-bit
+    # mixing collisions), and shared SAMPLED windows are exactly what
+    # the one-window ngram screen flags: minhash flags a subset
+    ng = (Q.q_log_token_ngram_dedup(SF).to_pandas().set_index("source"))
+    mh = s.set_index("source")
+    assert (mh["n_flagged"] <= ng["n_flagged"]).all()
+
+
+def test_seq_dedup_minhash_planted(ray_session, tmp_path, monkeypatch):
+    """Identical and sampled-shingle-identical rows collide in every
+    band; disjoint-shingle rows don't; rows without a sampled window
+    (or shorter than n) carry no signature."""
+    # only position 0 holds a multiple of 8, so the ONE sampled window
+    # is tokens[0:8]; the tail is invisible to the sampled shingle set
+    base = [8, 1, 2, 3, 4, 5, 6, 7, 9, 10, 11, 12, 13, 14, 15, 17]
+    # near-dup: identical sampled shingles, different tail -> identical
+    # signatures -> collides in EVERY band (deterministic flag)
+    near = base[:-1] + [99]
+    rows = [
+        ("s1-000000000000", base, "s1"),
+        ("s1-000000000001", list(base), "s1"),        # exact dup
+        ("s1-000000000002", near, "s1"),              # near dup
+        ("s1-000000000003", [16, 9, 9, 9, 9, 9, 9, 9], "s1"),  # unrelated
+        ("s1-000000000004", [1, 1, 1, 1, 1, 1, 1, 1, 1], "s1"),  # no sample
+        ("s2-000000000005", [1, 2, 3], "s2"),         # too short
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r[1]) for r in rows], type=pa.int32()),
+        "source": pa.array([r[2] for r in rows], type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "shard-00000.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = (Q.q_log_seq_dedup_minhash("ignored").to_pandas()
+           .set_index("source"))
+    assert out.loc["s1", "n_rows"] == 5
+    assert out.loc["s1", "n_sig"] == 4   # the all-1s row has no sample
+    assert out.loc["s1", "n_flagged"] == 3  # base, dup, near
+    assert out.loc["s2", "n_rows"] == 1
+    assert out.loc["s2", "n_sig"] == 0
+    assert out.loc["s2", "n_flagged"] == 0
+    # fixture invariant: no sampled window start besides position 0
+    # (a change anywhere past index 7 can't alter the shingle set)
+    assert all(v % 8 != 0 for v in base[1:9])
+
+
+def test_ngram_novelty_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_ngram_novelty(SF).to_pandas())
+    want = _norm(_duck(Q.sql_ngram_novelty(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    s = Q.q_log_ngram_novelty(SF).to_pandas()
+    assert set(s["quartile"].unique()) <= {0, 1, 2, 3}
+    # quartile 0 contains each source's first doc: it always mints the
+    # source's first distinct n-grams
+    q0 = s[s["quartile"] == 0].set_index("source")["n_new"]
+    assert (q0 > 0).all()
+
+
+def test_ngram_novelty_planted(ray_session, tmp_path, monkeypatch):
+    """First occurrence decides the quartile; repeats never recount;
+    unsampled windows are invisible."""
+    rows = [
+        ("s1-000000000000", [8, 1, 1, 1, 1, 1, 1, 1], "s1"),  # gram A, q0
+        ("s1-000000000005", [8, 1, 1, 1, 1, 1, 1, 1], "s1"),  # A again
+        ("s1-000000000007", [8, 3, 3, 3, 3, 3, 3, 3], "s1"),  # gram B, q2
+        ("s1-000000000009", [8, 4, 4, 4, 4, 4, 4, 4], "s1"),  # gram C, q3
+        ("s1-000000000001", [1, 1, 1, 1, 1, 1, 1, 1], "s1"),  # unsampled
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r[1]) for r in rows], type=pa.int32()),
+        "source": pa.array([r[2] for r in rows], type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "shard-00000.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = Q.q_log_ngram_novelty("ignored").to_pandas()
+    got = {(r.source, r.quartile): r.n_new for r in out.itertuples()}
+    # idx range 0..9 -> width 10; q = (fi - 0) * 4 // 10
+    assert got == {("s1", 0): 1, ("s1", 2): 1, ("s1", 3): 1}
