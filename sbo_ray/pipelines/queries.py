@@ -2913,6 +2913,168 @@ GROUP BY 1, 2
 """
 
 
+_DUPSZ_OUT = pa.schema([("source", pa.string()), ("copies", pa.int64()),
+                        ("n_clusters", pa.int64())])
+
+
+def q_log_dup_cluster_sizes(sf_dir: str):
+    """Exact-duplicate CLUSTER-SIZE histogram per source — how many
+    distinct sequences occur once, twice, k times. The dedup-policy
+    audit that decides between keep-first and frequency-weighted
+    sampling: a corpus whose mass sits in a few huge clusters needs a
+    different dedup rate than one with many pairs (log_seq_dedup only
+    reports the total, not the shape).
+
+    Same engine shape as log_seq_dedup — block-local polynomial
+    sequence hash with per-block copy counts, ONE h % P exchange — but
+    the partition fold emits the bounded (source, copies, n_clusters)
+    histogram instead of two scalars. Sequences never move."""
+    import ray
+
+    P = max(4, int(ray.cluster_resources().get("CPU", 4)))
+    part_schema = pa.schema([("source", pa.string()), ("h", pa.int64()),
+                             ("cnt", pa.int64()), ("part", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        vals, off = _token_lists(t.column("tokens"))
+        h = _seq_hash64(vals, off)
+        g = pa.table({
+            "source": t.column("source"),
+            "h": pa.array(h.view(np.int64)),
+        }).group_by(["source", "h"]).aggregate([([], "count_all")])
+        hh = g.column("h").to_numpy(zero_copy_only=False)
+        part = (hh.view(np.uint64) % np.uint64(P)).astype(np.int64)
+        return pa.table({"source": g.column("source"), "h": g.column("h"),
+                         "cnt": g.column("count_all").cast(pa.int64()),
+                         "part": pa.array(part)})
+
+    def fold_part(g: "pd.DataFrame"):
+        import pandas as pd
+
+        per_seq = (g.groupby(["source", "h"], sort=False)["cnt"].sum()
+                   .reset_index())
+        hist = (per_seq.groupby(["source", "cnt"], sort=False)["h"].size()
+                .reset_index())
+        return pd.DataFrame({"source": hist["source"],
+                             "copies": hist["cnt"].astype("int64"),
+                             "n_clusters": hist["h"].astype("int64")})
+
+    parts = (_read_tokens(sf_dir, ["tokens", "source"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("part").map_groups(fold_part))
+    df = logpipe.to_pandas_with_schema(parts, _DUPSZ_OUT)
+    out = (df.groupby(["source", "copies"], sort=True)["n_clusters"].sum()
+           .reset_index())
+    return pa.table({
+        "source": pa.array(out["source"], type=pa.string()),
+        "copies": pa.array(out["copies"], type=pa.int64()),
+        "n_clusters": pa.array(out["n_clusters"], type=pa.int64()),
+    }, schema=_DUPSZ_OUT)
+
+
+def sql_dup_cluster_sizes(cache: str) -> str:
+    return f"""
+WITH c AS (
+  SELECT source, tokens, CAST(COUNT(*) AS BIGINT) AS copies
+  FROM read_parquet('{cache}/shard-*.parquet') GROUP BY source, tokens
+)
+SELECT source, copies, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM c GROUP BY source, copies
+"""
+
+
+_POSB_OUT = pa.schema([("source", pa.string()), ("pos_bucket", pa.int64()),
+                       ("n_tokens", pa.int64()), ("sum_tok", pa.int64()),
+                       ("n_distinct", pa.int64())])
+
+
+def q_log_token_positional_stats(sf_dir: str, width: int = 64):
+    """Token distribution BY POSITION bucket (pos // width) per source
+    — the boilerplate detector a packing job runs before deciding what
+    to truncate: positions dominated by a few token values (low
+    n_distinct, skewed sum) are headers/templates, late buckets show
+    where content diverges. All-integer outputs (count, sum, distinct
+    over the byte vocabulary).
+
+    Bounded partials: |sources| x n_buckets x 256 bincount per block
+    (a few MB), folded exactly on the driver — the token payload never
+    leaves the read tasks."""
+    part_schema = pa.schema([("source", pa.string()), ("pb", pa.int64()),
+                             ("token", pa.int64()), ("cnt", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        vals, off = _token_lists(t.column("tokens"))
+        if not len(vals):
+            return part_schema.empty_table()
+        nt = np.diff(off)
+        pos = (np.arange(len(vals), dtype=np.int64)
+               - np.repeat(off[:-1], nt))
+        pb = pos // width
+        enc = pc.dictionary_encode(t.column("source").combine_chunks())
+        row_src = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_src = np.repeat(row_src, nt)
+        nb = int(pb.max()) + 1
+        nsrc = len(enc.dictionary)
+        key = (tok_src * nb + pb) * 256 + vals
+        cnt = np.bincount(key, minlength=nsrc * nb * 256)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "source": enc.dictionary.take(pa.array(nz // (nb * 256))),
+            "pb": pa.array((nz // 256) % nb, pa.int64()),
+            "token": pa.array(nz % 256, pa.int64()),
+            "cnt": pa.array(cnt[nz], pa.int64()),
+        }, schema=part_schema)
+
+    parts = pa.concat_tables(
+        [part_schema.empty_table()] +
+        list(_read_tokens(sf_dir, ["tokens", "source"])
+             .map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    g = parts.group_by(["source", "pb", "token"]).aggregate([("cnt", "sum")])
+    if g.num_rows == 0:
+        return _POSB_OUT.empty_table()
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "source": g.column("source").to_numpy(zero_copy_only=False),
+        "pb": g.column("pb").to_numpy(zero_copy_only=False),
+        "token": g.column("token").to_numpy(zero_copy_only=False),
+        "cnt": g.column("cnt_sum").to_numpy(zero_copy_only=False),
+    })
+    agg = (df.assign(st=df["token"] * df["cnt"])
+           .groupby(["source", "pb"], sort=True)
+           .agg(n_tokens=("cnt", "sum"), sum_tok=("st", "sum"),
+                n_distinct=("token", "size")).reset_index())
+    return pa.table({
+        "source": pa.array(agg["source"], type=pa.string()),
+        "pos_bucket": pa.array(agg["pb"], type=pa.int64()),
+        "n_tokens": pa.array(agg["n_tokens"], type=pa.int64()),
+        "sum_tok": pa.array(agg["sum_tok"], type=pa.int64()),
+        "n_distinct": pa.array(agg["n_distinct"], type=pa.int64()),
+    }, schema=_POSB_OUT)
+
+
+def sql_token_positional_stats(cache: str, width: int = 64) -> str:
+    return f"""
+WITH w AS (
+  SELECT source, UNNEST(range(1, len(tokens) + 1)) AS i, tokens
+  FROM read_parquet('{cache}/shard-*.parquet')
+), tok AS (
+  SELECT source, CAST((i - 1) // {width} AS BIGINT) AS pos_bucket,
+         CAST(tokens[i] AS BIGINT) AS t
+  FROM w
+)
+SELECT source, pos_bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(t) AS BIGINT) AS sum_tok,
+       CAST(COUNT(DISTINCT t) AS BIGINT) AS n_distinct
+FROM tok GROUP BY source, pos_bucket
+"""
+
+
 _PACK_SCHEMA = pa.schema([
     ("doc_id", pa.string()), ("seq_id", pa.int64()),
     ("n_frag_tokens", pa.int64()), ("frag_sum", pa.int64()),
@@ -3820,6 +3982,8 @@ def log_queries() -> dict:
         "log_seq_dedup": q_log_seq_dedup,
         "log_seq_dedup_minhash": q_log_seq_dedup_minhash,
         "log_ngram_novelty": q_log_ngram_novelty,
+        "log_dup_cluster_sizes": q_log_dup_cluster_sizes,
+        "log_token_positional_stats": q_log_token_positional_stats,
         "log_pack_tokens": q_log_pack_tokens,
         "log_pack_tokens_sep": q_log_pack_tokens_sep,
         "log_seq_dedup_prefix": q_log_seq_dedup_prefix,
@@ -3880,6 +4044,8 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_seq_dedup": sql_seq_dedup(cache),
         "log_seq_dedup_minhash": sql_seq_dedup_minhash(cache),
         "log_ngram_novelty": sql_ngram_novelty(cache),
+        "log_dup_cluster_sizes": sql_dup_cluster_sizes(cache),
+        "log_token_positional_stats": sql_token_positional_stats(cache),
         "log_pack_tokens": sql_pack_tokens(cache),
         "log_pack_tokens_sep": sql_pack_tokens_sep(cache),
         "log_seq_dedup_prefix": sql_seq_dedup_prefix(cache),

@@ -701,3 +701,77 @@ def test_ngram_novelty_planted(ray_session, tmp_path, monkeypatch):
     got = {(r.source, r.quartile): r.n_new for r in out.itertuples()}
     # idx range 0..9 -> width 10; q = (fi - 0) * 4 // 10
     assert got == {("s1", 0): 1, ("s1", 2): 1, ("s1", 3): 1}
+
+
+def test_dup_cluster_sizes_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_dup_cluster_sizes(SF).to_pandas())
+    want = _norm(_duck(Q.sql_dup_cluster_sizes(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the histogram must re-derive log_seq_dedup's totals exactly
+    s = Q.q_log_dup_cluster_sizes(SF).to_pandas()
+    tot = (s.assign(rows=s["copies"] * s["n_clusters"])
+           .groupby("source")[["rows", "n_clusters"]].sum())
+    full = Q.q_log_seq_dedup(SF).to_pandas().set_index("source")
+    assert (tot["rows"] == full["n_rows"]).all()
+    assert (tot["n_clusters"] == full["n_uniq_seq"]).all()
+
+
+def test_dup_cluster_sizes_planted(ray_session, tmp_path, monkeypatch):
+    rows = [
+        ("s1-000000000000", [1, 2, 3], "s1"),
+        ("s1-000000000001", [1, 2, 3], "s1"),
+        ("s1-000000000002", [1, 2, 3], "s1"),   # cluster of 3
+        ("s1-000000000003", [4, 5], "s1"),      # singleton
+        ("s1-000000000004", [6], "s1"),
+        ("s1-000000000005", [6], "s1"),         # pair
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r[1]) for r in rows], type=pa.int32()),
+        "source": pa.array([r[2] for r in rows], type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "shard-00000.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = Q.q_log_dup_cluster_sizes("ignored").to_pandas()
+    got = {(r.source, r.copies): r.n_clusters for r in out.itertuples()}
+    assert got == {("s1", 1): 1, ("s1", 2): 1, ("s1", 3): 1}
+
+
+def test_token_positional_stats_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_token_positional_stats(SF).to_pandas())
+    want = _norm(_duck(Q.sql_token_positional_stats(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    s = Q.q_log_token_positional_stats(SF).to_pandas()
+    # bucket token volume re-derives each source's total token count
+    tot = s.groupby("source")["n_tokens"].sum()
+    drift = Q.q_log_source_drift(SF).to_pandas().set_index("source")
+    assert (tot == drift["n_early_tokens"] + drift["n_late_tokens"]).all()
+    assert (s["n_distinct"] <= 256).all()
+    assert (s["sum_tok"] <= 255 * s["n_tokens"]).all()
+
+
+def test_token_positional_stats_planted(ray_session, tmp_path, monkeypatch):
+    """width=2: buckets split [p0 p1 | p2 p3 | ...]; distinct counts
+    are per (source, bucket) across rows."""
+    rows = [
+        ("s1-000000000000", [10, 10, 20], "s1"),
+        ("s1-000000000001", [10, 30], "s1"),
+        ("s2-000000000002", [5], "s2"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r[1]) for r in rows], type=pa.int32()),
+        "source": pa.array([r[2] for r in rows], type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "shard-00000.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = Q.q_log_token_positional_stats("ignored", width=2).to_pandas()
+    got = {(r.source, r.pos_bucket): (r.n_tokens, r.sum_tok, r.n_distinct)
+           for r in out.itertuples()}
+    assert got == {
+        ("s1", 0): (4, 60, 2),   # 10,10 / 10,30
+        ("s1", 1): (1, 20, 1),   # 20
+        ("s2", 0): (1, 5, 1),
+    }
