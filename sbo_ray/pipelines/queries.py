@@ -3075,6 +3075,79 @@ FROM tok GROUP BY source, pos_bucket
 """
 
 
+_LEAK_OUT = pa.schema([("src_a", pa.string()), ("src_b", pa.string()),
+                       ("n_shared", pa.int64())])
+
+
+def q_log_cross_source_leakage(sf_dir: str):
+    """Cross-SOURCE sequence leakage matrix — for every source pair,
+    how many distinct token sequences occur in BOTH (the contamination
+    audit run before treating sources as independent train/eval
+    slices; per-source dedup cannot see these by construction).
+
+    Same exchange as log_seq_dedup — block-distinct (source, h)
+    presence pairs, ONE h % P exchange — but the partition fold
+    self-joins the presence rows on h (fan-out bounded by |sources|
+    per hash) and emits per-pair counts; the driver sums
+    P x |sources|^2 tiny rows. Sequences never move."""
+    import ray
+
+    P = max(4, int(ray.cluster_resources().get("CPU", 4)))
+    part_schema = pa.schema([("source", pa.string()), ("h", pa.int64()),
+                             ("part", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        vals, off = _token_lists(t.column("tokens"))
+        h = _seq_hash64(vals, off)
+        g = pa.table({
+            "source": t.column("source"),
+            "h": pa.array(h.view(np.int64)),
+        }).group_by(["source", "h"]).aggregate([])
+        hh = g.column("h").to_numpy(zero_copy_only=False)
+        part = (hh.view(np.uint64) % np.uint64(P)).astype(np.int64)
+        return pa.table({"source": g.column("source"), "h": g.column("h"),
+                         "part": pa.array(part)})
+
+    def fold_part(g: "pd.DataFrame"):
+        import pandas as pd
+
+        d = g.drop_duplicates(["source", "h"])
+        m = d.merge(d, on="h")
+        m = m[m["source_x"] < m["source_y"]]
+        out = (m.groupby(["source_x", "source_y"], sort=False)
+               .size().reset_index(name="n"))
+        return pd.DataFrame({"src_a": out["source_x"],
+                             "src_b": out["source_y"],
+                             "n_shared": out["n"].astype("int64")})
+
+    parts = (_read_tokens(sf_dir, ["tokens", "source"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("part").map_groups(fold_part))
+    df = logpipe.to_pandas_with_schema(parts, _LEAK_OUT)
+    out = (df.groupby(["src_a", "src_b"], sort=True)["n_shared"].sum()
+           .reset_index())
+    return pa.table({
+        "src_a": pa.array(out["src_a"], type=pa.string()),
+        "src_b": pa.array(out["src_b"], type=pa.string()),
+        "n_shared": pa.array(out["n_shared"], type=pa.int64()),
+    }, schema=_LEAK_OUT)
+
+
+def sql_cross_source_leakage(cache: str) -> str:
+    return f"""
+WITH d AS (
+  SELECT DISTINCT source, tokens
+  FROM read_parquet('{cache}/shard-*.parquet')
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.tokens = b.tokens AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 _PACK_SCHEMA = pa.schema([
     ("doc_id", pa.string()), ("seq_id", pa.int64()),
     ("n_frag_tokens", pa.int64()), ("frag_sum", pa.int64()),
@@ -3984,6 +4057,7 @@ def log_queries() -> dict:
         "log_ngram_novelty": q_log_ngram_novelty,
         "log_dup_cluster_sizes": q_log_dup_cluster_sizes,
         "log_token_positional_stats": q_log_token_positional_stats,
+        "log_cross_source_leakage": q_log_cross_source_leakage,
         "log_pack_tokens": q_log_pack_tokens,
         "log_pack_tokens_sep": q_log_pack_tokens_sep,
         "log_seq_dedup_prefix": q_log_seq_dedup_prefix,
@@ -4046,6 +4120,7 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_ngram_novelty": sql_ngram_novelty(cache),
         "log_dup_cluster_sizes": sql_dup_cluster_sizes(cache),
         "log_token_positional_stats": sql_token_positional_stats(cache),
+        "log_cross_source_leakage": sql_cross_source_leakage(cache),
         "log_pack_tokens": sql_pack_tokens(cache),
         "log_pack_tokens_sep": sql_pack_tokens_sep(cache),
         "log_seq_dedup_prefix": sql_seq_dedup_prefix(cache),

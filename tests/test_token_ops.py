@@ -775,3 +775,39 @@ def test_token_positional_stats_planted(ray_session, tmp_path, monkeypatch):
         ("s1", 1): (1, 20, 1),   # 20
         ("s2", 0): (1, 5, 1),
     }
+
+
+def test_cross_source_leakage_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_cross_source_leakage(SF).to_pandas())
+    want = _norm(_duck(Q.sql_cross_source_leakage(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the synthesizer reuses lines across sources: leakage must exist
+    assert got["n_shared"].sum() > 0
+    assert (got["src_a"] < got["src_b"]).all()
+
+
+def test_cross_source_leakage_planted(ray_session, tmp_path, monkeypatch):
+    """Shared sequence counted once per pair regardless of copy count;
+    within-source duplicates never pair; shards split the evidence."""
+    t1 = pa.table({
+        "doc_id": pa.array(["a-000000000000", "a-000000000001",
+                            "a-000000000002"], type=pa.string()),
+        "tokens": pa.array([[1, 2], [1, 2], [9]],
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([2, 2, 1], type=pa.int32()),
+        "source": pa.array(["s1", "s1", "s3"], type=pa.string()),
+    })
+    t2 = pa.table({
+        "doc_id": pa.array(["b-000000000003", "b-000000000004",
+                            "b-000000000005"], type=pa.string()),
+        "tokens": pa.array([[1, 2], [9], [7, 7]],
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([2, 1, 2], type=pa.int32()),
+        "source": pa.array(["s2", "s2", "s2"], type=pa.string()),
+    })
+    pq.write_table(t1, str(tmp_path / "shard-00000.parquet"))
+    pq.write_table(t2, str(tmp_path / "shard-00001.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = Q.q_log_cross_source_leakage("ignored").to_pandas()
+    got = {(r.src_a, r.src_b): r.n_shared for r in out.itertuples()}
+    assert got == {("s1", "s2"): 1, ("s2", "s3"): 1}
