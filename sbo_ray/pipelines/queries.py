@@ -1517,6 +1517,83 @@ GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT {k}
 """
 
 
+def q_log_token_pmi(sf_dir: str, k: int = 32, min_cnt: int = 5):
+    """Top-k token collocations by pointwise mutual information — which
+    adjacent byte pairs co-occur far above chance (the collocation /
+    delimiter-structure signal; raw bigram counts only surface the
+    frequent pairs, PMI surfaces the BOUND ones).
+
+    All probabilities come from the same bigram table (marginals are
+    the row/column sums), so the whole statistic folds from the one
+    bounded <=65536-key bincount partial of ``log_token_bigrams`` —
+    no second pass, no exchange. PMI = ln(c_ab * N / (ra * cb)) is a
+    transcendental of integer counts: ROUND-6 is safe (the
+    doc_tfidf rule — never gate on raw transcendental output), rank
+    under (pmi6 desc, a, b) on both sides. ``min_cnt`` floors the
+    long tail where PMI degenerates to noise."""
+    part_schema = pa.schema([("pair", pa.int64()), ("cnt", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        vals, off = _token_lists(t.column("tokens"))
+        if len(vals) < 2:
+            return part_schema.empty_table()
+        key = vals[:-1].astype(np.int64) * 256 + vals[1:].astype(np.int64)
+        valid = np.ones(len(vals) - 1, dtype=bool)
+        ends = off[1:-1] - 1
+        ends = ends[(ends >= 0) & (ends < len(valid))]
+        valid[ends] = False
+        cnt = np.bincount(key[valid], minlength=65536)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"pair": nz.astype(np.int64),
+                         "cnt": cnt[nz].astype(np.int64)})
+
+    parts = pa.concat_tables(
+        [part_schema.empty_table()] +
+        list(_read_tokens(sf_dir, ["tokens"])
+             .map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    g = parts.group_by("pair").aggregate([("cnt", "sum")])
+    pair = g.column("pair").to_numpy(zero_copy_only=False)
+    cnt = g.column("cnt_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    a, b = pair // 256, pair % 256
+    ra = np.bincount(a, weights=cnt, minlength=256).astype(np.int64)
+    cb = np.bincount(b, weights=cnt, minlength=256).astype(np.int64)
+    n = int(cnt.sum())
+    keep = cnt >= min_cnt
+    a, b, cab = a[keep], b[keep], cnt[keep]
+    pmi = np.round(np.log(cab.astype(np.float64) * n /
+                          (ra[a].astype(np.float64) * cb[b])), 6)
+    order = np.lexsort((b, a, -pmi))[:k]
+    return pa.table({
+        "a": pa.array(a[order], pa.int64()),
+        "b": pa.array(b[order], pa.int64()),
+        "cnt": pa.array(cab[order], pa.int64()),
+        "pmi": pa.array(pmi[order], pa.float64()),
+    })
+
+
+def sql_token_pmi(cache: str, k: int = 32, min_cnt: int = 5) -> str:
+    return f"""
+WITH pr AS (
+  SELECT UNNEST(list_zip(t.tokens, t.tokens[2:])) AS pr
+  FROM read_parquet('{cache}/shard-*.parquet') t
+), bg AS (
+  SELECT CAST(pr[1] AS BIGINT) AS a, CAST(pr[2] AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pr WHERE pr[2] IS NOT NULL GROUP BY a, b
+), tot AS (SELECT SUM(cnt) AS n FROM bg),
+ra AS (SELECT a, SUM(cnt) AS ca FROM bg GROUP BY a),
+cb AS (SELECT b, SUM(cnt) AS cb FROM bg GROUP BY b)
+SELECT bg.a, bg.b, bg.cnt,
+       ROUND(LN(CAST(bg.cnt AS DOUBLE) * tot.n / (ra.ca * cb.cb)), 6) AS pmi
+FROM bg JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+WHERE bg.cnt >= {min_cnt}
+ORDER BY pmi DESC, bg.a, bg.b LIMIT {k}
+"""
+
+
 _SEQ_FNV = np.uint64(1099511628211)
 
 
@@ -4058,6 +4135,7 @@ def log_queries() -> dict:
         "log_dup_cluster_sizes": q_log_dup_cluster_sizes,
         "log_token_positional_stats": q_log_token_positional_stats,
         "log_cross_source_leakage": q_log_cross_source_leakage,
+        "log_token_pmi": q_log_token_pmi,
         "log_pack_tokens": q_log_pack_tokens,
         "log_pack_tokens_sep": q_log_pack_tokens_sep,
         "log_seq_dedup_prefix": q_log_seq_dedup_prefix,
@@ -4121,6 +4199,7 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_dup_cluster_sizes": sql_dup_cluster_sizes(cache),
         "log_token_positional_stats": sql_token_positional_stats(cache),
         "log_cross_source_leakage": sql_cross_source_leakage(cache),
+        "log_token_pmi": sql_token_pmi(cache),
         "log_pack_tokens": sql_pack_tokens(cache),
         "log_pack_tokens_sep": sql_pack_tokens_sep(cache),
         "log_seq_dedup_prefix": sql_seq_dedup_prefix(cache),

@@ -811,3 +811,35 @@ def test_cross_source_leakage_planted(ray_session, tmp_path, monkeypatch):
     out = Q.q_log_cross_source_leakage("ignored").to_pandas()
     got = {(r.src_a, r.src_b): r.n_shared for r in out.itertuples()}
     assert got == {("s1", "s2"): 1, ("s2", "s3"): 1}
+
+
+def test_token_pmi_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_token_pmi(SF).to_pandas())
+    want = _norm(_duck(Q.sql_token_pmi(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) == 32
+
+
+def test_token_pmi_planted(ray_session, tmp_path, monkeypatch):
+    """A rare-but-always-together pair outranks a frequent independent
+    one; min_cnt floors singles; pairs never cross row boundaries."""
+    rows = [[7, 9]] * 5 + [[1, 2, 1, 3, 1, 4, 1, 5, 1]] * 5 + [[250, 251]]
+    t = pa.table({
+        "doc_id": pa.array([f"a-{i:012d}" for i in range(len(rows))],
+                           type=pa.string()),
+        "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r) for r in rows], type=pa.int32()),
+        "source": pa.array(["s"] * len(rows), type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "shard-00000.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = Q.q_log_token_pmi("ignored", k=8, min_cnt=5).to_pandas()
+    # (250,251) occurs once -> floored out entirely
+    assert not ((out.a == 250) & (out.b == 251)).any()
+    # (7,9) is a perfect collocation: top rank; total pairs N = 46
+    # (5 + 5*8 + 1 — the floored pair still counts in N and marginals)
+    assert (out.iloc[0].a, out.iloc[0].b) == (7, 9)
+    import math
+    assert out.iloc[0].pmi == round(math.log(46 * 5 / (5 * 5)), 6)
+    # the frequent-but-independent (1,x) family ranks below (7,9)
+    assert out.iloc[0].pmi > out[(out.a == 1)].pmi.max()
