@@ -3586,6 +3586,168 @@ FROM s
 """
 
 
+_MIX_PART = pa.schema([("seq", pa.int64()), ("cnt", pa.int64())])
+_MIX_SCHEMA = pa.schema([("n_docs", pa.int64()), ("n_seqs", pa.int64())])
+
+
+def _mix_chunk_sums(block: pa.Table) -> pa.Table:
+    """Per-chunk n_tok sums for one block (the payload-free twin of
+    _pack_chunk_sums — this op never reads ``tokens``)."""
+    ck = block.column("chunk").to_numpy(zero_copy_only=False)
+    nt = block.column("n_tok").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    uk, inv = np.unique(ck, return_inverse=True)
+    sums = np.bincount(inv, weights=nt).astype(np.int64)
+    return pa.table({"chunk": pa.array(uk, pa.int64()),
+                     "tok_sum": pa.array(sums, pa.int64())})
+
+
+def _mix_combine(base, seq_len: int, P2: int, *shards):
+    """One chunk partition of the doc-mix exchange: exact global
+    offsets from the broadcast chunk bases (the _pack_combine offset
+    derivation, minus the payload), then per-doc [first_seq, last_seq]
+    spans expand to (seq, touch-count) partials, returned PRE-SHARDED
+    by seq hash for the per-seq fold (num_returns=P2)."""
+    from .datapipe import _lp_split
+
+    cids, cbases = base
+    tabs = [s for s in shards if s.num_rows]
+    if not tabs:
+        outs = [_MIX_PART.empty_table()] * P2
+        return outs if P2 > 1 else outs[0]
+    g = pa.concat_tables(tabs).combine_chunks()
+    idx = g.column("idx").to_numpy(zero_copy_only=False)
+    o = np.argsort(idx, kind="stable")
+    nt = g.column("n_tok").to_numpy(
+        zero_copy_only=False).astype(np.int64)[o]
+    ck = g.column("chunk").to_numpy(zero_copy_only=False)[o]
+    csum = np.cumsum(nt) - nt
+    new = np.ones(len(ck), dtype=bool)
+    new[1:] = ck[1:] != ck[:-1]
+    first = np.maximum.accumulate(np.where(new, np.arange(len(ck)), 0))
+    off = csum - csum[first] + cbases[np.searchsorted(cids, ck)]
+    nz = nt > 0
+    sf = off[nz] // seq_len
+    k = (off[nz] + nt[nz] - 1) // seq_len - sf + 1
+    n = int(k.sum())
+    seq = (np.repeat(sf, k) + np.arange(n, dtype=np.int64)
+           - np.repeat(np.cumsum(k) - k, k))
+    us, cnts = np.unique(seq, return_counts=True)
+    outs = [pa.table({"seq": pa.array(s, pa.int64()),
+                      "cnt": pa.array(c.astype(np.int64))})
+            for s, c in _lp_split(us, P2, us, cnts)]
+    return outs if P2 > 1 else outs[0]
+
+
+def _mix_fold(*parts) -> pa.Table:
+    """Per-seq totals for one seq partition, folded straight into the
+    bounded (n_docs, n_seqs) histogram (n_docs <= seq_len + 1)."""
+    tabs = [p for p in parts if p.num_rows]
+    if not tabs:
+        return _MIX_SCHEMA.empty_table()
+    t = pa.concat_tables(tabs)
+    seq = t.column("seq").to_numpy(zero_copy_only=False)
+    cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+    _, inv = np.unique(seq, return_inverse=True)
+    tot = np.bincount(inv, weights=cnt).astype(np.int64)
+    d, nsq = np.unique(tot, return_counts=True)
+    return pa.table({"n_docs": pa.array(d, pa.int64()),
+                     "n_seqs": pa.array(nsq.astype(np.int64))})
+
+
+def q_log_pack_doc_mix(sf_dir: str, seq_len: int = 512,
+                       chunk_docs: int = 4096):
+    """Packing fragmentation histogram: how many DOCUMENTS each packed
+    training sequence mixes (the cross-doc attention-contamination
+    diagnostic for the log_pack_tokens layout — a seq_len too large for
+    the doc-length distribution shows up as a heavy n_docs tail).
+
+    Payload-free: the sequence grid depends only on (idx, n_tok), so
+    the read prunes to two tiny columns and the exchange ships 24-byte
+    rows — same two raw-task waves as the pack op (chunks partition
+    wave 1; per-seq touch counts return pre-sharded by seq hash so the
+    per-seq fold meets its rows inside wave 2), driver folds P bounded
+    histograms. Every stream position belongs to a doc, so every seq
+    appears in some partial — no missing-seq correction. Exact
+    integers end-to-end."""
+    import ray
+
+    from .datapipe import _n_parts, _table_shard
+
+    P = max(2, _n_parts())
+    empty = _MIX_SCHEMA.empty_table()
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        idx = _pack_idx(t.column("doc_id"))
+        return (t.select(["n_tok"])
+                .append_column("idx", pa.array(idx, pa.int64()))
+                .append_column("chunk",
+                               pa.array(idx // chunk_docs, pa.int64())))
+
+    ds = (_read_tokens(sf_dir, ["doc_id", "n_tok"])
+          .map_batches(add_keys, batch_format="pyarrow"))
+    refs = [r for b in ds.iter_internal_ref_bundles()
+            for r, md in b.blocks if md.num_rows]
+    if not refs:
+        return empty
+    sums_task = ray.remote(_mix_chunk_sums)
+    merged = pa.concat_tables(
+        ray.get([sums_task.remote(r) for r in refs])).group_by(
+        "chunk").aggregate([("tok_sum", "sum")])
+    order = pc.sort_indices(merged.column("chunk"))
+    chunk_ids = merged.column("chunk").take(order).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    sums = merged.column("tok_sum_sum").take(order).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    bases = np.cumsum(sums) - sums
+    base_ref = ray.put((chunk_ids, bases))
+
+    tshard = ray.remote(_table_shard)
+    slices = [tshard.options(num_returns=P).remote(r, P, "chunk")
+              for r in refs]
+    comb = ray.remote(_mix_combine)
+    mids = [comb.options(num_returns=P).remote(
+        base_ref, seq_len, P, *[s[p] for s in slices])
+        for p in range(P)]
+    if P == 1:
+        mids = [[m] for m in mids]
+    fold = ray.remote(_mix_fold)
+    hists = ray.get([fold.remote(*[m[q] for m in mids])
+                     for q in range(P)])
+    t = pa.concat_tables([empty] + list(hists)).group_by(
+        "n_docs").aggregate([("n_seqs", "sum")])
+    t = t.rename_columns(["n_docs", "n_seqs"])
+    t = t.sort_by([("n_docs", "ascending")])
+    return pa.table({"n_docs": t.column("n_docs"),
+                     "n_seqs": t.column("n_seqs").cast(pa.int64())})
+
+
+def sql_pack_doc_mix(cache: str, seq_len: int = 512) -> str:
+    return f"""
+WITH t AS (
+  SELECT CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(right(doc_id, 12) AS BIGINT) AS idx
+  FROM read_parquet('{cache}/shard-*.parquet')
+), o AS (
+  SELECT n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_offset
+  FROM t
+), f AS (
+  SELECT unnest(generate_series(tok_offset // {seq_len},
+                                (tok_offset + n_tok - 1) // {seq_len}))
+           AS seq_id
+  FROM o WHERE n_tok > 0
+), d AS (
+  SELECT seq_id, COUNT(*) AS n_docs FROM f GROUP BY seq_id
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs
+FROM d GROUP BY n_docs ORDER BY n_docs
+"""
+
+
 def _pack_sep_chunk_sums(block: pa.Table) -> pa.Table:
     """Bounded pass-1 partial for separator packing: every row occupies
     n_tok + 1 stream positions (its tokens plus one EOS)."""
@@ -4136,6 +4298,7 @@ def log_queries() -> dict:
         "log_token_positional_stats": q_log_token_positional_stats,
         "log_cross_source_leakage": q_log_cross_source_leakage,
         "log_token_pmi": q_log_token_pmi,
+        "log_pack_doc_mix": q_log_pack_doc_mix,
         "log_pack_tokens": q_log_pack_tokens,
         "log_pack_tokens_sep": q_log_pack_tokens_sep,
         "log_seq_dedup_prefix": q_log_seq_dedup_prefix,
@@ -4200,6 +4363,7 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_token_positional_stats": sql_token_positional_stats(cache),
         "log_cross_source_leakage": sql_cross_source_leakage(cache),
         "log_token_pmi": sql_token_pmi(cache),
+        "log_pack_doc_mix": sql_pack_doc_mix(cache),
         "log_pack_tokens": sql_pack_tokens(cache),
         "log_pack_tokens_sep": sql_pack_tokens_sep(cache),
         "log_seq_dedup_prefix": sql_seq_dedup_prefix(cache),

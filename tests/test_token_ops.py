@@ -843,3 +843,44 @@ def test_token_pmi_planted(ray_session, tmp_path, monkeypatch):
     assert out.iloc[0].pmi == round(math.log(46 * 5 / (5 * 5)), 6)
     # the frequent-but-independent (1,x) family ranks below (7,9)
     assert out.iloc[0].pmi > out[(out.a == 1)].pmi.max()
+
+
+def test_pack_doc_mix_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_pack_doc_mix(SF).to_pandas())
+    want = _norm(_duck(Q.sql_pack_doc_mix(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # histogram covers every packed sequence exactly once
+    total = _duck(f"SELECT CAST(CEIL(SUM(n_tok) / 512.0) AS BIGINT) AS n "
+                  f"FROM read_parquet('{cache}/shard-*.parquet')")
+    assert got.n_seqs.sum() == total.n.iloc[0]
+
+
+def test_pack_doc_mix_planted(ray_session, tmp_path, monkeypatch):
+    """seq_len=4 over docs [3,3,2,5,1]: stream cuts at 4/8/12 ->
+    seqs span {d0,d1}, {d1,d2}, {d3}, {d3,d4}; zero-length docs never
+    count; shards split the stream."""
+    t1 = pa.table({
+        "doc_id": pa.array([f"a-{i:012d}" for i in range(3)],
+                           type=pa.string()),
+        "tokens": pa.array([[1, 1, 1], [2, 2, 2], [3, 3]],
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([3, 3, 2], type=pa.int32()),
+        "source": pa.array(["s"] * 3, type=pa.string()),
+    })
+    t2 = pa.table({
+        "doc_id": pa.array([f"a-{i:012d}" for i in range(3, 6)],
+                           type=pa.string()),
+        "tokens": pa.array([[4, 4, 4, 4, 4], [], [5]],
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([5, 0, 1], type=pa.int32()),
+        "source": pa.array(["s"] * 3, type=pa.string()),
+    })
+    pq.write_table(t1, str(tmp_path / "shard-00000.parquet"))
+    pq.write_table(t2, str(tmp_path / "shard-00001.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = Q.q_log_pack_doc_mix("ignored", seq_len=4).to_pandas()
+    got = dict(zip(out.n_docs, out.n_seqs))
+    # stream: 111 222 33 44444 5 (14 tokens, 4 seqs of len 4)
+    # seq0=[1112] 2 docs, seq1=[2233] 2 docs, seq2=[4444] 1 doc,
+    # seq3=[45] 2 docs (the empty doc contributes nothing)
+    assert got == {1: 1, 2: 3}
