@@ -3152,6 +3152,86 @@ FROM tok GROUP BY source, pos_bucket
 """
 
 
+_DOM_OUT = pa.schema([("source", pa.string()), ("decile", pa.int64()),
+                      ("n_seqs", pa.int64())])
+
+
+def q_log_seq_dominant_ratio(sf_dir: str):
+    """Per-SEQUENCE stuck-payload screen: for every sequence, the
+    dominant-token ratio (count of its most frequent token / n_tok),
+    histogrammed in ppm deciles per source. A source whose mass sits in
+    high deciles emits near-constant payloads (the per-sequence twin of
+    the per-source entropy screen — a source can look healthy on
+    average while individual sensors are stuck).
+
+    Block-local and exchange-free: per-row dominant counts come from a
+    sorted-key segmented max (rows never span blocks), each block emits
+    a <= |sources| x 11 histogram partial, the driver folds a few KB.
+    Ratio rides an exact INTEGER ppm floor — count quotients are never
+    ROUND-6 safe (the doc_quality_linear rule)."""
+    part_schema = pa.schema([("source", pa.string()), ("decile", pa.int64()),
+                             ("n_seqs", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        vals, off = _token_lists(t.column("tokens"))
+        if not len(vals):
+            return part_schema.empty_table()
+        nt = np.diff(off)
+        row_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), nt)
+        key = row_of * 256 + vals.astype(np.int64)
+        uk, cnt = np.unique(key, return_counts=True)
+        rows_u = uk >> 8
+        bnd = np.flatnonzero(np.r_[True, rows_u[1:] != rows_u[:-1]])
+        mx = np.maximum.reduceat(cnt, bnd)
+        rid = rows_u[bnd]  # rows with nt == 0 never appear
+        dec = mx * 1_000_000 // nt[rid] // 100_000
+        enc = pc.dictionary_encode(t.column("source").combine_chunks())
+        src = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)[rid]
+        nsrc = len(enc.dictionary)
+        h = np.bincount(src * 11 + dec, minlength=nsrc * 11)
+        nz = np.flatnonzero(h)
+        return pa.table({
+            "source": enc.dictionary.take(pa.array(nz // 11)),
+            "decile": pa.array(nz % 11, pa.int64()),
+            "n_seqs": pa.array(h[nz].astype(np.int64)),
+        })
+
+    parts = pa.concat_tables(
+        [part_schema.empty_table()] +
+        list(_read_tokens(sf_dir, ["tokens", "source"])
+             .map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    g = parts.group_by(["source", "decile"]).aggregate([("n_seqs", "sum")])
+    g = g.rename_columns(["source", "decile", "n_seqs"])
+    g = g.sort_by([("source", "ascending"), ("decile", "ascending")])
+    return pa.table({"source": g.column("source"),
+                     "decile": g.column("decile"),
+                     "n_seqs": g.column("n_seqs").cast(pa.int64())},
+                    schema=_DOM_OUT)
+
+
+def sql_seq_dominant_ratio(cache: str) -> str:
+    # decile 10 = exactly-constant payloads (ppm == 1,000,000): kept
+    # unclamped on both sides so the constant bucket stays separable
+    return f"""
+WITH u AS (
+  SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(tok AS BIGINT) AS tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM read_parquet('{cache}/shard-*.parquet') t, UNNEST(t.tokens) AS u(tok)
+  GROUP BY doc_id, source, n_tok, tok
+), m AS (
+  SELECT doc_id, source, MAX(c) * 1000000 // n_tok // 100000 AS decile
+  FROM u GROUP BY doc_id, source, n_tok
+)
+SELECT source, CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs
+FROM m GROUP BY source, decile ORDER BY source, decile
+"""
+
+
 _LEAK_OUT = pa.schema([("src_a", pa.string()), ("src_b", pa.string()),
                        ("n_shared", pa.int64())])
 
@@ -4297,6 +4377,7 @@ def log_queries() -> dict:
         "log_dup_cluster_sizes": q_log_dup_cluster_sizes,
         "log_token_positional_stats": q_log_token_positional_stats,
         "log_cross_source_leakage": q_log_cross_source_leakage,
+        "log_seq_dominant_ratio": q_log_seq_dominant_ratio,
         "log_token_pmi": q_log_token_pmi,
         "log_pack_doc_mix": q_log_pack_doc_mix,
         "log_pack_tokens": q_log_pack_tokens,
@@ -4362,6 +4443,7 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_dup_cluster_sizes": sql_dup_cluster_sizes(cache),
         "log_token_positional_stats": sql_token_positional_stats(cache),
         "log_cross_source_leakage": sql_cross_source_leakage(cache),
+        "log_seq_dominant_ratio": sql_seq_dominant_ratio(cache),
         "log_token_pmi": sql_token_pmi(cache),
         "log_pack_doc_mix": sql_pack_doc_mix(cache),
         "log_pack_tokens": sql_pack_tokens(cache),

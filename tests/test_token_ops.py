@@ -884,3 +884,31 @@ def test_pack_doc_mix_planted(ray_session, tmp_path, monkeypatch):
     # seq0=[1112] 2 docs, seq1=[2233] 2 docs, seq2=[4444] 1 doc,
     # seq3=[45] 2 docs (the empty doc contributes nothing)
     assert got == {1: 1, 2: 3}
+
+
+def test_seq_dominant_ratio_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_seq_dominant_ratio(SF).to_pandas())
+    want = _norm(_duck(Q.sql_seq_dominant_ratio(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    n_docs = _duck(f"SELECT COUNT(*) AS n FROM "
+                   f"read_parquet('{cache}/shard-*.parquet') "
+                   f"WHERE n_tok > 0")
+    assert got.n_seqs.sum() == n_docs.n.iloc[0]
+
+
+def test_seq_dominant_ratio_planted(ray_session, tmp_path, monkeypatch):
+    """Constant payload lands in decile 10; an even 2-token split in
+    decile 5; 3-of-7 dominance floors to decile 4 (428571 ppm)."""
+    rows = [[5, 5, 5, 5], [1, 2, 1, 2], [1, 1, 1, 2, 3, 4, 5]]
+    t = pa.table({
+        "doc_id": pa.array([f"a-{i:012d}" for i in range(3)],
+                           type=pa.string()),
+        "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r) for r in rows], type=pa.int32()),
+        "source": pa.array(["s1", "s1", "s2"], type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "shard-00000.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = Q.q_log_seq_dominant_ratio("ignored").to_pandas()
+    got = {(r.source, r.decile): r.n_seqs for r in out.itertuples()}
+    assert got == {("s1", 10): 1, ("s1", 5): 1, ("s2", 4): 1}
