@@ -3152,6 +3152,78 @@ FROM tok GROUP BY source, pos_bucket
 """
 
 
+_BURST_OUT = pa.schema([("token", pa.int64()), ("n_occ", pa.int64()),
+                        ("sum_sq", pa.int64()), ("n_seqs", pa.int64())])
+
+
+def q_log_token_burstiness(sf_dir: str):
+    """Per-token burstiness sufficient statistics: total occurrences,
+    sum of squared per-sequence counts, and the number of sequences
+    containing the token (Church-Gale dispersion — a token whose
+    sum_sq is large relative to n_occ**2/N clumps into few sequences:
+    template/boilerplate bytes; a uniform token spreads thin). The
+    variance-to-mean ratio derives exactly from these integers, so the
+    op ships the sufficient stats and no float ever crosses the gate.
+
+    Exchange-free: per-(row, token) counts via the same sorted-key
+    segmented pass as the dominant-ratio screen, squared and bincounted
+    into a <=256-row partial per block; the driver folds KBs."""
+    part_schema = pa.schema([("token", pa.int64()), ("n_occ", pa.int64()),
+                             ("sum_sq", pa.int64()), ("n_seqs", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        vals, off = _token_lists(t.column("tokens"))
+        if not len(vals):
+            return part_schema.empty_table()
+        nt = np.diff(off)
+        row_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), nt)
+        key = row_of * 256 + vals.astype(np.int64)
+        uk, cnt = np.unique(key, return_counts=True)
+        tok = (uk & 255).astype(np.int64)
+        n_occ = np.bincount(tok, weights=cnt, minlength=256)
+        sum_sq = np.bincount(tok, weights=cnt * cnt, minlength=256)
+        n_seqs = np.bincount(tok, minlength=256)
+        nz = np.flatnonzero(n_seqs)
+        return pa.table({
+            "token": pa.array(nz, pa.int64()),
+            "n_occ": pa.array(n_occ[nz].astype(np.int64)),
+            "sum_sq": pa.array(sum_sq[nz].astype(np.int64)),
+            "n_seqs": pa.array(n_seqs[nz].astype(np.int64)),
+        })
+
+    parts = pa.concat_tables(
+        [part_schema.empty_table()] +
+        list(_read_tokens(sf_dir, ["tokens"])
+             .map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    g = parts.group_by("token").aggregate(
+        [("n_occ", "sum"), ("sum_sq", "sum"), ("n_seqs", "sum")])
+    g = g.rename_columns(["token", "n_occ", "sum_sq", "n_seqs"])
+    g = g.sort_by([("token", "ascending")])
+    return pa.table({"token": g.column("token"),
+                     "n_occ": g.column("n_occ").cast(pa.int64()),
+                     "sum_sq": g.column("sum_sq").cast(pa.int64()),
+                     "n_seqs": g.column("n_seqs").cast(pa.int64())},
+                    schema=_BURST_OUT)
+
+
+def sql_token_burstiness(cache: str) -> str:
+    return f"""
+WITH u AS (
+  SELECT doc_id, CAST(tok AS BIGINT) AS token,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM read_parquet('{cache}/shard-*.parquet') t, UNNEST(t.tokens) AS u(tok)
+  GROUP BY doc_id, tok
+)
+SELECT token, CAST(SUM(c) AS BIGINT) AS n_occ,
+       CAST(SUM(c * c) AS BIGINT) AS sum_sq,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs
+FROM u GROUP BY token ORDER BY token
+"""
+
+
 _DOM_OUT = pa.schema([("source", pa.string()), ("decile", pa.int64()),
                       ("n_seqs", pa.int64())])
 
@@ -4378,6 +4450,7 @@ def log_queries() -> dict:
         "log_token_positional_stats": q_log_token_positional_stats,
         "log_cross_source_leakage": q_log_cross_source_leakage,
         "log_seq_dominant_ratio": q_log_seq_dominant_ratio,
+        "log_token_burstiness": q_log_token_burstiness,
         "log_token_pmi": q_log_token_pmi,
         "log_pack_doc_mix": q_log_pack_doc_mix,
         "log_pack_tokens": q_log_pack_tokens,
@@ -4444,6 +4517,7 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_token_positional_stats": sql_token_positional_stats(cache),
         "log_cross_source_leakage": sql_cross_source_leakage(cache),
         "log_seq_dominant_ratio": sql_seq_dominant_ratio(cache),
+        "log_token_burstiness": sql_token_burstiness(cache),
         "log_token_pmi": sql_token_pmi(cache),
         "log_pack_doc_mix": sql_pack_doc_mix(cache),
         "log_pack_tokens": sql_pack_tokens(cache),

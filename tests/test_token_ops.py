@@ -912,3 +912,41 @@ def test_seq_dominant_ratio_planted(ray_session, tmp_path, monkeypatch):
     out = Q.q_log_seq_dominant_ratio("ignored").to_pandas()
     got = {(r.source, r.decile): r.n_seqs for r in out.itertuples()}
     assert got == {("s1", 10): 1, ("s1", 5): 1, ("s2", 4): 1}
+
+
+def test_token_burstiness_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_token_burstiness(SF).to_pandas())
+    want = _norm(_duck(Q.sql_token_burstiness(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # total occurrences reconcile with the corpus token volume
+    tot = _duck(f"SELECT CAST(SUM(n_tok) AS BIGINT) AS n FROM "
+                f"read_parquet('{cache}/shard-*.parquet')")
+    assert got.n_occ.sum() == tot.n.iloc[0]
+    # sum_sq >= n_occ always (c^2 >= c), equality iff never repeated
+    assert (got.sum_sq >= got.n_occ).all()
+
+
+def test_token_burstiness_planted(ray_session, tmp_path, monkeypatch):
+    """Bursty token (4 occurrences in ONE row) vs spread token (4 rows
+    x 1): same n_occ, different sum_sq/n_seqs; shards split rows."""
+    t1 = pa.table({
+        "doc_id": pa.array([f"a-{i:012d}" for i in range(2)],
+                           type=pa.string()),
+        "tokens": pa.array([[7, 7, 7, 7, 3], [3]],
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([5, 1], type=pa.int32()),
+        "source": pa.array(["s", "s"], type=pa.string()),
+    })
+    t2 = pa.table({
+        "doc_id": pa.array([f"a-{i:012d}" for i in range(2, 4)],
+                           type=pa.string()),
+        "tokens": pa.array([[3], [3]], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([1, 1], type=pa.int32()),
+        "source": pa.array(["s", "s"], type=pa.string()),
+    })
+    pq.write_table(t1, str(tmp_path / "shard-00000.parquet"))
+    pq.write_table(t2, str(tmp_path / "shard-00001.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = Q.q_log_token_burstiness("ignored").to_pandas()
+    got = {r.token: (r.n_occ, r.sum_sq, r.n_seqs) for r in out.itertuples()}
+    assert got == {7: (4, 16, 1), 3: (4, 4, 4)}
