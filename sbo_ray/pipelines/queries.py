@@ -3807,6 +3807,183 @@ def _mix_fold(*parts) -> pa.Table:
                      "n_seqs": pa.array(nsq.astype(np.int64))})
 
 
+_PUR_PART = pa.schema([("seq", pa.int64()), ("srch", pa.int64())])
+_PUR_SCHEMA = pa.schema([("n_sources", pa.int64()), ("n_seqs", pa.int64())])
+
+
+def _src_hash64(col) -> np.ndarray:
+    """64-bit FNV-1a of each source string (identity only — distinct
+    counting needs equality, never order; collisions among a bounded
+    source set are measure-zero and deterministic)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    enc = pc.dictionary_encode(arr)
+    uniq = enc.dictionary.to_pylist()
+    h = np.empty(len(uniq), dtype=np.uint64)
+    for i, s in enumerate(uniq):
+        acc = np.uint64(0xCBF29CE484222325)
+        for by in s.encode():
+            acc = np.uint64((int(acc) ^ by) *
+                            0x100000001B3 % (1 << 64))
+        h[i] = acc
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return h[idx].view(np.int64)
+
+
+def _purity_combine(base, seq_len: int, P2: int, *shards):
+    """One chunk partition of the source-purity exchange: the doc-mix
+    offset derivation, then distinct (seq, source-hash) presence pairs
+    pre-sharded by seq hash (num_returns=P2). Pairs from docs of the
+    SAME source in the same seq dedup here; cross-partition repeats of
+    a pair dedup again in the fold."""
+    from .datapipe import _lp_split
+
+    cids, cbases = base
+    tabs = [s for s in shards if s.num_rows]
+    if not tabs:
+        outs = [_PUR_PART.empty_table()] * P2
+        return outs if P2 > 1 else outs[0]
+    g = pa.concat_tables(tabs).combine_chunks()
+    idx = g.column("idx").to_numpy(zero_copy_only=False)
+    o = np.argsort(idx, kind="stable")
+    nt = g.column("n_tok").to_numpy(
+        zero_copy_only=False).astype(np.int64)[o]
+    ck = g.column("chunk").to_numpy(zero_copy_only=False)[o]
+    srch = _src_hash64(g.column("source"))[o]
+    csum = np.cumsum(nt) - nt
+    new = np.ones(len(ck), dtype=bool)
+    new[1:] = ck[1:] != ck[:-1]
+    first = np.maximum.accumulate(np.where(new, np.arange(len(ck)), 0))
+    off = csum - csum[first] + cbases[np.searchsorted(cids, ck)]
+    nz = nt > 0
+    sf = off[nz] // seq_len
+    k = (off[nz] + nt[nz] - 1) // seq_len - sf + 1
+    n = int(k.sum())
+    seq = (np.repeat(sf, k) + np.arange(n, dtype=np.int64)
+           - np.repeat(np.cumsum(k) - k, k))
+    sh = np.repeat(srch[nz], k)
+    o2 = np.lexsort((sh, seq))
+    seq, sh = seq[o2], sh[o2]
+    keep = np.ones(len(seq), dtype=bool)
+    keep[1:] = (seq[1:] != seq[:-1]) | (sh[1:] != sh[:-1])
+    seq, sh = seq[keep], sh[keep]
+    outs = [pa.table({"seq": pa.array(s, pa.int64()),
+                      "srch": pa.array(c, pa.int64())})
+            for s, c in _lp_split(seq, P2, seq, sh)]
+    return outs if P2 > 1 else outs[0]
+
+
+def _purity_fold(*parts) -> pa.Table:
+    """Distinct sources per seq for one seq partition, folded into the
+    bounded (n_sources, n_seqs) histogram."""
+    tabs = [p for p in parts if p.num_rows]
+    if not tabs:
+        return _PUR_SCHEMA.empty_table()
+    t = pa.concat_tables(tabs)
+    seq = t.column("seq").to_numpy(zero_copy_only=False)
+    sh = t.column("srch").to_numpy(zero_copy_only=False)
+    o = np.lexsort((sh, seq))
+    seq, sh = seq[o], sh[o]
+    keep = np.ones(len(seq), dtype=bool)
+    keep[1:] = (seq[1:] != seq[:-1]) | (sh[1:] != sh[:-1])
+    seq = seq[keep]
+    _, ns = np.unique(seq, return_counts=True)
+    d, nsq = np.unique(ns, return_counts=True)
+    return pa.table({"n_sources": pa.array(d.astype(np.int64)),
+                     "n_seqs": pa.array(nsq.astype(np.int64))})
+
+
+def q_log_pack_source_purity(sf_dir: str, seq_len: int = 512,
+                             chunk_docs: int = 4096):
+    """Domain purity of the packed layout: how many distinct SOURCES
+    each fixed-length training sequence mixes (the domain-mixing twin
+    of log_pack_doc_mix — log_pack_tokens_by_source exists precisely
+    to drive this histogram to all-1s; this op measures how impure the
+    global layout actually is).
+
+    Same payload-free two-wave exchange as doc_mix, with the source
+    hash riding along: wave 1 derives exact offsets per chunk
+    partition and emits DISTINCT (seq, source) presence pairs
+    pre-sharded by seq hash; wave 2 re-dedups cross-partition repeats
+    and folds bounded histograms. Exact integers end-to-end."""
+    import ray
+
+    from .datapipe import _n_parts, _table_shard
+
+    P = max(2, _n_parts())
+    empty = _PUR_SCHEMA.empty_table()
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        idx = _pack_idx(t.column("doc_id"))
+        return (t.select(["n_tok", "source"])
+                .append_column("idx", pa.array(idx, pa.int64()))
+                .append_column("chunk",
+                               pa.array(idx // chunk_docs, pa.int64())))
+
+    ds = (_read_tokens(sf_dir, ["doc_id", "n_tok", "source"])
+          .map_batches(add_keys, batch_format="pyarrow"))
+    refs = [r for b in ds.iter_internal_ref_bundles()
+            for r, md in b.blocks if md.num_rows]
+    if not refs:
+        return empty
+    sums_task = ray.remote(_mix_chunk_sums)
+    merged = pa.concat_tables(
+        ray.get([sums_task.remote(r) for r in refs])).group_by(
+        "chunk").aggregate([("tok_sum", "sum")])
+    order = pc.sort_indices(merged.column("chunk"))
+    chunk_ids = merged.column("chunk").take(order).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    sums = merged.column("tok_sum_sum").take(order).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    bases = np.cumsum(sums) - sums
+    base_ref = ray.put((chunk_ids, bases))
+
+    tshard = ray.remote(_table_shard)
+    slices = [tshard.options(num_returns=P).remote(r, P, "chunk")
+              for r in refs]
+    comb = ray.remote(_purity_combine)
+    mids = [comb.options(num_returns=P).remote(
+        base_ref, seq_len, P, *[s[p] for s in slices])
+        for p in range(P)]
+    if P == 1:
+        mids = [[m] for m in mids]
+    fold = ray.remote(_purity_fold)
+    hists = ray.get([fold.remote(*[m[q] for m in mids])
+                     for q in range(P)])
+    t = pa.concat_tables([empty] + list(hists)).group_by(
+        "n_sources").aggregate([("n_seqs", "sum")])
+    t = t.rename_columns(["n_sources", "n_seqs"])
+    t = t.sort_by([("n_sources", "ascending")])
+    return pa.table({"n_sources": t.column("n_sources"),
+                     "n_seqs": t.column("n_seqs").cast(pa.int64())})
+
+
+def sql_pack_source_purity(cache: str, seq_len: int = 512) -> str:
+    return f"""
+WITH t AS (
+  SELECT source, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(right(doc_id, 12) AS BIGINT) AS idx
+  FROM read_parquet('{cache}/shard-*.parquet')
+), o AS (
+  SELECT source, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_offset
+  FROM t
+), f AS (
+  SELECT source,
+         unnest(generate_series(tok_offset // {seq_len},
+                                (tok_offset + n_tok - 1) // {seq_len}))
+           AS seq_id
+  FROM o WHERE n_tok > 0
+), d AS (
+  SELECT seq_id, COUNT(DISTINCT source) AS n_sources FROM f GROUP BY seq_id
+)
+SELECT CAST(n_sources AS BIGINT) AS n_sources,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs
+FROM d GROUP BY n_sources ORDER BY n_sources
+"""
+
+
 def q_log_pack_doc_mix(sf_dir: str, seq_len: int = 512,
                        chunk_docs: int = 4096):
     """Packing fragmentation histogram: how many DOCUMENTS each packed
@@ -4453,6 +4630,7 @@ def log_queries() -> dict:
         "log_token_burstiness": q_log_token_burstiness,
         "log_token_pmi": q_log_token_pmi,
         "log_pack_doc_mix": q_log_pack_doc_mix,
+        "log_pack_source_purity": q_log_pack_source_purity,
         "log_pack_tokens": q_log_pack_tokens,
         "log_pack_tokens_sep": q_log_pack_tokens_sep,
         "log_seq_dedup_prefix": q_log_seq_dedup_prefix,
@@ -4520,6 +4698,7 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_token_burstiness": sql_token_burstiness(cache),
         "log_token_pmi": sql_token_pmi(cache),
         "log_pack_doc_mix": sql_pack_doc_mix(cache),
+        "log_pack_source_purity": sql_pack_source_purity(cache),
         "log_pack_tokens": sql_pack_tokens(cache),
         "log_pack_tokens_sep": sql_pack_tokens_sep(cache),
         "log_seq_dedup_prefix": sql_seq_dedup_prefix(cache),

@@ -950,3 +950,43 @@ def test_token_burstiness_planted(ray_session, tmp_path, monkeypatch):
     out = Q.q_log_token_burstiness("ignored").to_pandas()
     got = {r.token: (r.n_occ, r.sum_sq, r.n_seqs) for r in out.itertuples()}
     assert got == {7: (4, 16, 1), 3: (4, 4, 4)}
+
+
+def test_pack_source_purity_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_pack_source_purity(SF).to_pandas())
+    want = _norm(_duck(Q.sql_pack_source_purity(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every packed sequence appears exactly once in the histogram
+    total = _duck(f"SELECT CAST(CEIL(SUM(n_tok) / 512.0) AS BIGINT) AS n "
+                  f"FROM read_parquet('{cache}/shard-*.parquet')")
+    assert got.n_seqs.sum() == total.n.iloc[0]
+
+
+def test_pack_source_purity_planted(ray_session, tmp_path, monkeypatch):
+    """seq_len=4 over docs [3(sA), 3(sB), 2(sA), 5(sC), 1(sA)]:
+    seq0 mixes {A,B}, seq1 {B,A}, seq2 {C}, seq3 {C,A}; two docs of
+    the SAME source in one seq count once."""
+    t1 = pa.table({
+        "doc_id": pa.array([f"a-{i:012d}" for i in range(3)],
+                           type=pa.string()),
+        "tokens": pa.array([[1, 1, 1], [2, 2, 2], [3, 3]],
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([3, 3, 2], type=pa.int32()),
+        "source": pa.array(["sA", "sB", "sA"], type=pa.string()),
+    })
+    t2 = pa.table({
+        "doc_id": pa.array([f"a-{i:012d}" for i in range(3, 5)],
+                           type=pa.string()),
+        "tokens": pa.array([[4, 4, 4, 4, 4], [5]],
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([5, 1], type=pa.int32()),
+        "source": pa.array(["sC", "sA"], type=pa.string()),
+    })
+    pq.write_table(t1, str(tmp_path / "shard-00000.parquet"))
+    pq.write_table(t2, str(tmp_path / "shard-00001.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = Q.q_log_pack_source_purity("ignored", seq_len=4).to_pandas()
+    got = dict(zip(out.n_sources, out.n_seqs))
+    # stream: 111 222 33 44444 5 -> seqs [1112][2233][4444][45]
+    # sources {A,B} {B,A} {C} {C,A}
+    assert got == {1: 1, 2: 3}
