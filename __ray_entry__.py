@@ -55,7 +55,7 @@ _PRIORITY = [
     "log_dup_cluster_sizes", "log_token_positional_stats",
     "log_cross_source_leakage", "log_token_pmi", "log_pack_doc_mix",
     "log_seq_dominant_ratio", "log_token_burstiness",
-    "log_pack_source_purity",
+    "log_pack_source_purity", "log_token_run_lengths",
     # previously green; rotate the oldest rows back under the cap
     "log_token_histogram", "log_token_bigrams", "log_seq_dedup",
     "log_pack_tokens", "doc_dsir_weights", "events_attribution",

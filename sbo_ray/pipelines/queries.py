@@ -3224,6 +3224,80 @@ FROM u GROUP BY token ORDER BY token
 """
 
 
+_RUN_OUT = pa.schema([("run_len", pa.int64()), ("n_runs", pa.int64())])
+
+
+def q_log_token_run_lengths(sf_dir: str):
+    """Histogram of maximal same-token run lengths across the corpus —
+    the RLE-compressibility / stuck-byte signal at sub-sequence
+    granularity (the per-sequence dominant-ratio screen can miss a
+    long run buried in an otherwise-diverse payload; this can't). Runs
+    never cross sequence boundaries.
+
+    Exchange-free: run starts are one vectorized comparison per block
+    (value change OR row start), lengths diff out of the start
+    indices, and each block emits a <=max-n_tok-row bincount partial;
+    the driver folds KBs. Exact integers end-to-end."""
+    part_schema = pa.schema([("run_len", pa.int64()), ("n_runs", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        vals, off = _token_lists(t.column("tokens"))
+        n = len(vals)
+        if not n:
+            return part_schema.empty_table()
+        start = np.zeros(n, dtype=bool)
+        starts = off[:-1][np.diff(off) > 0]  # first token of nonempty rows
+        start[starts] = True
+        start[1:] |= vals[1:] != vals[:-1]
+        si = np.flatnonzero(start)
+        lens = np.diff(np.r_[si, n])
+        cnt = np.bincount(lens)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"run_len": pa.array(nz.astype(np.int64)),
+                         "n_runs": pa.array(cnt[nz].astype(np.int64))})
+
+    parts = pa.concat_tables(
+        [part_schema.empty_table()] +
+        list(_read_tokens(sf_dir, ["tokens"])
+             .map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    g = parts.group_by("run_len").aggregate([("n_runs", "sum")])
+    g = g.rename_columns(["run_len", "n_runs"])
+    g = g.sort_by([("run_len", "ascending")])
+    return pa.table({"run_len": g.column("run_len"),
+                     "n_runs": g.column("n_runs").cast(pa.int64())},
+                    schema=_RUN_OUT)
+
+
+def sql_token_run_lengths(cache: str) -> str:
+    # pos gives the window a TOTAL order within each doc (the
+    # log_sessionize rule: never two window clauses over an ambiguous
+    # sort), and doc_id partitioning keeps runs inside sequences
+    return f"""
+WITH p AS (
+  SELECT doc_id, unnest(tokens) AS tok,
+         generate_subscripts(tokens, 1) AS pos
+  FROM read_parquet('{cache}/shard-*.parquet')
+), i AS (
+  SELECT doc_id, pos,
+         CASE WHEN LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS DISTINCT FROM tok THEN 1 ELSE 0 END AS brk
+  FROM p
+), r AS (
+  SELECT doc_id, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM i
+), l AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM r GROUP BY doc_id, run_id
+)
+SELECT run_len, CAST(COUNT(*) AS BIGINT) AS n_runs
+FROM l GROUP BY run_len ORDER BY run_len
+"""
+
+
 _DOM_OUT = pa.schema([("source", pa.string()), ("decile", pa.int64()),
                       ("n_seqs", pa.int64())])
 
@@ -4628,6 +4702,7 @@ def log_queries() -> dict:
         "log_cross_source_leakage": q_log_cross_source_leakage,
         "log_seq_dominant_ratio": q_log_seq_dominant_ratio,
         "log_token_burstiness": q_log_token_burstiness,
+        "log_token_run_lengths": q_log_token_run_lengths,
         "log_token_pmi": q_log_token_pmi,
         "log_pack_doc_mix": q_log_pack_doc_mix,
         "log_pack_source_purity": q_log_pack_source_purity,
@@ -4696,6 +4771,7 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_cross_source_leakage": sql_cross_source_leakage(cache),
         "log_seq_dominant_ratio": sql_seq_dominant_ratio(cache),
         "log_token_burstiness": sql_token_burstiness(cache),
+        "log_token_run_lengths": sql_token_run_lengths(cache),
         "log_token_pmi": sql_token_pmi(cache),
         "log_pack_doc_mix": sql_pack_doc_mix(cache),
         "log_pack_source_purity": sql_pack_source_purity(cache),

@@ -990,3 +990,32 @@ def test_pack_source_purity_planted(ray_session, tmp_path, monkeypatch):
     # stream: 111 222 33 44444 5 -> seqs [1112][2233][4444][45]
     # sources {A,B} {B,A} {C} {C,A}
     assert got == {1: 1, 2: 3}
+
+
+def test_token_run_lengths_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_token_run_lengths(SF).to_pandas())
+    want = _norm(_duck(Q.sql_token_run_lengths(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # run lengths weighted by count reconcile with total token volume
+    tot = _duck(f"SELECT CAST(SUM(n_tok) AS BIGINT) AS n FROM "
+                f"read_parquet('{cache}/shard-*.parquet')")
+    assert (got.run_len * got.n_runs).sum() == tot.n.iloc[0]
+
+
+def test_token_run_lengths_planted(ray_session, tmp_path, monkeypatch):
+    """Runs break at row boundaries (trailing 7s + leading 7s stay two
+    runs) and at value changes; empty rows contribute nothing."""
+    rows = [[7, 7, 7], [7, 7, 1], [], [1, 1, 1, 1]]
+    t = pa.table({
+        "doc_id": pa.array([f"a-{i:012d}" for i in range(len(rows))],
+                           type=pa.string()),
+        "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r) for r in rows], type=pa.int32()),
+        "source": pa.array(["s"] * len(rows), type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "shard-00000.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = Q.q_log_token_run_lengths("ignored").to_pandas()
+    got = dict(zip(out.run_len, out.n_runs))
+    # runs: [777] [77] [1] [1111] -> lens 3,2,1,4
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
