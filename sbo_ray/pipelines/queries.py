@@ -4353,12 +4353,6 @@ def q_log_pack_tokens_dedup(sf_dir: str, seq_len: int = 512,
     Sequence identity rides the property-tested 64-bit polynomial row
     hash (the log_seq_dedup contract: collisions ~ n^2/2^64); the SQL
     gate dedups on the exact tokens array."""
-    import ray
-
-    from .datapipe import _lp_split, _n_parts, _table_shard
-
-    P = max(2, _n_parts())
-    empty = _PACK_SCHEMA.empty_table()
 
     def add_keys(t: pa.Table) -> pa.Table:
         idx = _pack_idx(t.column("doc_id"))
@@ -4372,6 +4366,23 @@ def q_log_pack_tokens_dedup(sf_dir: str, seq_len: int = 512,
                 .append_column("chunk",
                                pa.array(idx // chunk_docs, pa.int64()))
                 .append_column("h", pa.array(h)))
+
+    return _dedup_pack_pipeline(sf_dir, add_keys, seq_len, chunk_docs)
+
+
+def _dedup_pack_pipeline(sf_dir: str, add_keys, seq_len: int,
+                         chunk_docs: int):
+    """The dedup-feeding-pack three-wave exchange, parameterized over
+    the key/gate stage (``add_keys`` may FILTER rows — the curated
+    variant's quality gate — as long as it emits doc_id/tokens/idx/
+    chunk/h). Shared by log_pack_tokens_dedup and
+    log_pack_tokens_curated."""
+    import ray
+
+    from .datapipe import _lp_split, _n_parts, _table_shard
+
+    P = max(2, _n_parts())
+    empty = _PACK_SCHEMA.empty_table()
 
     def hshard(t: pa.Table) -> list:
         h = t.column("h").to_numpy(zero_copy_only=False)
@@ -4450,6 +4461,100 @@ WITH raw AS (
   FROM read_parquet('{cache}/shard-*.parquet')
 ), t AS (
   SELECT doc_id, tokens, n_tok, idx FROM raw
+  QUALIFY idx = MIN(idx) OVER (PARTITION BY tokens)
+), o AS (
+  SELECT doc_id, tokens, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_offset
+  FROM t
+), f AS (
+  SELECT doc_id, tokens, n_tok, tok_offset,
+         unnest(generate_series(tok_offset // {seq_len},
+                                (tok_offset + n_tok - 1) // {seq_len}))
+           AS seq_id
+  FROM o WHERE n_tok > 0
+), s AS (
+  SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id, tokens,
+         GREATEST(seq_id * {seq_len}, tok_offset) - tok_offset + 1 AS a,
+         LEAST((seq_id + 1) * {seq_len}, tok_offset + n_tok) - tok_offset AS b
+  FROM f
+)
+SELECT doc_id, seq_id,
+       CAST(b - a + 1 AS BIGINT) AS n_frag_tokens,
+       CAST(list_sum(list_slice(tokens, a, b)) AS BIGINT) AS frag_sum,
+       CAST(tokens[a] AS BIGINT) AS first_tok,
+       CAST(tokens[b] AS BIGINT) AS last_tok
+FROM s
+"""
+
+
+def q_log_pack_tokens_curated(sf_dir: str, seq_len: int = 512,
+                              chunk_docs: int = 4096,
+                              max_dom_ppm: int = 900_000,
+                              min_tok: int = 4):
+    """The FULL token-axis curation flagship: quality gate -> exact
+    dedup -> pack, one pipeline over one read. The gate drops
+    near-constant payloads (dominant-token ratio >= ``max_dom_ppm``
+    ppm — the stuck-sensor screen applied as a filter) and runt
+    sequences (< ``min_tok`` tokens) BLOCK-LOCALLY inside the key
+    stage, so the dedup exchange and the packer only ever see
+    survivors; dedup then keeps the min-ingestion-index copy per
+    distinct tokens array and the survivor stream packs into
+    ``seq_len`` sequences (the log_pack_tokens_dedup waves, gated).
+
+    Gate ordering matters and is pinned by the SQL mirror: a copy
+    dropped by the QUALITY gate never shadows a later duplicate."""
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        idx = _pack_idx(t.column("doc_id"))
+        vals, off = _token_lists(t.column("tokens"))
+        nt = np.diff(off)
+        # per-row dominant count (the log_seq_dominant_ratio pass)
+        keep = np.zeros(t.num_rows, dtype=bool)
+        if len(vals):
+            row_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), nt)
+            key = row_of * 256 + vals.astype(np.int64)
+            uk, cnt = np.unique(key, return_counts=True)
+            rows_u = uk >> 8
+            bnd = np.flatnonzero(np.r_[True, rows_u[1:] != rows_u[:-1]])
+            mx = np.maximum.reduceat(cnt, bnd)
+            rid = rows_u[bnd]
+            ok = (nt[rid] >= min_tok) & (
+                mx * 1_000_000 // nt[rid] < max_dom_ppm)
+            keep[rid[ok]] = True
+        h = _seq_hash64(vals, off).view(np.int64)
+        t = (t.select(["doc_id", "tokens"])
+             .append_column("idx", pa.array(idx, pa.int64()))
+             .append_column("chunk",
+                            pa.array(idx // chunk_docs, pa.int64()))
+             .append_column("h", pa.array(h)))
+        return t.filter(pa.array(keep))
+
+    return _dedup_pack_pipeline(sf_dir, add_keys, seq_len, chunk_docs)
+
+
+def sql_pack_tokens_curated(cache: str, seq_len: int = 512,
+                            max_dom_ppm: int = 900_000,
+                            min_tok: int = 4) -> str:
+    return f"""
+WITH raw AS (
+  SELECT doc_id, tokens, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(right(doc_id, 12) AS BIGINT) AS idx
+  FROM read_parquet('{cache}/shard-*.parquet')
+), u AS (
+  SELECT doc_id, CAST(tok AS BIGINT) AS tok,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM read_parquet('{cache}/shard-*.parquet') t, UNNEST(t.tokens) AS z(tok)
+  GROUP BY doc_id, tok
+), dom AS (
+  SELECT doc_id, MAX(c) AS mx FROM u GROUP BY doc_id
+), gated AS (
+  SELECT raw.* FROM raw JOIN dom USING (doc_id)
+  WHERE raw.n_tok >= {min_tok}
+    AND dom.mx * 1000000 // raw.n_tok < {max_dom_ppm}
+), t AS (
+  SELECT doc_id, tokens, n_tok, idx FROM gated
   QUALIFY idx = MIN(idx) OVER (PARTITION BY tokens)
 ), o AS (
   SELECT doc_id, tokens, n_tok,
@@ -4706,6 +4811,7 @@ def log_queries() -> dict:
         "log_token_pmi": q_log_token_pmi,
         "log_pack_doc_mix": q_log_pack_doc_mix,
         "log_pack_source_purity": q_log_pack_source_purity,
+        "log_pack_tokens_curated": q_log_pack_tokens_curated,
         "log_pack_tokens": q_log_pack_tokens,
         "log_pack_tokens_sep": q_log_pack_tokens_sep,
         "log_seq_dedup_prefix": q_log_seq_dedup_prefix,
@@ -4775,6 +4881,7 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_token_pmi": sql_token_pmi(cache),
         "log_pack_doc_mix": sql_pack_doc_mix(cache),
         "log_pack_source_purity": sql_pack_source_purity(cache),
+        "log_pack_tokens_curated": sql_pack_tokens_curated(cache),
         "log_pack_tokens": sql_pack_tokens(cache),
         "log_pack_tokens_sep": sql_pack_tokens_sep(cache),
         "log_seq_dedup_prefix": sql_seq_dedup_prefix(cache),

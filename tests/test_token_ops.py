@@ -1019,3 +1019,46 @@ def test_token_run_lengths_planted(ray_session, tmp_path, monkeypatch):
     got = dict(zip(out.run_len, out.n_runs))
     # runs: [777] [77] [1] [1111] -> lens 3,2,1,4
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_pack_tokens_curated_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_pack_tokens_curated(SF).to_pandas())
+    want = _norm(_duck(Q.sql_pack_tokens_curated(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # curated output is a subset-stream of plain dedup (equality when
+    # the synth corpus has no gate-tripping payloads at this scale;
+    # gate bite itself is pinned by the planted fixture below)
+    dedup_only = Q.q_log_pack_tokens_dedup(SF).to_pandas()
+    assert got.n_frag_tokens.sum() <= dedup_only.n_frag_tokens.sum()
+
+
+def test_pack_tokens_curated_planted(ray_session, tmp_path, monkeypatch):
+    """Gate order pinned: a near-constant EARLY copy is dropped by the
+    quality gate and must NOT shadow a later duplicate; runts go; the
+    survivor stream packs contiguously."""
+    rows = [
+        [9, 9, 9, 9, 9, 9, 9, 1],   # idx 0: dominant 7/8 = 875000 ppm, kept
+        [1, 2],                     # idx 1: runt (< 4), dropped
+        [5, 5, 5, 5, 5],            # idx 2: constant -> 1e6 ppm, dropped
+        [1, 2, 3, 4],               # idx 3: kept
+        [1, 2, 3, 4],               # idx 4: dup of idx 3, dropped by dedup
+        [5, 5, 5, 5, 5, 6, 7, 8],   # idx 5: 5/8 = 625000 ppm, kept
+    ]
+    t = pa.table({
+        "doc_id": pa.array([f"a-{i:012d}" for i in range(len(rows))],
+                           type=pa.string()),
+        "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r) for r in rows], type=pa.int32()),
+        "source": pa.array(["s"] * len(rows), type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "shard-00000.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = (Q.q_log_pack_tokens_curated("ignored", seq_len=8)
+           .to_pandas().sort_values(["seq_id", "doc_id"]))
+    # survivor stream: idx0 (8 toks) | idx3 (4) | idx5 (8) = 20 tokens
+    kept = set(out.doc_id)
+    assert kept == {"a-000000000000", "a-000000000003", "a-000000000005"}
+    assert out.n_frag_tokens.sum() == 20
+    # idx3's fragment starts seq 1 at offset 8
+    frag3 = out[out.doc_id == "a-000000000003"]
+    assert list(frag3.seq_id) == [1] and list(frag3.n_frag_tokens) == [4]
