@@ -4489,6 +4489,30 @@ FROM s
 """
 
 
+def _quality_gate_mask(vals: np.ndarray, off: np.ndarray,
+                       min_tok: int, max_dom_ppm: int) -> np.ndarray:
+    """Per-row keep mask for the curation quality gate: at least
+    ``min_tok`` tokens AND dominant-token ratio under ``max_dom_ppm``
+    ppm (integer floor — the log_seq_dominant_ratio pass, as a
+    filter). Pure numpy; property-tested against a Counter reference
+    in tests/test_properties.py."""
+    nrows = len(off) - 1
+    nt = np.diff(off)
+    keep = np.zeros(nrows, dtype=bool)
+    if len(vals):
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), nt)
+        key = row_of * 256 + vals.astype(np.int64)
+        uk, cnt = np.unique(key, return_counts=True)
+        rows_u = uk >> 8
+        bnd = np.flatnonzero(np.r_[True, rows_u[1:] != rows_u[:-1]])
+        mx = np.maximum.reduceat(cnt, bnd)
+        rid = rows_u[bnd]
+        ok = (nt[rid] >= min_tok) & (
+            mx * 1_000_000 // nt[rid] < max_dom_ppm)
+        keep[rid[ok]] = True
+    return keep
+
+
 def q_log_pack_tokens_curated(sf_dir: str, seq_len: int = 512,
                               chunk_docs: int = 4096,
                               max_dom_ppm: int = 900_000,
@@ -4509,20 +4533,7 @@ def q_log_pack_tokens_curated(sf_dir: str, seq_len: int = 512,
     def add_keys(t: pa.Table) -> pa.Table:
         idx = _pack_idx(t.column("doc_id"))
         vals, off = _token_lists(t.column("tokens"))
-        nt = np.diff(off)
-        # per-row dominant count (the log_seq_dominant_ratio pass)
-        keep = np.zeros(t.num_rows, dtype=bool)
-        if len(vals):
-            row_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), nt)
-            key = row_of * 256 + vals.astype(np.int64)
-            uk, cnt = np.unique(key, return_counts=True)
-            rows_u = uk >> 8
-            bnd = np.flatnonzero(np.r_[True, rows_u[1:] != rows_u[:-1]])
-            mx = np.maximum.reduceat(cnt, bnd)
-            rid = rows_u[bnd]
-            ok = (nt[rid] >= min_tok) & (
-                mx * 1_000_000 // nt[rid] < max_dom_ppm)
-            keep[rid[ok]] = True
+        keep = _quality_gate_mask(vals, off, min_tok, max_dom_ppm)
         h = _seq_hash64(vals, off).view(np.int64)
         t = (t.select(["doc_id", "tokens"])
              .append_column("idx", pa.array(idx, pa.int64()))

@@ -425,3 +425,25 @@ def test_pack_combine_matches_naive(rows, seq_len, chunk_docs):
                                     r.first_tok, r.last_tok]
              for r in got.itertuples(index=False)}
     assert got_d == {k: v for k, v in want.items()}
+
+
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=255),
+                         max_size=16), min_size=1, max_size=30),
+       st.integers(min_value=1, max_value=6),
+       st.sampled_from([300_000, 500_000, 900_000, 1_000_001]))
+@settings(max_examples=80, deadline=None)
+def test_quality_gate_mask_matches_counter(rows, min_tok, max_dom_ppm):
+    """_quality_gate_mask == the Counter reference on arbitrary ragged
+    rows: empties always drop, constant rows drop below the 1e6+1 ppm
+    ceiling, the integer floor matches Python // exactly."""
+    from collections import Counter
+
+    from sbo_ray.pipelines.queries import _quality_gate_mask
+
+    vals, off = _ragged(rows)
+    got = _quality_gate_mask(vals, off, min_tok, max_dom_ppm)
+    for i, r in enumerate(rows):
+        want = (len(r) >= min_tok and
+                max(Counter(r).values()) * 1_000_000 // len(r)
+                < max_dom_ppm) if r else False
+        assert got[i] == want, (i, r, min_tok, max_dom_ppm)
