@@ -360,6 +360,166 @@ def _cmd_curate_full(args, out: str) -> int:
     return 0
 
 
+def _pack_shard_parts(path: str, P: int, row_base: int,
+                      min_tok: int, max_dom_ppm: int) -> list:
+    """Curated-pack pass 1, one input shard: gate rows block-locally
+    (_quality_gate_mask), hash the survivors' token arrays, and return
+    (h, global rownum, n_tok) triples pre-sharded by h (num_returns=P).
+    Gated-out rows are not dedup candidates and contribute nothing."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .pipelines.dp_dedup import _lp_partition
+    from .pipelines.queries import (_quality_gate_mask, _seq_hash64,
+                                    _token_lists)
+
+    t = pq.read_table(path, columns=["tokens"])
+    toks = t.column("tokens")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    vals, off = _token_lists(toks)
+    keep = _quality_gate_mask(vals, off, min_tok, max_dom_ppm)
+    h = _seq_hash64(vals, off).view(np.int64)[keep]
+    rn = row_base + np.flatnonzero(keep).astype(np.int64)
+    nt = np.diff(off)[keep]
+    part = _lp_partition(h, P)
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(P + 1))
+    stacked = np.stack([h[order], rn[order], nt[order]])
+    outs = [stacked[:, s:e] for s, e in zip(bounds[:-1], bounds[1:])]
+    return outs[0] if P == 1 else outs
+
+
+def _pack_combine_dedup(S: int, row_bounds, *parts) -> list:
+    """Curated-pack pass 1, one hash partition: keep the min-rownum
+    copy per h; return [per-shard KEPT token sums (S ints)] + the
+    dropped rownums pre-routed to their origin shard (num_returns=S+1
+    — the _curation_combine idiom with a sums carry)."""
+    import numpy as np
+
+    a = np.concatenate([p for p in parts if p.shape[1]], axis=1) \
+        if any(p.shape[1] for p in parts) else np.zeros((3, 0), np.int64)
+    h, rn, nt = a
+    order = np.lexsort((rn, h))
+    h, rn, nt = h[order], rn[order], nt[order]
+    first = np.ones(len(h), dtype=bool)
+    first[1:] = h[1:] != h[:-1]
+    rb = np.asarray(row_bounds, dtype=np.int64)
+    kshard = np.searchsorted(rb, rn[first], side="right") - 1
+    sums = np.bincount(kshard, weights=nt[first], minlength=S)
+    dr = rn[~first]
+    dshard = np.searchsorted(rb, dr, side="right") - 1
+    return [sums.astype(np.int64)] + \
+        [np.sort(dr[dshard == s]) for s in range(S)]
+
+
+def _cmd_pack_curated(args, out: str) -> int:
+    """``pack --curated`` body: quality gate -> exact dedup -> pack,
+    resumable (the log_pack_tokens_curated flagship in the curate
+    profile's operational shape). Cross-shard state is the dedup
+    winner set AND the survivor-stream bases; pass 1 recomputes both
+    DETERMINISTICALLY from the full input list on every invocation
+    (the _cmd_curate_full contract), so a partition recomputed after a
+    kill is byte-identical regardless of commit state. Ingestion
+    order: shards in the given order, rows in file order."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from . import fsio
+    from .pipelines.datapipe import _n_parts
+    from .pipelines.queries import (_pack_fragments, _quality_gate_mask,
+                                    _token_lists)
+
+    seq_len = args.seq_len
+    min_tok, max_dom_ppm = 4, 900_000
+    S = len(args.inputs)
+    todo, done_before = [], []
+    for si, p in enumerate(args.inputs):
+        stem = os.path.splitext(os.path.basename(p))[0]
+        pdir = os.path.join(out, f"shard={stem}")
+        if fsio.exists(os.path.join(pdir, "_SUCCESS")):
+            if not args.resume:
+                print(f"partition shard={stem} already committed; "
+                      "pass --resume to skip it and continue",
+                      file=sys.stderr)
+                return 2
+            done_before.append(stem)
+        else:
+            todo.append((si, p, stem, pdir))
+    ran = []
+    if todo:
+        @ray.remote
+        def shard_rows(path: str) -> int:
+            return int(pq.ParquetFile(path).metadata.num_rows)
+
+        nrows = ray.get([shard_rows.remote(p) for p in args.inputs])
+        row_bounds = [0] * (S + 1)
+        for i, n in enumerate(nrows):
+            row_bounds[i + 1] = row_bounds[i] + n
+        P = _n_parts()
+        stask = ray.remote(_pack_shard_parts)
+        sl = [stask.options(num_returns=P).remote(
+            p, P, row_bounds[si], min_tok, max_dom_ppm)
+            for si, p in enumerate(args.inputs)]
+        ctask = ray.remote(_pack_combine_dedup)
+        cl = [ctask.options(num_returns=S + 1).remote(
+            S, row_bounds[:-1],
+            *([s for s in sl] if P == 1 else [s[pt] for s in sl]))
+            for pt in range(P)]
+        sums = np.sum(ray.get([c[0] for c in cl]), axis=0).astype(np.int64)
+        bases = np.cumsum(sums) - sums
+        for si, p, stem, pdir in todo:
+            dropped = np.sort(np.concatenate(
+                ray.get([c[1 + si] for c in cl]) or
+                [np.zeros(0, np.int64)]))
+            fsio.makedirs(pdir)
+            fsio.clear_fragments(pdir)
+            n_rows, seen = 0, 0
+            running = int(bases[si])
+            ds = rd.read_parquet(p, columns=["doc_id", "tokens"],
+                                 override_num_blocks=1)
+            for i, b in enumerate(ds.iter_batches(
+                    batch_format="pyarrow", batch_size=None)):
+                toks = b.column("tokens")
+                if isinstance(toks, pa.ChunkedArray):
+                    toks = toks.combine_chunks()
+                vals, off = _token_lists(toks)
+                keep = _quality_gate_mask(vals, off, min_tok, max_dom_ppm)
+                rn = row_bounds[si] + seen + np.arange(
+                    b.num_rows, dtype=np.int64)
+                seen += b.num_rows
+                if len(dropped):
+                    pos = np.searchsorted(dropped, rn)
+                    hit = (pos < len(dropped)) & \
+                        (dropped[np.minimum(pos, len(dropped) - 1)] == rn)
+                    keep &= ~hit
+                kept = b.filter(pa.array(keep))
+                toks = kept.column("tokens")
+                if isinstance(toks, pa.ChunkedArray):
+                    toks = toks.combine_chunks()
+                vals, off = _token_lists(toks)
+                nt = np.diff(off)
+                goff = running + np.cumsum(nt) - nt
+                running += int(nt.sum())
+                docids = kept.column("doc_id")
+                if isinstance(docids, pa.ChunkedArray):
+                    docids = docids.combine_chunks()
+                frag = _pack_fragments(docids, vals.astype(np.int64),
+                                       off, goff, seq_len)
+                fsio.write_fragment(pdir, f"part-{i:05d}.parquet", frag)
+                n_rows += frag.num_rows
+            with fsio.open_file(os.path.join(pdir, "_SUCCESS"), "wb") as f:
+                f.write(json.dumps({"rows": n_rows,
+                                    "base": int(bases[si])}).encode())
+            ran.append(stem)
+    print(json.dumps({"out": out, "ran": ran, "skipped": done_before}))
+    return 0
+
+
 def cmd_pack(args) -> int:
     """Resumable sequence-PACKING run over token shards — the
     token-native flagship op in the curate profile's operational shape
@@ -372,7 +532,10 @@ def cmd_pack(args) -> int:
     for a fixed input list, so a resumed run recomputes IDENTICAL
     bases and every shard's fragments are exact regardless of which
     partitions already committed. Ingestion order contract: shards in
-    the given order, rows in file order."""
+    the given order, rows in file order.
+
+    ``--curated`` switches to the gated curation flagship (quality
+    gate -> exact dedup -> pack; see _cmd_pack_curated)."""
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd
@@ -382,6 +545,8 @@ def cmd_pack(args) -> int:
 
     _init_ray()
     out = args.out or "/tmp/sbo_ray_out/pack"
+    if getattr(args, "curated", False):
+        return _cmd_pack_curated(args, out)
     seq_len = args.seq_len
 
     @ray.remote
@@ -487,6 +652,9 @@ def main(argv: list[str] | None = None) -> int:
     pk.add_argument("--out", default=None)
     pk.add_argument("--seq-len", type=int, default=512)
     pk.add_argument("--resume", action="store_true")
+    pk.add_argument("--curated", action="store_true",
+                    help="quality gate + exact dedup before packing "
+                         "(the log_pack_tokens_curated flagship)")
     pk.set_defaults(fn=cmd_pack)
     so = sub.add_parser("osmetrics", help="live host OS-metrics sink "
                         "(S5+K6: sample uptime/free -> Parquet)")

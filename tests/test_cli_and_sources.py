@@ -410,3 +410,79 @@ def test_cli_curate_full_resume_byte_identical(ray_session, tmp_path,
     pipe = doc_curation_pipeline(str(merged_dir)).to_pandas()
     assert sorted(pipe["doc_id"]) == sorted(frags.column(
         "doc_id").to_pylist())
+
+
+def test_cli_pack_curated_resume_byte_identical(ray_session, tmp_path,
+                                                capsys, monkeypatch):
+    """pack --curated: gate -> dedup -> pack, checkpointed. Pass-1
+    winners AND survivor-stream bases recompute deterministically from
+    the full input list, so a partition redone after a kill is
+    byte-identical; the union of partitions equals the
+    log_pack_tokens_curated query over the same shards (doc_id
+    suffixes aligned with stream order)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sbo_ray import cli
+    from sbo_ray.pipelines import queries as Q
+
+    data = [
+        [[9, 9, 9, 9, 9, 9, 9, 1], [1, 2]],           # kept | runt
+        [[5, 5, 5, 5, 5], [1, 2, 3, 4], [6, 7, 8, 9, 10]],  # const | kept | kept
+        [[1, 2, 3, 4], [11, 12, 13, 14, 15, 16]],      # dup of s1 | kept
+    ]
+    shards, gid = [], 0
+    for i, chunk in enumerate(data):
+        p = tmp_path / f"tok{i}.parquet"
+        pq.write_table(pa.table({
+            "doc_id": pa.array([f"a-{gid + j:012d}"
+                                for j in range(len(chunk))], pa.string()),
+            "tokens": pa.array(chunk, pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r) for r in chunk], pa.int32()),
+            "source": pa.array(["s"] * len(chunk), pa.string()),
+        }), p)
+        gid += len(chunk)
+        shards.append(str(p))
+    out = str(tmp_path / "packed_curated")
+    assert cli.main(["pack", *shards, "--out", out, "--seq-len", "8",
+                     "--curated"]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sorted(res["ran"]) == ["tok0", "tok1", "tok2"]
+    # rerun refuses without --resume
+    assert cli.main(["pack", *shards, "--out", out, "--seq-len", "8",
+                     "--curated"]) == 2
+    capsys.readouterr()
+    # kill-and-resume: redo shard 1 byte-identically
+    before = open(f"{out}/shard=tok1/part-00000.parquet", "rb").read()
+    _os.remove(f"{out}/shard=tok1/_SUCCESS")
+    assert cli.main(["pack", *shards, "--out", out, "--seq-len", "8",
+                     "--curated", "--resume"]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["ran"] == ["tok1"]
+    assert sorted(res["skipped"]) == ["tok0", "tok2"]
+    after = open(f"{out}/shard=tok1/part-00000.parquet", "rb").read()
+    assert before == after
+    # union == the query flagship over the same shards
+    frags = pa.concat_tables([pq.read_table(f) for f in sorted(
+        _glob.glob(f"{out}/shard=*/part-*.parquet"))]).to_pandas()
+    monkeypatch.setattr(
+        Q, "_input_paths",
+        lambda sf: shards)
+    want = (Q.q_log_pack_tokens_curated("ignored", seq_len=8)
+            .to_pandas())
+    key = ["doc_id", "seq_id"]
+    pd.testing.assert_frame_equal(
+        frags.sort_values(key).reset_index(drop=True)[want.columns],
+        want.sort_values(key).reset_index(drop=True),
+        check_dtype=False)
+    # hand-check: survivors are docs 0, 3, 4, 6 (runt 1, const 2 gated;
+    # 5 dups 3) -> stream 8+4+5+6=23 tokens, 3 seqs
+    assert sorted(set(frags.doc_id)) == [
+        "a-000000000000", "a-000000000003", "a-000000000004",
+        "a-000000000006"]
+    assert frags.n_frag_tokens.sum() == 23
