@@ -3224,6 +3224,69 @@ FROM u GROUP BY token ORDER BY token
 """
 
 
+_LENP_OUT = pa.schema([("source", pa.string()), ("p50", pa.int64()),
+                       ("p90", pa.int64()), ("p99", pa.int64())])
+
+
+def q_log_seq_len_percentiles(sf_dir: str):
+    """Exact per-source sequence-length percentiles (p50/p90/p99 of
+    n_tok) — the numbers a packing job reads before choosing seq_len
+    (len_buckets shows the shape; this gives the order statistics).
+
+    Lengths are bounded, so each block emits a (source, n_tok, count)
+    partial and the driver folds a tiny histogram per source — exact
+    order statistics WITHOUT a sort or sample pass (a Dataset.sort
+    would shuffle the corpus to rank what a bincount already ranks).
+    Rank convention pinned to SQL PERCENTILE_DISC empirically: the
+    smallest value whose cumulative count r satisfies 100*r >= p*n —
+    integer arithmetic on both sides, no float rank ever computed."""
+    part_schema = pa.schema([("source", pa.string()), ("n_tok", pa.int64()),
+                             ("cnt", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        g = pa.table({
+            "source": t.column("source"),
+            "n_tok": t.column("n_tok").cast(pa.int64()),
+        }).group_by(["source", "n_tok"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n_tok", "cnt"])
+
+    parts = pa.concat_tables(
+        [part_schema.empty_table()] +
+        list(_read_tokens(sf_dir, ["source", "n_tok"])
+             .map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    g = parts.group_by(["source", "n_tok"]).aggregate([("cnt", "sum")])
+    df = g.rename_columns(["source", "n_tok", "cnt"]).to_pandas()
+    rows = []
+    for src, grp in df.groupby("source", sort=True):
+        grp = grp.sort_values("n_tok")
+        lens = grp["n_tok"].to_numpy()
+        cum = grp["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        pick = [int(lens[np.searchsorted(cum * 100, p * n)])
+                for p in (50, 90, 99)]
+        rows.append((src, *pick))
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "p50": pa.array([r[1] for r in rows], pa.int64()),
+        "p90": pa.array([r[2] for r in rows], pa.int64()),
+        "p99": pa.array([r[3] for r in rows], pa.int64()),
+    }, schema=_LENP_OUT)
+
+
+def sql_seq_len_percentiles(cache: str) -> str:
+    return f"""
+SELECT source,
+  CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY n_tok) AS BIGINT) AS p50,
+  CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY n_tok) AS BIGINT) AS p90,
+  CAST(PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY n_tok) AS BIGINT) AS p99
+FROM read_parquet('{cache}/shard-*.parquet')
+GROUP BY source ORDER BY source
+"""
+
+
 _RUN_OUT = pa.schema([("run_len", pa.int64()), ("n_runs", pa.int64())])
 
 
@@ -4819,6 +4882,7 @@ def log_queries() -> dict:
         "log_seq_dominant_ratio": q_log_seq_dominant_ratio,
         "log_token_burstiness": q_log_token_burstiness,
         "log_token_run_lengths": q_log_token_run_lengths,
+        "log_seq_len_percentiles": q_log_seq_len_percentiles,
         "log_token_pmi": q_log_token_pmi,
         "log_pack_doc_mix": q_log_pack_doc_mix,
         "log_pack_source_purity": q_log_pack_source_purity,
@@ -4889,6 +4953,7 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_seq_dominant_ratio": sql_seq_dominant_ratio(cache),
         "log_token_burstiness": sql_token_burstiness(cache),
         "log_token_run_lengths": sql_token_run_lengths(cache),
+        "log_seq_len_percentiles": sql_seq_len_percentiles(cache),
         "log_token_pmi": sql_token_pmi(cache),
         "log_pack_doc_mix": sql_pack_doc_mix(cache),
         "log_pack_source_purity": sql_pack_source_purity(cache),

@@ -1021,6 +1021,34 @@ def test_token_run_lengths_planted(ray_session, tmp_path, monkeypatch):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}
 
 
+def test_seq_len_percentiles_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_seq_len_percentiles(SF).to_pandas())
+    want = _norm(_duck(Q.sql_seq_len_percentiles(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got.p50 <= got.p90).all() and (got.p90 <= got.p99).all()
+
+
+def test_seq_len_percentiles_planted(ray_session, tmp_path, monkeypatch):
+    """Rank boundaries pinned: n=4 lengths [1,2,3,4] -> p50 is the
+    2nd order statistic (100*cum >= 50*n with equality), p90/p99 the
+    4th; a second source with n=5 -> p50 = ceil(2.5) = 3rd."""
+    rows_s1 = [[1], [2, 2], [3, 3, 3], [4, 4, 4, 4]]
+    rows_s2 = [[1], [2, 2], [3, 3, 3], [4, 4, 4, 4], [5] * 5]
+    rows = rows_s1 + rows_s2
+    t = pa.table({
+        "doc_id": pa.array([f"a-{i:012d}" for i in range(len(rows))],
+                           type=pa.string()),
+        "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r) for r in rows], type=pa.int32()),
+        "source": pa.array(["s1"] * 4 + ["s2"] * 5, type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "shard-00000.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = Q.q_log_seq_len_percentiles("ignored").to_pandas()
+    got = {r.source: (r.p50, r.p90, r.p99) for r in out.itertuples()}
+    assert got == {"s1": (2, 4, 4), "s2": (3, 5, 5)}
+
+
 def test_pack_tokens_curated_vs_duckdb(ray_session, cache):
     got = _norm(Q.q_log_pack_tokens_curated(SF).to_pandas())
     want = _norm(_duck(Q.sql_pack_tokens_curated(cache)))
