@@ -2837,6 +2837,123 @@ FROM t GROUP BY t.source
 """
 
 
+_SRCSIM_OUT = pa.schema([("src_a", pa.string()), ("src_b", pa.string()),
+                         ("n_match", pa.int64())])
+
+
+def q_log_source_minhash_sim(sf_dir: str, n: int = 8, mod: int = 8):
+    """Source-pair content similarity by MinHash signature agreement:
+    each source's element set is its mod-sampled 8-token windows, the
+    signature is the 8 fixed-permutation minima, and the output counts
+    matching components per source pair (E[n_match]/8 ~ Jaccard) —
+    the corpus-level overlap triage run before the per-sequence
+    near-dup screens (leakage counts exact sequence collisions; this
+    sees fuzzy content reuse between whole sources).
+
+    Exchange-FREE: the signature is a pure min-monoid, so each block
+    emits a <= |sources| x 8 partial and the driver folds minima — at
+    any corpus size the state is |sources| x 8 uint64s. Same shared
+    mix literals as log_seq_dedup_minhash, so the SQL mirror
+    reproduces every signature component bit-for-bit (capped-top-byte
+    window pack: the documented byte-alphabet assumption)."""
+    part_schema = pa.schema([("source", pa.string()), ("j", pa.int64()),
+                             ("mv", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        vals, off = _token_lists(t.column("tokens"))
+        m = len(vals) - n + 1
+        if m <= 0:
+            return part_schema.empty_table()
+        sel = np.flatnonzero(vals[:m] % mod == 0)
+        r0 = np.searchsorted(off, sel, side="right") - 1
+        r1 = np.searchsorted(off, sel + n - 1, side="right") - 1
+        same = r0 == r1
+        sel, r0 = sel[same], r0[same]
+        if not len(sel):
+            return part_schema.empty_table()
+        k = np.zeros(len(sel), np.uint64)
+        for j in range(n):
+            k += vals[sel + j].astype(np.uint64) << np.uint64(8 * j)
+        enc = pc.dictionary_encode(t.column("source").combine_chunks())
+        src = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)[r0]
+        o = np.argsort(src, kind="stable")
+        src, k = src[o], k[o]
+        seg = np.r_[0, np.flatnonzero(np.diff(src)) + 1]
+        seg_src = src[seg]
+        rows = {"source": [], "j": [], "mv": []}
+        for j, (a, b) in enumerate(_MH_PERMS):
+            mixed = k * np.uint64(a) + np.uint64(b)
+            mins = np.minimum.reduceat(mixed, seg)
+            rows["source"].append(seg_src)
+            rows["j"].append(np.full(len(seg), j, np.int64))
+            rows["mv"].append(mins.view(np.int64))
+        return pa.table({
+            "source": enc.dictionary.take(
+                pa.array(np.concatenate(rows["source"]))),
+            "j": pa.array(np.concatenate(rows["j"])),
+            "mv": pa.array(np.concatenate(rows["mv"])),
+        })
+
+    parts = pa.concat_tables(
+        [part_schema.empty_table()] +
+        list(_read_tokens(sf_dir, ["tokens", "source"])
+             .map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    df = parts.to_pandas()
+    if not len(df):
+        return _SRCSIM_OUT.empty_table()
+    # uint64 MIN: compare unsigned, carry the int64 bit pattern
+    df["u"] = df["mv"].to_numpy().view(np.uint64)
+    sig = df.groupby(["source", "j"], sort=True)["u"].min().reset_index()
+    srcs = sorted(sig["source"].unique())
+    bysrc = {s: g.set_index("j")["u"] for s, g in sig.groupby("source")}
+    out = {"src_a": [], "src_b": [], "n_match": []}
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            a, b = bysrc[sa].align(bysrc[sb], join="inner")
+            nm = int((a == b).sum())
+            if nm:
+                out["src_a"].append(sa)
+                out["src_b"].append(sb)
+                out["n_match"].append(nm)
+    return pa.table({
+        "src_a": pa.array(out["src_a"], pa.string()),
+        "src_b": pa.array(out["src_b"], pa.string()),
+        "n_match": pa.array(out["n_match"], pa.int64()),
+    }, schema=_SRCSIM_OUT)
+
+
+def sql_source_minhash_sim(cache: str, n: int = 8, mod: int = 8) -> str:
+    # same capped-top-byte pack + HUGEINT mix as sql_seq_dedup_minhash
+    key_expr = " + ".join(
+        [f"CAST(tokens[i + {j}] AS BIGINT) * {256 ** j}"
+         for j in range(n - 1)]
+        + [f"(CAST(tokens[i + {n - 1}] AS BIGINT) % 128) * {256 ** (n - 1)}"])
+    perms = ", ".join(f"({j}, {a}::HUGEINT, {b}::HUGEINT)"
+                      for j, (a, b) in enumerate(_MH_PERMS))
+    m64 = "18446744073709551616::HUGEINT"
+    return f"""
+WITH w AS (
+  SELECT source, UNNEST(range(1, len(tokens) - {n - 2})) AS i, tokens
+  FROM read_parquet('{cache}/shard-*.parquet') WHERE len(tokens) >= {n}
+), k AS (
+  SELECT DISTINCT source, ({key_expr})::HUGEINT AS key
+  FROM w WHERE ({key_expr}) % {mod} = 0
+), mh AS (
+  SELECT source, p.j, MIN((k.key * p.a + p.b) % {m64}) AS mv
+  FROM k CROSS JOIN (VALUES {perms}) p(j, a, b)
+  GROUP BY source, p.j
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_match
+FROM mh a JOIN mh b ON a.j = b.j AND a.mv = b.mv AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 _NOV_OUT = pa.schema([("source", pa.string()), ("quartile", pa.int64()),
                       ("n_new", pa.int64())])
 
@@ -4883,6 +5000,7 @@ def log_queries() -> dict:
         "log_token_burstiness": q_log_token_burstiness,
         "log_token_run_lengths": q_log_token_run_lengths,
         "log_seq_len_percentiles": q_log_seq_len_percentiles,
+        "log_source_minhash_sim": q_log_source_minhash_sim,
         "log_token_pmi": q_log_token_pmi,
         "log_pack_doc_mix": q_log_pack_doc_mix,
         "log_pack_source_purity": q_log_pack_source_purity,
@@ -4954,6 +5072,7 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_token_burstiness": sql_token_burstiness(cache),
         "log_token_run_lengths": sql_token_run_lengths(cache),
         "log_seq_len_percentiles": sql_seq_len_percentiles(cache),
+        "log_source_minhash_sim": sql_source_minhash_sim(cache),
         "log_token_pmi": sql_token_pmi(cache),
         "log_pack_doc_mix": sql_pack_doc_mix(cache),
         "log_pack_source_purity": sql_pack_source_purity(cache),

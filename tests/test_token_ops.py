@@ -1049,6 +1049,35 @@ def test_seq_len_percentiles_planted(ray_session, tmp_path, monkeypatch):
     assert got == {"s1": (2, 4, 4), "s2": (3, 5, 5)}
 
 
+def test_source_minhash_sim_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_source_minhash_sim(SF).to_pandas())
+    want = _norm(_duck(Q.sql_source_minhash_sim(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the synthesizer reuses lines across sources: some pair must agree
+    assert got.n_match.sum() > 0
+    assert (got.n_match <= 8).all()
+
+
+def test_source_minhash_sim_planted(ray_session, tmp_path, monkeypatch):
+    """Identical shingle sets -> all 8 components match; a disjoint
+    source matches neither (its sampled windows differ)."""
+    seq = list(range(0, 16))          # windows sampled at key%8==0
+    other = list(range(100, 116))
+    t = pa.table({
+        "doc_id": pa.array([f"a-{i:012d}" for i in range(3)],
+                           type=pa.string()),
+        "tokens": pa.array([seq, seq, other], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([16, 16, 16], type=pa.int32()),
+        "source": pa.array(["s1", "s2", "s3"], type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "shard-00000.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = Q.q_log_source_minhash_sim("ignored").to_pandas()
+    got = {(r.src_a, r.src_b): r.n_match for r in out.itertuples()}
+    assert got.get(("s1", "s2")) == 8
+    assert ("s1", "s3") not in got and ("s2", "s3") not in got
+
+
 def test_pack_tokens_curated_vs_duckdb(ray_session, cache):
     got = _norm(Q.q_log_pack_tokens_curated(SF).to_pandas())
     want = _norm(_duck(Q.sql_pack_tokens_curated(cache)))
