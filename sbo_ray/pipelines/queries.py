@@ -2837,6 +2837,112 @@ FROM t GROUP BY t.source
 """
 
 
+_INTREP_OUT = pa.schema([("source", pa.string()),
+                         ("n_seqs_repeat", pa.int64()),
+                         ("n_rep_windows", pa.int64())])
+
+
+def q_log_seq_internal_repeats(sf_dir: str, n: int = 8):
+    """WITHIN-sequence repetition screen at 8-token-window granularity
+    (the Gopher duplicate-n-gram quality signal on the token axis):
+    per source, how many sequences contain at least one repeated
+    window, and the total repeated-window mass (windows minus
+    per-sequence distinct windows) — loops and copy-paste inside a
+    payload that cross-sequence dedup can never see.
+
+    Block-local and exchange-free: windows pack to u64 per row (ALL
+    positions — no sampling; repetition is a per-row property), a
+    (row, key) sort yields distinct counts per row, partials are
+    |sources| x 2 integers. Exact on both sides: the SQL mirror is
+    COUNT(*) - COUNT(DISTINCT key) per doc over the same capped pack."""
+    part_schema = pa.schema([("source", pa.string()),
+                             ("n_seqs_repeat", pa.int64()),
+                             ("n_rep_windows", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        vals, off = _token_lists(t.column("tokens"))
+        m = len(vals) - n + 1
+        enc = pc.dictionary_encode(t.column("source").combine_chunks())
+        nsrc = len(enc.dictionary)
+        reps = np.zeros(t.num_rows, np.int64)
+        if m > 0:
+            pos = np.arange(m, dtype=np.int64)
+            r0 = np.searchsorted(off, pos, side="right") - 1
+            r1 = np.searchsorted(off, pos + n - 1, side="right") - 1
+            same = r0 == r1
+            pos, r0 = pos[same], r0[same]
+            if len(pos):
+                # cap the top byte exactly like the SQL pack (the
+                # documented byte-alphabet assumption)
+                k = np.zeros(len(pos), np.uint64)
+                for j in range(n - 1):
+                    k += vals[pos + j].astype(np.uint64) << np.uint64(8 * j)
+                k += (vals[pos + n - 1].astype(np.uint64)
+                      % np.uint64(128)) << np.uint64(8 * (n - 1))
+                o = np.lexsort((k, r0))
+                rr, kk = r0[o], k[o]
+                first = np.ones(len(kk), dtype=bool)
+                first[1:] = (rr[1:] != rr[:-1]) | (kk[1:] != kk[:-1])
+                # repeated mass per row = windows - distinct windows
+                reps = (np.bincount(rr, minlength=t.num_rows)
+                        - np.bincount(rr[first], minlength=t.num_rows))
+        src = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "source": enc.dictionary,
+            "n_seqs_repeat": pa.array(
+                np.bincount(src, weights=reps > 0,
+                            minlength=nsrc).astype(np.int64)),
+            "n_rep_windows": pa.array(
+                np.bincount(src, weights=reps,
+                            minlength=nsrc).astype(np.int64)),
+        })
+
+    parts = pa.concat_tables(
+        [part_schema.empty_table()] +
+        list(_read_tokens(sf_dir, ["tokens", "source"])
+             .map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    g = parts.group_by("source").aggregate(
+        [("n_seqs_repeat", "sum"), ("n_rep_windows", "sum")])
+    g = g.rename_columns(["source", "n_seqs_repeat", "n_rep_windows"])
+    g = g.sort_by([("source", "ascending")])
+    return pa.table({
+        "source": g.column("source"),
+        "n_seqs_repeat": g.column("n_seqs_repeat").cast(pa.int64()),
+        "n_rep_windows": g.column("n_rep_windows").cast(pa.int64()),
+    }, schema=_INTREP_OUT)
+
+
+def sql_seq_internal_repeats(cache: str, n: int = 8) -> str:
+    key_expr = " + ".join(
+        [f"CAST(tokens[i + {j}] AS BIGINT) * {256 ** j}"
+         for j in range(n - 1)]
+        + [f"(CAST(tokens[i + {n - 1}] AS BIGINT) % 128) * {256 ** (n - 1)}"])
+    return f"""
+WITH w AS (
+  SELECT doc_id, source, UNNEST(range(1, len(tokens) - {n - 2})) AS i,
+         tokens
+  FROM read_parquet('{cache}/shard-*.parquet') WHERE len(tokens) >= {n}
+), k AS (
+  SELECT doc_id, source, ({key_expr}) AS key FROM w
+), d AS (
+  SELECT doc_id, source,
+         COUNT(*) - COUNT(DISTINCT key) AS rep FROM k
+  GROUP BY doc_id, source
+)
+SELECT s.source,
+       CAST(COALESCE(SUM(CASE WHEN d.rep > 0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_seqs_repeat,
+       CAST(COALESCE(SUM(d.rep), 0) AS BIGINT) AS n_rep_windows
+FROM (SELECT DISTINCT source
+      FROM read_parquet('{cache}/shard-*.parquet')) s
+LEFT JOIN d USING (source)
+GROUP BY s.source ORDER BY s.source
+"""
+
+
 _SRCSIM_OUT = pa.schema([("src_a", pa.string()), ("src_b", pa.string()),
                          ("n_match", pa.int64())])
 
@@ -5001,6 +5107,7 @@ def log_queries() -> dict:
         "log_token_run_lengths": q_log_token_run_lengths,
         "log_seq_len_percentiles": q_log_seq_len_percentiles,
         "log_source_minhash_sim": q_log_source_minhash_sim,
+        "log_seq_internal_repeats": q_log_seq_internal_repeats,
         "log_token_pmi": q_log_token_pmi,
         "log_pack_doc_mix": q_log_pack_doc_mix,
         "log_pack_source_purity": q_log_pack_source_purity,
@@ -5073,6 +5180,7 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_token_run_lengths": sql_token_run_lengths(cache),
         "log_seq_len_percentiles": sql_seq_len_percentiles(cache),
         "log_source_minhash_sim": sql_source_minhash_sim(cache),
+        "log_seq_internal_repeats": sql_seq_internal_repeats(cache),
         "log_token_pmi": sql_token_pmi(cache),
         "log_pack_doc_mix": sql_pack_doc_mix(cache),
         "log_pack_source_purity": sql_pack_source_purity(cache),

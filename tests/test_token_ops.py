@@ -1078,6 +1078,39 @@ def test_source_minhash_sim_planted(ray_session, tmp_path, monkeypatch):
     assert ("s1", "s3") not in got and ("s2", "s3") not in got
 
 
+def test_seq_internal_repeats_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_seq_internal_repeats(SF).to_pandas())
+    want = _norm(_duck(Q.sql_seq_internal_repeats(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got.n_rep_windows >= got.n_seqs_repeat).all()
+
+
+def test_seq_internal_repeats_planted(ray_session, tmp_path, monkeypatch):
+    """[1..8]x2 concatenated: windows repeat (9 of 9 distinct... the
+    repeated copy makes positions 0 and 8 identical -> rep mass 1 per
+    repeated alignment); a pure loop [7]*16 has 9 windows, 1 distinct
+    -> rep 8; short and diverse rows contribute zeros."""
+    rows = [
+        list(range(1, 9)) * 2,   # window at pos 0 == pos 8 -> rep 1
+        [7] * 16,                # 9 identical windows -> rep 8
+        list(range(20, 28)),     # single window, no repeat
+        [1, 2, 3],               # too short: no windows
+    ]
+    t = pa.table({
+        "doc_id": pa.array([f"a-{i:012d}" for i in range(len(rows))],
+                           type=pa.string()),
+        "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r) for r in rows], type=pa.int32()),
+        "source": pa.array(["s1", "s1", "s2", "s2"], type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "shard-00000.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = Q.q_log_seq_internal_repeats("ignored").to_pandas()
+    got = {r.source: (r.n_seqs_repeat, r.n_rep_windows)
+           for r in out.itertuples()}
+    assert got == {"s1": (2, 9), "s2": (0, 0)}
+
+
 def test_pack_tokens_curated_vs_duckdb(ray_session, cache):
     got = _norm(Q.q_log_pack_tokens_curated(SF).to_pandas())
     want = _norm(_duck(Q.sql_pack_tokens_curated(cache)))
