@@ -228,3 +228,38 @@ def test_raw_task_pair_ops_empty_embeddings(ray_session, tmp_path):
     sem = emb_semdedup(str(tmp_path))
     assert sem.count() == 0
     assert sem.schema().names == ["vec_id", "rep_id", "cluster"]
+
+
+def test_late_r5_token_ops_empty(ray_session, empty_token_dir, monkeypatch):
+    """Every late-r5 token operator returns a ZERO-row, full-schema
+    result on an empty shard (no schemaless empty-Dataset leak, no
+    div-by-zero in the integer folds)."""
+    from sbo_ray.pipelines import queries as Q
+
+    monkeypatch.setattr(
+        Q, "_input_paths",
+        lambda sf: [f"{empty_token_dir}/shard-0000.parquet"])
+    cases = [
+        (Q.q_log_cross_source_leakage, ["src_a", "src_b", "n_shared"]),
+        (Q.q_log_token_pmi, ["a", "b", "cnt", "pmi"]),
+        (Q.q_log_pack_doc_mix, ["n_docs", "n_seqs"]),
+        (Q.q_log_pack_source_purity, ["n_sources", "n_seqs"]),
+        (Q.q_log_seq_dominant_ratio, ["source", "decile", "n_seqs"]),
+        (Q.q_log_token_burstiness,
+         ["token", "n_occ", "sum_sq", "n_seqs"]),
+        (Q.q_log_token_run_lengths, ["run_len", "n_runs"]),
+        (Q.q_log_seq_len_percentiles, ["source", "p50", "p90", "p99"]),
+        (Q.q_log_source_minhash_sim, ["src_a", "src_b", "n_match"]),
+        (Q.q_log_seq_internal_repeats,
+         ["source", "n_seqs_repeat", "n_rep_windows"]),
+    ]
+    for fn, cols in cases:
+        out = fn("ignored")
+        assert out.num_rows == 0, fn.__name__
+        assert out.schema.names == cols, fn.__name__
+    # the curated pack returns a (lazy) Dataset; materialize
+    packed = Q.q_log_pack_tokens_curated("ignored")
+    import ray.data as rd
+
+    assert isinstance(packed, rd.Dataset)
+    assert packed.count() == 0
