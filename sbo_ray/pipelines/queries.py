@@ -2837,6 +2837,85 @@ FROM t GROUP BY t.source
 """
 
 
+_DUPGAP_OUT = pa.schema([("gap_bucket", pa.int64()),
+                         ("n_pairs", pa.int64())])
+
+
+def q_log_dup_gap_histogram(sf_dir: str):
+    """How FAR APART duplicate copies arrive: histogram of
+    floor(log2(ingestion-index gap)) over consecutive copies of each
+    duplicated sequence — the measurement that sizes a streaming-dedup
+    window (mass in low buckets = a bounded LRU window catches most
+    duplicates; heavy high buckets = only global dedup works).
+
+    The log_seq_dedup exchange shape: (h, idx) pairs route by h % P so
+    every copy of a sequence lands in one partition; the fold sorts,
+    diffs consecutive idx per h, and buckets gaps through the EXACT
+    frexp exponent (integer for gaps < 2^53 — never a raw log2, the
+    transcendental-gating rule); the SQL twin buckets via
+    strlen(bin(gap)) - 1, bit-identical."""
+    import ray
+
+    P = max(4, int(ray.cluster_resources().get("CPU", 4)))
+    part_schema = pa.schema([("h", pa.int64()), ("idx", pa.int64()),
+                             ("part", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        vals, off = _token_lists(t.column("tokens"))
+        h = _seq_hash64(vals, off)
+        idx = _pack_idx(t.column("doc_id"))
+        part = (h % np.uint64(P)).astype(np.int64)
+        return pa.table({"h": pa.array(h.view(np.int64)),
+                         "idx": pa.array(idx, pa.int64()),
+                         "part": pa.array(part)})
+
+    def fold_part(g: "pd.DataFrame"):
+        import pandas as pd
+
+        h = g["h"].to_numpy()
+        idx = g["idx"].to_numpy()
+        o = np.lexsort((idx, h))
+        h, idx = h[o], idx[o]
+        same = np.zeros(len(h), dtype=bool)
+        same[1:] = h[1:] == h[:-1]
+        gaps = (idx[1:] - idx[:-1])[same[1:]]
+        if not len(gaps):
+            return pd.DataFrame({"gap_bucket": pd.Series([], dtype="int64"),
+                                 "n_pairs": pd.Series([], dtype="int64")})
+        bk = (np.frexp(gaps.astype(np.float64))[1] - 1).astype(np.int64)
+        ub, cnt = np.unique(bk, return_counts=True)
+        return pd.DataFrame({"gap_bucket": ub,
+                             "n_pairs": cnt.astype("int64")})
+
+    parts = (_read_tokens(sf_dir, ["doc_id", "tokens"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("part").map_groups(fold_part))
+    df = logpipe.to_pandas_with_schema(parts, _DUPGAP_OUT)
+    out = (df.groupby("gap_bucket", sort=True)["n_pairs"].sum()
+           .reset_index())
+    return pa.table({
+        "gap_bucket": pa.array(out["gap_bucket"], type=pa.int64()),
+        "n_pairs": pa.array(out["n_pairs"], type=pa.int64()),
+    }, schema=_DUPGAP_OUT)
+
+
+def sql_dup_gap_histogram(cache: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT tokens, CAST(right(doc_id, 12) AS BIGINT) AS idx
+  FROM read_parquet('{cache}/shard-*.parquet')
+), g AS (
+  SELECT idx - LAG(idx) OVER (PARTITION BY tokens ORDER BY idx) AS gap
+  FROM t
+)
+SELECT CAST(strlen(bin(gap)) - 1 AS BIGINT) AS gap_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+
+
 _INTREP_OUT = pa.schema([("source", pa.string()),
                          ("n_seqs_repeat", pa.int64()),
                          ("n_rep_windows", pa.int64())])
@@ -5108,6 +5187,7 @@ def log_queries() -> dict:
         "log_seq_len_percentiles": q_log_seq_len_percentiles,
         "log_source_minhash_sim": q_log_source_minhash_sim,
         "log_seq_internal_repeats": q_log_seq_internal_repeats,
+        "log_dup_gap_histogram": q_log_dup_gap_histogram,
         "log_token_pmi": q_log_token_pmi,
         "log_pack_doc_mix": q_log_pack_doc_mix,
         "log_pack_source_purity": q_log_pack_source_purity,
@@ -5181,6 +5261,7 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_seq_len_percentiles": sql_seq_len_percentiles(cache),
         "log_source_minhash_sim": sql_source_minhash_sim(cache),
         "log_seq_internal_repeats": sql_seq_internal_repeats(cache),
+        "log_dup_gap_histogram": sql_dup_gap_histogram(cache),
         "log_token_pmi": sql_token_pmi(cache),
         "log_pack_doc_mix": sql_pack_doc_mix(cache),
         "log_pack_source_purity": sql_pack_source_purity(cache),

@@ -1049,6 +1049,44 @@ def test_seq_len_percentiles_planted(ray_session, tmp_path, monkeypatch):
     assert got == {"s1": (2, 4, 4), "s2": (3, 5, 5)}
 
 
+def test_dup_gap_histogram_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_dup_gap_histogram(SF).to_pandas())
+    want = _norm(_duck(Q.sql_dup_gap_histogram(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # pair count reconciles with cluster sizes: sum(copies - 1)
+    cl = _duck(f"SELECT CAST(SUM(c - 1) AS BIGINT) AS n FROM "
+               f"(SELECT COUNT(*) AS c FROM "
+               f"read_parquet('{cache}/shard-*.parquet') "
+               f"GROUP BY tokens) WHERE c > 1")
+    assert got.n_pairs.sum() == cl.n.iloc[0]
+
+
+def test_dup_gap_histogram_planted(ray_session, tmp_path, monkeypatch):
+    """Copies at idx 0/1/9: gaps 1 (bucket 0) and 8 (bucket 3);
+    consecutive-copy gaps only (never 0->9); singletons contribute
+    nothing; shards split the copies."""
+    t1 = pa.table({
+        "doc_id": pa.array(["a-000000000000", "a-000000000001"],
+                           type=pa.string()),
+        "tokens": pa.array([[1, 2], [1, 2]], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([2, 2], type=pa.int32()),
+        "source": pa.array(["s", "s"], type=pa.string()),
+    })
+    t2 = pa.table({
+        "doc_id": pa.array(["a-000000000009", "a-000000000012"],
+                           type=pa.string()),
+        "tokens": pa.array([[1, 2], [7]], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([2, 1], type=pa.int32()),
+        "source": pa.array(["s", "s"], type=pa.string()),
+    })
+    pq.write_table(t1, str(tmp_path / "shard-00000.parquet"))
+    pq.write_table(t2, str(tmp_path / "shard-00001.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = Q.q_log_dup_gap_histogram("ignored").to_pandas()
+    got = dict(zip(out.gap_bucket, out.n_pairs))
+    assert got == {0: 1, 3: 1}
+
+
 def test_source_minhash_sim_vs_duckdb(ray_session, cache):
     got = _norm(Q.q_log_source_minhash_sim(SF).to_pandas())
     want = _norm(_duck(Q.sql_source_minhash_sim(cache)))
