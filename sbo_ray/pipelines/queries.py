@@ -2837,6 +2837,146 @@ FROM t GROUP BY t.source
 """
 
 
+_DECON_OUT = pa.schema([("source", pa.string()), ("n_rows", pa.int64()),
+                        ("n_flagged", pa.int64())])
+
+
+def q_log_decontaminate_eval(sf_dir: str, n: int = 8, mod: int = 8,
+                             every: int = 1000):
+    """Train/eval DECONTAMINATION on the token axis: hold out every
+    ``every``-th ingestion index as the eval slice, then flag every
+    TRAIN sequence sharing a sampled 8-token window with any eval
+    sequence — the n-gram leakage screen run before an eval split is
+    trusted (the doc-side twin is doc_decontaminate_ngram; here the
+    grams are token windows, no text).
+
+    Two bounded passes over the same pruned read: pass 1 reduces eval
+    rows (a 1/``every`` sliver) to their distinct sampled window keys
+    — a small sorted array broadcast once via ray.put; pass 2 flags
+    train rows by searchsorted membership, block-locally, and emits
+    |sources| x 2 integer partials. No exchange: the blocklist is the
+    only shared state (the broadcast-small-side rule)."""
+    import ray
+
+    def eval_keys(t: pa.Table) -> pa.Table:
+        idx = _pack_idx(t.column("doc_id"))
+        sel_rows = idx % every == 0
+        if not sel_rows.any():
+            return pa.schema([("key", pa.int64())]).empty_table()
+        sub = t.filter(pa.array(sel_rows))
+        vals, off = _token_lists(sub.column("tokens"))
+        k = _sampled_window_keys(vals, off, n, mod)[0]
+        return pa.table({"key": pa.array(np.unique(k).view(np.int64))})
+
+    parts = pa.concat_tables(
+        [pa.schema([("key", pa.int64())]).empty_table()] +
+        list(_read_tokens(sf_dir, ["doc_id", "tokens"])
+             .map_batches(eval_keys, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    block = np.unique(parts.column("key").to_numpy(zero_copy_only=False))
+    block_ref = ray.put(block)
+
+    part_schema = pa.schema([("source", pa.string()), ("n_rows", pa.int64()),
+                             ("n_flagged", pa.int64())])
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        bl = ray.get(block_ref)
+        idx = _pack_idx(t.column("doc_id"))
+        train = idx % every != 0
+        sub = t.filter(pa.array(train))
+        vals, off = _token_lists(sub.column("tokens"))
+        k, rows = _sampled_window_keys(vals, off, n, mod)
+        hit = np.zeros(sub.num_rows, dtype=bool)
+        if len(k) and len(bl):
+            ks = k.view(np.int64)
+            pos = np.searchsorted(bl, ks)
+            m = (pos < len(bl)) & (bl[np.minimum(pos, len(bl) - 1)] == ks)
+            hit[rows[m]] = True
+        enc = pc.dictionary_encode(sub.column("source").combine_chunks())
+        src = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nsrc = len(enc.dictionary)
+        return pa.table({
+            "source": enc.dictionary,
+            "n_rows": pa.array(np.bincount(src, minlength=nsrc)
+                               .astype(np.int64)),
+            "n_flagged": pa.array(
+                np.bincount(src, weights=hit,
+                            minlength=nsrc).astype(np.int64)),
+        })
+
+    out = pa.concat_tables(
+        [part_schema.empty_table()] +
+        list(_read_tokens(sf_dir, ["doc_id", "tokens", "source"])
+             .map_batches(flag, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    g = out.group_by("source").aggregate(
+        [("n_rows", "sum"), ("n_flagged", "sum")])
+    g = g.rename_columns(["source", "n_rows", "n_flagged"])
+    g = g.sort_by([("source", "ascending")])
+    return pa.table({
+        "source": g.column("source"),
+        "n_rows": g.column("n_rows").cast(pa.int64()),
+        "n_flagged": g.column("n_flagged").cast(pa.int64()),
+    }, schema=_DECON_OUT)
+
+
+def _sampled_window_keys(vals: np.ndarray, off: np.ndarray, n: int,
+                         mod: int) -> tuple:
+    """Capped-top-byte packed keys of within-row n-token windows whose
+    FIRST token is 0 mod ``mod`` (the shared sampled-window pack), plus
+    each window's row id."""
+    m = len(vals) - n + 1
+    if m <= 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    sel = np.flatnonzero(vals[:m] % mod == 0)
+    r0 = np.searchsorted(off, sel, side="right") - 1
+    r1 = np.searchsorted(off, sel + n - 1, side="right") - 1
+    same = r0 == r1
+    sel, r0 = sel[same], r0[same]
+    if not len(sel):
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    k = np.zeros(len(sel), np.uint64)
+    for j in range(n - 1):
+        k += vals[sel + j].astype(np.uint64) << np.uint64(8 * j)
+    k += (vals[sel + n - 1].astype(np.uint64)
+          % np.uint64(128)) << np.uint64(8 * (n - 1))
+    return k, r0
+
+
+def sql_decontaminate_eval(cache: str, n: int = 8, mod: int = 8,
+                           every: int = 1000) -> str:
+    key_expr = " + ".join(
+        [f"CAST(tokens[i + {j}] AS BIGINT) * {256 ** j}"
+         for j in range(n - 1)]
+        + [f"(CAST(tokens[i + {n - 1}] AS BIGINT) % 128) * {256 ** (n - 1)}"])
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, tokens,
+         CAST(right(doc_id, 12) AS BIGINT) AS idx
+  FROM read_parquet('{cache}/shard-*.parquet')
+), w AS (
+  SELECT doc_id, source, idx,
+         UNNEST(range(1, len(tokens) - {n - 2})) AS i, tokens
+  FROM t WHERE len(tokens) >= {n}
+), k AS (
+  SELECT DISTINCT doc_id, source, idx, ({key_expr}) AS key
+  FROM w WHERE ({key_expr}) % {mod} = 0
+), ek AS (
+  SELECT DISTINCT key FROM k WHERE idx % {every} = 0
+), f AS (
+  SELECT DISTINCT doc_id FROM k
+  WHERE idx % {every} != 0 AND key IN (SELECT key FROM ek)
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN t.doc_id IN (SELECT doc_id FROM f)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM t WHERE idx % {every} != 0
+GROUP BY source ORDER BY source
+"""
+
+
 _DUPGAP_OUT = pa.schema([("gap_bucket", pa.int64()),
                          ("n_pairs", pa.int64())])
 
@@ -5188,6 +5328,7 @@ def log_queries() -> dict:
         "log_source_minhash_sim": q_log_source_minhash_sim,
         "log_seq_internal_repeats": q_log_seq_internal_repeats,
         "log_dup_gap_histogram": q_log_dup_gap_histogram,
+        "log_decontaminate_eval": q_log_decontaminate_eval,
         "log_token_pmi": q_log_token_pmi,
         "log_pack_doc_mix": q_log_pack_doc_mix,
         "log_pack_source_purity": q_log_pack_source_purity,
@@ -5262,6 +5403,7 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_source_minhash_sim": sql_source_minhash_sim(cache),
         "log_seq_internal_repeats": sql_seq_internal_repeats(cache),
         "log_dup_gap_histogram": sql_dup_gap_histogram(cache),
+        "log_decontaminate_eval": sql_decontaminate_eval(cache),
         "log_token_pmi": sql_token_pmi(cache),
         "log_pack_doc_mix": sql_pack_doc_mix(cache),
         "log_pack_source_purity": sql_pack_source_purity(cache),

@@ -1087,6 +1087,38 @@ def test_dup_gap_histogram_planted(ray_session, tmp_path, monkeypatch):
     assert got == {0: 1, 3: 1}
 
 
+def test_decontaminate_eval_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_decontaminate_eval(SF).to_pandas())
+    want = _norm(_duck(Q.sql_decontaminate_eval(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the synthesizer reuses lines: eval leakage must be detected
+    assert got.n_flagged.sum() > 0
+    assert (got.n_flagged <= got.n_rows).all()
+
+
+def test_decontaminate_eval_planted(ray_session, tmp_path, monkeypatch):
+    """idx 0 is eval (every=2 here): a train row sharing its sampled
+    window flags; a disjoint train row doesn't; eval rows are excluded
+    from n_rows entirely."""
+    seq = list(range(0, 16))            # eval, idx 0
+    leaky = list(range(0, 16))          # train dup of eval, idx 1
+    clean = list(range(101, 117))       # train, idx 3 (no sampled overlap)
+    evl2 = list(range(50, 58))          # eval, idx 2
+    rows = [seq, leaky, evl2, clean]
+    t = pa.table({
+        "doc_id": pa.array([f"a-{i:012d}" for i in range(len(rows))],
+                           type=pa.string()),
+        "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r) for r in rows], type=pa.int32()),
+        "source": pa.array(["s1", "s1", "s2", "s2"], type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "shard-00000.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = Q.q_log_decontaminate_eval("ignored", every=2).to_pandas()
+    got = {r.source: (r.n_rows, r.n_flagged) for r in out.itertuples()}
+    assert got == {"s1": (1, 1), "s2": (1, 0)}
+
+
 def test_source_minhash_sim_vs_duckdb(ray_session, cache):
     got = _norm(Q.q_log_source_minhash_sim(SF).to_pandas())
     want = _norm(_duck(Q.sql_source_minhash_sim(cache)))
