@@ -3073,7 +3073,11 @@ def q_log_seq_internal_repeats(sf_dir: str, n: int = 8):
     positions — no sampling; repetition is a per-row property), a
     (row, key) sort yields distinct counts per row, partials are
     |sources| x 2 integers. Exact on both sides: the SQL mirror is
-    COUNT(*) - COUNT(DISTINCT key) per doc over the same capped pack."""
+    COUNT(*) - COUNT(DISTINCT key) per doc over the same capped pack.
+    (Measured: bandwidth-capping this map via num_cpus made it 4-5x
+    SLOWER — num_cpus on a map_batches breaks read->map fusion, so the
+    raw-task _bw_task_cpus rule does NOT transfer to fused map stages;
+    17 s at 4M as-is.)"""
     part_schema = pa.schema([("source", pa.string()),
                              ("n_seqs_repeat", pa.int64()),
                              ("n_rep_windows", pa.int64())])
