@@ -58,7 +58,7 @@ _PRIORITY = [
     "log_pack_source_purity", "log_token_run_lengths",
     "log_pack_tokens_curated", "log_seq_len_percentiles",
     "log_source_minhash_sim", "log_seq_internal_repeats",
-    "log_dup_gap_histogram", "log_decontaminate_eval",
+    "log_dup_gap_histogram", "log_decontaminate_eval", "log_token_zipf",
     # previously green; rotate the oldest rows back under the cap
     "log_token_histogram", "log_token_bigrams", "log_seq_dedup",
     "log_pack_tokens", "doc_dsir_weights", "events_attribution",

@@ -2837,6 +2837,98 @@ FROM t GROUP BY t.source
 """
 
 
+_ZIPF_OUT = pa.schema([("source", pa.string()), ("slope", pa.float64()),
+                       ("n_distinct", pa.int64())])
+
+
+def q_log_token_zipf(sf_dir: str):
+    """Per-source Zipf slope: the least-squares slope of ln(freq) on
+    ln(rank) over the source's token frequency distribution (rank ties
+    broken by token id, matching the SQL ROW_NUMBER) — natural-ish
+    payloads sit near -1, near-uniform machine noise near 0, and
+    near-constant payloads go steeply negative; the corpus-health
+    scalar a mixing job tracks per source.
+
+    The per-(source, token) counts are the bounded histogram partials
+    (|sources| x 256), so the regression itself is driver-side
+    arithmetic on KBs. The slope is a quotient of transcendental sums
+    — ROUND-6 safe (last-ulp noise only; the doc_tfidf rule), with
+    integer rank/count inputs identical on both sides."""
+    part_schema = pa.schema([("source", pa.string()), ("token", pa.int64()),
+                             ("cnt", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        vals, off = _token_lists(t.column("tokens"))
+        if not len(vals):
+            return part_schema.empty_table()
+        nt = np.diff(off)
+        enc = pc.dictionary_encode(t.column("source").combine_chunks())
+        src = np.repeat(enc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64), nt)
+        nsrc = len(enc.dictionary)
+        cnt = np.bincount(src * 256 + vals.astype(np.int64),
+                          minlength=nsrc * 256)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "source": enc.dictionary.take(pa.array(nz // 256)),
+            "token": pa.array((nz % 256).astype(np.int64)),
+            "cnt": pa.array(cnt[nz].astype(np.int64)),
+        })
+
+    parts = pa.concat_tables(
+        [part_schema.empty_table()] +
+        list(_read_tokens(sf_dir, ["tokens", "source"])
+             .map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    g = parts.group_by(["source", "token"]).aggregate([("cnt", "sum")])
+    df = g.rename_columns(["source", "token", "cnt"]).to_pandas()
+    rows = []
+    for src, grp in df.groupby("source", sort=True):
+        grp = grp.sort_values(["cnt", "token"],
+                              ascending=[False, True])
+        n = len(grp)
+        x = np.log(np.arange(1, n + 1, dtype=np.float64))
+        y = np.log(grp["cnt"].to_numpy(dtype=np.float64))
+        xm, ym = x.mean(), y.mean()
+        den = ((x - xm) ** 2).sum()
+        slope = float(((x - xm) * (y - ym)).sum() / den) if den else 0.0
+        rows.append((src, round(slope, 6), n))
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "slope": pa.array([r[1] for r in rows], pa.float64()),
+        "n_distinct": pa.array([r[2] for r in rows], pa.int64()),
+    }, schema=_ZIPF_OUT)
+
+
+def sql_token_zipf(cache: str) -> str:
+    return f"""
+WITH c AS (
+  SELECT source, CAST(tok AS BIGINT) AS token,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM read_parquet('{cache}/shard-*.parquet') t, UNNEST(t.tokens) AS u(tok)
+  GROUP BY source, token
+), r AS (
+  SELECT source, cnt,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, token) AS rank
+  FROM c
+), s AS (
+  SELECT source, LN(rank) AS x, LN(cnt) AS y FROM r
+)
+SELECT source,
+       COALESCE(ROUND(SUM((x - ax) * (y - ay))
+             / NULLIF(SUM((x - ax) * (x - ax)), 0), 6), 0.0) AS slope,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct
+FROM (SELECT source, x, y,
+             AVG(x) OVER (PARTITION BY source) AS ax,
+             AVG(y) OVER (PARTITION BY source) AS ay
+      FROM s)
+GROUP BY source ORDER BY source
+"""
+
+
 _DECON_OUT = pa.schema([("source", pa.string()), ("n_rows", pa.int64()),
                         ("n_flagged", pa.int64())])
 
@@ -5333,6 +5425,7 @@ def log_queries() -> dict:
         "log_seq_internal_repeats": q_log_seq_internal_repeats,
         "log_dup_gap_histogram": q_log_dup_gap_histogram,
         "log_decontaminate_eval": q_log_decontaminate_eval,
+        "log_token_zipf": q_log_token_zipf,
         "log_token_pmi": q_log_token_pmi,
         "log_pack_doc_mix": q_log_pack_doc_mix,
         "log_pack_source_purity": q_log_pack_source_purity,
@@ -5408,6 +5501,7 @@ def log_oracle_sql(sf_dir: str = SF_CORRECTNESS) -> dict:
         "log_seq_internal_repeats": sql_seq_internal_repeats(cache),
         "log_dup_gap_histogram": sql_dup_gap_histogram(cache),
         "log_decontaminate_eval": sql_decontaminate_eval(cache),
+        "log_token_zipf": sql_token_zipf(cache),
         "log_token_pmi": sql_token_pmi(cache),
         "log_pack_doc_mix": sql_pack_doc_mix(cache),
         "log_pack_source_purity": sql_pack_source_purity(cache),

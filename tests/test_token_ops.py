@@ -1049,6 +1049,41 @@ def test_seq_len_percentiles_planted(ray_session, tmp_path, monkeypatch):
     assert got == {"s1": (2, 4, 4), "s2": (3, 5, 5)}
 
 
+def test_token_zipf_vs_duckdb(ray_session, cache):
+    got = _norm(Q.q_log_token_zipf(SF).to_pandas())
+    want = _norm(_duck(Q.sql_token_zipf(cache)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # log-shaped byte payloads are Zipf-ish: strictly negative slopes
+    assert (got.slope < 0).all()
+
+
+def test_token_zipf_planted(ray_session, tmp_path, monkeypatch):
+    """Exact slope on a hand-computable distribution: counts 4/2/1 for
+    tokens 5/6/7 -> ranks 1/2/3; rank ties break by token id (two
+    count-2 tokens order 6 then 9)."""
+    import math
+
+    rows = [[5, 5, 5, 5, 6, 6, 7], [9, 9, 6, 5]]
+    t = pa.table({
+        "doc_id": pa.array([f"a-{i:012d}" for i in range(2)],
+                           type=pa.string()),
+        "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r) for r in rows], type=pa.int32()),
+        "source": pa.array(["s1", "s1"], type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "shard-00000.parquet"))
+    _patch_paths(monkeypatch, str(tmp_path))
+    out = Q.q_log_token_zipf("ignored").to_pandas()
+    # counts: 5->5, 6->3, 9->2, 7->1 ; ranks 1..4 by (cnt desc, tok)
+    x = [math.log(r) for r in (1, 2, 3, 4)]
+    y = [math.log(c) for c in (5, 3, 2, 1)]
+    xm, ym = sum(x) / 4, sum(y) / 4
+    slope = (sum((a - xm) * (b - ym) for a, b in zip(x, y))
+             / sum((a - xm) ** 2 for a in x))
+    assert out.n_distinct.iloc[0] == 4
+    assert out.slope.iloc[0] == round(slope, 6)
+
+
 def test_dup_gap_histogram_vs_duckdb(ray_session, cache):
     got = _norm(Q.q_log_dup_gap_histogram(SF).to_pandas())
     want = _norm(_duck(Q.sql_dup_gap_histogram(cache)))
